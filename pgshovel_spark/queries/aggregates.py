@@ -1,0 +1,407 @@
+"""Aggregation operators (SURVEY.md §2.D).
+
+All group-bys are plain ``df.groupBy().agg()`` — Spark plans these as
+partial (map-side) + final hash aggregates automatically, so shuffle
+volume is #groups x #partitions, not #rows.  At 100 TB the same plans
+hold: AQE coalesces the post-shuffle partitions and splits skewed
+groups.  Money sums use exact-decimal summation for order-independent
+results (see functions.determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.determinism import dec, dsum, exact_avg
+from pgshovel_spark.sources.tables import load_table
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship — TPC-H Q1 analog: multi-measure hash aggregate.
+
+    Scale notes: map-side partial agg reduces each partition to <=6
+    rows before the shuffle; the scan reads only the 7 referenced
+    columns and pushes the shipdate filter to Parquet row groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            exact_avg("l_quantity", 4).alias("avg_qty"),
+            exact_avg("l_extendedprice", 4).alias("avg_price"),
+            exact_avg("l_discount", 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) per order-month — Spark expands distinct
+    aggregates with a two-phase plan (expand + two aggregates)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.unix_timestamp("order_month").cast("long").alias("order_month_s"),
+            "n_custs",
+            "n_prios",
+            "n_orders",
+        )
+    )
+
+
+_AGG_DISTINCT_SQL = """
+SELECT
+  CAST(FLOOR(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS order_month_s,
+  COUNT(DISTINCT o_custkey) AS n_custs,
+  COUNT(DISTINCT o_orderpriority) AS n_prios,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): nations with >= 5 customers."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", 2).alias("total_acctbal"),
+        )
+        .filter(F.col("n_customers") >= 5)
+    )
+
+
+_AGG_HAVING_SQL = """
+SELECT
+  n_name,
+  COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING COUNT(*) >= 5
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) customer counts with grouping markers.
+
+    NULL group keys are coalesced to 'ALL' so subtotal rows hash
+    identically on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.grouping_id("r_name", "n_name").cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "gid",
+        )
+    )
+
+
+_AGG_ROLLUP_SQL = """
+SELECT
+  COALESCE(r_name, 'ALL') AS region,
+  COALESCE(n_name, 'ALL') AS nation,
+  COUNT(*) AS n_customers,
+  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (o_orderstatus, o_orderpriority) with grouping_id."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+            F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+            "gid",
+        )
+    )
+
+
+_AGG_CUBE_SQL = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_price,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per returnflag.
+
+    Implemented from EXACT decimal sums via the textbook formulas so
+    both engines compute identical doubles (built-in stddev/corr use
+    engine-specific accumulation orders that can flip a rounded digit):
+
+        var_samp  = (S_xx - S_x^2/n) / (n-1)
+        covar     = (S_xy - S_x*S_y/n) / (n-1)
+        corr      = covar_pop / (sigma_pop(x) * sigma_pop(y))
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q)).cast("double").alias("sq"),
+        F.sum(dec(p)).cast("double").alias("sp"),
+        F.sum(dec(q * q)).cast("double").alias("sqq"),
+        F.sum(dec(p * p)).cast("double").alias("spp"),
+        F.sum(dec(q * p)).cast("double").alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    var_q = (F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)
+    var_p = (F.col("spp") - F.col("sp") * F.col("sp") / n) / (n - 1)
+    covar = (F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1)
+    corr = (F.col("sqp") - F.col("sq") * F.col("sp") / n) / (
+        F.sqrt(F.col("sqq") - F.col("sq") * F.col("sq") / n)
+        * F.sqrt(F.col("spp") - F.col("sp") * F.col("sp") / n)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(F.sqrt(var_q), 4).alias("stddev_qty"),
+        F.round(var_p, 4).alias("var_price"),
+        F.round(covar, 4).alias("covar_qty_price"),
+        F.round(corr, 4).alias("corr_qty_price"),
+    )
+
+
+_AGG_STATS_SQL = """
+WITH s AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sq,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sp,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sqq,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS spp,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n AS n_rows,
+  ROUND(SQRT((sqq - sq * sq / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 4) AS stddev_qty,
+  ROUND((spp - sp * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4) AS var_price,
+  ROUND((sqp - sq * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4) AS covar_qty_price,
+  ROUND((sqp - sq * sp / CAST(n AS DOUBLE))
+        / (SQRT(sqq - sq * sq / CAST(n AS DOUBLE)) * SQRT(spp - sp * sp / CAST(n AS DOUBLE))), 4) AS corr_qty_price
+FROM s
+"""
+
+
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by per nation.
+
+    Tiebreak: acctbal is 2dp with rare duplicates, so the ordering key
+    is the scalar composite ``c_acctbal * 1e8 + c_custkey`` — exact in
+    a double (<= ~1e12) and strictly monotonic in (acctbal, custkey)
+    while custkey < 1e6 (true through sf>=10).  DuckDB 1.0's arg_max
+    does not accept struct keys, so both sides use the scalar.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    key = F.col("c_acctbal") * 100000000.0 + F.col("c_custkey")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", key).alias("richest"),
+            F.min_by("c_name", key).alias("poorest"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
+_AGG_MINMAX_BY_SQL = """
+SELECT
+  n_name,
+  arg_max(c_name, c_acctbal * 100000000.0 + c_custkey) AS richest,
+  arg_min(c_name, c_acctbal * 100000000.0 + c_custkey) AS poorest,
+  ROUND(MAX(c_acctbal), 2) AS max_bal,
+  ROUND(MIN(c_acctbal), 2) AS min_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect: per-nation sorted, comma-joined customer names
+    (arrays reduced to strings so hashing is stable — Appendix A.6)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+_AGG_COLLECT_SQL = """
+SELECT
+  n_name,
+  string_agg(c_name, ',' ORDER BY c_name) AS names,
+  COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50 via linear interpolation (percentile_cont semantics)
+    per order status, on DOUBLE both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_AGG_MEDIAN_SQL = """
+SELECT
+  o_orderstatus,
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS median_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx distinct users per event_type — rows-only by design
+    (no oracle: HLL estimates are engine-specific)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type -> per-user counts over a FIXED value list (so
+    the output schema is static — required both for Catalyst and for
+    a deterministic oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+
+
+_PIVOT_SQL = """
+SELECT
+  user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+  COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+  COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q_agg_pricing_summary": q_agg_pricing_summary,
+    "q_agg_distinct": q_agg_distinct,
+    "q_agg_having": q_agg_having,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_cube": q_agg_cube,
+    "q_agg_stats": q_agg_stats,
+    "q_agg_minmax_by": q_agg_minmax_by,
+    "q_agg_collect": q_agg_collect,
+    "q_agg_median": q_agg_median,
+    "q_agg_approx": q_agg_approx,
+    "q_pivot": q_pivot,
+}
+
+ORACLES = {
+    "q_agg_pricing_summary": _PRICING_SUMMARY_SQL,
+    "q_agg_distinct": _AGG_DISTINCT_SQL,
+    "q_agg_having": _AGG_HAVING_SQL,
+    "q_agg_rollup": _AGG_ROLLUP_SQL,
+    "q_agg_cube": _AGG_CUBE_SQL,
+    "q_agg_stats": _AGG_STATS_SQL,
+    "q_agg_minmax_by": _AGG_MINMAX_BY_SQL,
+    "q_agg_collect": _AGG_COLLECT_SQL,
+    "q_agg_median": _AGG_MEDIAN_SQL,
+    "q_pivot": _PIVOT_SQL,
+}

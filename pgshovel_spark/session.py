@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture: these configs are chosen so the SAME logical plans run
+well both on local[32] test hardware and on a large cluster:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast conversion — the key lever that
+  makes one declarative plan survive a 100x scale-up.
+- Arrow on: every pandas_udf / applyInPandas crossing is
+  Arrow-batched, never per-row pickling.
+- Session timezone pinned to UTC: deterministic timestamp arithmetic
+  that matches the DuckDB oracle's naive-UTC reading of the same
+  Parquet files.
+- shuffle.partitions is a default only — AQE coalesces down at small
+  SF and splits skewed partitions at large SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- determinism ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+        # timestamp type — read as long, converted to a us timestamp in
+        # sources.tables.load_table (oracle side: CAST(ts AS TIMESTAMP)).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- adaptive execution: the scale story ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        # --- Arrow for all Python crossings ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan efficiency ---
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # quiet the console
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,5 @@
+"""Source connectors: Parquet tables, JDBC incremental CDC, streams."""
+
+from pgshovel_spark.sources.tables import TABLES, load_table, load_tables, register_views
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]

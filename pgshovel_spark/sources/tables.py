@@ -1,0 +1,64 @@
+"""Parquet table catalog for the testdata star schema.
+
+Parquet is the engine's canonical batch source: self-describing
+schemas, columnar layout, predicate pushdown + column pruning at the
+scan (verify with ``df.explain()`` → ``PushedFilters`` /
+``ReadSchema``). At 100 TB the same loader reads a date-partitioned
+directory tree and Catalyst adds partition pruning for free; the
+single-file-per-table layout here is just the test fixture shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table of the star schema from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in Parquet; Spark reads it as a
+    long (``nanosAsLong``) and we truncate to a microsecond timestamp
+    here — the same truncation the DuckDB oracle applies with
+    ``CAST(ts AS TIMESTAMP)`` (TIMESTAMP_NS -> us TIMESTAMP).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # Dynamic session conf so this works under ANY caller-provided
+        # SparkSession (the verification driver builds its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; all when ``names`` is empty."""
+    names = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works ad hoc."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
