@@ -1,4 +1,393 @@
-"""Placeholder — filled in by milestone build-out."""
+"""Join operators (SURVEY.md §2.C).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Join strategy posture for 100 TB:
+
+- Equi-joins are declared, never hand-scheduled: Catalyst + AQE pick
+  broadcast vs sort-merge per actual sizes, re-planning at runtime.
+- Dimension tables (region/nation/customer/part/supplier) are
+  broadcast-eligible; ``q_join_broadcast`` pins the hint form and
+  tests assert BroadcastHashJoinExec in the plan.
+- The range self-join is key-bounded (per user) so the quadratic
+  residual never crosses partitions; skew is AQE's problem.
+- The as-of join avoids the O(LxR) blow-up entirely (see
+  operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.determinism import dec, dsum, epoch_s
+from pgshovel_spark.operators.asof import asof_join
+from pgshovel_spark.operators.topk import topk_global
+from pgshovel_spark.sources.tables import load_table
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders x customer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+    )
+
+
+_JOIN_INNER_SQL = """
+SELECT o_orderkey, o_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 analog): revenue per nation for
+    ASIA-region customers, orders in 1996-1998."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1998-12-31").cast("timestamp"),
+            )
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_JOIN_STAR_SQL = """
+SELECT
+  n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+GROUP BY n_name
+"""
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the part dimension — same answer as the
+    plain join; tests assert the BroadcastHashJoin physical op."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_quantity", 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_JOIN_BROADCAST_SQL = """
+SELECT
+  p_brand,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_qty,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer + aggregate: customers with zero orders preserved."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice", 2), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+_JOIN_LEFT_SQL = """
+SELECT
+  c_custkey,
+  c_name,
+  COUNT(o_orderkey) AS n_orders,
+  COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE), 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-user click counts vs purchase counts."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user_id"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return clicks.join(
+        purchases, clicks.user_id == purchases.p_user_id, "full_outer"
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+_JOIN_FULL_SQL = """
+WITH clicks AS (
+  SELECT user_id, COUNT(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY user_id
+), purchases AS (
+  SELECT user_id, COUNT(*) AS n_purchases FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT
+  COALESCE(clicks.user_id, purchases.user_id) AS user_id,
+  COALESCE(n_clicks, 0) AS n_clicks,
+  COALESCE(n_purchases, 0) AS n_purchases
+FROM clicks FULL OUTER JOIN purchases ON clicks.user_id = purchases.user_id
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi (EXISTS): customers having at least one 'P' order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti (NOT EXISTS): customers with no 'P' order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range residual: lineitems shipped >60 days after order
+    date (residual evaluated post-join, no extra shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        )
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            epoch_s("l_shipdate").alias("ship_s"),
+            epoch_s("o_orderdate").alias("order_s"),
+        )
+    )
+
+
+_JOIN_THETA_SQL = """
+SELECT
+  l_orderkey,
+  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+  CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) AS ship_s,
+  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_s
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+"""
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range self-join: same-user event pairs within 5 minutes.
+
+    The equi-key (user_id) bounds the quadratic residual to one
+    partition's worth of rows per user — this is the scalable shape
+    for range joins: equi-prefix first, inequality residual second.
+    """
+    e = load_table(spark, sf_dir, "events")
+    a = e.select("user_id", F.col("event_id").alias("id1"), F.col("ts").alias("ts1"))
+    b = e.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("id2"),
+        F.col("ts").alias("ts2"),
+    )
+    us1, us2 = F.unix_micros(F.col("ts1")), F.unix_micros(F.col("ts2"))
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("id1") < F.col("id2"))
+        & (us2 - us1 > 0)
+        & (us2 - us1 <= 300_000_000),
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_JOIN_RANGE_SQL = """
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) > 0
+ AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) <= 300000000
+GROUP BY a.user_id
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest purchase (by same user) at or before each
+    error event.  Spark side: operators.asof_join (union+window, no
+    quadratic blow-up).  Oracle: DuckDB native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        order_col="ts",
+        right_tiebreak="purchase_id",
+        right_value_cols=["purchase_id", "purchase_value"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_s("ts").alias("error_s"),
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+_JOIN_ASOF_SQL = """
+SELECT
+  e.event_id,
+  e.user_id,
+  CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS error_s,
+  p.event_id AS purchase_id,
+  ROUND(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (bounded enumeration: 5 regions x 25 nations)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+    )
+
+
+_JOIN_CROSS_SQL = """
+SELECT
+  r_name AS region_name,
+  n_name AS nation_name,
+  r_regionkey = n_regionkey AS is_home
+FROM region CROSS JOIN nation
+"""
+
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 under a TOTAL order — planned as
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    top = topk_global(
+        li,
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        10,
+    )
+    return top.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_extendedprice",
+    )
+
+
+_TOPK_GLOBAL_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "q_join_inner": q_join_inner,
+    "q_join_star": q_join_star,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join_left": q_join_left,
+    "q_join_full": q_join_full,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_theta": q_join_theta,
+    "q_join_range": q_join_range,
+    "q_join_asof": q_join_asof,
+    "q_join_cross": q_join_cross,
+    "q_topk_global": q_topk_global,
+}
+
+ORACLES = {
+    "q_join_inner": _JOIN_INNER_SQL,
+    "q_join_star": _JOIN_STAR_SQL,
+    "q_join_broadcast": _JOIN_BROADCAST_SQL,
+    "q_join_left": _JOIN_LEFT_SQL,
+    "q_join_full": _JOIN_FULL_SQL,
+    "q_join_semi": _JOIN_SEMI_SQL,
+    "q_join_anti": _JOIN_ANTI_SQL,
+    "q_join_theta": _JOIN_THETA_SQL,
+    "q_join_range": _JOIN_RANGE_SQL,
+    "q_join_asof": _JOIN_ASOF_SQL,
+    "q_join_cross": _JOIN_CROSS_SQL,
+    "q_topk_global": _TOPK_GLOBAL_SQL,
+}

@@ -1,4 +1,195 @@
-"""Placeholder — filled in by milestone build-out."""
+"""Window function operators (SURVEY.md §2.E).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Each window = one shuffle on its partition keys + an in-partition
+sort.  Frames (ROWS BETWEEN) are evaluated streaming within the sort,
+so memory is O(frame), not O(partition) — safe for skewed users at
+100 TB.  Running sums use exact-decimal accumulation (determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.determinism import dec, epoch_s
+from pgshovel_spark.operators.topk import topk_per_group
+from pgshovel_spark.sources.tables import load_table
+
+
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per nation by balance (unique
+    tiebreak chain via custkey)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+_WIN_RANK_SQL = """
+SELECT
+  CAST(c_nationkey AS BIGINT) AS nationkey,
+  c_custkey,
+  c_acctbal,
+  row_number() OVER w AS rn,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (exact-decimal running sum)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        epoch_s("o_orderdate").alias("order_s"),
+        F.round(F.sum(dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+_WIN_RUNNING_SQL = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_s,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_spend
+FROM orders
+"""
+
+
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of events.value per user (exact decimal
+    frame sum / frame count — identical on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mov = F.sum(dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(mov, 4).alias("moving_avg"),
+    )
+
+
+_WIN_MOVING_SQL = """
+SELECT
+  event_id,
+  user_id,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w, 4) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole seconds since previous event per user; -1 for the first
+    event (epoch floored BEFORE differencing on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_s = F.lag(epoch_s("ts")).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.coalesce(epoch_s("ts") - prev_s, F.lit(-1)).cast("long").alias("secs_since_prev"),
+    )
+
+
+_WIN_LAG_SQL = """
+SELECT
+  event_id,
+  user_id,
+  COALESCE(
+    CAST(FLOOR(epoch(ts)) AS BIGINT)
+      - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+    -1) AS secs_since_prev
+FROM events
+"""
+
+
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of orders by total price (total order => stable)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_WIN_NTILE_SQL = """
+SELECT
+  o_orderkey,
+  o_totalprice,
+  ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+FROM orders
+"""
+
+
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (window row_number pattern via the
+    reusable topk_per_group operator)."""
+    o = load_table(spark, sf_dir, "orders")
+    top = topk_per_group(
+        o,
+        group=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+_WIN_TOPK_GROUP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+QUERIES = {
+    "q_win_rank": q_win_rank,
+    "q_win_running": q_win_running,
+    "q_win_moving": q_win_moving,
+    "q_win_lag": q_win_lag,
+    "q_win_ntile": q_win_ntile,
+    "q_win_topk_group": q_win_topk_group,
+}
+
+ORACLES = {
+    "q_win_rank": _WIN_RANK_SQL,
+    "q_win_running": _WIN_RUNNING_SQL,
+    "q_win_moving": _WIN_MOVING_SQL,
+    "q_win_lag": _WIN_LAG_SQL,
+    "q_win_ntile": _WIN_NTILE_SQL,
+    "q_win_topk_group": _WIN_TOPK_GROUP_SQL,
+}
