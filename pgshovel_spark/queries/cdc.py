@@ -1,4 +1,218 @@
-"""Placeholder — filled in by milestone build-out."""
+"""CDC / stream-analog operators (SURVEY.md §2.G-H batch analogs).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+These are the batch-checkable forms of the reference's actual runtime
+semantics (pgshovel consumer behaviors — latest-state materialization,
+idempotent dedup, transaction/session framing, tick batching).  The
+streaming layer (pgshovel_spark.streaming) reuses the same logic via
+Structured Streaming; these batch queries pin its correctness through
+the DuckDB oracle (reference behavior reconstructed from public
+knowledge of disqus/pgshovel — relay/consumer framing; snapshot was
+empty, see SURVEY.md Provenance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.determinism import dec, epoch_s
+from pgshovel_spark.sources.tables import load_table
+
+
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state materialization: the consumer's 'apply mutations,
+    keep current row per key' compaction, as a ranked window.
+
+    At 100 TB this is one shuffle on the key; with date-partitioned
+    input, AQE prunes to recent partitions when a watermark column is
+    available.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            epoch_s("ts").alias("last_ts_s"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+_CDC_LATEST_STATE_SQL = """
+SELECT
+  user_id,
+  event_id AS last_event_id,
+  CAST(FLOOR(epoch(ts)) AS BIGINT) AS last_ts_s,
+  event_type AS last_type,
+  ROUND(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence dedup per (user_id, event_type) — the batch
+    analog of streaming dropDuplicatesWithinWatermark (idempotent
+    consumption under at-least-once delivery)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", epoch_s("ts").alias("first_ts_s"))
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS first_ts_s
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization (batch analog of both streaming
+    session_window and the reference's transaction framing): lag ->
+    gap flag -> running sum = session index -> per-session rollup."""
+    e = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = (
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w_order))
+            > 30 * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_session = e.withColumn("gap", gap_flag).withColumn(
+        "session_idx", F.sum("gap").over(w_run).cast("long")
+    )
+    return with_session.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        epoch_s(F.min("ts")).alias("start_s"),
+        epoch_s(F.max("ts")).alias("end_s"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                  > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS gap
+  FROM events
+), numbered AS (
+  SELECT *, CAST(SUM(gap) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_idx
+  FROM ordered
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch analog of streaming
+    window(); window.start == date_trunc('hour', ts))."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_WIN_TUMBLING_SQL = """
+SELECT
+  CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour every 30 minutes — every event lands in
+    exactly two windows.  Oracle: UNION ALL of the two phase-shifted
+    hourly bucketings."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_WIN_SLIDING_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT)
+         - (CAST(FLOOR(epoch(ts)) AS BIGINT) % 1800) AS half_bucket,
+         value
+  FROM events
+), both_windows AS (
+  SELECT half_bucket AS win_start_s, value FROM b
+  UNION ALL
+  SELECT half_bucket - 1800 AS win_start_s, value FROM b
+)
+SELECT win_start_s, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_value
+FROM both_windows
+GROUP BY win_start_s
+"""
+
+
+QUERIES = {
+    "q_cdc_latest_state": q_cdc_latest_state,
+    "q_stream_dedup": q_stream_dedup,
+    "q_sessionize": q_sessionize,
+    "q_win_tumbling": q_win_tumbling,
+    "q_win_sliding": q_win_sliding,
+}
+
+ORACLES = {
+    "q_cdc_latest_state": _CDC_LATEST_STATE_SQL,
+    "q_stream_dedup": _STREAM_DEDUP_SQL,
+    "q_sessionize": _SESSIONIZE_SQL,
+    "q_win_tumbling": _WIN_TUMBLING_SQL,
+    "q_win_sliding": _WIN_SLIDING_SQL,
+}

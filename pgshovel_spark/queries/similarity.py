@@ -1,4 +1,417 @@
-"""Placeholder — filled in by milestone build-out."""
+"""Similarity & dedup-at-scale operators (SURVEY.md §2.G + the
+training-data-pipeline surface: MinHash+LSH, SimHash, embedding
+near-dup, ANN).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Scale posture:
+
+- Exact cosine vs a probe is a broadcast (probe) + map-side fold —
+  embarrassingly parallel, no shuffle.
+- All-pairs ops NEVER materialize the quadratic space globally: pairs
+  are generated inside equi-key blocks only (lang, LSH band bucket,
+  IVF cluster).  That is the standard blocking strategy that keeps
+  near-dup detection feasible at 100 TB.
+- MinHash/SimHash use an explicit polynomial token hash computed with
+  identical integer arithmetic on both engines, so even the LSH
+  pipeline is oracle-checkable end-to-end (engine-native hash
+  functions differ across engines and would force rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.textfns import tokens
+from pgshovel_spark.functions.vectors import cosine_sim
+from pgshovel_spark.sources.tables import load_table
+
+#: polynomial token hash shared by minhash/simhash (same arithmetic in
+#: the DuckDB oracles below).
+def _token_hash(t):
+    return (
+        F.length(t) * 31
+        + F.ascii(F.substring(t, 1, 1)) * 17
+        + F.ascii(F.substring(t, -1, 1)) * 7
+        + F.length(t) * F.length(t)
+    ).cast("long")
+
+
+_TOKEN_HASH_SQL = (
+    "CAST(length({t}) * 31 + ascii(substring({t}, 1, 1)) * 17"
+    " + ascii(substring({t}, -1, 1)) * 7 + length({t}) * length({t}) AS BIGINT)"
+)
+
+#: (a, b) coefficients for the MinHash linear permutations h_i(x) = (a*x + b) mod P.
+_MINHASH_COEFS = [(2971, 1049), (3413, 2221), (4021, 367), (4519, 1559),
+                  (5003, 2897), (5519, 733), (6037, 1973), (6553, 3181)]
+_MINHASH_P = 2147483647
+
+
+def _tok_distinct(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    ).filter(F.col("t") != "")
+
+
+_TOK_DISTINCT_SQL = """
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM documents
+"""
+
+
+def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of every embedding vs the probe (vec_id=0):
+    broadcast probe, JVM-side index-order fold, DOUBLE cast first."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    return (
+        e.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            # + 0.0 normalizes IEEE -0.0 to 0.0 (DuckDB ROUND can emit
+            # -0.0 where Spark emits 0.0 — distinct hash values).
+            (F.round(cosine_sim("embedding", "probe_emb"), 3) + 0.0).alias("cos_sim"),
+        )
+    )
+
+
+_SIM_COSINE_SQL = """
+SELECT
+  e.vec_id,
+  ROUND(list_cosine_similarity(e.embedding::DOUBLE[], p.embedding::DOUBLE[]), 3) + 0.0 AS cos_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+"""
+
+
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 nearest neighbors of the probe by cosine.
+    ROWS-ONLY by design: ranking on raw float similarity is
+    float-rank-sensitive across engines (Appendix A).  The scale path
+    swaps this exact scan for the IVF variant below."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cosine_sim("embedding", "probe_emb").alias("sim"))
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(5)
+
+
+def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs within a language block
+    (blocked self-join on (lang, token); integer arithmetic only)."""
+    tok = _tok_distinct(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select("lang", F.col("doc_id").alias("id1"), "t")
+    b = tok.select(
+        F.col("lang").alias("lang_b"), F.col("doc_id").alias("id2"), F.col("t").alias("t_b")
+    )
+    shared = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("t") == F.col("t_b"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    out = (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(
+            F.col("shared") * 2 >= (F.col("sz1") + F.col("sz2") - F.col("shared"))
+        )
+        .select(
+            "id1",
+            "id2",
+            "shared",
+            (F.col("sz1") + F.col("sz2") - F.col("shared")).alias("union_sz"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+_SIM_JACCARD_SQL = f"""
+WITH tok AS (
+{_TOK_DISTINCT_SQL}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, shared,
+       s1.sz + s2.sz - shared AS union_sz,
+       ROUND(CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared), 4) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE shared * 2 >= (s1.sz + s2.sz - shared)
+"""
+
+
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    """Per-doc 8-hash MinHash signature over the polynomial token hash."""
+    tok = _tok_distinct(spark, sf_dir)
+    th = _token_hash(F.col("t"))
+    aggs = [
+        F.min((th * a + b) % _MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_COEFS)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SIGS_SQL = f"""
+  SELECT doc_id,
+         {", ".join(
+             f"MIN(({_TOKEN_HASH_SQL.format(t='t')} * {a} + {b}) % {_MINHASH_P}) AS mh{i}"
+             for i, (a, b) in enumerate(_MINHASH_COEFS)
+         )}
+  FROM ({_TOK_DISTINCT_SQL}) tok
+  GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH band keys per document (8 hashes in 4
+    bands of 2).  Deterministic end-to-end: permutations are explicit
+    linear hashes over the shared polynomial token hash."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = [
+        (F.col(f"mh{2*i}") * 1000003 + F.col(f"mh{2*i+1}")).alias(f"band{i}")
+        for i in range(4)
+    ]
+    return sigs.select("doc_id", *[F.col(f"mh{i}") for i in range(8)], *bands)
+
+
+_DEDUP_MINHASH_SQL = f"""
+SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+       mh0 * 1000003 + mh1 AS band0,
+       mh2 * 1000003 + mh3 AS band1,
+       mh4 * 1000003 + mh5 AS band2,
+       mh6 * 1000003 + mh7 AS band3
+FROM ({_MINHASH_SIGS_SQL})
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: documents sharing at least one band bucket
+    (the banding join that replaces the quadratic all-pairs scan at
+    scale), with the number of agreeing bands."""
+    sigs = q_dedup_minhash(spark, sf_dir)
+    long_ = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key"))
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.key").alias("key"))
+    a = long_.select(F.col("doc_id").alias("id1"), "band_idx", "key")
+    b = long_.select(F.col("doc_id").alias("id2"), F.col("band_idx").alias("bi2"), F.col("key").alias("key2"))
+    return (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("bi2"))
+            & (F.col("key") == F.col("key2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+_DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH sigs AS ({_DEDUP_MINHASH_SQL}),
+long_ AS (
+  SELECT doc_id, 0 AS band_idx, band0 AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, band1 FROM sigs
+  UNION ALL SELECT doc_id, 2, band2 FROM sigs
+  UNION ALL SELECT doc_id, 3, band3 FROM sigs
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_bands
+FROM long_ a JOIN long_ b
+  ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from the polynomial token hash:
+    per-bit weight sums (explode over bit index) -> sign -> assemble."""
+    tok = _tok_distinct(spark, sf_dir)
+    th = _token_hash(F.col("t"))
+    bits = tok.select(
+        "doc_id",
+        th.alias("th"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+    )
+    # shiftright() needs a literal shift; `div pow(2,bit)` shifts by a
+    # column value with exact integer arithmetic (bit <= 15).
+    bit_val = F.expr("th div cast(pow(2, bit) as bigint)") % 2
+    weight = F.when(bit_val == 1, 1).otherwise(-1)
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum(weight).alias("w"))
+    contrib = F.when(
+        F.col("w") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+    ).otherwise(F.lit(0))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(contrib).cast("long").alias("simhash")
+    )
+
+
+_SIM_SIMHASH_SQL = f"""
+WITH tok AS (
+{_TOK_DISTINCT_SQL}
+), th AS (
+  SELECT doc_id, {_TOKEN_HASH_SQL.format(t='t')} AS th FROM tok
+), bits AS (
+  SELECT doc_id, th, bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit)
+), per_bit AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN w > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit
+GROUP BY doc_id
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the cluster
+    id stands in for an ANN bucket).  Threshold 0.35 — the synthetic
+    embeddings have no true near-dups (max within-label cosine ~0.47
+    at sf0.01), so a production-style 0.9+ threshold would make the
+    operator output trivially empty; the filter is on the ROUNDED
+    value so both engines cut identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1"))
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("emb2"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("id1") < F.col("id2"))
+    ).select(
+        "id1", "id2", F.round(cosine_sim("emb1", "emb2"), 3).alias("cos_sim")
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.35)
+
+
+_DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.35
+"""
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: centroids per label (coarse
+    quantizer), probe searches the 2 nearest clusters only — the
+    inverted-file pattern that bounds scanned vectors at scale.
+    ROWS-ONLY: float centroid means + ranking are engine-sensitive."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    # centroid per label: element-wise mean via posexplode + groupBy
+    exploded = e.select("label", F.posexplode(emb_d).alias("pos", "v"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p.getField("cv")).alias("centroid"),
+        )
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
+    near_clusters = (
+        cent.crossJoin(F.broadcast(probe))
+        .select("label", cosine_sim("centroid", "probe_emb").alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("label").asc())
+        .limit(2)
+        .select("label")
+    )
+    candidates = e.join(F.broadcast(near_clusters), "label").filter(F.col("vec_id") != 0)
+    return (
+        candidates.crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", cosine_sim("embedding", "probe_emb").alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal join: text metadata x embedding vectors in one frame
+    (doc_id == vec_id), rolled up per (lang, label)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 2).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+_MULTIMODAL_JOIN_SQL = """
+SELECT
+  lang,
+  CAST(label AS BIGINT) AS label,
+  COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 2) AS avg_chars
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY lang, label
+"""
+
+
+QUERIES = {
+    "q_sim_cosine": q_sim_cosine,
+    "q_sim_knn": q_sim_knn,
+    "q_sim_jaccard": q_sim_jaccard,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "q_sim_simhash": q_sim_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_sim_ann_ivf": q_sim_ann_ivf,
+    "q_multimodal_join": q_multimodal_join,
+}
+
+ORACLES = {
+    "q_sim_cosine": _SIM_COSINE_SQL,
+    "q_sim_jaccard": _SIM_JACCARD_SQL,
+    "q_dedup_minhash": _DEDUP_MINHASH_SQL,
+    "q_dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
+    "q_sim_simhash": _SIM_SIMHASH_SQL,
+    "q_dedup_embedding": _DEDUP_EMBEDDING_SQL,
+    "q_multimodal_join": _MULTIMODAL_JOIN_SQL,
+}

@@ -1,4 +1,359 @@
-"""Placeholder — filled in by milestone build-out."""
+"""Text-analysis operators over the documents corpus (SURVEY.md §2.G
+plus the training-data-pipeline surface: language ID, quality scoring,
+token counting, fingerprinting).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+All tokenization is JVM-side (split/explode) — no Python in the hot
+path.  At 100 TB the explode is map-side only; every aggregation
+shuffles pre-reduced (token, count) pairs, not raw tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.textfns import norm_text, tokens
+from pgshovel_spark.sources.tables import load_table
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keep min(doc_id) per normalized
+    form, emit survivors + group size.  The scale path is identical —
+    hash-partitioned groupBy on the normalized text (or its xxhash64
+    for shuffle-width reduction)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", norm_text("text").alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("keeper_doc_id", "n_dupes", F.length("norm").alias("norm_len"))
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT
+  MIN(doc_id) AS keeper_doc_id,
+  COUNT(*) AS n_dupes,
+  CAST(length(norm) AS BIGINT) AS norm_len
+FROM (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+GROUP BY norm
+"""
+
+
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic wordcount, top-20 under a total order (count DESC,
+    word ASC)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+_TEXT_WORDCOUNT_SQL = """
+SELECT word, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language (n_chars is integer -> exact avg)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 2).alias(
+            "avg_chars"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_TEXT_STATS_SQL = """
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 2) AS avg_chars,
+  COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, top term per document.
+
+    tf = term_count / doc_len (exact integer division in double),
+    idf = ln(N / df); winner per doc by (tfidf DESC, term ASC).
+    Plan shape: one explode -> two aggregations -> broadcast-joined
+    document-frequency table -> per-doc window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    term_counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    df_counts = term_counts.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()  # scalar; embedded as a literal in the plan
+    scored = (
+        term_counts.join(doc_lens, "doc_id")
+        .join(df_counts, "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tc").cast("double") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("tfidf_raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf_raw", 4).alias("tfidf"))
+    )
+
+
+_TEXT_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT * FROM tok WHERE term <> ''
+), term_counts AS (
+  SELECT doc_id, term, COUNT(*) AS tc FROM tok2 GROUP BY doc_id, term
+), doc_lens AS (
+  SELECT doc_id, COUNT(*) AS doc_len FROM tok2 GROUP BY doc_id
+), df_counts AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM term_counts GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term,
+         (CAST(tc.tc AS DOUBLE) / dl.doc_len)
+           * LN(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfc.df) AS tfidf_raw
+  FROM term_counts tc
+  JOIN doc_lens dl ON tc.doc_id = dl.doc_id
+  JOIN df_counts dfc ON tc.term = dfc.term
+)
+SELECT doc_id, term AS top_term, ROUND(tfidf_raw, 4) AS tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_raw DESC, term ASC) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document: whitespace tokens plus a BPE-ish
+    proxy (ceil of chars/4 over non-space chars) — the standard quick
+    estimate for LLM token budgeting."""
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.filter(tokens("text"), lambda t: t != ""))
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_ws.cast("long").alias("n_tokens_ws"),
+        F.ceil(n_nonspace / F.lit(4.0)).cast("long").alias("n_tokens_bpe_est"),
+        (n_nonspace.cast("double") / n_ws).alias("raw_ratio"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens_ws",
+        "n_tokens_bpe_est",
+        F.round("raw_ratio", 4).alias("chars_per_token"),
+    )
+
+
+_TEXT_TOKENS_SQL = """
+SELECT
+  doc_id,
+  lang,
+  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws,
+  CAST(CEIL(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+  ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        / len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')), 4) AS chars_per_token
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, stopword
+    ratio, unique-token ratio — the standard cheap filters applied
+    before expensive model-based scoring in a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("mean_word_len"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.round(n_uniq.cast("double") / n_tok, 4).alias("unique_ratio"),
+        (
+            (n_tok >= 10) & (n_uniq.cast("double") / n_tok > 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+_TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  lang,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  ROUND(CAST(n_chars AS DOUBLE) / len(toks), 4) AS mean_word_len,
+  ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        / len(toks), 4) AS stopword_ratio,
+  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS unique_ratio,
+  len(toks) >= 10 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3 AS passes_quality
+FROM t
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID from marker-token hits (deterministic
+    CASE logic — a stand-in for n-gram models, exercising the same
+    plan shape: per-doc token-set membership tests).  Emits predicted
+    vs labeled lang + agreement flag."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))
+    markers = {
+        "en": ("the", "and", "of"),
+        "de": ("der", "und", "die"),
+        "es": ("el", "los", "que"),
+        "fr": ("le", "les", "et"),
+    }
+    hits = {
+        lang: F.size(
+            F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(m) for m in ms]), t))
+        )
+        for lang, ms in markers.items()
+    }
+    pred = (
+        F.when(hits["en"] >= 2, "en")
+        .when(hits["de"] >= 2, "de")
+        .when(hits["es"] >= 2, "es")
+        .when(hits["fr"] >= 2, "fr")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("agree"),
+    )
+
+
+_TEXT_LANGID_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(list_filter(toks, x -> x IN ('the','and','of'))) >= 2 THEN 'en'
+         WHEN len(list_filter(toks, x -> x IN ('der','und','die'))) >= 2 THEN 'de'
+         WHEN len(list_filter(toks, x -> x IN ('el','los','que'))) >= 2 THEN 'es'
+         WHEN len(list_filter(toks, x -> x IN ('le','les','et'))) >= 2 THEN 'fr'
+         ELSE 'unknown' END AS predicted_lang
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang, predicted_lang, predicted_lang = lang AS agree
+FROM scored
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive 64-bit-ish signature
+    = sum over distinct tokens of a polynomial token hash, mod 2^31-1.
+    Same integer arithmetic on both engines => hash-checkable; the
+    plan shape (explode -> per-token scalar hash -> per-doc sum) is
+    identical to a real rolling-hash fingerprint at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    # token hash: len*31 + ascii(first)*17 + ascii(last)*7 (+ len^2)
+    th = (
+        F.length("t") * 31
+        + F.ascii(F.substring("t", 1, 1)) * 17
+        + F.ascii(F.substring("t", -1, 1)) * 7
+        + F.length("t") * F.length("t")
+    ).cast("long")
+    return tok.select("doc_id", th.alias("th")).groupBy("doc_id").agg(
+        (F.sum("th").cast("long") % 2147483647).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+
+
+_TEXT_FINGERPRINT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(SUM(CAST(length(t) * 31
+                + ascii(substring(t, 1, 1)) * 17
+                + ascii(substring(t, -1, 1)) * 7
+                + length(t) * length(t) AS BIGINT)) AS BIGINT) % 2147483647 AS fingerprint,
+       COUNT(*) AS n_distinct_tokens
+FROM tok
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_wordcount": q_text_wordcount,
+    "q_text_stats": q_text_stats,
+    "q_text_tfidf": q_text_tfidf,
+    "q_text_tokens": q_text_tokens,
+    "q_text_quality": q_text_quality,
+    "q_text_langid": q_text_langid,
+    "q_text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "q_dedup_exact": _DEDUP_EXACT_SQL,
+    "q_text_wordcount": _TEXT_WORDCOUNT_SQL,
+    "q_text_stats": _TEXT_STATS_SQL,
+    "q_text_tfidf": _TEXT_TFIDF_SQL,
+    "q_text_tokens": _TEXT_TOKENS_SQL,
+    "q_text_quality": _TEXT_QUALITY_SQL,
+    "q_text_langid": _TEXT_LANGID_SQL,
+    "q_text_fingerprint": _TEXT_FINGERPRINT_SQL,
+}
