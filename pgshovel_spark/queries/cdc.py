@@ -87,14 +87,19 @@ WHERE rn = 1
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization (batch analog of both streaming
     session_window and the reference's transaction framing): lag ->
-    gap flag -> running sum = session index -> per-session rollup."""
+    gap flag -> running sum = session index -> per-session rollup.
+
+    Gap rule is ``>=`` (a 30:00.000000 gap SPLITS): Spark's streaming
+    session_window is half-open [ts, ts+gap), so an event exactly gap
+    later is a new session — the batch analog must match for the
+    stream==batch equivalence tests to hold."""
     e = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_flag = (
         F.when(
             F.unix_micros(F.col("ts"))
             - F.unix_micros(F.lag("ts").over(w_order))
-            > 30 * 60 * 1_000_000,
+            >= 30 * 60 * 1_000_000,
             1,
         )
         .otherwise(0)
@@ -116,7 +121,7 @@ WITH ordered AS (
          CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
                        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-                  > 30 * 60 * 1000000
+                  >= 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS gap
   FROM events
 ), numbered AS (

@@ -1,0 +1,187 @@
+"""Streaming operators (SURVEY.md §2.H).
+
+Each has a hash-checked batch analog in pgshovel_spark.queries.cdc;
+tests/test_streaming.py asserts stream==batch equivalence, which is
+how correctness is pinned for ops DuckDB can't oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pgshovel_spark.functions.determinism import dec
+
+
+def tumbling_counts(
+    stream: DataFrame, ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling 1-hour aggregate with watermark (PgQ tick batching
+    analog).  Late rows beyond the watermark are dropped — the
+    streaming-only behavior the batch analog can't express."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "30 days"
+) -> DataFrame:
+    """Idempotent consumption under at-least-once delivery:
+    first-occurrence keep per key within the watermark horizon.  State
+    size is bounded by the watermark — the knob that keeps this
+    feasible on an unbounded 100 TB stream."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows per user (transaction-framing analog): emits
+    one row per closed session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("start_s"),
+            F.unix_timestamp(F.col("w.end")).cast("long").alias("end_s"),
+            "n_events",
+        )
+    )
+
+
+def validate_sequences(batch: DataFrame) -> DataFrame:
+    """Sequence validation + publisher fencing (batch form, usable
+    inside foreachBatch — mirrors the reference consumer's
+    sequences state machine):
+
+    1. FENCE: keep only rows from each publisher's max epoch.
+    2. GAP CHECK: per (publisher, epoch), dense seq must increment by
+       1; returns rows annotated with ``seq_gap`` (a gap means a
+       corrupt/lossy stream — the reference raises; callers decide).
+    """
+    max_epoch = batch.groupBy("publisher").agg(F.max("epoch").alias("max_epoch"))
+    fenced = batch.join(
+        F.broadcast(max_epoch), "publisher"
+    ).filter(F.col("epoch") == F.col("max_epoch")).drop("max_epoch")
+    w = Window.partitionBy("publisher", "epoch").orderBy("seq")
+    return fenced.withColumn(
+        "seq_gap",
+        F.when(
+            F.lag("seq").over(w).isNotNull() & (F.col("seq") - F.lag("seq").over(w) != 1),
+            True,
+        ).otherwise(False),
+    )
+
+
+#: Output schema of assemble_transactions.
+TXN_SCHEMA = StructType(
+    [
+        StructField("txid", LongType()),
+        StructField("n_mutations", LongType()),
+        StructField("tables", StringType()),
+        StructField("committed_at", TimestampType()),
+        StructField("status", StringType()),  # committed | rolled_back | abandoned
+    ]
+)
+
+
+def assemble_transactions(changes: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Transaction assembly (the reference relay's Begin->Mutation*->
+    Commit framing) as an applyInPandasWithState operator.
+
+    Buffers mutations per txid; emits one summary row when a COMMIT
+    marker arrives (op == 'COMMIT'), discards on 'ROLLBACK', and —
+    when ``timeout_ms`` is set — emits status='abandoned' when the
+    state times out (the reference's abandoned-transaction hazard
+    made explicit).
+
+    ``timeout_ms=None`` (default) uses NoTimeout: uncommitted
+    transactions stay buffered.  Use a timeout on long-running
+    production streams; note that with availableNow replays a pending
+    processing-time timeout keeps the query alive until it fires, so
+    bounded test replays should leave it off.
+    """
+
+    def assemble(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (txid,) = key
+        if state.hasTimedOut:
+            n, tables = state.get if state.exists else (0, "")
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "txid": [txid],
+                    "n_mutations": [n],
+                    "tables": [tables],
+                    "committed_at": [pd.NaT],
+                    "status": ["abandoned"],
+                }
+            )
+            return
+        n, tables = state.get if state.exists else (0, "")
+        table_set = set(tables.split(",")) - {""}
+        done = None
+        commit_ts = None
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                if row["op"] == "COMMIT":
+                    done, commit_ts = "committed", row["ts"]
+                elif row["op"] == "ROLLBACK":
+                    done = "rolled_back"
+                else:
+                    n += 1
+                    table_set.add(row["table"])
+        if done == "committed":
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "txid": [txid],
+                    "n_mutations": [n],
+                    "tables": [",".join(sorted(table_set))],
+                    "committed_at": [commit_ts],
+                    "status": ["committed"],
+                }
+            )
+        elif done == "rolled_back":
+            state.remove()
+        else:
+            state.update((n, ",".join(sorted(table_set))))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+    return changes.groupBy("txid").applyInPandasWithState(
+        assemble,
+        outputStructType=TXN_SCHEMA,
+        stateStructType="n LONG, tables STRING",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

@@ -1,0 +1,49 @@
+"""Incremental CDC ingest loop tests (file-backed snapshot function —
+the same loop drives JDBC in production)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pgshovel_spark.sources.cdc import ReplicationSet, incremental_pulls
+from pgshovel_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_pulls_resume_from_watermark(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    wm_file = str(tmp_path / "wm.json")
+
+    def snapshot_read(watermark):
+        df = events
+        if watermark is not None:
+            df = df.filter(F.col("event_id") > watermark)
+        return df.filter(F.col("event_id") < ((watermark or -1) + 1 + 400))
+
+    pulls = list(
+        incremental_pulls(snapshot_read, "event_id", watermark_file=wm_file, max_pulls=10)
+    )
+    total = sum(p.count() for p in pulls)
+    assert total == events.count()
+    # second run resumes from the persisted watermark -> nothing new
+    again = list(
+        incremental_pulls(snapshot_read, "event_id", watermark_file=wm_file, max_pulls=10)
+    )
+    assert again == []
+
+
+def test_replication_set_watermark_paths(tmp_path):
+    rs = ReplicationSet(
+        "main",
+        {"events": {"cursor_col": "event_id", "key_cols": ["user_id"]}},
+        checkpoint_dir=str(tmp_path),
+    )
+    p = rs.watermark_path("events")
+    assert p is not None and p.endswith("main.events.watermark.json")
+    assert ReplicationSet("x", {}).watermark_path("t") is None

@@ -1,0 +1,93 @@
+"""Physical-plan assertions (SURVEY.md §5.2.4).
+
+Correctness says the answer is right; these say the PLAN is right —
+the properties that decide whether the same query survives a 100x
+scale-up: predicate pushdown, column pruning, broadcast joins,
+partial aggregation, whole-stage codegen, top-k without global sort.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pgshovel_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = all_queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown(spark):
+    plan = _plan(spark, "q_filter_pred")
+    assert "PushedFilters: [" in plan
+    # at least the IN and IsNotNull filters reach the parquet scan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q_scan_project")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns are read, not all 11
+    assert "l_orderkey" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_broadcast_join(spark):
+    plan = _plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    """AQE/CBO should broadcast the small dims in the star join rather
+    than shuffling lineitem against nation/region."""
+    plan = _plan(spark, "q_join_star")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark):
+    """Flagship agg must plan map-side partial aggregation (two
+    HashAggregate phases) so the shuffle carries groups, not rows."""
+    plan = _plan(spark, "q_agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_no_global_sort(spark):
+    plan = _plan(spark, "q_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wholestage_codegen_flagship(spark):
+    import contextlib
+    import io
+
+    df = all_queries()["q_agg_pricing_summary"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")  # formatted+AQE hides codegen pre-execution
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_no_cartesian_in_range_join(spark):
+    """The range self-join must keep its equi-prefix (user_id) as the
+    join key — a cartesian product would be quadratic at scale."""
+    plan = _plan(spark, "q_join_range")
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of composition must be window-based (sort within key
+    partitions), not a join blow-up."""
+    plan = _plan(spark, "q_join_asof")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

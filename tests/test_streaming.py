@@ -1,0 +1,298 @@
+"""Streaming-layer tests (SURVEY.md §5.2.3).
+
+Strategy: replay the events fixture through a file source in multiple
+micro-batches and assert the streaming result equals the hash-checked
+batch analog; plus targeted tests for watermark late-drop, duplicate
+idempotence, sequence validation/fencing, and transaction assembly —
+mirroring the reference's sequence-validation unit-test style.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pgshovel_spark.queries.cdc import q_sessionize, q_stream_dedup, q_win_tumbling
+from pgshovel_spark.sources.tables import load_table
+from pgshovel_spark.streaming.change_stream import (
+    CHANGE_SCHEMA,
+    file_change_stream,
+    mutations_from_events,
+)
+from pgshovel_spark.streaming.ops import (
+    assemble_transactions,
+    stream_dedup,
+    tumbling_counts,
+    validate_sequences,
+)
+from pgshovel_spark.streaming.sinks import run_to_memory, upsert_foreach_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _space_mtimes(path: str) -> None:
+    """Ensure files already in ``path`` have strictly older mtimes than
+    anything written next — the file stream source replays files in
+    modification-time order, and sub-ms writes would tie."""
+    import os
+    import time
+
+    if not Path(path).exists():
+        return
+    files = sorted(Path(path).rglob("*.parquet"), key=lambda p: p.stat().st_mtime)
+    now = time.time()
+    for i, p in enumerate(files):
+        t = now - 10 + i * 0.1  # keep relative order, strictly distinct
+        os.utime(p, (t, t))
+    time.sleep(0.05)
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Events split into 4 parquet files in ts order -> 4 micro-batches."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    e = load_table(spark, SF, "events").orderBy("ts")
+    # ntile gives contiguous time chunks; one file each.
+    from pyspark.sql import Window
+
+    chunked = e.withColumn(
+        "chunk", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        if i > 1:
+            _space_mtimes(path)
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    return path
+
+
+def _events_stream(spark, event_files):
+    schema = load_table(spark, SF, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+    )
+
+
+def test_tumbling_equals_batch(spark, event_files):
+    out = tumbling_counts(_events_stream(spark, event_files), watermark="0 seconds")
+    run_to_memory(out, "tumbling_test", output_mode="complete")
+    got = {
+        (r.hour_s, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r.hour_s, r.n_events, r.sum_value)
+        for r in q_win_tumbling(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_equals_batch(spark, event_files):
+    out = stream_dedup(
+        _events_stream(spark, event_files), ["user_id", "event_type"]
+    )
+    run_to_memory(out, "dedup_test")
+    got = {
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT user_id, event_type FROM dedup_test").collect()
+    }
+    want = {
+        (r.user_id, r.event_type) for r in q_stream_dedup(spark, SF).collect()
+    }
+    # dropDuplicatesWithinWatermark keeps the first ARRIVAL; replay is in
+    # ts order, so the key sets AND picked events match the batch analog.
+    assert got == want
+
+
+def test_duplicate_injection_is_idempotent(spark, tmp_path):
+    """At-least-once delivery: replaying the same rows must not emit
+    new keys (the reference's idempotent-consumer contract)."""
+    e = load_table(spark, SF, "events").limit(200)
+    path = str(tmp_path / "dups")
+    e.coalesce(1).write.mode("append").parquet(path)   # batch 1
+    e.coalesce(1).write.mode("append").parquet(path)   # batch 2 = exact replay
+    schema = e.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = stream_dedup(stream, ["user_id", "event_type"])
+    run_to_memory(out, "dup_inject_test")
+    got = spark.sql("SELECT user_id, event_type FROM dup_inject_test").collect()
+    assert len(got) == len({(r.user_id, r.event_type) for r in got})
+
+
+def test_sessionize_stream_equals_batch(spark, event_files):
+    """session_window sessions == the batch lag/gap sessionization
+    (same 30-min gap rule), restricted to CLOSED sessions: in append
+    mode a session whose end hasn't passed the final watermark is
+    (correctly) never emitted, so sessions whose last event falls
+    within 30 min of the stream's max timestamp are excluded from the
+    comparison on both sides."""
+    from pgshovel_spark.streaming.ops import sessionize_stream
+
+    out = sessionize_stream(
+        _events_stream(spark, event_files), gap="30 minutes", watermark="0 seconds"
+    )
+    run_to_memory(out, "sess_test", output_mode="append")
+    max_s = (
+        load_table(spark, SF, "events")
+        .agg(F.max(F.unix_timestamp("ts")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    got = {
+        (r.user_id, r.start_s)
+        for r in spark.sql("SELECT user_id, start_s, end_s FROM sess_test").collect()
+        if r.end_s <= max_s
+    }
+    want = {
+        (r.user_id, r.start_s)
+        for r in q_sessionize(spark, SF).collect()
+        if r.end_s + 1800 <= max_s  # batch end_s = last event; stream end = +30min
+    }
+    assert got == want
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """Watermark contract: rows later than the watermark horizon are
+    dropped from the aggregate (numRowsDroppedByWatermark) and their
+    window is never emitted.
+
+    Measured nuance (Spark 4.1, file source + availableNow): the
+    input-side late filter applies the watermark with a TWO-batch lag
+    relative to the data that advanced it (one commit to compute it
+    from batch N's stats, one more before it's used for filtering),
+    so the late row is placed two batches after the advancing row:
+
+      b0: 14:00 row  -> advances the watermark to 13:50
+      b1: 14:30 row  -> spacer; filter watermark now 13:50
+      b2: 12:30 row  -> LATE: dropped, window [12,13) never exists
+    """
+    import datetime as dt
+
+    D = dt.datetime
+    path = str(tmp_path / "late")
+    schema = "event_id long, ts timestamp, value double"
+    for rows in (
+        [(1, D(2024, 6, 1, 14, 0), 1.0)],
+        [(2, D(2024, 6, 1, 14, 30), 1.0)],
+        [(3, D(2024, 6, 1, 12, 30), 5.0)],
+    ):
+        _space_mtimes(path)  # file source replays in mtime order
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = tumbling_counts(stream, watermark="10 minutes")
+    q = run_to_memory(out, "late_test", output_mode="append")
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p.get("stateOperators") else 0)
+        for p in q.recentProgress
+    )
+    assert dropped >= 1, "late row should be counted as dropped"
+    noon_s = int(D(2024, 6, 1, 12, 0).timestamp())
+    hours = {r.hour_s for r in spark.sql("SELECT hour_s FROM late_test").collect()}
+    assert noon_s not in hours, "late row's window must never be emitted"
+
+
+def test_sequence_validation_and_fencing(spark):
+    """Dense sequences accepted; gaps flagged; stale publisher epoch
+    fenced out (reference streams/sequences.py semantics)."""
+    rows = [
+        # publisher A epoch 2 (current): dense 1,2,3 then gap to 5
+        ("A", 2, 1), ("A", 2, 2), ("A", 2, 3), ("A", 2, 5),
+        # publisher A epoch 1 (stale -> fenced)
+        ("A", 1, 99),
+        # publisher B epoch 1: dense
+        ("B", 1, 10), ("B", 1, 11),
+    ]
+    df = spark.createDataFrame(rows, "publisher string, epoch long, seq long")
+    out = validate_sequences(df).collect()
+    by_pub = {(r.publisher, r.seq): r.seq_gap for r in out}
+    assert ("A", 99) not in by_pub, "stale epoch must be fenced"
+    assert by_pub[("A", 5)] is True, "gap 3->5 must be flagged"
+    assert all(
+        not gap for (pub, seq), gap in by_pub.items() if (pub, seq) != ("A", 5)
+    )
+
+
+def test_transaction_assembly(spark, tmp_path):
+    """Begin->Mutation*->Commit emits one assembled txn; Rollback
+    discards; uncommitted txns stay buffered (no premature emit)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        ("INSERT", "t1", 100, t0, "p", 1, 1),
+        ("INSERT", "t2", 100, t0, "p", 1, 2),
+        ("COMMIT", "", 100, t0, "p", 1, 3),
+        ("INSERT", "t1", 200, t0, "p", 1, 4),
+        ("ROLLBACK", "", 200, t0, "p", 1, 5),
+        ("INSERT", "t1", 300, t0, "p", 1, 6),  # never committed
+    ]
+    pdf = spark.createDataFrame(
+        rows, "op string, table string, txid long, ts timestamp, publisher string, epoch long, seq long"
+    ).select("op", "table", "txid", "ts")
+    path = str(tmp_path / "txns")
+    pdf.coalesce(1).write.parquet(path)
+    stream = (
+        spark.readStream.schema(pdf.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = assemble_transactions(stream)  # NoTimeout: bounded replay
+    run_to_memory(out, "txn_test", output_mode="append")
+    got = {r.txid: r for r in spark.sql("SELECT * FROM txn_test").collect()}
+    assert 100 in got and got[100].status == "committed"
+    assert got[100].n_mutations == 2 and got[100].tables == "t1,t2"
+    assert 200 not in got, "rolled-back txn must be discarded"
+    assert 300 not in got, "uncommitted txn must stay buffered"
+
+
+def test_upsert_sink_latest_state(spark, tmp_path, event_files):
+    """foreachBatch upsert sink materializes latest state per key ==
+    the hash-checked q_cdc_latest_state analog."""
+    from pgshovel_spark.queries.cdc import q_cdc_latest_state
+
+    schema = load_table(spark, SF, "events").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(event_files)
+    )
+    target = str(tmp_path / "latest_state")
+    upsert_foreach_batch(
+        stream,
+        target,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(target).select("user_id", "event_id").collect()
+    }
+    want = {
+        (r.user_id, r.last_event_id)
+        for r in q_cdc_latest_state(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_change_stream_schema_roundtrip(spark, tmp_path):
+    """Change records conform to CHANGE_SCHEMA through a file-source
+    round trip (the generic CDC ingest path)."""
+    e = load_table(spark, SF, "events").limit(50)
+    changes = mutations_from_events(e)
+    path = str(tmp_path / "changes")
+    changes.write.parquet(path)
+    stream = file_change_stream(spark, path)
+    assert stream.isStreaming
+    assert stream.schema == CHANGE_SCHEMA
+    run_to_memory(stream.select("op", "txid", "seq"), "chg_test")
+    assert spark.sql("SELECT COUNT(*) c FROM chg_test").collect()[0].c == 50
