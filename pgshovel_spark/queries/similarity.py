@@ -26,19 +26,23 @@ from pgshovel_spark.functions.vectors import cosine_sim
 from pgshovel_spark.sources.tables import load_table
 
 #: polynomial token hash shared by minhash/simhash (same arithmetic in
-#: the DuckDB oracles below).
+#: the DuckDB oracles below).  Horner polynomial over length + first 4
+#: chars + last char: ~2.8e8 distinct values for ASCII words, enough
+#: entropy that LSH band buckets only collide for genuinely similar
+#: docs (a low-entropy hash makes the band self-join quadratic in the
+#: bucket size — measured 4x over the bench budget before this).
+#: ascii(substring(t, i, 1)) is 0 past the end on both engines.
 def _token_hash(t):
-    return (
-        F.length(t) * 31
-        + F.ascii(F.substring(t, 1, 1)) * 17
-        + F.ascii(F.substring(t, -1, 1)) * 7
-        + F.length(t) * F.length(t)
-    ).cast("long")
+    h = F.length(t).cast("long")
+    for i in (1, 2, 3, 4):
+        h = h * 31 + F.ascii(F.substring(t, i, 1))
+    return (h * 31 + F.ascii(F.substring(t, -1, 1))).cast("long")
 
 
 _TOKEN_HASH_SQL = (
-    "CAST(length({t}) * 31 + ascii(substring({t}, 1, 1)) * 17"
-    " + ascii(substring({t}, -1, 1)) * 7 + length({t}) * length({t}) AS BIGINT)"
+    "CAST((((((length({t}) * 31 + ascii(substring({t}, 1, 1))) * 31"
+    " + ascii(substring({t}, 2, 1))) * 31 + ascii(substring({t}, 3, 1))) * 31"
+    " + ascii(substring({t}, 4, 1))) * 31 + ascii(substring({t}, -1, 1))) AS BIGINT)"
 )
 
 #: (a, b) coefficients for the MinHash linear permutations h_i(x) = (a*x + b) mod P.
@@ -192,23 +196,33 @@ _MINHASH_SIGS_SQL = f"""
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures + LSH band keys per document (8 hashes in 4
-    bands of 2).  Deterministic end-to-end: permutations are explicit
-    linear hashes over the shared polynomial token hash."""
+    """MinHash signatures + LSH band keys per document: 8 hashes in
+    2 bands of 4 (threshold s* = (1/b)^(1/r) ~ 0.84 — the
+    high-similarity operating point used for training-data dedup).
+    Deterministic end-to-end: permutations are explicit linear hashes
+    over the shared polynomial token hash.
+
+    Band width matters at scale: r=2 bands admit candidates at
+    P = J^2 per band, which on a high-overlap corpus makes the bucket
+    join quadratic (measured 4-6x the bench budget); r=4 collapses
+    the candidate set to genuine near-dups.
+    """
     sigs = _minhash_sigs(spark, sf_dir)
-    bands = [
-        (F.col(f"mh{2*i}") * 1000003 + F.col(f"mh{2*i+1}")).alias(f"band{i}")
-        for i in range(4)
-    ]
-    return sigs.select("doc_id", *[F.col(f"mh{i}") for i in range(8)], *bands)
+
+    def band(i):
+        cols = [F.col(f"mh{4*i+j}") for j in range(4)]
+        k = cols[0]
+        for c in cols[1:]:
+            k = k * 31 + c
+        return k.alias(f"band{i}")
+
+    return sigs.select("doc_id", *[F.col(f"mh{i}") for i in range(8)], band(0), band(1))
 
 
 _DEDUP_MINHASH_SQL = f"""
 SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
-       mh0 * 1000003 + mh1 AS band0,
-       mh2 * 1000003 + mh3 AS band1,
-       mh4 * 1000003 + mh5 AS band2,
-       mh6 * 1000003 + mh7 AS band3
+       ((mh0 * 31 + mh1) * 31 + mh2) * 31 + mh3 AS band0,
+       ((mh4 * 31 + mh5) * 31 + mh6) * 31 + mh7 AS band1
 FROM ({_MINHASH_SIGS_SQL})
 """
 
@@ -216,14 +230,19 @@ FROM ({_MINHASH_SIGS_SQL})
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket
     (the banding join that replaces the quadratic all-pairs scan at
-    scale), with the number of agreeing bands."""
-    sigs = q_dedup_minhash(spark, sf_dir)
+    scale), with the number of agreeing bands.
+
+    The signature table is localCheckpoint'ed (eager, tiny — one row
+    per doc) so the self-join's two branches don't recompute the
+    tokenize+minhash subtree twice; at scale this is the signatures
+    table you'd persist to storage anyway."""
+    sigs = q_dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
     long_ = sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key"))
-                for i in range(4)
+                for i in range(2)
             ])
         ).alias("b"),
     ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.key").alias("key"))
@@ -246,8 +265,6 @@ WITH sigs AS ({_DEDUP_MINHASH_SQL}),
 long_ AS (
   SELECT doc_id, 0 AS band_idx, band0 AS key FROM sigs
   UNION ALL SELECT doc_id, 1, band1 FROM sigs
-  UNION ALL SELECT doc_id, 2, band2 FROM sigs
-  UNION ALL SELECT doc_id, 3, band3 FROM sigs
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_bands
 FROM long_ a JOIN long_ b
@@ -301,24 +318,46 @@ GROUP BY doc_id
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the cluster
-    id stands in for an ANN bucket).  Threshold 0.35 — the synthetic
-    embeddings have no true near-dups (max within-label cosine ~0.47
-    at sf0.01), so a production-style 0.9+ threshold would make the
-    operator output trivially empty; the filter is on the ROUNDED
-    value so both engines cut identically."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select("label", F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1"))
-    b = e.select(
-        F.col("label").alias("label_b"),
-        F.col("vec_id").alias("id2"),
-        F.col("embedding").alias("emb2"),
+    id stands in for an ANN bucket), via a BLOCKED MATRIX MULTIPLY in
+    applyInPandas: each label block becomes one numpy gram matrix
+    (n x 64 @ 64 x n), pairs above threshold are emitted.
+
+    Why not a self-join + zip_with fold: Spark's higher-order array
+    functions are interpreted (outside codegen), making the pairwise
+    fold ~100x slower than BLAS at a few hundred vectors per block —
+    and the gap widens with block size.  This is the standard
+    vectorized-Pandas-UDF scale path for all-pairs similarity.
+
+    Threshold 0.35 — the synthetic embeddings have no true near-dups
+    (max within-label cosine ~0.47), so a production-style 0.9+ cut
+    would make the operator trivially empty; the filter is on the
+    ROUNDED value so both engines cut identically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    pairs = a.join(
-        b, (F.col("label") == F.col("label_b")) & (F.col("id1") < F.col("id2"))
-    ).select(
-        "id1", "id2", F.round(cosine_sim("emb1", "emb2"), 3).alias("cos_sim")
-    )
-    return pairs.filter(F.col("cos_sim") >= 0.35)
+
+    out_schema = "id1 long, id2 long, cos_sim double"
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy())          # n x 64, float64
+        norms = np.sqrt((m * m).sum(axis=1))
+        nz = norms != 0
+        m, ids = m[nz], ids[nz]
+        sims = (m @ m.T) / np.outer(norms[nz], norms[nz])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # id1 < id2 regardless of row order within the block
+        lo = np.minimum(ids[iu], ids[ju])
+        hi = np.maximum(ids[iu], ids[ju])
+        s = np.round(sims[iu, ju], 3) + 0.0
+        keep = s >= 0.35
+        return pd.DataFrame({"id1": lo[keep], "id2": hi[keep], "cos_sim": s[keep]})
+
+    return e.groupBy("label").applyInPandas(block_pairs, out_schema)
 
 
 _DEDUP_EMBEDDING_SQL = """
