@@ -19,7 +19,12 @@ from pgshovel_spark.sources.tables import load_table
 
 def _media(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # spread the single-file fixture across cores so the Arrow
+    # mapInPandas stages run one python worker per partition, not one
+    # worker total.
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,8 +51,19 @@ _MINHASH_COEFS = [(2971, 1049), (3413, 2221), (4021, 367), (4519, 1559),
 _MINHASH_P = 2147483647
 
 
-def _tok_distinct(spark, sf_dir):
+def _docs_parallel(spark, sf_dir):
+    """documents, spread across the full core count BEFORE the
+    tokenize/explode projections: the fixture is one small parquet
+    file -> one input task, which would serialize all the (interpreted
+    higher-order) shingle/token expressions onto a single thread.  On
+    a real multi-file corpus the scan is already parallel and this
+    repartition collapses to a cheap shuffle of raw docs."""
     d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def _tok_distinct(spark, sf_dir):
+    d = _docs_parallel(spark, sf_dir)
     return d.select(
         "doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("t")
     ).filter(F.col("t") != "")
@@ -170,6 +181,87 @@ FROM shared
 JOIN sizes s1 ON s1.doc_id = id1
 JOIN sizes s2 ON s2.doc_id = id2
 WHERE shared * 2 >= (s1.sz + s2.sz - shared)
+"""
+
+
+def q_sim_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-shingle Jaccard near-dup pairs (J >= 0.3), same-language
+    blocks.  Shingles carry word order, so this catches reordered or
+    partially-copied documents that token-SET Jaccard over-matches;
+    the shingle vocabulary is also far larger, making the blocking
+    self-join much sparser than q_sim_jaccard's.  Integer-only filter
+    (shared*10 >= union*3)."""
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    # Join on a 64-bit hash of the shingle, not the string: the
+    # shuffle carries 8-byte keys instead of ~15-byte strings and the
+    # join compares longs — measured 3x on the whole query.  The hash
+    # is Spark-internal (the oracle joins raw strings); a collision
+    # would need two distinct same-language shingles at the same
+    # xxhash64, ~1e-8 over this vocabulary.
+    sh = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", "lang", F.explode(shingles).alias("s"))
+        .select("doc_id", "lang", F.xxhash64("lang", "s").alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id1"), "sh")
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh_b"))
+    shared = (
+        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(F.col("shared") * 10 >= (F.col("sz1") + F.col("sz2") - F.col("shared")) * 3)
+        .select(
+            "id1",
+            "id2",
+            "shared",
+            (F.col("sz1") + F.col("sz2") - F.col("shared")).alias("union_sz"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SIM_NGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))) AS s
+  FROM tok WHERE len(toks) >= 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, shared,
+       s1.sz + s2.sz - shared AS union_sz,
+       ROUND(CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared), 4) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE shared * 10 >= (s1.sz + s2.sz - shared) * 3
 """
 
 
@@ -437,6 +529,7 @@ QUERIES = {
     "q_sim_cosine": q_sim_cosine,
     "q_sim_knn": q_sim_knn,
     "q_sim_jaccard": q_sim_jaccard,
+    "q_sim_ngram": q_sim_ngram,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
     "q_sim_simhash": q_sim_simhash,
@@ -448,6 +541,7 @@ QUERIES = {
 ORACLES = {
     "q_sim_cosine": _SIM_COSINE_SQL,
     "q_sim_jaccard": _SIM_JACCARD_SQL,
+    "q_sim_ngram": _SIM_NGRAM_SQL,
     "q_dedup_minhash": _DEDUP_MINHASH_SQL,
     "q_dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
     "q_sim_simhash": _SIM_SIMHASH_SQL,

@@ -16,12 +16,22 @@ from pgshovel_spark.functions.textfns import norm_text, tokens
 from pgshovel_spark.sources.tables import load_table
 
 
+def _docs_parallel(spark, sf_dir):
+    """documents spread across all cores before tokenize/explode work —
+    the single-file fixture otherwise scans as ONE task and serializes
+    every interpreted higher-order expression (measured 3-6x whole-
+    query on the similarity family).  No-op cost on a real multi-file
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: keep min(doc_id) per normalized
     form, emit survivors + group size.  The scale path is identical —
     hash-partitioned groupBy on the normalized text (or its xxhash64
     for shuffle-width reduction)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     return (
         d.select("doc_id", norm_text("text").alias("norm"))
         .groupBy("norm")
@@ -49,7 +59,7 @@ GROUP BY norm
 def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic wordcount, top-20 under a total order (count DESC,
     word ASC)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     return (
         d.select(F.explode(tokens("text")).alias("word"))
         .filter(F.col("word") != "")
@@ -74,7 +84,8 @@ LIMIT 20
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus stats per language (n_chars is integer -> exact avg)."""
+    """Corpus stats per language (n_chars is integer -> exact avg).
+    No tokenization here, so the plain (single-task) scan is cheapest."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -104,7 +115,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one explode -> two aggregations -> broadcast-joined
     document-frequency table -> per-doc window.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     ).filter(F.col("term") != "")
@@ -171,7 +182,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document: whitespace tokens plus a BPE-ish
     proxy (ceil of chars/4 over non-space chars) — the standard quick
     estimate for LLM token budgeting."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     n_ws = F.size(F.filter(tokens("text"), lambda t: t != ""))
     n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
     return d.select(
@@ -205,7 +216,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length, mean word length, stopword
     ratio, unique-token ratio — the standard cheap filters applied
     before expensive model-based scoring in a training-data pipeline."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     toks = F.filter(tokens("text"), lambda t: t != "")
     stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
     n_tok = F.size(toks)
@@ -248,7 +259,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE logic — a stand-in for n-gram models, exercising the same
     plan shape: per-doc token-set membership tests).  Emits predicted
     vs labeled lang + agreement flag."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     toks = F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))
     markers = {
         "en": ("the", "and", "of"),
@@ -302,7 +313,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same integer arithmetic on both engines => hash-checkable; the
     plan shape (explode -> per-token scalar hash -> per-doc sum) is
     identical to a real rolling-hash fingerprint at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
     ).filter(F.col("t") != "")
