@@ -46,7 +46,11 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan efficiency ---
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Small split size so the single-file local fixtures scan with
+        # real parallelism (a 15 MB lineitem would otherwise be ONE
+        # task).  On a cluster with properly sized multi-file tables
+        # raise this to 128-256m (SCALE.md).
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         # quiet the console
         .config("spark.ui.showConsoleProgress", "false")
     )
