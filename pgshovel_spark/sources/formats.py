@@ -1,0 +1,66 @@
+"""Additional batch formats + partitioned sinks.
+
+Parquet is canonical (sources.tables); these cover the remaining
+ingest/egress surface an engine user needs: schema-explicit CSV/JSON
+readers (never schema inference in production paths — one pass over
+100 TB just to guess types is a bug, and inferred types drift) and a
+date-partitioned Parquet writer (the layout that makes partition
+pruning work at scale — SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with an explicit schema (required: inference double-scans
+    and guesses).  FAILFAST by default — PERMISSIVE silently nulls
+    every cell that doesn't parse, which corrupts ingest without a
+    trace; pass mode='PERMISSIVE' explicitly to accept that."""
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", options.pop("mode", "FAILFAST"))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str, **options: str
+) -> DataFrame:
+    """JSON-lines with an explicit schema.  FAILFAST by default (see
+    read_csv)."""
+    reader = spark.read.schema(schema).option("mode", options.pop("mode", "FAILFAST"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned Parquet writer — the production layout: one
+    directory level per partition column so Catalyst prunes partitions
+    before reading a byte.  Caller picks columns with sane cardinality
+    (date/month, not a raw key)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def with_date_partition(df: DataFrame, ts_col: str, name: str = "p_date") -> DataFrame:
+    """Add a day-granularity partition column from an event-time
+    column (the standard time-partitioned fact layout)."""
+    return df.withColumn(name, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
