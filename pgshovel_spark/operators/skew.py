@@ -1,0 +1,56 @@
+"""Skew-mitigation operators (SCALE.md "salting").
+
+AQE's skew-join splitting handles most runtime skew; salted
+aggregation is the manual lever for pathological hot keys in
+aggregations, where one key's partition would otherwise serialize the
+stage.  Two-phase: aggregate on (key, salt) first — spreading a hot
+key over N reducers — then aggregate the partials on key alone.
+Works for any algebraic aggregate (sum/count/min/max).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over a salted key.
+
+    ``aggs``: {out_name: (combine_fn_name, partial_expr)} where
+    ``partial_expr`` is the phase-1 aggregate column and
+    ``combine_fn_name`` in {'sum', 'min', 'max'} re-combines partials
+    in phase 2 (count combines with 'sum').
+
+    Example::
+
+        salted_agg(events, ["user_id"], {
+            "n":     ("sum", F.count(F.lit(1))),
+            "total": ("sum", F.sum("value")),
+            "first": ("min", F.min("ts")),
+        })
+    """
+    keys = list(keys)
+    supported = {"sum", "min", "max"}
+    bad = {fn for fn, _ in aggs.values()} - supported
+    if bad:
+        raise ValueError(
+            f"unsupported combine fn(s) {sorted(bad)}; supported: {sorted(supported)} "
+            "(express avg as a sum+count pair and divide afterwards)"
+        )
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, (_, expr) in aggs.items()]
+    )
+    combine = {"sum": F.sum, "min": F.min, "max": F.max}
+    phase2 = phase1.groupBy(*keys).agg(
+        *[combine[fn](f"__p_{name}").alias(name) for name, (fn, _) in aggs.items()]
+    )
+    return phase2
