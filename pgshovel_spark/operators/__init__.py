@@ -1,6 +1,15 @@
 """Composite operators Spark lacks natively, built from DataFrame ops."""
 
 from pgshovel_spark.operators.asof import asof_join
+from pgshovel_spark.operators.multimodal import extract_media_features, sample_frames
+from pgshovel_spark.operators.skew import salted_agg
 from pgshovel_spark.operators.topk import topk_global, topk_per_group
 
-__all__ = ["asof_join", "topk_global", "topk_per_group"]
+__all__ = [
+    "asof_join",
+    "extract_media_features",
+    "sample_frames",
+    "salted_agg",
+    "topk_global",
+    "topk_per_group",
+]

@@ -40,9 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Dynamic session confs so queries are correct under ANY
+    # caller-provided SparkSession (the verification driver builds its
+    # own): timestamps in these tables are NTZ, and ntz->epoch
+    # (unix_timestamp) is session-timezone-dependent — pin UTC to match
+    # the DuckDB oracle's naive-UTC arithmetic.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Dynamic session conf so this works under ANY caller-provided
-        # SparkSession (the verification driver builds its own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
