@@ -206,8 +206,72 @@ GROUP BY win_start_s
 """
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-record derivation: each event becomes a mutation row with
+    (before, after) values per user — the shape of the reference's
+    MutationOperation {old, new} stream, derived batch-side.  op is
+    INSERT for a user's first event, UPDATE after."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        epoch_s("ts").alias("ts_s"),
+        F.when(prev.isNull(), "INSERT").otherwise("UPDATE").alias("op"),
+        F.round(prev, 2).alias("before_value"),
+        F.round("value", 2).alias("after_value"),
+    )
+
+
+_CDC_CHANGELOG_SQL = """
+SELECT
+  event_id,
+  user_id,
+  CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+  CASE WHEN lag(value) OVER w IS NULL THEN 'INSERT' ELSE 'UPDATE' END AS op,
+  ROUND(lag(value) OVER w, 2) AS before_value,
+  ROUND(value, 2) AS after_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""
+
+
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, events in the trailing hour
+    (inclusive) — Spark's rangeBetween needs a numeric ordering, so
+    the frame is over epoch seconds; DuckDB uses RANGE INTERVAL on a
+    second-truncated timestamp (identical frame membership)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum(dec("value")).over(w), 2).cast("double").alias("sum_trailing_1h"),
+    )
+
+
+_WIN_RANGE_FRAME_SQL = """
+SELECT
+  event_id,
+  user_id,
+  COUNT(*) OVER w AS n_trailing_1h,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))) OVER w, 2) AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q_cdc_latest_state": q_cdc_latest_state,
+    "q_cdc_changelog": q_cdc_changelog,
+    "q_win_range_frame": q_win_range_frame,
     "q_stream_dedup": q_stream_dedup,
     "q_sessionize": q_sessionize,
     "q_win_tumbling": q_win_tumbling,
@@ -216,6 +280,8 @@ QUERIES = {
 
 ORACLES = {
     "q_cdc_latest_state": _CDC_LATEST_STATE_SQL,
+    "q_cdc_changelog": _CDC_CHANGELOG_SQL,
+    "q_win_range_frame": _WIN_RANGE_FRAME_SQL,
     "q_stream_dedup": _STREAM_DEDUP_SQL,
     "q_sessionize": _SESSIONIZE_SQL,
     "q_win_tumbling": _WIN_TUMBLING_SQL,

@@ -162,6 +162,47 @@ def test_sessionize_stream_equals_batch(spark, event_files):
     assert got == want
 
 
+def test_sliding_window_stream_equals_batch(spark, event_files):
+    """Streaming 1h/30m sliding windows == the hash-checked batch
+    analog, restricted to windows closed by the final watermark."""
+    from pgshovel_spark.functions.determinism import dec
+    from pgshovel_spark.queries.cdc import q_win_sliding
+
+    stream = _events_stream(spark, event_files)
+    out = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start_s"),
+            F.unix_timestamp(F.col("w.end")).cast("long").alias("win_end_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_to_memory(out, "slide_test", output_mode="append")
+    max_s = (
+        load_table(spark, SF, "events")
+        .agg(F.max(F.unix_timestamp("ts")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    got = {
+        (r.win_start_s, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+        if r.win_end_s <= max_s
+    }
+    want = {
+        (r.win_start_s, r.n_events, r.sum_value)
+        for r in q_win_sliding(spark, SF).collect()
+        if r.win_start_s + 3600 <= max_s
+    }
+    assert got == want
+
+
 def test_late_rows_dropped_by_watermark(spark, tmp_path):
     """Watermark contract: rows later than the watermark horizon are
     dropped from the aggregate (numRowsDroppedByWatermark) and their
