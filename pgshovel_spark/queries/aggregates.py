@@ -379,8 +379,138 @@ GROUP BY user_id
 """
 
 
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k-wide bins): integer
+    bucket arithmetic on both engines, the standard profiling op."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).cast("double").alias("bin_lo"),
+            "n_orders",
+            "bin_min",
+            "bin_max",
+        )
+    )
+
+
+_AGG_HISTOGRAM_SQL = """
+SELECT
+  CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+  CAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS DOUBLE) AS bin_lo,
+  COUNT(*) AS n_orders,
+  ROUND(MIN(o_totalprice), 2) AS bin_min,
+  ROUND(MAX(o_totalprice), 2) AS bin_max
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p95 per order status (linear interpolation on
+    DOUBLE both engines — same determinism argument as q_agg_median)."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile(price, F.lit(p)), 4).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ],
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_AGG_QUANTILES_SQL = """
+SELECT
+  o_orderstatus,
+  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p25,
+  ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p50,
+  ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p75,
+  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p95,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of lineitem (one row per profiled column):
+    nulls, distincts, min/max — the DESCRIBE-style data-quality sweep
+    run before training-data ingestion.  One pass per profile row via
+    a single multi-aggregate, reshaped with a literal-column union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_quantity").alias("qty_nn"),
+        F.countDistinct("l_quantity").alias("qty_d"),
+        F.round(F.min("l_quantity"), 2).alias("qty_min"),
+        F.round(F.max("l_quantity"), 2).alias("qty_max"),
+        F.count("l_extendedprice").alias("price_nn"),
+        F.countDistinct("l_extendedprice").alias("price_d"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        F.count("l_returnflag").alias("flag_nn"),
+        F.countDistinct("l_returnflag").alias("flag_d"),
+    )
+    rows = [
+        ("l_quantity", "qty_nn", "qty_d", "qty_min", "qty_max"),
+        ("l_extendedprice", "price_nn", "price_d", "price_min", "price_max"),
+    ]
+    parts = [
+        stats.select(
+            F.lit(name).alias("column_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(nn)).alias("n_nulls"),
+            F.col(d).alias("n_distinct"),
+            F.col(mn).alias("min_val"),
+            F.col(mx).alias("max_val"),
+        )
+        for name, nn, d, mn, mx in rows
+    ]
+    flag = stats.select(
+        F.lit("l_returnflag").alias("column_name"),
+        F.col("n").alias("n_rows"),
+        (F.col("n") - F.col("flag_nn")).alias("n_nulls"),
+        F.col("flag_d").alias("n_distinct"),
+        F.lit(None).cast("double").alias("min_val"),
+        F.lit(None).cast("double").alias("max_val"),
+    )
+    out = parts[0].unionByName(parts[1]).unionByName(flag)
+    return out
+
+
+_PROFILE_TABLE_SQL = """
+WITH s AS (
+  SELECT
+    COUNT(*) AS n,
+    COUNT(l_quantity) AS qty_nn, COUNT(DISTINCT l_quantity) AS qty_d,
+    ROUND(MIN(l_quantity), 2) AS qty_min, ROUND(MAX(l_quantity), 2) AS qty_max,
+    COUNT(l_extendedprice) AS price_nn, COUNT(DISTINCT l_extendedprice) AS price_d,
+    ROUND(MIN(l_extendedprice), 2) AS price_min, ROUND(MAX(l_extendedprice), 2) AS price_max,
+    COUNT(l_returnflag) AS flag_nn, COUNT(DISTINCT l_returnflag) AS flag_d
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column_name, n AS n_rows, n - qty_nn AS n_nulls,
+       qty_d AS n_distinct, qty_min AS min_val, qty_max AS max_val FROM s
+UNION ALL
+SELECT 'l_extendedprice', n, n - price_nn, price_d, price_min, price_max FROM s
+UNION ALL
+SELECT 'l_returnflag', n, n - flag_nn, flag_d, NULL, NULL FROM s
+"""
+
+
 QUERIES = {
     "q_agg_pricing_summary": q_agg_pricing_summary,
+    "q_agg_histogram": q_agg_histogram,
+    "q_agg_quantiles": q_agg_quantiles,
+    "q_profile_table": q_profile_table,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_having": q_agg_having,
     "q_agg_rollup": q_agg_rollup,
@@ -395,6 +525,9 @@ QUERIES = {
 
 ORACLES = {
     "q_agg_pricing_summary": _PRICING_SUMMARY_SQL,
+    "q_agg_histogram": _AGG_HISTOGRAM_SQL,
+    "q_agg_quantiles": _AGG_QUANTILES_SQL,
+    "q_profile_table": _PROFILE_TABLE_SQL,
     "q_agg_distinct": _AGG_DISTINCT_SQL,
     "q_agg_having": _AGG_HAVING_SQL,
     "q_agg_rollup": _AGG_ROLLUP_SQL,
