@@ -2,13 +2,16 @@
 
 from pgshovel_spark.operators.asof import asof_join
 from pgshovel_spark.operators.multimodal import extract_media_features, sample_frames
+from pgshovel_spark.operators.rank import global_ntile, with_global_rank
 from pgshovel_spark.operators.skew import salted_agg
 from pgshovel_spark.operators.topk import topk_global, topk_per_group
 
 __all__ = [
     "asof_join",
     "extract_media_features",
+    "global_ntile",
     "sample_frames",
+    "with_global_rank",
     "salted_agg",
     "topk_global",
     "topk_per_group",

@@ -1,0 +1,117 @@
+"""Distributed global ranking — no single-partition window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` forces every row through
+ONE task (Spark warns "Moving all data to a single partition"); fine on a
+fixture, fatal on a 100 TB table.  The classic fix is a two-pass rank:
+
+1. ``repartitionByRange`` on the sort keys + ``sortWithinPartitions`` —
+   rows are now globally ordered ACROSS partitions and locally sorted
+   WITHIN each (one range shuffle, P-way parallel).
+2. Count rows per partition (tiny P-row aggregate), prefix-sum the
+   counts to per-partition rank offsets, broadcast-join them back, and
+   add the local ``row_number``.  global_rank = offset(pid) + local_rn.
+
+The range boundaries Spark samples are irrelevant to correctness — the
+rank is derived from actual per-partition counts, so any boundary
+placement yields the same output (the sort keys must form a TOTAL order,
+i.e. include a unique tiebreaker).
+
+The per-partition count branch reuses the range-shuffle exchange
+(ReusedExchange in the physical plan), so the input is shuffled once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_OFF = "__gr_off"
+_TOT = "__gr_tot"
+_RANK = "__gr_rank"
+
+
+def with_global_rank(
+    df: DataFrame,
+    order: list[Column],
+    *,
+    rank_col: str = "global_rank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a dense 1-based global row_number over ``order`` without a
+    single-partition window.
+
+    ``order`` must be a total order (unique tiebreaker) for the result
+    to be deterministic.  If ``total_col`` is given, the total row count
+    is appended too (computed in the same job, no extra action).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
+    # Prefix-sum the (≤ n)-row counts via a broadcast cross join instead of a
+    # global Window.orderBy — keeps the whole operator free of
+    # single-partition windows (n² pairs with n ≈ hundreds is negligible).
+    other = counts.select(
+        F.col(_PID).alias("__gr_pid2"), F.col("__gr_cnt").alias("__gr_cnt2")
+    )
+    offsets = (
+        counts.crossJoin(F.broadcast(other))
+        .groupBy(_PID)
+        .agg(
+            F.sum(
+                F.when(F.col("__gr_pid2") < F.col(_PID), F.col("__gr_cnt2")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(_OFF),
+            F.sum("__gr_cnt2").cast("long").alias(_TOT),
+        )
+    )
+
+    w_local = Window.partitionBy(_PID).orderBy(*order)
+    out = (
+        ranged.join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col, (F.row_number().over(w_local) + F.col(_OFF)).cast("long"))
+    )
+    out = out.drop(_PID, _OFF)
+    if total_col is None:
+        return out.drop(_TOT)
+    return out.withColumnRenamed(_TOT, total_col)
+
+
+def global_ntile(
+    df: DataFrame,
+    order: list[Column],
+    n_buckets: int,
+    *,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``ntile(n_buckets) OVER (ORDER BY order)``.
+
+    SQL ntile semantics: bucket sizes differ by at most one, with the
+    larger buckets first.  With N rows, q = N div n, rem = N mod n:
+    buckets 1..rem hold q+1 rows, buckets rem+1..n hold q rows.  The
+    bucket for global rank r (1-based) follows in closed form, so no
+    second sort is needed once the global rank is known.
+    """
+    ranked = with_global_rank(
+        df, order, rank_col=_RANK, total_col=_TOT, num_partitions=num_partitions
+    )
+    nb = F.lit(n_buckets).cast("long")
+    q = (F.col(_TOT) / nb).cast("long")  # floor division on non-negative longs
+    rem = F.col(_TOT) % nb
+    r = F.col(_RANK)
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    in_big = -F.floor(-r / (q + 1))  # ceil(r / (q+1)) via floor trick
+    in_small = rem - F.floor((big - r) / q)  # rem + ceil((r-big)/q)
+    bucket = F.when(r <= big, in_big).otherwise(in_small)
+    # Degenerate N < n_buckets: q == 0, every row lands in the big branch.
+    return ranked.withColumn(bucket_col, bucket.cast("long")).drop(_RANK, _TOT)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dec, epoch_s
+from pgshovel_spark.operators.rank import global_ntile
 from pgshovel_spark.operators.topk import topk_per_group
 from pgshovel_spark.sources.tables import load_table
 
@@ -132,14 +133,20 @@ FROM events
 
 
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartiles of orders by total price (total order => stable)."""
+    """Quartiles of orders by total price (total order => stable).
+
+    Distributed two-pass rank (operators/rank.py) instead of a bare
+    ``Window.orderBy`` — a global window with no partitionBy funnels the
+    whole table through ONE task, which is a scale-killer at 100 TB.
+    """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+    tiled = global_ntile(
+        o,
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        n_buckets=4,
+        bucket_col="quartile",
     )
+    return tiled.select("o_orderkey", "o_totalprice", "quartile")
 
 
 _WIN_NTILE_SQL = """

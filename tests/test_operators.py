@@ -88,3 +88,46 @@ def test_topk_per_group_rank_and_cutoff(spark):
     out = topk_per_group(df, ["g"], [F.col("score").desc(), F.col("i").asc()], 2)
     rows = sorted((r.g, r.rn, r.i) for r in out.collect())
     assert rows == [(1, 1, 0), (1, 2, 1), (2, 1, 0), (2, 2, 1)]
+
+
+def test_global_ntile_matches_native(spark):
+    # 103 rows (not divisible by 4) across several input partitions.
+    from pyspark.sql import Window
+
+    from pgshovel_spark.operators.rank import global_ntile
+
+    df = spark.range(103).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    ).repartition(8)
+    got = global_ntile(
+        df, order=[F.col("v").asc(), F.col("id").asc()], n_buckets=4,
+        bucket_col="q", num_partitions=6,
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.select("id", "v", F.ntile(4).over(w).cast("long").alias("q"))
+    assert sorted(got.select("id", "q").collect()) == sorted(
+        want.select("id", "q").collect()
+    )
+
+
+def test_global_ntile_fewer_rows_than_buckets(spark):
+    from pgshovel_spark.operators.rank import global_ntile
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    got = global_ntile(df, order=[F.col("x").asc()], n_buckets=10, bucket_col="b")
+    assert sorted((r.x, r.b) for r in got.collect()) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_global_rank_no_single_partition_window(spark):
+    from pgshovel_spark.operators.rank import with_global_rank
+
+    df = spark.range(50).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = with_global_rank(df, order=[F.col("v").asc(), F.col("id").asc()],
+                           rank_col="r", num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window in the physical plan must carry a partition spec
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__gr_pid" in line, line
+    ranks = sorted((r.v, r.id, r.r) for r in out.collect())
+    assert [t[2] for t in ranks] == list(range(1, 51))
