@@ -366,26 +366,29 @@ GROUP BY a.doc_id, b.doc_id
 
 
 def q_sim_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document from the polynomial token hash:
-    per-bit weight sums (explode over bit index) -> sign -> assemble."""
+    """16-bit SimHash per document from the polynomial token hash.
+
+    One pass, no row blow-up: 16 conditional-sum aggregate columns over
+    the un-exploded token rows (the earlier explode(sequence(0,15))
+    multiplied the shuffle input 16x; map-side partial aggregation makes
+    the wide-agg form strictly cheaper at any scale).  The token hash is
+    non-negative, so shiftright matches the oracle's ``>>``.
+    """
     tok = _tok_distinct(spark, sf_dir)
     th = _token_hash(F.col("t"))
-    bits = tok.select(
-        "doc_id",
-        th.alias("th"),
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
-    )
-    # shiftright() needs a literal shift; `div pow(2,bit)` shifts by a
-    # column value with exact integer arithmetic (bit <= 15).
-    bit_val = F.expr("th div cast(pow(2, bit) as bigint)") % 2
-    weight = F.when(bit_val == 1, 1).otherwise(-1)
-    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum(weight).alias("w"))
-    contrib = F.when(
-        F.col("w") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-    ).otherwise(F.lit(0))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(contrib).cast("long").alias("simhash")
-    )
+    rows = tok.select("doc_id", th.alias("th"))
+    weights = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"w{b}")
+        for b in range(16)
+    ]
+    per_doc = rows.groupBy("doc_id").agg(*weights)
+    simhash = None
+    for b in range(16):
+        contrib = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = contrib if simhash is None else simhash + contrib
+    return per_doc.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 _SIM_SIMHASH_SQL = f"""

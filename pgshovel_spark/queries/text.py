@@ -119,21 +119,32 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     ).filter(F.col("term") != "")
-    term_counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
-    doc_lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
-    df_counts = term_counts.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    # term_counts feeds three consumers (doc_lens, df_counts, scored);
+    # checkpoint it so tokenize+count runs ONCE — at scale this is the
+    # posting table you'd persist to storage anyway.
+    term_counts = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=False)
     )
-    n_docs = d.count()  # scalar; embedded as a literal in the plan
+    # doc_len = sum of this doc's term counts — no second tokenize pass.
+    doc_lens = term_counts.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
+    # distinct (doc_id, term) already guaranteed -> plain count, no
+    # shuffle-heavy countDistinct.
+    df_counts = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # N computed INSIDE the same job via a broadcast 1-row aggregate —
+    # a separate d.count() action would rescan the whole corpus.
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     scored = (
         term_counts.join(doc_lens, "doc_id")
         .join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             (
                 (F.col("tc").cast("double") / F.col("doc_len"))
-                * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * F.log(F.col("__n_docs") / F.col("df"))
             ).alias("tfidf_raw"),
         )
     )
