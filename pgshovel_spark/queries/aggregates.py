@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgshovel_spark.functions.determinism import dec, dsum, exact_avg
+from pgshovel_spark.functions.determinism import dec, dsum, exact_avg, exact_sum
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -206,8 +206,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec(q)).cast("double").alias("sq"),
-        F.sum(dec(p)).cast("double").alias("sp"),
+        # linear measures ride the split-long fast path; the squared
+        # measures (up to ~1.2e10 per row) exceed its micro-rounding
+        # bound and keep the 38-digit boxed-decimal buffer.
+        exact_sum(q).cast("double").alias("sq"),
+        exact_sum(p).cast("double").alias("sp"),
         F.sum(dec(q * q)).cast("double").alias("sqq"),
         F.sum(dec(p * p)).cast("double").alias("spp"),
         F.sum(dec(q * p)).cast("double").alias("sqp"),

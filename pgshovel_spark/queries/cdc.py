@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgshovel_spark.functions.determinism import dec, epoch_s
+from pgshovel_spark.functions.determinism import dec, epoch_s, exact_sum
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -148,7 +148,7 @@ def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(win.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+            F.round(exact_sum("value"), 2).cast("double").alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_s"),
@@ -178,7 +178,7 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(win.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+            F.round(exact_sum("value"), 2).cast("double").alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start_s"),

@@ -28,18 +28,31 @@ def _docs_parallel(spark, sf_dir):
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: keep min(doc_id) per normalized
-    form, emit survivors + group size.  The scale path is identical —
-    hash-partitioned groupBy on the normalized text (or its xxhash64
-    for shuffle-width reduction)."""
-    d = _docs_parallel(spark, sf_dir)
+    form, emit survivors + group size.
+
+    Shuffle-width reduction: the groupBy key is xxhash64(norm), so only
+    (hash, len) 16-byte rows cross the wire instead of full document
+    texts — THE difference between shuffling ~100 TB and ~2 TB on a real
+    corpus.  The oracle groups by the raw normalized string; a same-key
+    64-bit collision (~1e-8 at 1e5 docs, birthday bound) would merge two
+    distinct groups — the same documented trade as q_sim_ngram's hashed
+    shingle join.  No pre-repartition: norm+hash are codegen'd
+    expressions computed inside the (parallel-at-scale) scan task.
+    """
+    d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", norm_text("text").alias("norm"))
-        .groupBy("norm")
+        d.select(
+            "doc_id",
+            F.xxhash64(norm_text("text")).alias("h"),
+            F.length(norm_text("text")).alias("norm_len"),
+        )
+        .groupBy("h")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("n_dupes"),
+            F.min("norm_len").alias("norm_len"),
         )
-        .select("keeper_doc_id", "n_dupes", F.length("norm").alias("norm_len"))
+        .select("keeper_doc_id", "n_dupes", "norm_len")
     )
 
 

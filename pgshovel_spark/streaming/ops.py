@@ -21,7 +21,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from pgshovel_spark.functions.determinism import dec
+from pgshovel_spark.functions.determinism import dec, exact_sum
 
 
 def tumbling_counts(
@@ -35,7 +35,7 @@ def tumbling_counts(
         .groupBy(F.window(ts_col, "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+            F.round(exact_sum("value"), 2).cast("double").alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_s"),
