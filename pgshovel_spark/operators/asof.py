@@ -48,13 +48,20 @@ def asof_join(
     on = list(on)
     lcols = left.columns
     tie_type = right.schema[right_tiebreak].dataType
+    # Right values travel as ONE nullable struct so last(ignorenulls)
+    # carries a single right ROW forward — per-column fills could stitch
+    # together values from different right rows when some are NULL, and
+    # a NULL in the first value column would break the inner filter.
+    r_struct = F.struct(*[F.col(c) for c in right_value_cols])
     l_tagged = left.select(
         *on,
         F.col(order_col).alias("__ord"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(tie_type).alias("__tie"),
         F.struct(*lcols).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_value_cols],
+        F.lit(None).cast(
+            right.select(r_struct.alias("__rv")).schema["__rv"].dataType
+        ).alias("__rv"),
     )
     r_tagged = right.select(
         *on,
@@ -62,7 +69,7 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.col(right_tiebreak).alias("__tie"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__rv_{c}") for c in right_value_cols],
+        r_struct.alias("__rv"),
     )
     # Right rows sort BEFORE left rows at equal __ord (side 0 < 1), so
     # an inclusive (<=) match sees same-timestamp right rows; NULL
@@ -75,17 +82,14 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         "__side",
         "__lrow",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
-            for c in right_value_cols
-        ],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
-    out = filled.filter(F.col("__side") == 1).select(
-        *[F.col("__lrow").getField(c).alias(c) for c in lcols],
-        *[F.col(f"__rv_{c}").alias(c) for c in right_value_cols],
-    )
+    matched = filled.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col(right_value_cols[0]).isNotNull())
+        matched = matched.filter(F.col("__rv").isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out
+    return matched.select(
+        *[F.col("__lrow").getField(c).alias(c) for c in lcols],
+        *[F.col("__rv").getField(c).alias(c) for c in right_value_cols],
+    )

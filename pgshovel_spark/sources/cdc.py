@@ -18,12 +18,37 @@ in the checkpoint directory so restarts resume exactly.
 
 from __future__ import annotations
 
+import datetime
 import json
+import numbers
 import os
+import re
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def sql_literal(v: object) -> str:
+    """Render a watermark value as a safe SQL literal for the remote
+    database (JDBC pushdown predicates can't use bind parameters from
+    Spark's dbtable subquery, so literals must be escaped here — never
+    via bare ``repr`` interpolation)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, numbers.Integral):
+        return str(int(v))
+    if isinstance(v, numbers.Real):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
 
 
 class ReplicationSet:
@@ -58,7 +83,9 @@ def jdbc_snapshot_reader(
     only new rows server-side."""
 
     def read(watermark, cursor_col: str = "id") -> DataFrame:
-        pred = "" if watermark is None else f" WHERE {cursor_col} > {watermark!r}"
+        if not _IDENT.fullmatch(cursor_col):
+            raise ValueError(f"cursor_col is not a plain identifier: {cursor_col!r}")
+        pred = "" if watermark is None else f" WHERE {cursor_col} > {sql_literal(watermark)}"
         reader = (
             spark.read.format("jdbc")
             .option("url", url)
@@ -92,11 +119,20 @@ def incremental_pulls(
             watermark = json.load(f)["watermark"]
     pulls = 0
     while max_pulls is None or pulls < max_pulls:
-        batch = snapshot_read(watermark)
-        hi = batch.agg(F.max(cursor_col).alias("hi")).collect()[0].hi
-        if hi is None:
-            return
-        yield batch
+        # Pin the batch before reading its max: the JDBC read is lazy,
+        # and re-executing it for the consumer could see rows inserted
+        # AFTER the watermark scan (delivered now AND next pull =
+        # duplicates).  persist() makes the max() action materialize the
+        # snapshot the consumer will also read; rows that arrive later
+        # simply surface in the next pull.
+        batch = snapshot_read(watermark).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            hi = batch.agg(F.max(cursor_col).alias("hi")).collect()[0].hi
+            if hi is None:
+                return
+            yield batch
+        finally:
+            batch.unpersist()
         watermark = hi
         if watermark_file:
             os.makedirs(os.path.dirname(watermark_file) or ".", exist_ok=True)

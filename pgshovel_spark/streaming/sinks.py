@@ -10,6 +10,7 @@ so replays converge — the same end-to-end contract.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Sequence
 
@@ -53,10 +54,24 @@ def upsert_foreach_batch(
     order_cols = list(order_cols)
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="pgshovel-ckpt-")
 
+    def _has_success(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        tmp_target = target_dir + ".staging"
-        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+        staging = target_dir + ".staging"
+        backup = target_dir + ".old"
+        # Crash recovery: a previous apply may have died mid-swap.  If
+        # the target is gone/incomplete but a complete staging exists,
+        # promote it — prior state is never silently dropped.
+        if not _has_success(target_dir) and _has_success(staging):
+            if os.path.exists(target_dir):
+                shutil.rmtree(target_dir)
+            os.rename(staging, target_dir)
+        for leftover in (staging, backup):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        if _has_success(target_dir):
             current = spark.read.parquet(target_dir)
             merged = current.unionByName(batch_df.select(*current.columns))
         else:
@@ -67,8 +82,16 @@ def upsert_foreach_batch(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        latest.write.mode("overwrite").parquet(tmp_target)
-        spark.read.parquet(tmp_target).write.mode("overwrite").parquet(target_dir)
+        # Write the new table beside the old one, then swap via two
+        # renames (atomic on POSIX; any crash window is covered by the
+        # recovery above).  Real deployments on object stores use a
+        # transactional format's MERGE instead — see docstring.
+        latest.write.mode("overwrite").parquet(staging)
+        if os.path.exists(target_dir):
+            os.rename(target_dir, backup)
+        os.rename(staging, target_dir)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

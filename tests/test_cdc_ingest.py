@@ -47,3 +47,25 @@ def test_replication_set_watermark_paths(tmp_path):
     p = rs.watermark_path("events")
     assert p is not None and p.endswith("main.events.watermark.json")
     assert ReplicationSet("x", {}).watermark_path("t") is None
+
+
+def test_sql_literal_escaping_and_identifier_guard(spark):
+    import datetime
+
+    import pytest
+
+    from pgshovel_spark.sources.cdc import jdbc_snapshot_reader, sql_literal
+
+    assert sql_literal(42) == "42"
+    assert sql_literal(4.5) == "4.5"
+    assert sql_literal(True) == "TRUE"
+    assert sql_literal("o'brien") == "'o''brien'"
+    assert sql_literal("x'; DROP TABLE t; --") == "'x''; DROP TABLE t; --'"
+    assert sql_literal(datetime.date(2024, 3, 1)) == "DATE '2024-03-01'"
+    assert (
+        sql_literal(datetime.datetime(2024, 3, 1, 12, 30))
+        == "TIMESTAMP '2024-03-01 12:30:00'"
+    )
+    read = jdbc_snapshot_reader(spark, "jdbc:postgresql://h/db", "t")
+    with pytest.raises(ValueError):
+        read(1, cursor_col="id; DROP TABLE t")

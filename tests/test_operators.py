@@ -131,3 +131,26 @@ def test_global_rank_no_single_partition_window(spark):
             assert "__gr_pid" in line, line
     ranks = sorted((r.v, r.id, r.r) for r in out.collect())
     assert [t[2] for t in ranks] == list(range(1, 51))
+
+
+def test_asof_null_right_values_stay_together(spark):
+    # Right rows carry (a, b) where one column may be NULL; the as-of
+    # fill must never stitch a's value from one row with b's from another,
+    # and a NULL in the FIRST value column must not drop an inner match.
+    left = spark.createDataFrame(
+        [(1, D(2024, 1, 1, 13, 0), "x")], "lid long, ts timestamp, tag string"
+    ).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [
+            (10, D(2024, 1, 1, 11, 0), 1.0, "early"),
+            (11, D(2024, 1, 1, 12, 0), None, "late"),  # newest match: a is NULL
+        ],
+        "rid long, ts timestamp, a double, b string",
+    ).withColumn("k", F.lit(1))
+    out = asof_join(
+        left, right, on=["k"], order_col="ts", right_tiebreak="rid",
+        right_value_cols=["a", "b"], how="inner",
+    ).collect()
+    assert len(out) == 1
+    # the newest right row (rid=11) wins WHOLE: a=None together with b='late'
+    assert out[0].a is None and out[0].b == "late"

@@ -337,3 +337,46 @@ def test_change_stream_schema_roundtrip(spark, tmp_path):
     assert stream.schema == CHANGE_SCHEMA
     run_to_memory(stream.select("op", "txid", "seq"), "chg_test")
     assert spark.sql("SELECT COUNT(*) c FROM chg_test").collect()[0].c == 50
+
+
+def test_upsert_sink_recovers_from_interrupted_swap(spark, tmp_path):
+    """If a crash leaves a complete .staging and no target _SUCCESS, the
+    next batch must promote staging (not silently drop all prior state),
+    and staging/backup dirs are cleaned up after a successful apply."""
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    target = str(tmp_path / "state")
+    rows = [(1, 1, 10.0), (2, 1, 20.0)]
+    spark.createDataFrame(rows, "key long, seq long, val double").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    stream = (
+        spark.readStream.schema("key long, seq long, val double")
+        .parquet(str(src))
+    )
+    upsert_foreach_batch(
+        stream, target, keys=["key"], order_cols=["seq"],
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    # Simulate a crash mid-swap: target was renamed away, staging complete.
+    os.rename(target, target + ".staging")
+    assert not os.path.exists(target)
+
+    spark.createDataFrame(
+        [(1, 2, 11.0)], "key long, seq long, val double"
+    ).write.mode("append").parquet(str(src))
+    stream2 = (
+        spark.readStream.schema("key long, seq long, val double")
+        .parquet(str(src))
+    )
+    upsert_foreach_batch(
+        stream2, target, keys=["key"], order_cols=["seq"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    got = {r.key: (r.seq, r.val) for r in spark.read.parquet(target).collect()}
+    # key 2 survived the interrupted swap; key 1 advanced to seq 2
+    assert got == {1: (2, 11.0), 2: (1, 20.0)}
+    assert not os.path.exists(target + ".staging")
+    assert not os.path.exists(target + ".old")
