@@ -371,6 +371,73 @@ GROUP BY doc_id
 """
 
 
+def q_text_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token span annotation via a real Spark 4 Python UDTF: each doc
+    expands to (token_idx, token, start_off, end_off) rows with exact
+    character offsets — the table-function shape used for span-level
+    labeling (NER pre-annotation, quality-span extraction) in training
+    -data pipelines.
+
+    A UDTF (not explode) because offsets need a running scan of the raw
+    string — a genuinely one-to-many generator per row.  Arrow-batched
+    (``useArrow``) so rows cross the Python boundary in columnar
+    batches.  Capped to doc_id % 10 == 0 to bound the Python-side work
+    in the bench; the operator itself streams per-partition and scales
+    with executors.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "token_idx bigint, token string, start_off bigint, end_off bigint"
+        ),
+        useArrow=True,
+    )
+    class TokenSpans:
+        def eval(self, doc_id, text):  # noqa: ANN001 — Spark-inferred
+            import re
+
+            for i, m in enumerate(re.finditer(r"\S+", text or ""), start=1):
+                yield i, m.group(0).lower(), m.start(), m.end()
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d.createOrReplaceTempView("__docs_for_spans")
+    spark.udtf.register("token_spans", TokenSpans)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.token_idx, s.token, s.start_off, s.end_off
+        FROM __docs_for_spans d,
+             LATERAL token_spans(d.doc_id, d.text) s
+        """
+    )
+
+
+#: The fixture text is single-space separated, so offsets follow from a
+#: running sum of token lengths + separators; the UDTF computes them by
+#: scanning the raw string, which agrees on any whitespace layout the
+#: cumulative form can also express.
+_TEXT_TOKEN_SPANS_SQL = """
+WITH tok AS (
+  SELECT doc_id, i, arr[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr
+        FROM documents WHERE doc_id % 10 = 0),
+       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS token_idx,
+       lower(token) AS token,
+       CAST(COALESCE(SUM(length(token) + 1) OVER (
+         PARTITION BY doc_id ORDER BY i
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_off,
+       CAST(COALESCE(SUM(length(token) + 1) OVER (
+         PARTITION BY doc_id ORDER BY i
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + length(token) AS BIGINT) AS end_off
+FROM tok
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_text_wordcount": q_text_wordcount,
@@ -380,6 +447,7 @@ QUERIES = {
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
     "q_text_fingerprint": q_text_fingerprint,
+    "q_text_token_spans": q_text_token_spans,
 }
 
 ORACLES = {
@@ -391,4 +459,5 @@ ORACLES = {
     "q_text_quality": _TEXT_QUALITY_SQL,
     "q_text_langid": _TEXT_LANGID_SQL,
     "q_text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "q_text_token_spans": _TEXT_TOKEN_SPANS_SQL,
 }

@@ -32,9 +32,14 @@ from pgshovel_spark.streaming.ops import (
     tumbling_counts,
     validate_sequences,
 )
-from pgshovel_spark.streaming.sinks import run_to_memory, upsert_foreach_batch
+from pgshovel_spark.streaming.sinks import (
+    merge_upsert_foreach_batch,
+    run_to_memory,
+    upsert_foreach_batch,
+)
 
 __all__ = [
+    "merge_upsert_foreach_batch",
     "CHANGE_SCHEMA",
     "file_change_stream",
     "mutations_from_events",

@@ -45,7 +45,22 @@ def file_change_stream(
     """Deterministic dev/test stream source: replay parquet files from
     ``path`` one file per micro-batch (stand-in for Kafka/JDBC; the
     reference's relay consumed PgQ batches the same way — bounded
-    chunks in commit order)."""
+    chunks in commit order).
+
+    Production swap-in is one format change — every downstream operator
+    is source-agnostic::
+
+        (spark.readStream.format("kafka")
+             .option("kafka.bootstrap.servers", servers)
+             .option("subscribe", topic)
+             .option("startingOffsets", "earliest")
+             .load()
+             .select(F.from_json(F.col("value").cast("string"),
+                                 CHANGE_SCHEMA).alias("c"))
+             .select("c.*"))
+
+    (Requires the spark-sql-kafka package on the cluster; not bundled
+    in this sandbox, hence the file source in tests.)"""
     return (
         spark.readStream.schema(schema or CHANGE_SCHEMA)
         .option("maxFilesPerTrigger", max_files)

@@ -101,3 +101,68 @@ def upsert_foreach_batch(
     )
     q.awaitTermination()
     return q
+
+
+def merge_upsert_foreach_batch(
+    stream: DataFrame,
+    target_dir: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """MERGE-shaped upsert: rewrite ONLY the key-bucket partitions a
+    micro-batch touches, not the whole table.
+
+    The state table is partitioned by ``__kb = pmod(xxhash64(keys),
+    n_buckets)``.  Each batch (1) computes its affected buckets — a
+    ≤ n_buckets distinct scan of the (small) batch, (2) reads just
+    those partitions back (directory-level partition pruning), (3)
+    merges + ranks latest-per-key, and (4) writes with DYNAMIC
+    partition overwrite, which replaces exactly the partitions present
+    in the output.  Untouched buckets are never read or rewritten —
+    the property that makes per-batch upkeep O(changed keys), not
+    O(table), which is what MERGE gives you on Delta/Iceberg.  At
+    100 TB, size n_buckets so one bucket ≈ a few GB.
+
+    Idempotent like upsert_foreach_batch: replaying a batch converges.
+    """
+    keys = list(keys)
+    order_cols = list(order_cols)
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="pgshovel-ckpt-")
+    kb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn("__kb", kb)
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            buckets = [r["__kb"] for r in b.select("__kb").distinct().collect()]
+            if not buckets:
+                return
+            current = spark.read.parquet(target_dir).filter(
+                F.col("__kb").isin(buckets)
+            )
+            merged = current.unionByName(b.select(*current.columns))
+        else:
+            merged = b
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        (
+            latest.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__kb")
+            .parquet(target_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

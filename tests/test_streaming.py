@@ -380,3 +380,62 @@ def test_upsert_sink_recovers_from_interrupted_swap(spark, tmp_path):
     assert got == {1: (2, 11.0), 2: (1, 20.0)}
     assert not os.path.exists(target + ".staging")
     assert not os.path.exists(target + ".old")
+
+
+def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The MERGE-shaped sink must leave data files of unaffected key
+    buckets byte-for-byte untouched (asserted via mtime+inode scan)."""
+    import os
+
+    from pgshovel_spark.streaming.sinks import merge_upsert_foreach_batch
+
+    src = tmp_path / "src"
+    target = str(tmp_path / "state")
+    # enough keys that >1 bucket is populated
+    rows = [(k, 1, float(k)) for k in range(1, 21)]
+    spark.createDataFrame(rows, "key long, seq long, val double").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("key long, seq long, val double").parquet(str(src))
+    merge_upsert_foreach_batch(
+        stream, target, keys=["key"], order_cols=["seq"], n_buckets=8,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_ino, st.st_size)
+        return out
+
+    before = snapshot()
+    buckets_before = {p.split("__kb=")[1].split("/")[0] for p in before}
+    assert len(buckets_before) > 1
+
+    # second batch updates ONE key -> exactly one bucket rewritten
+    spark.createDataFrame(
+        [(7, 2, 700.0)], "key long, seq long, val double"
+    ).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema("key long, seq long, val double").parquet(str(src))
+    merge_upsert_foreach_batch(
+        stream2, target, keys=["key"], order_cols=["seq"], n_buckets=8,
+        checkpoint_dir=str(tmp_path / "ckpt1"),  # SAME checkpoint: batch 2 = only the appended row
+    )
+    after = snapshot()
+
+    changed_buckets = set()
+    for p, sig in after.items():
+        if before.get(p) != sig:
+            changed_buckets.add(p.split("__kb=")[1].split("/")[0])
+    removed = set(before) - set(after)
+    for p in removed:
+        changed_buckets.add(p.split("__kb=")[1].split("/")[0])
+    assert len(changed_buckets) == 1  # only key 7's bucket was rewritten
+
+    got = {r.key: (r.seq, r.val) for r in spark.read.parquet(target).collect()}
+    assert got[7] == (2, 700.0)
+    assert got[1] == (1, 1.0) and len(got) == 20
