@@ -269,13 +269,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', CAST(ts AS TIMES
 
 
 QUERIES = {
+    # changed / never-driver-checked first (registration order is the
+    # harness's check order)
+    "q_sessionize": q_sessionize,
+    "q_win_tumbling": q_win_tumbling,
+    "q_win_sliding": q_win_sliding,
     "q_cdc_latest_state": q_cdc_latest_state,
     "q_cdc_changelog": q_cdc_changelog,
     "q_win_range_frame": q_win_range_frame,
     "q_stream_dedup": q_stream_dedup,
-    "q_sessionize": q_sessionize,
-    "q_win_tumbling": q_win_tumbling,
-    "q_win_sliding": q_win_sliding,
 }
 
 ORACLES = {

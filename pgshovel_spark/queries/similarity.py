@@ -528,6 +528,89 @@ GROUP BY lang, label
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the LSH candidate
+    pairs — the step that turns pairwise near-dup hits into "keep one
+    doc per cluster" for a training corpus.
+
+    Scale-critical input reduction: the raw band-bucket pair graph is
+    QUADRATIC per bucket (a bucket of m docs emits m² pairs — measured
+    4.2M pairs at sf0.1).  Connectivity only needs a spanning star per
+    bucket: hub = min doc_id in the bucket, edges hub↔member — LINEAR
+    in corpus size (≤ n_bands edges per doc) with identical components.
+
+    Spark side: iterative min-label propagation (operators/graph.py),
+    O(diameter) rounds of join+agg.  Oracle side: a recursive CTE
+    computing min-reachable-id — identical fixpoint, so this iterative
+    graph op is fully hash-checked (rows-only is the norm for these).
+    Output: every document with its cluster representative (min doc_id
+    of its component; singletons map to themselves).
+    """
+    from pgshovel_spark.operators.graph import connected_components
+
+    sigs = q_dedup_minhash(spark, sf_dir)
+    long_ = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key")
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.key")
+    hubs = long_.groupBy("band_idx", "key").agg(F.min("doc_id").alias("hub"))
+    star = (
+        long_.join(hubs, ["band_idx", "key"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("id1"), F.col("doc_id").alias("id2"))
+    )
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(
+        nodes, star, node_col="doc_id", src_col="id1", dst_col="id2"
+    )
+    return cc.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+sigs AS ({_DEDUP_MINHASH_SQL}),
+long_ AS (
+  SELECT doc_id, 0 AS band_idx, band0 AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, band1 FROM sigs
+),
+hubs AS (
+  SELECT band_idx, key, MIN(doc_id) AS hub FROM long_ GROUP BY band_idx, key
+),
+pairs AS (
+  SELECT h.hub AS id1, l.doc_id AS id2
+  FROM long_ l JOIN hubs h USING (band_idx, key)
+  WHERE l.doc_id <> h.hub
+),
+edges AS (
+  SELECT id1 AS s, id2 AS d FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node
+)
+SELECT node AS doc_id,
+       MIN(lab) AS cluster_id,
+       MIN(lab) = node AS is_keeper
+FROM reach
+GROUP BY node
+"""
+
+
 QUERIES = {
     "q_sim_cosine": q_sim_cosine,
     "q_sim_knn": q_sim_knn,
@@ -539,6 +622,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_multimodal_join": q_multimodal_join,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -550,4 +634,5 @@ ORACLES = {
     "q_sim_simhash": _SIM_SIMHASH_SQL,
     "q_dedup_embedding": _DEDUP_EMBEDDING_SQL,
     "q_multimodal_join": _MULTIMODAL_JOIN_SQL,
+    "q_dedup_clusters": _DEDUP_CLUSTERS_SQL,
 }

@@ -438,6 +438,55 @@ FROM tok
 """
 
 
+#: per-language keep-rates (percent) for the stratified sample — the
+#: "rebalance the corpus mix" step of training-data curation.
+_SAMPLE_RATES = {"en": 50, "de": 30, "fr": 30}
+_SAMPLE_DEFAULT_RATE = 10
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) downsampling.
+
+    Sampling at 100 TB must be reproducible and shuffle-free: a keyed
+    HASH THRESHOLD (Knuth multiplicative hash of doc_id, bucket 0-99 <
+    stratum rate) decides membership row-locally — no orderBy, no
+    rand(), re-runs and retried tasks agree.  The hash is explicit
+    BIGINT arithmetic, identical in the oracle SQL, so the sample is
+    hash-checked exactly (engine-native hash/rand functions would force
+    a rows-only check).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(2**32) % F.lit(100)
+    rate = F.lit(_SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            bucket.cast("long").alias("h_bucket"),
+            rate.cast("long").alias("keep_rate"),
+        )
+        .filter(F.col("h_bucket") < F.col("keep_rate"))
+    )
+
+
+_SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, h_bucket, keep_rate
+FROM (
+  SELECT doc_id, lang, source,
+         CAST((doc_id * {_KNUTH}) % 4294967296 % 100 AS BIGINT) AS h_bucket,
+         CAST(CASE lang
+                WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 30
+                ELSE 10 END AS BIGINT) AS keep_rate
+  FROM documents
+)
+WHERE h_bucket < keep_rate
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_text_wordcount": q_text_wordcount,
@@ -448,6 +497,7 @@ QUERIES = {
     "q_text_langid": q_text_langid,
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_token_spans": q_text_token_spans,
+    "q_sample_stratified": q_sample_stratified,
 }
 
 ORACLES = {
@@ -460,4 +510,5 @@ ORACLES = {
     "q_text_langid": _TEXT_LANGID_SQL,
     "q_text_fingerprint": _TEXT_FINGERPRINT_SQL,
     "q_text_token_spans": _TEXT_TOKEN_SPANS_SQL,
+    "q_sample_stratified": _SAMPLE_STRATIFIED_SQL,
 }

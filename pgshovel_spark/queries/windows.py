@@ -184,11 +184,11 @@ WHERE rn <= 3
 
 
 QUERIES = {
+    "q_win_ntile": q_win_ntile,  # changed this round (distributed rank) — first
     "q_win_rank": q_win_rank,
     "q_win_running": q_win_running,
     "q_win_moving": q_win_moving,
     "q_win_lag": q_win_lag,
-    "q_win_ntile": q_win_ntile,
     "q_win_topk_group": q_win_topk_group,
 }
 

@@ -74,6 +74,16 @@ class ReplicationSet:
         return os.path.join(self.checkpoint_dir, f"{self.name}.{table}.watermark.json")
 
 
+def cursor_subquery(table: str, cursor_col: str, watermark: object) -> str:
+    """The pushdown subquery a high-watermark pull sends to the remote
+    database as the JDBC ``dbtable``.  Pure function so the generated
+    SQL is unit-testable without a live database."""
+    if not _IDENT.fullmatch(cursor_col):
+        raise ValueError(f"cursor_col is not a plain identifier: {cursor_col!r}")
+    pred = "" if watermark is None else f" WHERE {cursor_col} > {sql_literal(watermark)}"
+    return f"(SELECT * FROM {table}{pred}) AS src"
+
+
 def jdbc_snapshot_reader(
     spark: SparkSession, url: str, table: str, options: dict | None = None
 ) -> Callable[[object], DataFrame]:
@@ -83,13 +93,10 @@ def jdbc_snapshot_reader(
     only new rows server-side."""
 
     def read(watermark, cursor_col: str = "id") -> DataFrame:
-        if not _IDENT.fullmatch(cursor_col):
-            raise ValueError(f"cursor_col is not a plain identifier: {cursor_col!r}")
-        pred = "" if watermark is None else f" WHERE {cursor_col} > {sql_literal(watermark)}"
         reader = (
             spark.read.format("jdbc")
             .option("url", url)
-            .option("dbtable", f"(SELECT * FROM {table}{pred}) AS src")
+            .option("dbtable", cursor_subquery(table, cursor_col, watermark))
         )
         for k, v in (options or {}).items():
             reader = reader.option(k, v)

@@ -47,6 +47,31 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC reader — ORC carries its own schema (like Parquet), so no
+    explicit schema is required; predicate pushdown and column pruning
+    work the same way (spark.sql.orc.filterPushdown is on by default).
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC writer with optional directory partitioning (zlib default;
+    pass compression via df.write options upstream if needed)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -69,3 +69,23 @@ def test_sql_literal_escaping_and_identifier_guard(spark):
     read = jdbc_snapshot_reader(spark, "jdbc:postgresql://h/db", "t")
     with pytest.raises(ValueError):
         read(1, cursor_col="id; DROP TABLE t")
+
+
+def test_cursor_subquery_generation():
+    import datetime
+
+    from pgshovel_spark.sources.cdc import cursor_subquery
+
+    assert cursor_subquery("events", "id", None) == "(SELECT * FROM events) AS src"
+    assert (
+        cursor_subquery("events", "id", 41)
+        == "(SELECT * FROM events WHERE id > 41) AS src"
+    )
+    assert (
+        cursor_subquery("events", "updated_at", datetime.datetime(2024, 5, 1, 8, 0))
+        == "(SELECT * FROM events WHERE updated_at > TIMESTAMP '2024-05-01 08:00:00') AS src"
+    )
+    assert (
+        cursor_subquery("events", "token", "a'b")
+        == "(SELECT * FROM events WHERE token > 'a''b') AS src"
+    )

@@ -154,3 +154,37 @@ def test_asof_null_right_values_stay_together(spark):
     assert len(out) == 1
     # the newest right row (rid=11) wins WHOLE: a=None together with b='late'
     assert out[0].a is None and out[0].b == "late"
+
+
+def test_connected_components_basic(spark):
+    from pgshovel_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "node long")
+    # components: {1,2,3,4} chained, {5,6}, singletons {7}, {8}
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (1, 2), (5, 6)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_connected_components_no_edges(spark):
+    from pgshovel_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r.node: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_connected_components_long_chain(spark):
+    # a 40-node path exercises pointer jumping past naive round counts
+    from pgshovel_spark.operators.graph import connected_components
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
