@@ -29,6 +29,7 @@ from pgshovel_spark.streaming.change_stream import (
 from pgshovel_spark.streaming.ops import (
     sessionize_stream,
     stream_dedup,
+    stream_interval_join,
     tumbling_counts,
     validate_sequences,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "mutations_from_events",
     "tumbling_counts",
     "stream_dedup",
+    "stream_interval_join",
     "sessionize_stream",
     "validate_sequences",
     "run_to_memory",

@@ -73,6 +73,40 @@ def sessionize_stream(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    interval: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join within a time interval: pair each left
+    row with right rows of the same key where ``left_ts <= right_ts <=
+    left_ts + interval`` (click→conversion attribution shape).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can expire join state — the
+    requirement that makes stream-stream joins feasible on unbounded
+    input (state is O(watermark window), not O(stream)).  ``left_ts``
+    and ``right_ts`` must be distinct column names; the key column is
+    taken from the left side in the output.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark).withColumnRenamed(
+        key, "__rkey"
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond).drop("__rkey")
+
+
 def validate_sequences(batch: DataFrame) -> DataFrame:
     """Sequence validation + publisher fencing (batch form, usable
     inside foreachBatch — mirrors the reference consumer's

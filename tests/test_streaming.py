@@ -439,3 +439,56 @@ def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     got = {r.key: (r.seq, r.val) for r in spark.read.parquet(target).collect()}
     assert got[7] == (2, 700.0)
     assert got[1] == (1, 1.0) and len(got) == 20
+
+
+def test_stream_interval_join_equals_batch(spark, event_files):
+    """Stream-stream interval join == the same join done in batch.
+
+    Left = even event_ids ("clicks"), right = odd ("conversions");
+    pair same-user rows with the right event within 5 minutes after
+    the left one."""
+    from pgshovel_spark.streaming.ops import stream_interval_join
+
+    schema = load_table(spark, SF, "events").schema
+    base = _events_stream(spark, event_files)
+    left = base.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("user_id"), F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")
+        )
+    )
+    joined = stream_interval_join(
+        left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+        interval="5 minutes", watermark="10 minutes",
+    ).select("user_id", "l_id", "r_id")
+    run_to_memory(joined, "ivj", output_mode="append")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ivj").collect()))
+
+    e = load_table(spark, SF, "events")
+    bl = e.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    br = e.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("u2"), F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            bl.join(
+                br,
+                (F.col("user_id") == F.col("u2"))
+                & (F.col("r_ts") >= F.col("l_ts"))
+                & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 minutes")),
+            )
+            .select("user_id", "l_id", "r_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(want) > 0
