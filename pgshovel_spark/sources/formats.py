@@ -47,6 +47,31 @@ def read_json(
     return reader.json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table — the layout that makes
+    repeated fact-fact joins SHUFFLE-FREE.
+
+    Both sides of a join bucketed by the join key into the same bucket
+    count are already co-partitioned on disk; Spark's sort-merge join
+    then runs with NO Exchange on either side (asserted in
+    tests/test_plans.py).  At 100 TB this converts every recurring join
+    on the bucketing key from a full-table shuffle into a local merge —
+    the single biggest recurring-cost saver in a warehouse.  Sorting
+    within buckets (``sort_cols``) additionally removes the Sort.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """ORC reader — ORC carries its own schema (like Parquet), so no
     explicit schema is required; predicate pushdown and column pruning

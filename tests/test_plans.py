@@ -91,3 +91,44 @@ def test_asof_join_is_single_shuffle_window(spark):
     plan = _plan(spark, "q_join_asof")
     assert "Window" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ntile_rank_reuses_range_exchange(spark):
+    """The two-pass global rank computes the range shuffle ONCE: after
+    execution, AQE's final plan must contain ReusedExchange nodes for
+    the counts branch (and no partition-spec-free Window anywhere)."""
+    df = all_queries()["q_win_ntile"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__gr_pid" in line, line
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count
+    join with NO Exchange on either side (co-located sort-merge join)."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.sources.formats import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "bkt_a", ["k"], 8, sort_cols=["k"])
+        write_bucketed(b, "bkt_b", ["k"], 8, sort_cols=["k"])
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
