@@ -10,6 +10,8 @@ pruning work at scale — SCALE.md).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -95,6 +97,60 @@ def write_orc(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.orc(path)
+
+
+def read_evolving(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Parquet reader for tables whose schema has WIDENED over time
+    (columns added by newer writers): ``mergeSchema`` unions the file
+    footers' schemas; missing columns read as NULL in older files.
+    Costs one footer pass over the file listing — acceptable for
+    occasional evolving tables, wrong as a default (keep canonical
+    tables on the single-schema fast path)."""
+    reader = spark.read.option("mergeSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — rewrite a parquet directory into files of
+    ~``target_file_mb`` and atomically swap it in.  Returns the new
+    file count.
+
+    Streaming sinks and incremental ingest accrete small files; at
+    100 TB the resulting open/seek amplification dominates scan cost
+    (a 256 MB target keeps row groups large enough for effective
+    row-group pruning).  File count = ceil(bytes / target); the rewrite
+    uses repartition (round-robin) for even output sizes, or
+    partitionBy for a partitioned layout.  Swap is rename-based like
+    the upsert sink: write beside, rename away, rename in, drop old.
+    """
+    import math
+    import shutil
+
+    src = Path(path)
+    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staging = path + ".compact"
+    backup = path + ".old"
+    for leftover in (staging, backup):
+        shutil.rmtree(leftover, ignore_errors=True)
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(staging)
+    import os
+
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return len(list(Path(path).rglob("*.parquet")))
 
 
 def write_partitioned(

@@ -85,3 +85,40 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     import os
 
     assert any(d.startswith("p_date=") for d in os.listdir(path))
+
+
+def test_read_evolving_merges_widened_schema(spark, tmp_path):
+    from pgshovel_spark.sources.formats import read_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+    got = {r.id: (r.v, r.score) for r in read_evolving(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    import os
+
+    from pgshovel_spark.sources.formats import compact
+
+    path = str(tmp_path / "frag")
+    # 20 tiny files
+    for i in range(20):
+        spark.createDataFrame(
+            [(i * 10 + j, f"r{i}") for j in range(10)], "id long, tag string"
+        ).coalesce(1).write.mode("append").parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 20
+    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n_after = compact(spark, path, target_file_mb=256)
+    assert n_after == 1
+    after_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+    assert not os.path.exists(path + ".compact")
+    assert not os.path.exists(path + ".old")
