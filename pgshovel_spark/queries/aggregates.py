@@ -191,6 +191,47 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    per-status totals, per-priority totals, and the grand total in ONE
+    pass (Spark expands to a single Expand + hash aggregate, not three
+    scans)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+            F.grouping_id("o_orderstatus", "o_orderpriority")
+            .cast("long")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+            "gid",
+        )
+    )
+
+
+_AGG_GROUPING_SETS_SQL = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_price,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per returnflag.
 
@@ -518,6 +559,7 @@ QUERIES = {
     "q_agg_having": q_agg_having,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
+    "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_agg_stats": q_agg_stats,
     "q_agg_minmax_by": q_agg_minmax_by,
     "q_agg_collect": q_agg_collect,
@@ -535,6 +577,7 @@ ORACLES = {
     "q_agg_having": _AGG_HAVING_SQL,
     "q_agg_rollup": _AGG_ROLLUP_SQL,
     "q_agg_cube": _AGG_CUBE_SQL,
+    "q_agg_grouping_sets": _AGG_GROUPING_SETS_SQL,
     "q_agg_stats": _AGG_STATS_SQL,
     "q_agg_minmax_by": _AGG_MINMAX_BY_SQL,
     "q_agg_collect": _AGG_COLLECT_SQL,
