@@ -104,3 +104,94 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         ).collect()
     }
     assert plain == salted
+
+
+# ---------------------------------------------------------------- exact_sum
+
+money = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**8, max_value=10**8).map(lambda c: c / 100.0),
+    st.integers(min_value=-10**12, max_value=10**12).map(lambda m: m / 1_000_000.0),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.tuples(st.integers(0, 2), money), min_size=0, max_size=30))
+def test_exact_sum_equals_decimal_sum(spark, vals):
+    """Split-long exact_sum == boxed SUM(CAST(x AS DECIMAL(24,6))) for
+    money-scale values incl. negatives, NULLs, and 6-dp fractions."""
+    from pgshovel_spark.functions.determinism import dec, exact_sum
+
+    df = spark.createDataFrame(vals or [(0, None)], "k int, v double")
+    a = {
+        r.k: r.s
+        for r in df.groupBy("k").agg(F.sum(dec("v")).alias("s")).collect()
+    }
+    b = {r.k: r.s for r in df.groupBy("k").agg(exact_sum("v").alias("s")).collect()}
+    assert a == b
+
+
+# ------------------------------------------------------------- global_ntile
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_rows=st.integers(min_value=0, max_value=60),
+    n_buckets=st.integers(min_value=1, max_value=7),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_global_ntile_matches_native_property(spark, n_rows, n_buckets, n_parts):
+    from pyspark.sql import Window
+
+    from pgshovel_spark.operators.rank import global_ntile
+
+    if n_rows == 0:
+        return
+    df = spark.range(n_rows).select(
+        F.col("id"), ((F.col("id") * 131) % 97).alias("v")
+    )
+    got = global_ntile(
+        df, order=[F.col("v").asc(), F.col("id").asc()], n_buckets=n_buckets,
+        bucket_col="b", num_partitions=n_parts,
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.select("id", F.ntile(n_buckets).over(w).cast("long").alias("b"))
+    assert sorted((r.id, r.b) for r in got.select("id", "b").collect()) == sorted(
+        (r.id, r.b) for r in want.collect()
+    )
+
+
+# ---------------------------------------------------- connected_components
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_nodes=st.integers(min_value=1, max_value=12),
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=0, max_size=20
+    ),
+)
+def test_connected_components_matches_union_find(spark, n_nodes, edges):
+    from pgshovel_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes and a != b]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long") if edges else (
+        spark.createDataFrame([], "src long, dst long")
+    )
+    got = {r.node: r.component for r in connected_components(nodes_df, edges_df).collect()}
+    assert got == _uf_components(n_nodes, edges)
