@@ -35,7 +35,9 @@ def main() -> None:
 
     qs = all_queries()
     # Per-query codegen/JIT warm-up at the smallest fixture (see module
-    # docstring).  Falls back to the timed dir if sf0.001 is absent.
+    # docstring).  Falls back to the timed dir if sf0.001 is absent —
+    # recorded in the output so a hot-second-run measurement is never
+    # silently presented as the compile-only-warm-up policy.
     warm_dir = "/root/testdata/sf0.001"
     if not Path(warm_dir).is_dir():
         warm_dir = sf_dir
@@ -59,6 +61,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "warmup_dir": warm_dir,
             }
         )
     )

@@ -77,9 +77,12 @@ def dsum(c: Column | str, nd: int = 2, *, wide: bool = False) -> Column:
 
         CAST(ROUND(SUM(CAST(x AS DECIMAL(24,6))), nd) AS DOUBLE)
 
-    Default path is the split-long ``exact_sum`` (Tungsten fast path);
-    pass ``wide=True`` for magnitudes beyond ~1e6 per row (e.g. squared
-    measures) to use the 38-digit boxed-decimal buffer instead.
+    Default path is the split-long ``exact_sum`` (Tungsten fast path).
+    CONTRACT: inputs must be conceptually ≤6-decimal values with
+    |v| ≲ 1e9 (the fixture's money columns; beyond that the micro-
+    rounding margin erodes).  For wider magnitudes — squared measures,
+    micro-denominated counters — pass ``wide=True`` to use the 38-digit
+    boxed-decimal buffer, which is slower but unconditional.
     """
     s = F.sum(dec(c)) if wide else exact_sum(c)
     return F.round(s, nd).cast("double")

@@ -7,22 +7,31 @@ fixture, fatal on a 100 TB table.  The classic fix is a two-pass rank:
 1. ``repartitionByRange`` on the sort keys + ``sortWithinPartitions`` —
    rows are now globally ordered ACROSS partitions and locally sorted
    WITHIN each (one range shuffle, P-way parallel).
-2. Count rows per partition (tiny P-row aggregate), prefix-sum the
-   counts to per-partition rank offsets, broadcast-join them back, and
-   add the local ``row_number``.  global_rank = offset(pid) + local_rn.
+2. ``monotonically_increasing_id()`` projected IN THE SAME STAGE encodes
+   (partition_id << 33) | local_row_index, so both the partition id and
+   the local 0-based position come for free — no Window, and crucially
+   no second (hash-by-pid) exchange: a ``Window.partitionBy(pid)`` here
+   would re-shuffle the whole table because RangePartitioning does not
+   satisfy the window's ClusteredDistribution.  Caveat: breaks only
+   past 2^33 ≈ 8.6e9 rows in ONE partition, far beyond any sane
+   partition sizing.
+3. Count rows per partition (tiny P-row aggregate over the pid), prefix
+   -sum the counts to per-partition rank offsets, broadcast-join them
+   back: global_rank = offset(pid) + local_index + 1.
 
 The range boundaries Spark samples are irrelevant to correctness — the
 rank is derived from actual per-partition counts, so any boundary
 placement yields the same output (the sort keys must form a TOTAL order,
-i.e. include a unique tiebreaker).
+i.e. include a unique tiebreaker; the id projection sits above the sort
+in the same whole-stage pipeline, so it numbers rows in sorted order).
 
-The per-partition count branch reuses the range-shuffle exchange
-(ReusedExchange in the physical plan), so the input is shuffled once.
+The per-partition count branch reuses the range-shuffle exchange at
+runtime (AQE ReusedExchange), so the input is shuffled exactly once.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PID = "__gr_pid"
@@ -50,7 +59,10 @@ def with_global_rank(
     ranged = (
         df.repartitionByRange(n, *order)
         .sortWithinPartitions(*order)
-        .withColumn(_PID, F.spark_partition_id())
+        .withColumn("__gr_mid", F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftright(F.col("__gr_mid"), 33))
+        .withColumn("__gr_local", F.col("__gr_mid") % F.lit(1 << 33))
+        .drop("__gr_mid")
     )
 
     counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
@@ -75,12 +87,10 @@ def with_global_rank(
         )
     )
 
-    w_local = Window.partitionBy(_PID).orderBy(*order)
-    out = (
-        ranged.join(F.broadcast(offsets), _PID)
-        .withColumn(rank_col, (F.row_number().over(w_local) + F.col(_OFF)).cast("long"))
+    out = ranged.join(F.broadcast(offsets), _PID).withColumn(
+        rank_col, (F.col("__gr_local") + F.col(_OFF) + 1).cast("long")
     )
-    out = out.drop(_PID, _OFF)
+    out = out.drop(_PID, _OFF, "__gr_local")
     if total_col is None:
         return out.drop(_TOT)
     return out.withColumnRenamed(_TOT, total_col)

@@ -457,7 +457,12 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rows-only check).
     """
     d = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(2**32) % F.lit(100)
+    # doc_id is reduced mod 2^31 BEFORE the multiply so the product
+    # stays under 2^63 for ANY 64-bit id (otherwise ANSI mode throws
+    # ARITHMETIC_OVERFLOW at exactly the id ranges a 100 TB corpus has).
+    bucket = (
+        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
+    ) % F.lit(2**32) % F.lit(100)
     rate = F.lit(_SAMPLE_DEFAULT_RATE)
     for lang, r in sorted(_SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
@@ -477,7 +482,7 @@ _SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang, source, h_bucket, keep_rate
 FROM (
   SELECT doc_id, lang, source,
-         CAST((doc_id * {_KNUTH}) % 4294967296 % 100 AS BIGINT) AS h_bucket,
+         CAST(((doc_id % 2147483648) * {_KNUTH}) % 4294967296 % 100 AS BIGINT) AS h_bucket,
          CAST(CASE lang
                 WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 30
                 ELSE 10 END AS BIGINT) AS keep_rate

@@ -19,6 +19,7 @@ in the checkpoint directory so restarts resume exactly.
 from __future__ import annotations
 
 import datetime
+import decimal
 import json
 import numbers
 import os
@@ -41,8 +42,15 @@ def sql_literal(v: object) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, numbers.Integral):
         return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        if not v.is_finite():
+            raise ValueError(f"non-finite watermark cannot be a SQL literal: {v!r}")
+        return str(v)
     if isinstance(v, numbers.Real):
-        return repr(float(v))
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite watermark cannot be a SQL literal: {v!r}")
+        return repr(f)
     if isinstance(v, datetime.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, datetime.date):
@@ -105,6 +113,31 @@ def jdbc_snapshot_reader(
     return read
 
 
+def _encode_watermark(v: object) -> dict:
+    """JSON-safe watermark encoding with a type tag so a restart
+    restores the exact Python type (datetime/date/Decimal cursors would
+    otherwise crash json.dump or come back as bare strings and be
+    rendered as the wrong SQL literal type)."""
+    if isinstance(v, datetime.datetime):
+        return {"type": "datetime", "value": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"type": "date", "value": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"type": "decimal", "value": str(v)}
+    return {"type": "plain", "value": v}
+
+
+def _decode_watermark(d: dict) -> object:
+    t, v = d["type"], d["value"]
+    if t == "datetime":
+        return datetime.datetime.fromisoformat(v)
+    if t == "date":
+        return datetime.date.fromisoformat(v)
+    if t == "decimal":
+        return decimal.Decimal(v)
+    return v
+
+
 def incremental_pulls(
     snapshot_read: Callable[[object], DataFrame],
     cursor_col: str,
@@ -123,7 +156,8 @@ def incremental_pulls(
     watermark = None
     if watermark_file and os.path.exists(watermark_file):
         with open(watermark_file) as f:
-            watermark = json.load(f)["watermark"]
+            raw = json.load(f)["watermark"]
+        watermark = _decode_watermark(raw) if isinstance(raw, dict) else raw
     pulls = 0
     while max_pulls is None or pulls < max_pulls:
         # Pin the batch before reading its max: the JDBC read is lazy,
@@ -144,5 +178,5 @@ def incremental_pulls(
         if watermark_file:
             os.makedirs(os.path.dirname(watermark_file) or ".", exist_ok=True)
             with open(watermark_file, "w") as f:
-                json.dump({"watermark": watermark}, f)
+                json.dump({"watermark": _encode_watermark(watermark)}, f)
         pulls += 1

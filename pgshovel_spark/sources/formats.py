@@ -125,28 +125,37 @@ def compact(
     Streaming sinks and incremental ingest accrete small files; at
     100 TB the resulting open/seek amplification dominates scan cost
     (a 256 MB target keeps row groups large enough for effective
-    row-group pruning).  File count = ceil(bytes / target); the rewrite
-    uses repartition (round-robin) for even output sizes, or
-    partitionBy for a partitioned layout.  Swap is rename-based like
-    the upsert sink: write beside, rename away, rename in, drop old.
+    row-group pruning).  Unpartitioned: file count = ceil(bytes /
+    target) via round-robin repartition.  Partitioned: repartition BY
+    the partition columns so each partition's rows land in one task →
+    one file per partition directory (round-robin here would emit
+    n_files × n_partitions small files — the exact problem compaction
+    exists to fix).  Swap is rename-based with crash recovery: if a
+    previous compact died between the two renames, the backup dir is
+    restored before anything else runs.
     """
     import math
+    import os
     import shutil
+
+    staging = path + ".compact"
+    backup = path + ".old"
+    # crash recovery: backup exists and path missing -> restore backup
+    if os.path.isdir(backup) and not os.path.isdir(path):
+        os.rename(backup, path)
+    for leftover in (staging, backup):
+        shutil.rmtree(leftover, ignore_errors=True)
 
     src = Path(path)
     total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    staging = path + ".compact"
-    backup = path + ".old"
-    for leftover in (staging, backup):
-        shutil.rmtree(leftover, ignore_errors=True)
-    w = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
-        w = w.partitionBy(*partition_cols)
+        rewritten = df.repartition(*partition_cols)
+        w = rewritten.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        w = df.repartition(n_files).write.mode("overwrite")
     w.parquet(staging)
-    import os
-
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -95,6 +95,13 @@ def stream_interval_join(
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            "left and right streams share non-key columns "
+            f"{sorted(overlap)}; rename or project them before joining "
+            "(the output would contain ambiguous duplicates)"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark).withColumnRenamed(
         key, "__rkey"

@@ -132,30 +132,59 @@ def merge_upsert_foreach_batch(
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="pgshovel-ckpt-")
     kb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
+    staging_root = target_dir + ".staging"
+    bak_root = target_dir + ".bak"
+
+    def _recover() -> None:
+        """Heal an interrupted bucket swap: a bucket dir still in .bak
+        whose target dir is missing was renamed away but never replaced
+        — restore it so no key's state is ever lost."""
+        if os.path.isdir(bak_root):
+            for d in os.listdir(bak_root):
+                src = os.path.join(bak_root, d)
+                dst = os.path.join(target_dir, d)
+                if d.startswith("__kb=") and not os.path.exists(dst):
+                    os.rename(src, dst)
+            shutil.rmtree(bak_root, ignore_errors=True)
+        shutil.rmtree(staging_root, ignore_errors=True)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover()
         b = batch_df.withColumn("__kb", kb)
-        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
-            buckets = [r["__kb"] for r in b.select("__kb").distinct().collect()]
-            if not buckets:
-                return
-            current = spark.read.parquet(target_dir).filter(
-                F.col("__kb").isin(buckets)
-            )
-            merged = current.unionByName(b.select(*current.columns))
-        else:
-            merged = b
+        if not os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            # first batch: plain partitioned write
+            b_latest = _latest(b)
+            b_latest.write.mode("overwrite").partitionBy("__kb").parquet(target_dir)
+            return
+        buckets = [r["__kb"] for r in b.select("__kb").distinct().collect()]
+        if not buckets:
+            return
+        current = spark.read.parquet(target_dir).filter(F.col("__kb").isin(buckets))
+        latest = _latest(current.unionByName(b.select(*current.columns)))
+        # Write the merged buckets BESIDE the table, then swap each
+        # affected bucket dir via rename-away / rename-in; _recover()
+        # covers every crash window, so replaying the batch converges
+        # without ever dropping an untouched key.
+        latest.write.mode("overwrite").partitionBy("__kb").parquet(staging_root)
+        os.makedirs(bak_root, exist_ok=True)
+        for d in os.listdir(staging_root):
+            if not d.startswith("__kb="):
+                continue
+            tgt = os.path.join(target_dir, d)
+            bak = os.path.join(bak_root, d)
+            if os.path.exists(tgt):
+                os.rename(tgt, bak)
+            os.rename(os.path.join(staging_root, d), tgt)
+        shutil.rmtree(bak_root, ignore_errors=True)
+        shutil.rmtree(staging_root, ignore_errors=True)
+
+    def _latest(merged: DataFrame) -> DataFrame:
         w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
-        latest = (
+        return (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-        )
-        (
-            latest.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__kb")
-            .parquet(target_dir)
         )
 
     q = (

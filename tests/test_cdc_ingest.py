@@ -89,3 +89,38 @@ def test_cursor_subquery_generation():
         cursor_subquery("events", "token", "a'b")
         == "(SELECT * FROM events WHERE token > 'a''b') AS src"
     )
+
+
+def test_incremental_pulls_timestamp_watermark_roundtrip(spark, tmp_path):
+    """A datetime cursor must survive the JSON watermark file (it used
+    to crash json.dump) and resume from the persisted value."""
+    import datetime
+
+    from pgshovel_spark.sources.cdc import incremental_pulls
+
+    D = datetime.datetime
+    rows = [(1, D(2024, 1, 1, 10)), (2, D(2024, 1, 1, 11)), (3, D(2024, 1, 1, 12))]
+    df = spark.createDataFrame(rows, "id long, updated_at timestamp")
+    wfile = str(tmp_path / "w.json")
+
+    def read(watermark):
+        return df if watermark is None else df.filter(df.updated_at > watermark)
+
+    batches = [
+        sorted(r.id for r in b.collect())
+        for b in incremental_pulls(read, "updated_at", watermark_file=wfile, max_pulls=5)
+    ]
+    assert batches[0] == [1, 2, 3]
+    # a later restart resumes from the persisted datetime watermark
+    df2 = spark.createDataFrame(
+        rows + [(4, D(2024, 1, 1, 13))], "id long, updated_at timestamp"
+    )
+
+    def read2(watermark):
+        return df2 if watermark is None else df2.filter(df2.updated_at > watermark)
+
+    batches2 = [
+        sorted(r.id for r in b.collect())
+        for b in incremental_pulls(read2, "updated_at", watermark_file=wfile, max_pulls=5)
+    ]
+    assert batches2[0] == [4]

@@ -492,3 +492,42 @@ def test_stream_interval_join_equals_batch(spark, event_files):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_merge_upsert_recovers_interrupted_bucket_swap(spark, tmp_path):
+    """A bucket renamed into .bak but never replaced (crash mid-swap)
+    must be restored on the next batch — no key's state is lost."""
+    import os
+    import shutil
+
+    from pgshovel_spark.streaming.sinks import merge_upsert_foreach_batch
+
+    src = tmp_path / "src"
+    target = str(tmp_path / "state")
+    rows = [(k, 1, float(k)) for k in range(1, 21)]
+    spark.createDataFrame(rows, "key long, seq long, val double").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("key long, seq long, val double").parquet(str(src))
+    merge_upsert_foreach_batch(
+        stream, target, keys=["key"], order_cols=["seq"], n_buckets=8,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # simulate a crash mid-swap: one bucket dir moved to .bak, target gone
+    victim = next(d for d in os.listdir(target) if d.startswith("__kb="))
+    os.makedirs(target + ".bak", exist_ok=True)
+    os.rename(os.path.join(target, victim), os.path.join(target + ".bak", victim))
+
+    spark.createDataFrame(
+        [(1, 2, 100.0)], "key long, seq long, val double"
+    ).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema("key long, seq long, val double").parquet(str(src))
+    merge_upsert_foreach_batch(
+        stream2, target, keys=["key"], order_cols=["seq"], n_buckets=8,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {r.key: (r.seq, r.val) for r in spark.read.parquet(target).collect()}
+    assert len(got) == 20  # every key survived, including the victim bucket's
+    assert got[1] == (2, 100.0)
+    assert not os.path.exists(target + ".bak")
+    assert not os.path.exists(target + ".staging")
