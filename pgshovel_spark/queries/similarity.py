@@ -562,6 +562,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_idx", "b.key")
+    # two rows per doc; checkpointing runs tokenize+minhash ONCE for the
+    # hubs and star branches below (same reuse rationale as the
+    # signature table in q_dedup_minhash_pairs)
+    long_ = long_.localCheckpoint(eager=True)
     hubs = long_.groupBy("band_idx", "key").agg(F.min("doc_id").alias("hub"))
     star = (
         long_.join(hubs, ["band_idx", "key"])
