@@ -583,8 +583,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE
+#: shared CTE list for the cluster oracles (q_dedup_clusters and
+#: q_dedup_keep_best): star-reduced LSH graph + recursive min-reach.
+_CLUSTER_CTES = f"""
 sigs AS ({_DEDUP_MINHASH_SQL}),
 long_ AS (
   SELECT doc_id, 0 AS band_idx, band0 AS key FROM sigs
@@ -606,12 +607,83 @@ reach(node, lab) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+)"""
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+{_CLUSTER_CTES}
+SELECT doc_id, cluster_id, cluster_id = doc_id AS is_keeper
+FROM clusters
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final step: ONE survivor per duplicate
+    cluster, chosen by QUALITY (unique-token ratio, then token count,
+    then min doc_id as the deterministic tiebreak) rather than by
+    arbitrary min-id — how a training corpus actually keeps the best
+    copy of near-duplicated content.  Composition: connected-components
+    clusters ⋈ heuristic quality scores → per-cluster top-1 window.
+    """
+    from pgshovel_spark.queries.text import q_text_quality
+
+    cc = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = q_text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "unique_ratio"
+    )
+    j = cc.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("unique_ratio").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("unique_ratio").alias("keeper_unique_ratio"),
+        )
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return best.join(sizes, "cluster_id").select(
+        "cluster_id", "keeper_doc_id", "n_members", "keeper_unique_ratio"
+    )
+
+
+_DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+{_CLUSTER_CTES},
+quality AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+           AS unique_ratio
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+             AS toks
+    FROM documents
+  )
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.n_tokens, q.unique_ratio,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.unique_ratio DESC, q.n_tokens DESC,
+                                     c.doc_id ASC) AS rn
+  FROM clusters c JOIN quality q USING (doc_id)
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM clusters GROUP BY cluster_id
 )
-SELECT node AS doc_id,
-       MIN(lab) AS cluster_id,
-       MIN(lab) = node AS is_keeper
-FROM reach
-GROUP BY node
+SELECT r.cluster_id,
+       r.doc_id AS keeper_doc_id,
+       s.n_members,
+       r.unique_ratio AS keeper_unique_ratio
+FROM ranked r JOIN sizes s USING (cluster_id)
+WHERE r.rn = 1
 """
 
 
@@ -627,6 +699,7 @@ QUERIES = {
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_multimodal_join": q_multimodal_join,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES = {
@@ -639,4 +712,5 @@ ORACLES = {
     "q_dedup_embedding": _DEDUP_EMBEDDING_SQL,
     "q_multimodal_join": _MULTIMODAL_JOIN_SQL,
     "q_dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "q_dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
 }
