@@ -1,0 +1,91 @@
+"""End-to-end CDC pipeline: the full reference user story on Spark.
+
+administration (create_set → config) → high-watermark incremental
+pulls driven BY that config → latest-state merge → epoch fencing after
+a failover (bump_epoch) drops the stale publisher's rows.  Each piece
+has unit tests; this proves they compose.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pgshovel_spark.sources.administration import (
+    SetConfig,
+    TableConfig,
+    bump_epoch,
+    create_set,
+    get_set,
+)
+from pgshovel_spark.sources.cdc import incremental_pulls
+from pgshovel_spark.streaming.ops import validate_sequences
+
+
+def _latest(df, key_cols, order_cols):
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+def test_cdc_pipeline_end_to_end(spark, tmp_path):
+    admin_dir = str(tmp_path / "admin")
+    cfg = create_set(
+        admin_dir,
+        SetConfig(
+            name="accounts",
+            tables={"accounts": TableConfig(cursor_col="seq", key_cols=["acct"])},
+        ),
+    )
+    table_dir = str(tmp_path / "db" / "accounts")
+    wfile = str(tmp_path / "ckpt" / "accounts.watermark.json")
+
+    # "database" state v1: 3 accounts
+    spark.createDataFrame(
+        [(1, 1, 100.0), (2, 2, 200.0), (3, 3, 300.0)],
+        "acct long, seq long, bal double",
+    ).write.mode("overwrite").parquet(table_dir)
+
+    def read(watermark):
+        df = spark.read.parquet(table_dir)
+        cur = cfg.tables["accounts"].cursor_col
+        return df if watermark is None else df.filter(F.col(cur) > watermark)
+
+    state = None
+    for batch in incremental_pulls(
+        read, cfg.tables["accounts"].cursor_col, watermark_file=wfile, max_pulls=5
+    ):
+        merged = batch if state is None else state.unionByName(batch)
+        state = _latest(merged, ["acct"], ["seq"]).localCheckpoint(eager=True)
+    assert {r.acct: r.bal for r in state.collect()} == {1: 100.0, 2: 200.0, 3: 300.0}
+
+    # database moves on: acct 2 updated (seq 4) — a restart pulls ONLY it
+    spark.createDataFrame(
+        [(2, 4, 250.0)], "acct long, seq long, bal double"
+    ).write.mode("append").parquet(table_dir)
+    pulled = [
+        sorted((r.acct, r.seq) for r in b.collect())
+        for b in incremental_pulls(
+            read, cfg.tables["accounts"].cursor_col, watermark_file=wfile, max_pulls=5
+        )
+    ]
+    assert pulled == [[(2, 4)]]
+
+    # failover: new relay generation; stale publisher rows get fenced
+    fenced_cfg = bump_epoch(admin_dir, "accounts")
+    assert get_set(admin_dir, "accounts").epoch == fenced_cfg.epoch == 1
+    changes = spark.createDataFrame(
+        [
+            ("p1", 0, 10, 2, 999.0),   # stale epoch-0 relay replaying old data
+            ("p1", fenced_cfg.epoch, 1, 2, 250.0),
+            ("p1", fenced_cfg.epoch, 2, 3, 333.0),
+        ],
+        "publisher string, epoch long, seq long, acct long, bal double",
+    )
+    kept = validate_sequences(changes)
+    rows = {(r.acct): (r.epoch, r.bal) for r in kept.collect()}
+    assert rows == {2: (1, 250.0), 3: (1, 333.0)}  # epoch-0 row dropped
