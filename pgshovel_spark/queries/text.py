@@ -132,31 +132,32 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     ).filter(F.col("term") != "")
-    # term_counts feeds three consumers (doc_lens, df_counts, scored);
-    # checkpoint it so tokenize+count runs ONCE — at scale this is the
-    # posting table you'd persist to storage anyway.
+    # term_counts feeds two consumers (df_counts, scored); checkpoint it
+    # so tokenize+count runs ONCE — at scale this is the posting table
+    # you'd persist to storage anyway.
     term_counts = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tc"))
         .localCheckpoint(eager=False)
     )
-    # doc_len = sum of this doc's term counts — no second tokenize pass.
-    doc_lens = term_counts.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
     # distinct (doc_id, term) already guaranteed -> plain count, no
-    # shuffle-heavy countDistinct.
+    # shuffle-heavy countDistinct.  NOT broadcast: a real corpus's
+    # vocabulary is GBs — Spark picks the join strategy by size.
     df_counts = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N computed INSIDE the same job via a broadcast 1-row aggregate —
     # a separate d.count() action would rescan the whole corpus.
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    # doc_len folds into the SAME doc_id window partitioning the top-1
+    # rank needs anyway — one shuffle instead of a groupBy+join pair.
+    w_doc = Window.partitionBy("doc_id")
     scored = (
-        term_counts.join(doc_lens, "doc_id")
-        .join(df_counts, "term")
+        term_counts.join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             (
-                (F.col("tc").cast("double") / F.col("doc_len"))
+                (F.col("tc").cast("double") / F.sum("tc").over(w_doc))
                 * F.log(F.col("__n_docs") / F.col("df"))
             ).alias("tfidf_raw"),
         )
