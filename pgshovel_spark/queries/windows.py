@@ -183,6 +183,33 @@ WHERE rn <= 3
 """
 
 
+def q_win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per nation by account balance — the
+    relative-standing window pair (ties share a value; the unique
+    custkey tiebreak keeps the hash deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_WIN_PERCENT_SQL = """
+SELECT
+  CAST(c_nationkey AS BIGINT) AS nationkey,
+  c_custkey,
+  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+  ROUND(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 QUERIES = {
     "q_win_ntile": q_win_ntile,  # changed this round (distributed rank) — first
     "q_win_rank": q_win_rank,
@@ -190,6 +217,7 @@ QUERIES = {
     "q_win_moving": q_win_moving,
     "q_win_lag": q_win_lag,
     "q_win_topk_group": q_win_topk_group,
+    "q_win_percent": q_win_percent,
 }
 
 ORACLES = {
@@ -199,4 +227,5 @@ ORACLES = {
     "q_win_lag": _WIN_LAG_SQL,
     "q_win_ntile": _WIN_NTILE_SQL,
     "q_win_topk_group": _WIN_TOPK_GROUP_SQL,
+    "q_win_percent": _WIN_PERCENT_SQL,
 }
