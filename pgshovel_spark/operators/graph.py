@@ -52,7 +52,7 @@ def connected_components(
         F.col(node_col).alias("__n"), F.col(node_col).alias("__lab")
     ).localCheckpoint(eager=True)
 
-    for it in range(max_iter):
+    for _ in range(max_iter):
         # (1) neighbor minimum — one shuffle join + partial agg
         nbr_min = (
             sym.join(labels, sym["__d"] == labels["__n"])
@@ -86,13 +86,12 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # convergence probe over the just-materialized checkpoint:
-        # limit(1) short-circuits, no second join.  Pointer jumping can
-        # only converge after an even number of information hops, so
-        # probing every round buys nothing — probe on odd rounds.
+        # limit(1) short-circuits and costs far less than the full
+        # join+agg round a skipped probe would let run — probe every
+        # round.
         labels = new_labels.drop("__chg")
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = new_labels.filter(F.col("__chg")).limit(1).count()
-            if changed == 0:
-                break
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        if changed == 0:
+            break
 
     return labels.select(F.col("__n").alias(node_col), F.col("__lab").alias("component"))

@@ -9,9 +9,15 @@ pull-based, sources/cdc.py), so administration reduces to: validate
 the config, persist it with a monotonically increasing version, and
 bump the publisher EPOCH on ownership changes so stale writers are
 fenced (streaming/ops.py validate_sequences drops rows from older
-epochs).  Storage is a plain JSON file per set under the admin
-directory — the coordination-free stand-in for the ZooKeeper node; on
-a real deployment point it at shared storage.
+epochs).
+
+Storage is one immutable JSON file PER VERSION (``<set>.v<N>.json``),
+each claimed with ``O_CREAT|O_EXCL`` — version N can be created by
+exactly one writer, which makes update_set's compare-and-set genuinely
+atomic on a local/NFS-with-O_EXCL filesystem (the ZooKeeper
+versioned-write analog), not a read-then-write race.  The version
+history doubles as the audit trail.  On a real deployment point the
+directory at shared storage.
 """
 
 from __future__ import annotations
@@ -19,10 +25,11 @@ from __future__ import annotations
 import json
 import os
 import re
-import tempfile
 from dataclasses import dataclass, field
 
-_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*\Z")
+#: dot-free on purpose — matches cdc.cursor_subquery's identifier rule,
+#: so a config that validates here cannot fail later at pull time.
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
 class ConfigError(ValueError):
@@ -67,21 +74,35 @@ def _validate(cfg: SetConfig) -> None:
                 )
 
 
-def _path(admin_dir: str, name: str) -> str:
-    return os.path.join(admin_dir, f"{name}.set.json")
+def _vpath(admin_dir: str, name: str, version: int) -> str:
+    return os.path.join(admin_dir, f"{name}.v{version}.json")
 
 
-def _write_atomic(path: str, payload: dict) -> None:
-    d = os.path.dirname(path) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+def _latest_version(admin_dir: str, name: str) -> int:
+    """Highest persisted version for the set (0 = does not exist)."""
+    pat = re.compile(re.escape(name) + r"\.v(\d+)\.json\Z")
+    best = 0
+    if os.path.isdir(admin_dir):
+        for f in os.listdir(admin_dir):
+            m = pat.fullmatch(f)
+            if m:
+                best = max(best, int(m.group(1)))
+    return best
+
+
+def _claim_version(admin_dir: str, name: str, version: int, payload: dict) -> None:
+    """Atomically create version file N — O_CREAT|O_EXCL means exactly
+    one writer wins a contended version; the loser gets ConfigError."""
+    os.makedirs(admin_dir, exist_ok=True)
+    path = _vpath(admin_dir, name, version)
     try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f, indent=2, sort_keys=True)
-        os.replace(tmp, path)  # atomic on POSIX
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        raise ConfigError(
+            f"version conflict: {name} v{version} was created concurrently"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
 
 
 def _to_payload(cfg: SetConfig) -> dict:
@@ -115,28 +136,32 @@ def _from_payload(d: dict) -> SetConfig:
 
 def create_set(admin_dir: str, cfg: SetConfig) -> SetConfig:
     """Validate and persist a NEW replication set at version 1, epoch 0.
-    Refuses to overwrite an existing set (use update_set)."""
+    Refuses to overwrite an existing set (use update_set); the v1 claim
+    is atomic, so two concurrent create_set calls cannot both win."""
     _validate(cfg)
-    path = _path(admin_dir, cfg.name)
-    if os.path.exists(path):
+    if _latest_version(admin_dir, cfg.name) > 0:
         raise ConfigError(f"set {cfg.name!r} already exists; use update_set")
     cfg.version, cfg.epoch = 1, 0
-    _write_atomic(path, _to_payload(cfg))
+    _claim_version(admin_dir, cfg.name, 1, _to_payload(cfg))
     return cfg
 
 
 def get_set(admin_dir: str, name: str) -> SetConfig:
-    with open(_path(admin_dir, name)) as f:
+    v = _latest_version(admin_dir, name)
+    if v == 0:
+        raise FileNotFoundError(f"no such replication set: {name!r}")
+    with open(_vpath(admin_dir, name, v)) as f:
         return _from_payload(json.load(f))
 
 
 def update_set(
     admin_dir: str, cfg: SetConfig, expect_version: int | None = None
 ) -> SetConfig:
-    """Validate and persist a config change, bumping the version.
-    ``expect_version`` gives compare-and-set semantics (the ZooKeeper
-    versioned-write analog): a concurrent admin's update is detected
-    instead of silently overwritten."""
+    """Validate and persist a config change as version current+1.
+    Compare-and-set is enforced by the O_EXCL claim of the new version
+    file: if another admin claimed it first, this call raises instead
+    of silently overwriting.  ``expect_version`` additionally pins the
+    base version the caller read."""
     _validate(cfg)
     current = get_set(admin_dir, cfg.name)
     if expect_version is not None and current.version != expect_version:
@@ -145,17 +170,17 @@ def update_set(
         )
     cfg.version = current.version + 1
     cfg.epoch = current.epoch
-    _write_atomic(_path(admin_dir, cfg.name), _to_payload(cfg))
+    _claim_version(admin_dir, cfg.name, cfg.version, _to_payload(cfg))
     return cfg
 
 
 def bump_epoch(admin_dir: str, name: str) -> SetConfig:
     """Fence the previous publisher generation: bump the epoch (and
-    version).  Consumers using validate_sequences keep only rows from
-    each publisher's max epoch, so messages from a stale relay that
-    resumes after a failover are dropped."""
+    version, atomically claimed).  Consumers using validate_sequences
+    keep only rows from each publisher's max epoch, so messages from a
+    stale relay that resumes after a failover are dropped."""
     cfg = get_set(admin_dir, name)
     cfg.epoch += 1
     cfg.version += 1
-    _write_atomic(_path(admin_dir, name), _to_payload(cfg))
+    _claim_version(admin_dir, name, cfg.version, _to_payload(cfg))
     return cfg

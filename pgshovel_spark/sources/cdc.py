@@ -60,10 +60,14 @@ def sql_literal(v: object) -> str:
 
 
 class ReplicationSet:
-    """A named group of tables captured from one source — the engine's
-    analog of pgshovel's ReplicationSetConfiguration {database, tables}
-    (protobuf -> plain dataclass-ish config; no ZooKeeper: config is
-    just data handed to the runtime)."""
+    """A named group of tables captured from one source — the RUNTIME
+    view of a replication set (watermark paths for the pull loop).
+
+    The validated, versioned source of truth is
+    ``sources.administration.SetConfig``; constructing a non-empty
+    ReplicationSet runs the same validation, so a config that the
+    administration layer would reject cannot reach the runtime.
+    """
 
     def __init__(
         self,
@@ -72,6 +76,17 @@ class ReplicationSet:
         checkpoint_dir: str | None = None,
     ) -> None:
         # tables: {table_name: {"cursor_col": str, "key_cols": [str, ...]}}
+        if tables:
+            from pgshovel_spark.sources import administration as admin
+
+            admin._validate(
+                admin.SetConfig(
+                    name=name,
+                    tables={
+                        t: admin.TableConfig(**spec) for t, spec in tables.items()
+                    },
+                )
+            )
         self.name = name
         self.tables = tables
         self.checkpoint_dir = checkpoint_dir

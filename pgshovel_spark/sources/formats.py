@@ -147,12 +147,24 @@ def compact(
         shutil.rmtree(leftover, ignore_errors=True)
 
     src = Path(path)
+    target_bytes = target_file_mb * 1024 * 1024
     total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
-    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
     if partition_cols:
-        rewritten = df.repartition(*partition_cols)
-        w = rewritten.write.mode("overwrite").partitionBy(*partition_cols)
+        # target_file_mb is enforced via maxRecordsPerFile (estimated
+        # from on-disk bytes/row — a metadata-only count, no data scan),
+        # so a hot partition splits into several target-sized files
+        # instead of one giant one.
+        n_records = df.count()
+        rec_bytes = max(1, total // max(1, n_records))
+        max_rec = max(1, target_bytes // rec_bytes)
+        w = (
+            df.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", int(max_rec))
+            .partitionBy(*partition_cols)
+        )
     else:
         w = df.repartition(n_files).write.mode("overwrite")
     w.parquet(staging)

@@ -163,9 +163,12 @@ def merge_upsert_foreach_batch(
         current = spark.read.parquet(target_dir).filter(F.col("__kb").isin(buckets))
         latest = _latest(current.unionByName(b.select(*current.columns)))
         # Write the merged buckets BESIDE the table, then swap each
-        # affected bucket dir via rename-away / rename-in; _recover()
-        # covers every crash window, so replaying the batch converges
-        # without ever dropping an untouched key.
+        # affected bucket dir via rename-away / rename-in.  _recover()
+        # restores any bucket a crash left renamed-away, so the WRITER
+        # never loses a key — but an external reader scanning the table
+        # between such a crash and the stream's restart can observe the
+        # missing bucket.  True reader isolation needs a transactional
+        # table format (Delta/Iceberg MERGE), per the module docstring.
         latest.write.mode("overwrite").partitionBy("__kb").parquet(staging_root)
         os.makedirs(bak_root, exist_ok=True)
         for d in os.listdir(staging_root):

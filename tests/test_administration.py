@@ -83,3 +83,34 @@ def test_validation_rejects_bad_configs(tmp_path, breaker):
     breaker(cfg)
     with pytest.raises(ConfigError):
         create_set(str(tmp_path), cfg)
+
+
+def test_concurrent_version_claim_is_atomic(tmp_path):
+    """Two admins racing to write the same next version: exactly one
+    wins (O_EXCL claim), the other gets a ConfigError — not a silent
+    overwrite."""
+    from pgshovel_spark.sources.administration import _claim_version, _to_payload
+
+    d = str(tmp_path)
+    create_set(d, _cfg())
+    _claim_version(d, "orders_set", 2, _to_payload(_cfg()))  # admin A wins v2
+    # admin B racing for the same version loses the O_EXCL claim
+    with pytest.raises(ConfigError, match="created concurrently"):
+        _claim_version(d, "orders_set", 2, _to_payload(_cfg()))
+    # and through the public API the conflict surfaces as a version check
+    with pytest.raises(ConfigError, match="version conflict"):
+        update_set(d, _cfg(), expect_version=1)
+
+
+def test_version_history_is_retained(tmp_path):
+    import os
+
+    d = str(tmp_path)
+    create_set(d, _cfg())
+    update_set(d, _cfg())
+    bump_epoch(d, "orders_set")
+    files = sorted(f for f in os.listdir(d) if f.startswith("orders_set.v"))
+    assert files == [
+        "orders_set.v1.json", "orders_set.v2.json", "orders_set.v3.json"
+    ]
+    assert get_set(d, "orders_set").version == 3
