@@ -1,5 +1,6 @@
 """Composite operators Spark lacks natively, built from DataFrame ops."""
 
+from pgshovel_spark.operators.ann import build_ivf_index, ivf_search
 from pgshovel_spark.operators.asof import asof_join
 from pgshovel_spark.operators.multimodal import extract_media_features, sample_frames
 from pgshovel_spark.operators.rank import global_ntile, with_global_rank
@@ -8,6 +9,8 @@ from pgshovel_spark.operators.topk import topk_global, topk_per_group
 
 __all__ = [
     "asof_join",
+    "build_ivf_index",
+    "ivf_search",
     "extract_media_features",
     "global_ntile",
     "sample_frames",

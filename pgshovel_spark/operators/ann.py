@@ -1,0 +1,134 @@
+"""Persisted IVF (inverted-file) ANN index — the embedding-search
+scale path (SURVEY.md §2.G / SCALE.md "k-NN / ANN").
+
+``q_sim_ann_ivf`` demonstrates the query SHAPE with label-as-cluster;
+this module is the real thing: a k-means coarse quantizer trained on
+the corpus, vectors persisted PARTITIONED BY centroid id, and a search
+that reads only the ``n_probe`` nearest partitions — directory-level
+pruning bounds scanned bytes regardless of corpus size, which is what
+makes ANN feasible at 100 TB (the same inverted-file layout FAISS uses,
+expressed as a parquet layout instead of an in-memory index).
+
+Determinism: centroids initialize from the k lowest-id vectors and run
+a fixed iteration count, so rebuilds are reproducible.  Assignment is
+a vectorized Arrow-batched pandas_udf (one numpy matmul per batch) —
+the per-row higher-order-function fold would be interpreted and ~100x
+slower at assignment time.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
+def _nearest_udf(centroids: np.ndarray):
+    cn = _normalize(centroids)
+
+    @pandas_udf("long")
+    def nearest(embs: pd.Series) -> pd.Series:
+        m = _normalize(np.stack(embs.to_numpy()))
+        return pd.Series(np.argmax(m @ cn.T, axis=1))
+
+    return nearest
+
+
+def build_ivf_index(
+    df: DataFrame,
+    out_dir: str,
+    k_clusters: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 5,
+) -> None:
+    """Train a k-means coarse quantizer (cosine metric, ``n_iter``
+    Lloyd rounds) and persist:
+
+    - ``{out_dir}/centroids``: k rows (centroid_id, centroid).
+    - ``{out_dir}/vectors``: the input plus ``centroid_id``,
+      partitioned by it — the inverted file.
+
+    Centroid state is k x dim floats (a few KB) — collecting it to the
+    driver between rounds is model state, not data."""
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+
+    init = vecs.orderBy(id_col).limit(k_clusters).collect()
+    cents = np.stack([np.asarray(r["__v"]) for r in init])
+
+    for _ in range(n_iter):
+        assigned = vecs.withColumn("__c", _nearest_udf(cents)("__v"))
+        # element-wise mean per cluster: posexplode -> (cluster, pos) avg
+        new = (
+            assigned.select("__c", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("__c", "__p")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        for r in new:
+            cents[r["__c"]][r["__p"]] = r["__m"]
+
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(k_clusters)]
+    spark.createDataFrame(
+        cent_rows, "centroid_id long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+
+    (
+        df.withColumn(
+            "centroid_id",
+            _nearest_udf(cents)(F.col(vec_col).cast("array<double>")),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    index_dir: str,
+    probe: list[float],
+    n_probe: int = 2,
+    top_k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine against the probe, scanning ONLY the ``n_probe``
+    partitions whose centroids are nearest — the read is directory-
+    pruned (assert with ``df.inputFiles()``), so scanned bytes track
+    n_probe/k of the corpus, not the corpus."""
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cmat = np.stack([np.asarray(r["centroid"]) for r in cent])
+    ids = np.array([r["centroid_id"] for r in cent])
+    p = _normalize(np.asarray(probe, dtype=float)[None, :])[0]
+    sims = _normalize(cmat) @ p
+    chosen = [int(i) for i in ids[np.argsort(-sims)][:n_probe]]
+
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
+        F.col("centroid_id").isin(chosen)
+    )
+    pn = float(np.linalg.norm(probe)) or 1.0
+
+    @pandas_udf("double")
+    def cos(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(float)
+        denom = np.linalg.norm(m, axis=1) * pn
+        denom[denom == 0.0] = 1.0
+        return pd.Series((m @ np.asarray(probe, dtype=float)) / denom)
+
+    return (
+        vecs.select(id_col, "centroid_id", cos(F.col(vec_col).cast("array<double>")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -188,3 +188,46 @@ def test_connected_components_long_chain(spark):
     )
     got = {r.node: r.component for r in connected_components(nodes, edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_ivf_index_build_search_and_pruning(spark, tmp_path):
+    """IVF index: search touches ONLY n_probe partitions (inputFiles
+    pruning), and its top-k equals brute force over the probed
+    clusters."""
+    from pgshovel_spark.operators.ann import build_ivf_index, ivf_search
+    from pgshovel_spark.functions.vectors import cosine_sim
+    from pgshovel_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, idx, k_clusters=4, n_iter=3)
+
+    probe = [float(x) for x in
+             e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = ivf_search(spark, idx, probe, n_probe=2, top_k=5)
+    rows = res.collect()
+    assert len(rows) == 5
+
+    # pruning: the centroid_id filter must reach the scan as a
+    # PARTITION filter (directory-level pruning), not a data filter
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    probed = sorted({r.centroid_id for r in rows})
+    assert 0 < len(probed) <= 2  # results come from at most n_probe clusters
+
+    # equivalence: brute force over the same probed clusters
+    chosen = [int(c) for c in probed]
+    full = spark.read.parquet(idx + "/vectors").filter(
+        F.col("centroid_id").isin(chosen)
+    )
+    probe_df = spark.createDataFrame([(probe,)], "p array<double>")
+    brute = (
+        full.crossJoin(F.broadcast(probe_df))
+        .select("vec_id", cosine_sim(F.col("embedding").cast("array<double>"), "p").alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [r.vec_id for r in rows] == [r.vec_id for r in brute]
