@@ -319,6 +319,36 @@ FROM ({_MINHASH_SIGS_SQL})
 """
 
 
+#: number of LSH bands (8 minhashes as N_BANDS x 4 rows).  Referenced by
+#: every Python AND SQL site below — change it in one place only.
+_N_BANDS = 2
+
+
+def _bands_long(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, key) incidence list from a signature frame —
+    the single definition of the banding layout shared by the pairs and
+    clustering queries."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key")
+                    )
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.key")
+
+
+_BANDS_LONG_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band_idx, band{i} AS key FROM sigs"
+    for i in range(_N_BANDS)
+)
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket
     (the banding join that replaces the quadratic all-pairs scan at
@@ -329,15 +359,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize+minhash subtree twice; at scale this is the signatures
     table you'd persist to storage anyway."""
     sigs = q_dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
-    long_ = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key"))
-                for i in range(2)
-            ])
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.key").alias("key"))
+    long_ = _bands_long(sigs)
     a = long_.select(F.col("doc_id").alias("id1"), "band_idx", "key")
     b = long_.select(F.col("doc_id").alias("id2"), F.col("band_idx").alias("bi2"), F.col("key").alias("key2"))
     return (
@@ -355,8 +377,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_MINHASH_PAIRS_SQL = f"""
 WITH sigs AS ({_DEDUP_MINHASH_SQL}),
 long_ AS (
-  SELECT doc_id, 0 AS band_idx, band0 AS key FROM sigs
-  UNION ALL SELECT doc_id, 1, band1 FROM sigs
+  {_BANDS_LONG_SQL}
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_bands
 FROM long_ a JOIN long_ b
@@ -549,23 +570,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgshovel_spark.operators.graph import connected_components
 
     sigs = q_dedup_minhash(spark, sf_dir)
-    long_ = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key")
-                    )
-                    for i in range(2)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.key")
-    # two rows per doc; checkpointing runs tokenize+minhash ONCE for the
-    # hubs and star branches below (same reuse rationale as the
+    # N_BANDS rows per doc; checkpointing runs tokenize+minhash ONCE for
+    # the hubs and star branches below (same reuse rationale as the
     # signature table in q_dedup_minhash_pairs)
-    long_ = long_.localCheckpoint(eager=True)
+    long_ = _bands_long(sigs).localCheckpoint(eager=True)
     hubs = long_.groupBy("band_idx", "key").agg(F.min("doc_id").alias("hub"))
     star = (
         long_.join(hubs, ["band_idx", "key"])
@@ -588,8 +596,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_CTES = f"""
 sigs AS ({_DEDUP_MINHASH_SQL}),
 long_ AS (
-  SELECT doc_id, 0 AS band_idx, band0 AS key FROM sigs
-  UNION ALL SELECT doc_id, 1, band1 FROM sigs
+  {_BANDS_LONG_SQL}
 ),
 hubs AS (
   SELECT band_idx, key, MIN(doc_id) AS hub FROM long_ GROUP BY band_idx, key

@@ -401,14 +401,21 @@ def q_text_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, m in enumerate(re.finditer(r"\S+", text or ""), start=1):
                 yield i, m.group(0).lower(), m.start(), m.end()
 
+    import uuid
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    d.createOrReplaceTempView("__docs_for_spans")
-    spark.udtf.register("token_spans", TokenSpans)
+    # unique per-call names: a fixed view/function name is session-global
+    # state, and a concurrent caller would silently swap the input out
+    # from under this (lazily evaluated) DataFrame
+    tag = uuid.uuid4().hex[:12]
+    view, fn = f"__docs_for_spans_{tag}", f"token_spans_{tag}"
+    d.createOrReplaceTempView(view)
+    spark.udtf.register(fn, TokenSpans)
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, s.token_idx, s.token, s.start_off, s.end_off
-        FROM __docs_for_spans d,
-             LATERAL token_spans(d.doc_id, d.text) s
+        FROM {view} d,
+             LATERAL {fn}(d.doc_id, d.text) s
         """
     )
 

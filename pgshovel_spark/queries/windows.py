@@ -211,13 +211,14 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
 
 
 QUERIES = {
-    "q_win_ntile": q_win_ntile,  # changed this round (distributed rank) — first
+    # changed/new-this-round first (harness checks in registration order)
+    "q_win_ntile": q_win_ntile,
+    "q_win_percent": q_win_percent,
     "q_win_rank": q_win_rank,
     "q_win_running": q_win_running,
     "q_win_moving": q_win_moving,
     "q_win_lag": q_win_lag,
     "q_win_topk_group": q_win_topk_group,
-    "q_win_percent": q_win_percent,
 }
 
 ORACLES = {

@@ -34,6 +34,40 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def _has_table(d: str) -> bool:
+    """A USABLE persisted table: committed (_SUCCESS) AND holding at
+    least one data file — a 0-row write leaves only _SUCCESS, and
+    reading such a dir throws UNABLE_TO_INFER_SCHEMA."""
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        return False
+    for _root, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _latest_rows(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Newest row per key by order_cols — the shared dedup rank used by
+    every upsert sink (one definition, one contract)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _run_foreach_batch(stream: DataFrame, apply_batch, checkpoint_dir: str):
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def upsert_foreach_batch(
     stream: DataFrame,
     target_dir: str,
@@ -54,9 +88,6 @@ def upsert_foreach_batch(
     order_cols = list(order_cols)
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="pgshovel-ckpt-")
 
-    def _has_success(d: str) -> bool:
-        return os.path.exists(os.path.join(d, "_SUCCESS"))
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         staging = target_dir + ".staging"
@@ -64,24 +95,21 @@ def upsert_foreach_batch(
         # Crash recovery: a previous apply may have died mid-swap.  If
         # the target is gone/incomplete but a complete staging exists,
         # promote it — prior state is never silently dropped.
-        if not _has_success(target_dir) and _has_success(staging):
+        if not _has_table(target_dir) and _has_table(staging):
             if os.path.exists(target_dir):
                 shutil.rmtree(target_dir)
             os.rename(staging, target_dir)
         for leftover in (staging, backup):
             if os.path.exists(leftover):
                 shutil.rmtree(leftover)
-        if _has_success(target_dir):
+        if batch_df.isEmpty():
+            return  # a 0-row write would leave a data-file-less table
+        if _has_table(target_dir):
             current = spark.read.parquet(target_dir)
             merged = current.unionByName(batch_df.select(*current.columns))
         else:
             merged = batch_df
-        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
-        latest = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        latest = _latest_rows(merged, keys, order_cols)
         # Write the new table beside the old one, then swap via two
         # renames (atomic on POSIX; any crash window is covered by the
         # recovery above).  Real deployments on object stores use a
@@ -93,14 +121,7 @@ def upsert_foreach_batch(
         if os.path.exists(backup):
             shutil.rmtree(backup)
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _run_foreach_batch(stream, apply_batch, checkpoint_dir)
 
 
 def merge_upsert_foreach_batch(
@@ -118,12 +139,19 @@ def merge_upsert_foreach_batch(
     n_buckets)``.  Each batch (1) computes its affected buckets — a
     ≤ n_buckets distinct scan of the (small) batch, (2) reads just
     those partitions back (directory-level partition pruning), (3)
-    merges + ranks latest-per-key, and (4) writes with DYNAMIC
-    partition overwrite, which replaces exactly the partitions present
-    in the output.  Untouched buckets are never read or rewritten —
-    the property that makes per-batch upkeep O(changed keys), not
+    merges + ranks latest-per-key, and (4) writes the merged buckets to
+    a staging dir and swaps each affected bucket dir in via
+    rename-away/rename-in (crash windows healed by a recovery pass —
+    NOT dynamic partition overwrite, whose in-place commit can drop a
+    bucket's untouched keys on a crash).  Untouched buckets are never
+    read or rewritten — per-batch upkeep is O(changed keys), not
     O(table), which is what MERGE gives you on Delta/Iceberg.  At
     100 TB, size n_buckets so one bucket ≈ a few GB.
+
+    ``n_buckets`` is a TABLE property, not a call option: it is
+    persisted beside the table on first write and later calls must
+    match (a different count would re-bucket new keys while stale rows
+    linger in old buckets — silent duplicate keys).
 
     Idempotent like upsert_foreach_batch: replaying a batch converges.
     """
@@ -134,6 +162,24 @@ def merge_upsert_foreach_batch(
 
     staging_root = target_dir + ".staging"
     bak_root = target_dir + ".bak"
+    meta_path = target_dir + ".meta.json"
+
+    def _check_meta() -> None:
+        import json
+
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored.get("n_buckets") != n_buckets:
+                raise ValueError(
+                    f"state table was bucketed with n_buckets="
+                    f"{stored.get('n_buckets')}; got {n_buckets} — rebucket "
+                    "the table (rewrite) instead of changing the call option"
+                )
+        else:
+            os.makedirs(os.path.dirname(meta_path) or ".", exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump({"n_buckets": n_buckets, "keys": keys}, f)
 
     def _recover() -> None:
         """Heal an interrupted bucket swap: a bucket dir still in .bak
@@ -151,17 +197,22 @@ def merge_upsert_foreach_batch(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover()
+        _check_meta()
+        if batch_df.isEmpty():
+            return  # a 0-row first write would leave a data-file-less table
         b = batch_df.withColumn("__kb", kb)
-        if not os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+        if not _has_table(target_dir):
             # first batch: plain partitioned write
-            b_latest = _latest(b)
+            b_latest = _latest_rows(b, keys, order_cols)
             b_latest.write.mode("overwrite").partitionBy("__kb").parquet(target_dir)
             return
         buckets = [r["__kb"] for r in b.select("__kb").distinct().collect()]
         if not buckets:
             return
         current = spark.read.parquet(target_dir).filter(F.col("__kb").isin(buckets))
-        latest = _latest(current.unionByName(b.select(*current.columns)))
+        latest = _latest_rows(
+            current.unionByName(b.select(*current.columns)), keys, order_cols
+        )
         # Write the merged buckets BESIDE the table, then swap each
         # affected bucket dir via rename-away / rename-in.  _recover()
         # restores any bucket a crash left renamed-away, so the WRITER
@@ -182,19 +233,4 @@ def merge_upsert_foreach_batch(
         shutil.rmtree(bak_root, ignore_errors=True)
         shutil.rmtree(staging_root, ignore_errors=True)
 
-    def _latest(merged: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
-        return (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _run_foreach_batch(stream, apply_batch, checkpoint_dir)

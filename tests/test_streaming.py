@@ -531,3 +531,63 @@ def test_merge_upsert_recovers_interrupted_bucket_swap(spark, tmp_path):
     assert got[1] == (2, 100.0)
     assert not os.path.exists(target + ".bak")
     assert not os.path.exists(target + ".staging")
+
+
+def test_merge_upsert_rejects_changed_bucket_count(spark, tmp_path):
+    import pytest as _pytest
+
+    from pgshovel_spark.streaming.sinks import merge_upsert_foreach_batch
+
+    src = tmp_path / "src"
+    target = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, 1, 1.0)], "key long, seq long, val double"
+    ).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("key long, seq long, val double").parquet(str(src))
+    merge_upsert_foreach_batch(
+        stream, target, keys=["key"], order_cols=["seq"], n_buckets=8,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    spark.createDataFrame(
+        [(2, 1, 2.0)], "key long, seq long, val double"
+    ).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema("key long, seq long, val double").parquet(str(src))
+    with _pytest.raises(Exception, match="n_buckets"):
+        merge_upsert_foreach_batch(
+            stream2, target, keys=["key"], order_cols=["seq"], n_buckets=16,
+            checkpoint_dir=str(tmp_path / "ckpt1"),
+        )
+
+
+def test_upsert_sinks_survive_empty_first_batch(spark, tmp_path):
+    """A 0-row first micro-batch must not wedge the sink (a data-file-
+    less target dir used to make every later read throw)."""
+    from pgshovel_spark.streaming.sinks import (
+        merge_upsert_foreach_batch,
+        upsert_foreach_batch,
+    )
+
+    for label, sink in [("plain", upsert_foreach_batch),
+                        ("merge", merge_upsert_foreach_batch)]:
+        src = tmp_path / f"src_{label}"
+        target = str(tmp_path / f"state_{label}")
+        empty = spark.createDataFrame([], "key long, seq long, val double")
+        empty.write.mode("overwrite").parquet(str(src))
+        stream = (
+            spark.readStream.schema("key long, seq long, val double")
+            .parquet(str(src))
+        )
+        sink(stream, target, keys=["key"], order_cols=["seq"],
+             checkpoint_dir=str(tmp_path / f"ck_{label}1"))
+        # now real data arrives — the sink must ingest it, not throw
+        spark.createDataFrame(
+            [(1, 1, 10.0)], "key long, seq long, val double"
+        ).write.mode("append").parquet(str(src))
+        stream2 = (
+            spark.readStream.schema("key long, seq long, val double")
+            .parquet(str(src))
+        )
+        sink(stream2, target, keys=["key"], order_cols=["seq"],
+             checkpoint_dir=str(tmp_path / f"ck_{label}1"))
+        got = {r.key: r.val for r in spark.read.parquet(target).collect()}
+        assert got == {1: 10.0}, label
