@@ -31,6 +31,7 @@ from pgshovel_spark.queries import (
     setops,
     similarity,
     text,
+    training,
     windows,
 )
 
@@ -41,10 +42,23 @@ from pgshovel_spark.queries import (
 # (aggregates: split-accumulator sums; cdc windows; distributed ntile),
 # (3) long-stable r1-green families absorb any truncation.  Dict order
 # within cdc/windows modules follows the same changed-first rule.
-# Residual risk accepted: with 79 queries not everything fits a 50-entry
-# window — joins (incl. the round-2 asof rewrite) sit past it, covered
-# instead by hypothesis property tests + the local selfcheck hash gate.
-_MODULES = (text, similarity, llm, aggregates, cdc, windows, joins, scans, exprs, setops)
+# Residual risk accepted: with 84 queries not everything fits a 50-entry
+# window — joins (incl. the round-2 asof rewrite) and the late round-2
+# training module sit past it, covered instead by hypothesis property
+# tests + the local selfcheck hash gate.
+_MODULES = (
+    text,
+    similarity,
+    llm,
+    aggregates,
+    cdc,
+    windows,
+    joins,
+    scans,
+    exprs,
+    setops,
+    training,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
