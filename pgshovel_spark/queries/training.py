@@ -129,15 +129,24 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a 100 TB quality-filter pass wants.
     """
     d = _docs_toks(spark, sf_dir).filter(F.size("a") >= 3)
-    tri = F.expr(_TRI_SPARK)
-    n_tri = F.size(tri).cast("long")
-    n_uniq = F.size(F.array_distinct(tri)).cast("long")
-    raw = F.lit(1.0) - n_uniq.cast("double") / n_tri.cast("double")
-    return d.select(
+    # staged selects so the trigram array (and its distinct) compute
+    # ONCE per row — Catalyst's CollapseProject keeps multi-use
+    # expensive expressions materialized rather than re-inlining them
+    tri = d.select("doc_id", "lang", F.expr(_TRI_SPARK).alias("tris"))
+    counts = tri.select(
         "doc_id",
         "lang",
-        n_tri.alias("n_trigrams"),
-        n_uniq.alias("n_unique_trigrams"),
+        F.size("tris").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("tris")).cast("long").alias("n_unique_trigrams"),
+    )
+    raw = F.lit(1.0) - F.col("n_unique_trigrams").cast("double") / F.col(
+        "n_trigrams"
+    ).cast("double")
+    return counts.select(
+        "doc_id",
+        "lang",
+        "n_trigrams",
+        "n_unique_trigrams",
         F.round(raw, 4).alias("dup_ratio"),
         (raw > 0.05).alias("is_repetitive"),
     )

@@ -1,0 +1,102 @@
+"""Invariant tests for the training-data curation operators
+(queries/training.py) — the oracle-parity hash gate proves the values;
+these pin the *semantics* (conservation laws, bounds, exclusions) and
+the plan properties that must survive a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pgshovel_spark.queries import training
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pack_sequences_contiguous(spark):
+    """Per language: docs tile the token stream with no gaps/overlaps,
+    and chunk ids are consistent with the 2048 capacity."""
+    pdf = (
+        training.q_pack_sequences(spark, SF)
+        .toPandas()
+        .sort_values(["lang", "doc_id"])
+    )
+    for _, g in pdf.groupby("lang"):
+        expect = 0
+        for row in g.itertuples():
+            assert row.start_off == expect, "gap/overlap in packed stream"
+            expect = row.start_off + row.n_tokens
+            assert row.first_chunk == row.start_off // 2048
+            assert row.last_chunk == (row.start_off + row.n_tokens - 1) // 2048
+            assert row.n_chunks == row.last_chunk - row.first_chunk + 1 >= 1
+
+
+def test_repetition_bounds_and_locality(spark):
+    df = training.q_text_repetition(spark, SF)
+    pdf = df.toPandas()
+    assert (pdf.n_unique_trigrams <= pdf.n_trigrams).all()
+    assert ((pdf.dup_ratio >= 0) & (pdf.dup_ratio <= 1)).all()
+    # row-local op: the only exchange is _docs_toks' deliberate
+    # REPARTITION_BY_NUM spread of the single-file fixture scan; the
+    # trigram stats themselves demand no shuffle (no
+    # ENSURE_REQUIREMENTS exchange), aggregation, or join
+    plan = _plan(df)
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_rhp_bucket_sizes_consistent(spark):
+    pdf = training.q_dedup_rhp(spark, SF).toPandas()
+    assert ((pdf.sig >= 0) & (pdf.sig < 2**16)).all()
+    sizes = pdf.groupby("sig")["vec_id"].count()
+    for row in pdf.itertuples():
+        assert row.bucket_size == sizes[row.sig]
+
+
+def test_rhp_same_vector_same_bucket(spark):
+    """Identical embeddings must collide (the property LSH dedup
+    relies on): check via duplicated signatures of self-pairs."""
+    pdf = training.q_dedup_rhp(spark, SF).toPandas()
+    # deterministic: re-running yields identical signatures
+    pdf2 = training.q_dedup_rhp(spark, SF).toPandas()
+    m = pdf.set_index("vec_id").sig
+    m2 = pdf2.set_index("vec_id").sig
+    assert (m.sort_index() == m2.sort_index()).all()
+
+
+def test_decontaminate_excludes_eval_and_bounds(spark):
+    df = training.q_text_decontaminate(spark, SF)
+    pdf = df.toPandas()
+    assert (pdf.n_shared <= pdf.n_shingles).all()
+    # the held-out slice itself never appears as a training doc
+    from pgshovel_spark.sources.tables import load_table
+
+    ev_ids = {
+        r.doc_id
+        for r in load_table(spark, SF, "documents")
+        .filter("source = 'src0'")
+        .select("doc_id")
+        .collect()
+    }
+    assert not (set(pdf.doc_id) & ev_ids)
+    # eval shingle set is broadcast: membership probe must not shuffle
+    # the training side on the join key
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_pmi_min_count(spark):
+    pdf = training.q_text_ngram_pmi(spark, SF).toPandas()
+    assert (pdf.c_xy >= 5).all()
+    assert len(pdf) > 0
