@@ -362,35 +362,41 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins raw shingles.
     """
     d = _docs_toks(spark, sf_dir).filter(F.size("a") >= 3)
-    tris = d.select(
+    # tokenize ONCE: both branches (train probe + eval set) read the
+    # checkpointed 16-byte (doc_id, source-flag, h) rows, not the raw
+    # text — without this the corpus is tokenized twice
+    hashed = d.select(
         "doc_id",
-        "source",
+        (F.col("source") == "src0").alias("is_eval"),
         F.explode(F.array_distinct(F.expr(_TRI_SPARK))).alias("s"),
+    ).select("doc_id", "is_eval", F.xxhash64("s").alias("h")).localCheckpoint(
+        eager=False
     )
-    train = tris.filter(F.col("source") != "src0").select(
-        "doc_id", F.xxhash64("s").alias("h")
-    ).localCheckpoint(eager=False)
+    train = hashed.filter(~F.col("is_eval")).select("doc_id", "h")
     ev = (
-        tris.filter(F.col("source") == "src0")
-        .select(F.xxhash64("s").alias("h"))
+        hashed.filter(F.col("is_eval"))
+        .select("h", F.lit(1).alias("hit"))
         .distinct()
     )
-    shared = train.join(F.broadcast(ev), "h").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared")
-    )
-    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ratio = F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col(
-        "n_shingles"
-    )
-    return (
-        totals.join(shared, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
-            F.round(ratio, 4).alias("overlap_ratio"),
-            (ratio >= 0.2).alias("contaminated"),
+    # ONE pass over the training shingles: broadcast LEFT join marks
+    # membership, a single groupBy counts total and shared together
+    # (two aggregations re-joined on doc_id would scan train twice and
+    # add a second shuffle)
+    per_doc = (
+        train.join(F.broadcast(ev), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
         )
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(ratio, 4).alias("overlap_ratio"),
+        (ratio >= 0.2).alias("contaminated"),
     )
 
 
