@@ -28,6 +28,20 @@ from pgshovel_spark.queries import all_queries  # noqa: E402
 from pgshovel_spark.session import get_session  # noqa: E402
 
 
+def _drop_stale_blocks(spark) -> None:
+    """Unpersist blocks left by finished queries (localCheckpoint
+    materializations never auto-release).  Without this the block
+    manager grows across the 2x84 executions and GC pressure inflates
+    late queries by 2-5x; a real deployment runs one query per app and
+    never sees this.  Runs OUTSIDE the per-query timer."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        # blocking=True: finish the removal here, not inside the next
+        # query's timed window.
+        it.next().getValue().unpersist(True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -43,9 +57,11 @@ def main() -> None:
         warm_dir = sf_dir
     for name in sorted(qs):
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        _drop_stale_blocks(spark)
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
+        _drop_stale_blocks(spark)
         t0 = time.time()
         # noop sink executes the full plan without driver-side collect.
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

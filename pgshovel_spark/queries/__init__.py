@@ -37,27 +37,30 @@ from pgshovel_spark.queries import (
 
 # Registration order drives the external correctness harness, which checks
 # queries in this order (and may cap the number checked per run).  Priority:
-# (1) the text/similarity/llm LLM-pipeline surface (never driver-verified in
-# round 1), (2) families whose implementations changed this round
-# (aggregates: split-accumulator sums; cdc windows; distributed ntile),
-# (3) long-stable r1-green families absorb any truncation.  Dict order
-# within cdc/windows modules follows the same changed-first rule.
-# Residual risk accepted: with 84 queries not everything fits a 50-entry
-# window — joins (incl. the round-2 asof rewrite) and the late round-2
-# training module sit past it, covered instead by hypothesis property
-# tests + the local selfcheck hash gate.
+# (1) queries with NO driver-verified row yet — the whole text/similarity/
+# llm LLM-pipeline surface plus the round-2 training module and the new
+# grouping-sets / percent-rank queries, (2) families whose implementations
+# changed this round (aggregates: split-accumulator sums; distributed
+# ntile; cdc windows), (3) long-stable r1-green families absorb any
+# truncation.  Dict order within cdc/windows/aggregates modules follows
+# the same changed-first rule, so a 50-entry cap covers every new or
+# changed query: text(10)+similarity(12)+llm(2)+training(5)+cdc(7)+
+# windows(7)=43, then the six changed aggregates.  Residual risk
+# accepted: joins (incl. the round-2 asof rewrite) and the stable
+# scans/exprs/setops tails sit past the window, covered instead by
+# hypothesis property tests + the local selfcheck hash gate.
 _MODULES = (
     text,
     similarity,
     llm,
-    aggregates,
+    training,
     cdc,
     windows,
+    aggregates,
     joins,
     scans,
     exprs,
     setops,
-    training,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -550,17 +550,20 @@ SELECT 'l_returnflag', n, n - flag_nn, flag_d, NULL, NULL FROM s
 """
 
 
+# Changed-first: the six queries rewritten round 2 (split-accumulator
+# sums / the new GROUPING SETS query) lead so they fall inside the
+# external harness's entry cap; stable r1-green queries follow.
 QUERIES = {
     "q_agg_pricing_summary": q_agg_pricing_summary,
+    "q_agg_grouping_sets": q_agg_grouping_sets,
+    "q_agg_having": q_agg_having,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_cube": q_agg_cube,
+    "q_agg_stats": q_agg_stats,
     "q_agg_histogram": q_agg_histogram,
     "q_agg_quantiles": q_agg_quantiles,
     "q_profile_table": q_profile_table,
     "q_agg_distinct": q_agg_distinct,
-    "q_agg_having": q_agg_having,
-    "q_agg_rollup": q_agg_rollup,
-    "q_agg_cube": q_agg_cube,
-    "q_agg_grouping_sets": q_agg_grouping_sets,
-    "q_agg_stats": q_agg_stats,
     "q_agg_minmax_by": q_agg_minmax_by,
     "q_agg_collect": q_agg_collect,
     "q_agg_median": q_agg_median,
