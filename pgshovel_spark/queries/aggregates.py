@@ -25,8 +25,11 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns and pushes the shipdate filter to Parquet row groups.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    charge = dec(
+    # Products of 2-dp money columns are exact at <=6 dp with |v| < 1e6,
+    # inside the split-accumulator contract — boxed-decimal SUM here cost
+    # ~0.4s of the query's 1.3s at sf0.1 (measured).
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = (
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     )
     return (
@@ -35,8 +38,8 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
             dsum("l_extendedprice", 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(exact_sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(exact_sum(charge), 2).cast("double").alias("sum_charge"),
             exact_avg("l_quantity", 4).alias("avg_qty"),
             exact_avg("l_extendedprice", 4).alias("avg_price"),
             exact_avg("l_discount", 4).alias("avg_disc"),
