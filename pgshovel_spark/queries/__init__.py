@@ -44,8 +44,8 @@ from pgshovel_spark.queries import (
 # ntile; cdc windows), (3) long-stable r1-green families absorb any
 # truncation.  Dict order within cdc/windows/aggregates modules follows
 # the same changed-first rule, so a 50-entry cap covers every new or
-# changed query: text(10)+similarity(12)+llm(2)+training(5)+cdc(7)+
-# windows(7)=43, then the six changed aggregates.  Residual risk
+# changed query: text(10)+similarity(12)+llm(2)+training(6)+cdc(7)+
+# windows(7)=44, then exactly the six changed aggregates.  Residual risk
 # accepted: joins (incl. the round-2 asof rewrite) and the stable
 # scans/exprs/setops tails sit past the window, covered instead by
 # hypothesis property tests + the local selfcheck hash gate.

@@ -426,12 +426,107 @@ FROM totals LEFT JOIN shared ON totals.doc_id = shared.doc_id
 """
 
 
+# ------------------------------------------- budget mixture sampling
+
+#: target training-mixture weights in milli-units (sum 1000); langs
+#: not listed are excluded from the mixture.
+_MIX_WEIGHTS = {"en": 400, "de": 200, "fr": 200, "es": 100, "zh": 100}
+
+#: fraction of the corpus token count to spend, in milli-units.
+_BUDGET_MILLI = 500
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven mixture sampling — the "training mix" step: given
+    target language weights and a total token budget (50% of the
+    corpus), derive each language's keep-rate from its MEASURED token
+    mass, then sample documents deterministically at that rate and
+    report the realized mix.
+
+    Unlike q_sample_stratified's fixed per-stratum rates, the rates
+    here are data-dependent: rate_milli = min(1000, budget*weight /
+    lang_tokens), all in exact BIGINT milli-unit arithmetic so the
+    result hash-matches the oracle (float rates would not).  Membership
+    is the same shuffle-free Knuth hash threshold (mod 1000 for milli
+    resolution) — reproducible across re-runs and task retries.
+
+    Scale shape: one tokenize pass, a 5-row broadcast of per-lang
+    totals back onto the doc stream, row-local membership, one final
+    per-lang aggregate.  No sort, no window; overflow-safe for corpora
+    to ~9e15 tokens (budget*weight < 2^63).
+    """
+    d = _docs_toks(spark, sf_dir).select(
+        "doc_id", "lang", F.size("a").cast("long").alias("n_toks")
+    )
+    w = F.lit(None).cast("long")
+    for lang, wt in sorted(_MIX_WEIGHTS.items()):
+        w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
+    d = d.withColumn("w_milli", w).filter(F.col("w_milli").isNotNull())
+    totals = d.groupBy("lang").agg(F.sum("n_toks").alias("lang_toks"))
+    budget = d.agg(F.sum("n_toks").alias("t")).select(
+        F.expr(f"(t * {_BUDGET_MILLI}) div 1000").alias("budget_toks")
+    )
+    rate = F.least(
+        F.lit(1000).cast("long"),
+        F.expr("(budget_toks * w_milli) div lang_toks"),
+    )
+    bucket = (
+        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
+    ) % F.lit(2**32) % F.lit(1000)
+    return (
+        d.join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(budget))
+        .withColumn("rate_milli", rate)
+        .filter(bucket.cast("long") < F.col("rate_milli"))
+        .groupBy("lang")
+        .agg(
+            F.min("w_milli").alias("weight_milli"),
+            F.min("rate_milli").alias("rate_milli"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
+_SAMPLE_TOKEN_BUDGET_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+         CAST(CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 200
+                        WHEN 'fr' THEN 200 WHEN 'es' THEN 100
+                        WHEN 'zh' THEN 100 END AS BIGINT) AS w_milli
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+), totals AS (
+  SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_toks FROM d GROUP BY lang
+), b AS (
+  SELECT CAST(SUM(n_toks) * 500 // 1000 AS BIGINT) AS budget_toks FROM d
+), rated AS (
+  SELECT d.doc_id, d.lang, d.n_toks, d.w_milli,
+         LEAST(CAST(1000 AS BIGINT),
+               (b.budget_toks * d.w_milli) // totals.lang_toks) AS rate_milli
+  FROM d JOIN totals USING (lang) CROSS JOIN b
+)
+SELECT lang,
+       MIN(w_milli) AS weight_milli,
+       MIN(rate_milli) AS rate_milli,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM rated
+WHERE CAST(((doc_id % 2147483648) * {_KNUTH}) % 4294967296 % 1000 AS BIGINT)
+      < rate_milli
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_text_repetition": q_text_repetition,
     "q_text_ngram_pmi": q_text_ngram_pmi,
     "q_dedup_rhp": q_dedup_rhp,
     "q_text_decontaminate": q_text_decontaminate,
+    "q_sample_token_budget": q_sample_token_budget,
 }
 
 ORACLES = {
@@ -440,4 +535,5 @@ ORACLES = {
     "q_text_ngram_pmi": _TEXT_NGRAM_PMI_SQL,
     "q_dedup_rhp": _DEDUP_RHP_SQL,
     "q_text_decontaminate": _TEXT_DECONTAMINATE_SQL,
+    "q_sample_token_budget": _SAMPLE_TOKEN_BUDGET_SQL,
 }

@@ -36,6 +36,13 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         # timestamp type — read as long, converted to a us timestamp in
         # sources.tables.load_table (oracle side: CAST(ts AS TIMESTAMP)).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Local mode runs all 32 task threads inside the driver JVM,
+        # whose default 1g heap starves them (GCLocker retry warnings
+        # under the bench, OOM on pair-heavy ops at 10x data).  16g on
+        # the 128 GiB test box ~ a real cluster's per-executor memory.
+        # Ignored if the JVM is already up (e.g. the external driver's
+        # own session) — queries must still run under a default heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # --- adaptive execution: the scale story ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -100,3 +100,44 @@ def test_pmi_min_count(spark):
     pdf = training.q_text_ngram_pmi(spark, SF).toPandas()
     assert (pdf.c_xy >= 5).all()
     assert len(pdf) > 0
+
+
+def test_token_budget_rates_and_mix(spark):
+    """Budget sampling: rates bounded, every weighted lang present,
+    realized token mass per lang <= its full mass, and the summed
+    realized tokens land at or under ~the budget (hash sampling is
+    only rate-exact in expectation, so allow slack above, none of the
+    invariants below are statistical)."""
+    from pgshovel_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    pdf = training.q_sample_token_budget(spark, SF).toPandas()
+    assert set(pdf.lang) == set(training._MIX_WEIGHTS)
+    assert ((pdf.rate_milli >= 0) & (pdf.rate_milli <= 1000)).all()
+    assert (
+        pdf.set_index("lang").weight_milli.to_dict() == training._MIX_WEIGHTS
+    )
+    full = (
+        training._docs_toks(spark, SF)
+        .groupBy("lang")
+        .agg(F.sum(F.size("a")).alias("t"))
+        .toPandas()
+        .set_index("lang")
+        .t
+    )
+    for row in pdf.itertuples():
+        assert row.n_tokens <= full[row.lang]
+        # a lang at rate 1000 keeps everything deterministically
+        if row.rate_milli == 1000:
+            n_docs_full = (
+                load_table(spark, SF, "documents")
+                .filter(F.col("lang") == row.lang)
+                .count()
+            )
+            assert row.n_docs == n_docs_full
+
+
+def test_token_budget_deterministic(spark):
+    a = training.q_sample_token_budget(spark, SF).toPandas().sort_values("lang")
+    b = training.q_sample_token_budget(spark, SF).toPandas().sort_values("lang")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
