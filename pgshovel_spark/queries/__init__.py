@@ -27,6 +27,7 @@ from pgshovel_spark.queries import (
     exprs,
     joins,
     llm,
+    pipeline,
     scans,
     setops,
     similarity,
@@ -61,6 +62,7 @@ _MODULES = (
     scans,
     exprs,
     setops,
+    pipeline,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

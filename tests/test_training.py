@@ -141,3 +141,29 @@ def test_token_budget_deterministic(spark):
     a = training.q_sample_token_budget(spark, SF).toPandas().sort_values("lang")
     b = training.q_sample_token_budget(spark, SF).toPandas().sort_values("lang")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_pipeline_curate_composes_stage_semantics(spark):
+    """Every pipeline survivor must individually pass each composed
+    stage's published gate, and the packed stream must tile each
+    language contiguously (same law as q_pack_sequences)."""
+    from pgshovel_spark.queries import pipeline, text
+
+    out = pipeline.q_pipeline_curate(spark, SF).toPandas()
+    keepers = set(
+        text.q_dedup_exact(spark, SF).toPandas().keeper_doc_id
+    )
+    rep = (
+        training.q_text_repetition(spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert set(out.doc_id) <= keepers, "non-keeper leaked past dedup stage"
+    assert (out.n_tokens >= pipeline._MIN_TOKS).all()
+    for doc in out.doc_id:
+        assert not rep.loc[doc].is_repetitive
+    for _, g in out.sort_values(["lang", "doc_id"]).groupby("lang"):
+        expect = 0
+        for row in g.itertuples():
+            assert row.start_off == expect, "gap/overlap in packed stream"
+            expect = row.start_off + row.n_tokens
