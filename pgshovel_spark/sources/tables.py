@@ -33,10 +33,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table of the star schema from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in Parquet; Spark reads it as a
-    long (``nanosAsLong``) and we truncate to a microsecond timestamp
-    here — the same truncation the DuckDB oracle applies with
-    ``CAST(ts AS TIMESTAMP)`` (TIMESTAMP_NS -> us TIMESTAMP).
+    Timestamp columns in the fixtures are naive ``timestamp[us]``
+    (no zone), which Spark 4 reads as TIMESTAMP_NTZ.  With the session
+    timezone pinned to UTC we cast NTZ -> TIMESTAMP (same wall-clock,
+    UTC instant) so epoch arithmetic (``unix_micros`` etc., which
+    rejects NTZ) works and matches the DuckDB oracle's naive-UTC
+    semantics.  Older fixture generations used TIMESTAMP(NANOS) read
+    as a long via ``nanosAsLong``; that path is kept for
+    compatibility.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -49,10 +53,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
