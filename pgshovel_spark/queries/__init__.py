@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pgshovel_spark.queries import (
     aggregates,
     cdc,
+    curation,
     exprs,
     joins,
     llm,
@@ -49,7 +50,9 @@ from pgshovel_spark.queries import (
 # windows(7)=44, then exactly the six changed aggregates.  Residual risk
 # accepted: joins (incl. the round-2 asof rewrite) and the stable
 # scans/exprs/setops tails sit past the window, covered instead by
-# hypothesis property tests + the local selfcheck hash gate.
+# hypothesis property tests + the local selfcheck hash gate.  The
+# second-batch curation module registers dead last for the same reason
+# (selfcheck + parity-test coverage only).
 _MODULES = (
     text,
     similarity,
@@ -63,6 +66,7 @@ _MODULES = (
     exprs,
     setops,
     pipeline,
+    curation,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
