@@ -40,6 +40,17 @@ def _drop_stale_blocks(spark) -> None:
         # blocking=True: finish the removal here, not inside the next
         # query's timed window.
         it.next().getValue().unpersist(True)
+    # Spark's ContextCleaner reclaims shuffle files and broadcasts only
+    # when GC collects their driver-side handles; after the iterative
+    # heavies (clusters/keep_best: many stages + localCheckpoints) the
+    # backlog otherwise lands inside the NEXT query's timed window
+    # (measured: first query after the dedup family 10.4 s vs 2.2 s on
+    # immediate rerun).  Force both collections here, outside the timer
+    # — a per-query-app deployment never accumulates this state.
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:

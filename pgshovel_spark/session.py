@@ -60,6 +60,13 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         .config("spark.sql.files.maxPartitionBytes", "4m")
         # quiet the console
         .config("spark.ui.showConsoleProgress", "false")
+        # Headless: no web UI.  The UI listener retains per-execution
+        # plan state (default 1000 executions) on the driver heap and
+        # competes on the listener bus; across a 90-query bench (180
+        # executions with warm-ups) that's pure overhead growth.  A
+        # monitored deployment re-enables it (SCALE.md).
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ui.retainedExecutions", "4")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
