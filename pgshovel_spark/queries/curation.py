@@ -305,11 +305,153 @@ GROUP BY dt.doc_id, dt.lang
 """
 
 
+# --------------------------------------- SimHash near-dup pairs (banded)
+
+#: Knuth multiplicative spread of the shared polynomial token hash:
+#: the raw hash tops out around 2^28, so its high bits are constant
+#: and any band over them would bucket the whole corpus together
+#: (quadratic blow-up).  (th * 2654435761) % 2^32 diffuses entropy
+#: across all 32 signature bits; products stay < 2^63 (exact BIGINT
+#: arithmetic on both engines).
+_SPREAD_MUL = 2654435761
+_SPREAD_MOD = 4294967296
+
+
+def _simhash32(spark, sf_dir):
+    """(doc_id, sig): 32-bit SimHash over Knuth-spread BIGRAM-SHINGLE
+    hashes — the wide-conditional-sum form (no row blow-up), like
+    q_sim_simhash but with 32 well-diffused bits so 8-bit bands have
+    real entropy.  Shingle features, not single tokens: this corpus
+    shares most of its vocabulary across documents, so token-set
+    SimHash collapses (measured: 158k signature-identical pairs at
+    sf0.1); bigram shingles carry word order and a far larger feature
+    space, separating the signatures (40 identical pairs, ~300 within
+    hamming 3 — actual near-dups)."""
+    from pgshovel_spark.queries.similarity import _docs_parallel, _token_hash
+
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    rows = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .select(
+            "doc_id",
+            ((_token_hash(F.col("s")) * _SPREAD_MUL) % _SPREAD_MOD).alias("th"),
+        )
+    )
+    weights = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"w{b}")
+        for b in range(32)
+    ]
+    per_doc = rows.groupBy("doc_id").agg(*weights)
+    sig = None
+    for b in range(32):
+        contrib = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = contrib if sig is None else sig + contrib
+    return per_doc.select("doc_id", sig.cast("long").alias("sig"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: doc pairs whose 32-bit signatures differ
+    in at most 3 bits — found via PIGEONHOLE BANDING, never all-pairs.
+    Hamming <= 3 over 4 bands of 8 bits means at least one band is
+    bit-identical, so candidates come from an equi-join on
+    (band_idx, band_value) buckets; exact Hamming (bit_count of xor)
+    then filters the candidates.  The oracle verifies against the
+    naive all-pairs form.
+
+    Scale shape: candidate count is sum over buckets of C(bucket,2) —
+    with 8-bit bands the fixture's 5k docs generate ~200k candidates
+    vs 12.5M all-pairs (~64x); production widens the signature (64/128
+    bits) to hold bucket sizes flat as the corpus grows.  The distinct
+    on (id1, id2) dedups multi-band agreements before the bit_count
+    filter; everything is integer arithmetic in codegen.
+
+    The signature table is localCheckpoint'ed (eager, one row per
+    doc) so the shingle+32-sum subtree runs ONCE, not once per join
+    side — same reuse pattern as q_dedup_minhash_pairs.
+    """
+    s = _simhash32(spark, sf_dir).localCheckpoint(eager=True)
+    bands = F.array(
+        *[(F.shiftright(F.col("sig"), 8 * b) % 256).cast("int") for b in range(4)]
+    )
+    c = s.select("doc_id", "sig", F.posexplode(bands).alias("band_idx", "band_val"))
+    a = c.select(
+        F.col("doc_id").alias("id1"), F.col("sig").alias("s1"), "band_idx", "band_val"
+    )
+    b = c.select(
+        F.col("doc_id").alias("id2"), F.col("sig").alias("s2"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id1",
+            "id2",
+            F.bit_count(F.expr("s1 ^ s2")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+_SIMHASH_PAIRS_SQL = r"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])))
+           AS t
+  FROM tokd WHERE len(toks) >= 2
+), th AS (
+  SELECT doc_id,
+         (CAST((((((length(t) * 31 + ascii(substring(t, 1, 1))) * 31
+           + ascii(substring(t, 2, 1))) * 31 + ascii(substring(t, 3, 1))) * 31
+           + ascii(substring(t, 4, 1))) * 31 + ascii(substring(t, -1, 1)))
+           AS BIGINT) * 2654435761) % 4294967296 AS th
+  FROM sh
+), bits AS (
+  SELECT doc_id, th, bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+), per_bit AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM bits GROUP BY doc_id, bit
+), sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS sig
+  FROM per_bit GROUP BY doc_id
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 QUERIES = {
     "q_text_bpe_pretokenize": q_text_bpe_pretokenize,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_incremental": q_dedup_incremental,
     "q_text_crossdup": q_text_crossdup,
+    "q_simhash_pairs": q_simhash_pairs,
 }
 
 ORACLES = {
@@ -317,4 +459,5 @@ ORACLES = {
     "q_embed_quantize": _EMBED_QUANTIZE_SQL,
     "q_dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "q_text_crossdup": _TEXT_CROSSDUP_SQL,
+    "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
 }
