@@ -132,3 +132,30 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_embed_quantize_no_shuffle(spark):
+    """int8 quantization is pure per-row expression work — the plan
+    must contain NO Exchange of any kind (scan -> project only)."""
+    plan = _plan(spark, "q_embed_quantize")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_simhash_pairs_banded_join(spark):
+    """Candidate generation must be a bucket equi-join on the band
+    columns — never a cartesian/broadcast-nested-loop product."""
+    plan = _plan(spark, "q_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_incremental_fingerprint_join(spark):
+    """Both dedup joins key on the 8-byte hash column, and the corpus
+    side aggregates to (hash, min-id) fingerprints before joining —
+    no join on raw document text."""
+    plan = _plan(spark, "q_dedup_incremental")
+    assert "CartesianProduct" not in plan
+    # the text column is read once per scan but never a join key
+    joins = [ln for ln in plan.splitlines() if "HashJoin" in ln]
+    assert joins and all("text" not in ln for ln in joins)
