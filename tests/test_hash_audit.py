@@ -60,3 +60,44 @@ def test_dedup_exact_norm_hash_collision_free(spark):
         .count()
     )
     assert collisions == 0
+
+
+def test_crossdup_trigram_hash_collision_free(spark):
+    """q_text_crossdup joins doc-frequency back on xxhash64(lang, tri);
+    zero distinct (lang, trigram) pairs may share a hash."""
+    d = load_table(spark, SF_DIR, "documents")
+    a = F.filter(tokens("text"), lambda t: t != "")
+    base = d.select("doc_id", "lang", a.alias("a")).filter(F.size("a") >= 3)
+    tri = F.expr(
+        "transform(sequence(0, size(a)-3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+    )
+    dt = (
+        base.select("lang", F.explode(F.array_distinct(tri)).alias("tri"))
+        .distinct()
+        .select("lang", "tri", F.xxhash64("lang", "tri").alias("h"))
+    )
+    collisions = (
+        dt.groupBy("h")
+        .agg(F.countDistinct("lang", "tri").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert collisions == 0
+
+
+def test_incremental_dedup_norm_hash_collision_free(spark):
+    """q_dedup_incremental joins batch and corpus on xxhash64(norm);
+    zero distinct normalized texts may share a hash."""
+    d = load_table(spark, SF_DIR, "documents")
+    n = (
+        d.select(norm_text("text").alias("norm"))
+        .distinct()
+        .select("norm", F.xxhash64("norm").alias("h"))
+    )
+    collisions = (
+        n.groupBy("h")
+        .agg(F.countDistinct("norm").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert collisions == 0
