@@ -446,12 +446,65 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+# ----------------------------------------------- per-label centroids
+
+
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) centroid of the embedding vectors — the
+    statistic a k-means/IVF refresh recomputes every iteration, in
+    long format (label, dim, n_vecs, sum_milli, centroid_milli).
+
+    Determinism: each component is floor-quantized to integer
+    milli-units BEFORE summing, so the aggregation is exact integer
+    arithmetic — commutative under any row order and partitioning,
+    unlike a float sum (which both engines would order differently).
+    centroid_milli = sum_milli / n rounded to 3dp from exact integers.
+
+    Scale shape: posexplode is map-side; the single shuffle carries
+    pre-reduced (label, dim) partials — 64·|labels| groups regardless
+    of corpus size.  This is the update step of operators/ann.py's
+    k-means quantizer expressed as one declarative aggregation.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    return (
+        e.select("label", F.posexplode(milli).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("v").alias("sum_milli"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_milli",
+            F.round(F.col("sum_milli") / F.col("n_vecs"), 3).alias("centroid_milli"),
+        )
+    )
+
+
+# Spark posexplode emits 0-based positions; generate_series(1, 64) is
+# 1-based list indexing -> i-1 aliases the same dim ids.
+_EMBED_CENTROIDS_SQL = """
+SELECT label, i - 1 AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_milli,
+       ROUND(SUM(CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT))
+             / CAST(COUNT(*) AS DOUBLE), 3) AS centroid_milli
+FROM embeddings
+CROSS JOIN generate_series(1, 64) AS t(i)
+GROUP BY label, i
+"""
+
+
 QUERIES = {
     "q_text_bpe_pretokenize": q_text_bpe_pretokenize,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_incremental": q_dedup_incremental,
     "q_text_crossdup": q_text_crossdup,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_embed_centroids": q_embed_centroids,
 }
 
 ORACLES = {
@@ -460,4 +513,5 @@ ORACLES = {
     "q_dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "q_text_crossdup": _TEXT_CROSSDUP_SQL,
     "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "q_embed_centroids": _EMBED_CENTROIDS_SQL,
 }
