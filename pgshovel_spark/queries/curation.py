@@ -446,6 +446,108 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+# --------------------------------------------------------- winnowing
+
+#: winnowing parameters: trigram k-grams, window of 4 consecutive
+#: k-gram hashes (guarantee threshold t = k + w - 1 = 6 tokens: any
+#: shared run of >= 6 tokens yields >= 1 shared fingerprint)
+_WIN_W = 4
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    token trigram, slide a window of 4 consecutive hashes, keep each
+    window's minimum — any two documents sharing >= 6 consecutive
+    tokens are then guaranteed >= 1 common fingerprint.  Emits per-doc
+    selected-fingerprint count and density (selected / positions),
+    the compact signature a plagiarism/near-dup index stores.
+
+    Scale shape: trigram hashing is map-side (the same enumeration as
+    q_text_crossdup); the ROWS-frame min and the distinct both run
+    inside the per-doc partition of ONE window shuffle — no
+    cross-document data movement at all.  The hash must be the SAME
+    function on both engines (which positions win the window-min —
+    and hence the distinct count — depends on hash VALUES, not just
+    collisions), so this uses the shared Knuth-spread polynomial
+    hash, not engine-native xxhash64/hash().
+    """
+    d = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("a")
+    )
+    tri = F.expr(
+        "transform(sequence(0, size(a)-3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
+    )
+    # need >= w k-grams so every position has a full window
+    from pgshovel_spark.queries.similarity import _token_hash
+
+    g = d.filter(F.size("a") >= 3 + _WIN_W - 1).select(
+        "doc_id", F.posexplode(tri).alias("i", "t")
+    )
+    g = g.select(
+        "doc_id",
+        "i",
+        ((_token_hash(F.col("t")) * _SPREAD_MUL) % _SPREAD_MOD).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    fps = (
+        g.select(
+            "doc_id",
+            F.count(F.lit(1)).over(n_grams).alias("n_grams"),
+            F.min("h").over(w).alias("fp"),
+            "i",
+        )
+        # only positions with a full w-window select a fingerprint
+        .filter(F.col("i") <= F.col("n_grams") - _WIN_W)
+    )
+    return fps.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.countDistinct("fp") / F.count(F.lit(1)), 4).alias("density"),
+    )
+
+
+_TEXT_WINNOWING_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a
+  FROM documents
+), tg AS (
+  SELECT doc_id, i - 1 AS i,
+         a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS t,
+         len(a) - 2 AS n_grams
+  FROM d CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(a) - 2)) AS i)
+  WHERE len(a) >= 6
+), g AS (
+  SELECT doc_id, i, n_grams,
+         (CAST((((((length(t) * 31 + ascii(substring(t, 1, 1))) * 31
+           + ascii(substring(t, 2, 1))) * 31 + ascii(substring(t, 3, 1))) * 31
+           + ascii(substring(t, 4, 1))) * 31 + ascii(substring(t, -1, 1)))
+           AS BIGINT) * 2654435761) % 4294967296 AS h
+  FROM tg
+), fps AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         n_grams
+  FROM g
+)
+SELECT doc_id,
+       COUNT(DISTINCT fp) AS n_fingerprints,
+       COUNT(*) AS n_windows,
+       ROUND(COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 4) AS density
+FROM fps
+WHERE i <= n_grams - 4
+GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------- per-label centroids
 
 
@@ -505,6 +607,7 @@ QUERIES = {
     "q_text_crossdup": q_text_crossdup,
     "q_simhash_pairs": q_simhash_pairs,
     "q_embed_centroids": q_embed_centroids,
+    "q_text_winnowing": q_text_winnowing,
 }
 
 ORACLES = {
@@ -514,4 +617,5 @@ ORACLES = {
     "q_text_crossdup": _TEXT_CROSSDUP_SQL,
     "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "q_embed_centroids": _EMBED_CENTROIDS_SQL,
+    "q_text_winnowing": _TEXT_WINNOWING_SQL,
 }
