@@ -446,6 +446,105 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+# -------------------------------------------------- containment pairs
+
+
+def q_sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs on bigram shingles:
+    |A∩B| / min(|A|,|B|) ≥ 0.8 within a language block — the
+    asymmetric complement of Jaccard resemblance.  A short document
+    quoted or embedded inside a longer one scores near 1.0 here while
+    its Jaccard stays low, so dedup suites run both.  SHINGLE sets,
+    not token sets: token-set containment over-matches on this
+    shared-vocabulary corpus (27k pairs at sf0.01); order-carrying
+    shingles make it a real quoted-content detector.  Emits the pair,
+    the shared count, the containment ratio, and which doc is the
+    contained one (smaller shingle set; doc_id breaks ties).
+
+    Scale shape: identical to q_sim_ngram's — blocked equi-join on
+    the 8-byte xxhash64(lang, shingle) key (same documented ~1e-8
+    collision trade; the oracle joins raw strings), integer-only
+    threshold (shared·10 ≥ min_sz·8), ratio from exact BIGINTs
+    post-filter.
+    """
+    from pgshovel_spark.queries.similarity import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir)
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    sh = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", "lang", F.explode(shingles).alias("s"))
+        .select("doc_id", F.xxhash64("lang", "s").alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id1"), "sh")
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh_b"))
+    shared = (
+        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    min_sz = F.least("sz1", "sz2")
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(F.col("shared") * 10 >= min_sz * 8)
+        .select(
+            "id1",
+            "id2",
+            "shared",
+            min_sz.alias("min_sz"),
+            F.round(F.col("shared").cast("double") / min_sz, 4).alias("containment"),
+            F.when(F.col("sz1") < F.col("sz2"), F.col("id1"))
+            .when(F.col("sz2") < F.col("sz1"), F.col("id2"))
+            .otherwise(F.least("id1", "id2"))
+            .alias("contained_id"),
+        )
+    )
+
+
+_SIM_CONTAINMENT_SQL = r"""
+WITH tokd AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])))
+           AS s
+  FROM tokd WHERE len(toks) >= 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, shared,
+       LEAST(s1.sz, s2.sz) AS min_sz,
+       ROUND(CAST(shared AS DOUBLE) / LEAST(s1.sz, s2.sz), 4) AS containment,
+       CASE WHEN s1.sz < s2.sz THEN id1
+            WHEN s2.sz < s1.sz THEN id2
+            ELSE LEAST(id1, id2) END AS contained_id
+FROM shared
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE shared * 10 >= LEAST(s1.sz, s2.sz) * 8
+"""
+
+
 # --------------------------------------------------------- winnowing
 
 #: winnowing parameters: trigram k-grams, window of 4 consecutive
@@ -608,6 +707,7 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_embed_centroids": q_embed_centroids,
     "q_text_winnowing": q_text_winnowing,
+    "q_sim_containment": q_sim_containment,
 }
 
 ORACLES = {
@@ -618,4 +718,5 @@ ORACLES = {
     "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "q_embed_centroids": _EMBED_CENTROIDS_SQL,
     "q_text_winnowing": _TEXT_WINNOWING_SQL,
+    "q_sim_containment": _SIM_CONTAINMENT_SQL,
 }
