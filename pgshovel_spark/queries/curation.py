@@ -446,6 +446,147 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+# ------------------------------------------------------ event funnels
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase with
+    conversion windows: per user, a click counts only STRICTLY AFTER
+    the first view and within 1 hour of it; a purchase only strictly
+    after that click and within 24 hours.  Emits the user count per
+    steps_completed (0–3) — the product-analytics query every event
+    pipeline serves.
+
+    Scale shape: three filtered pre-aggregated groupBys on user_id
+    (partial min per step inside the scan task) and same-key left
+    joins; the event_type filters push to the parquet scan.  All time
+    comparisons are integer microsecond arithmetic (unix_micros), so
+    ties and window edges resolve identically on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("um")
+    )
+    hour = 3_600_000_000
+    day = 86_400_000_000
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("um") > F.col("t1")) & (F.col("um") <= F.col("t1") + hour))
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("um") > F.col("t2")) & (F.col("um") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    steps = (
+        users.join(v.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.coalesce("s1", F.lit(0))
+                + F.coalesce("s2", F.lit(0))
+                + F.coalesce("s3", F.lit(0))
+            ).alias("steps_completed"),
+        )
+    )
+    return (
+        steps.groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("steps_completed", "n_users")
+    )
+
+
+_FUNNEL_STEPS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS um FROM events
+), v AS (
+  SELECT user_id, MIN(um) AS t1 FROM ev WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.um) AS t2
+  FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.um > v.t1
+    AND e.um <= v.t1 + 3600000000
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.um) AS t3
+  FROM ev e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.um > c.t2
+    AND e.um <= c.t2 + 86400000000
+  GROUP BY e.user_id
+), steps AS (
+  SELECT u.user_id,
+         (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS steps_completed
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN v ON u.user_id = v.user_id
+  LEFT JOIN c ON u.user_id = c.user_id
+  LEFT JOIN p ON u.user_id = p.user_id
+)
+SELECT steps_completed, COUNT(*) AS n_users
+FROM steps GROUP BY steps_completed
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the epoch week
+    of their FIRST event; for every (cohort_week, weeks_since) cell,
+    count how many of that cohort were active — the retention triangle
+    behind every growth dashboard.
+
+    Determinism: weeks are epoch_microseconds DIV the week in micros —
+    pure BIGINT arithmetic identical on both engines, no
+    calendar/timezone semantics (date_trunc('week') would drag in
+    locale week-start rules) and no float epoch division (DuckDB's
+    epoch() returns DOUBLE and ::BIGINT *rounds*, which can cross a
+    week boundary Spark's truncation does not).  Scale shape: one
+    min-per-user agg, one distinct on (user, week) — both pre-reduced
+    map-side — and a same-key join of per-user cohorts back onto
+    user-week activity.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = e.select("user_id", "wk").distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("weeks_since")
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_COHORT_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), first AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, wk FROM e
+)
+SELECT f.cohort_week, a.wk - f.cohort_week AS weeks_since,
+       COUNT(*) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, a.wk - f.cohort_week
+"""
+
+
 # -------------------------------------------------- containment pairs
 
 
@@ -708,6 +849,8 @@ QUERIES = {
     "q_embed_centroids": q_embed_centroids,
     "q_text_winnowing": q_text_winnowing,
     "q_sim_containment": q_sim_containment,
+    "q_funnel_steps": q_funnel_steps,
+    "q_cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -719,4 +862,6 @@ ORACLES = {
     "q_embed_centroids": _EMBED_CENTROIDS_SQL,
     "q_text_winnowing": _TEXT_WINNOWING_SQL,
     "q_sim_containment": _SIM_CONTAINMENT_SQL,
+    "q_funnel_steps": _FUNNEL_STEPS_SQL,
+    "q_cohort_retention": _COHORT_RETENTION_SQL,
 }
