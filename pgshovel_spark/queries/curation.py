@@ -1,13 +1,14 @@
-"""Corpus-curation operators (round-2, second batch): BPE-style
-pre-tokenization statistics, int8 embedding quantization,
-incremental-batch dedup against an existing corpus, and cross-document
-duplicate-trigram coverage — the remaining pieces of a production
-training-data pipeline (tokenizer prep, vector compaction, daily-crawl
-ingest dedup, exact-substring-dedup triage).
+"""Corpus-curation and event-analytics operators (round-2, second
+batch): BPE-style pre-tokenization statistics, int8 embedding
+quantization and per-label centroids, incremental-batch dedup,
+cross-document duplicate-trigram coverage, banded SimHash pairs,
+Broder containment pairs, winnowing fingerprints, and the
+funnel/cohort queries an event pipeline serves — the remaining pieces
+of a production training-data + product-analytics stack.
 
 Registered AFTER the driver's ~50-entry correctness window on purpose
 (see queries/__init__.py): the window stays aimed at this round's
-changed families; these four are hash-checked by tools/selfcheck.py
+changed families; this module is hash-checked by tools/selfcheck.py
 and tests/test_oracle_parity.py instead.
 
 Determinism: integer outputs wherever possible (quantized levels,
