@@ -458,49 +458,50 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps_completed (0–3) — the product-analytics query every event
     pipeline serves.
 
-    Scale shape: three filtered pre-aggregated groupBys on user_id
-    (partial min per step inside the scan task) and same-key left
-    joins; the event_type filters push to the parquet scan.  All time
-    comparisons are integer microsecond arithmetic (unix_micros), so
-    ties and window edges resolve identically on both engines.
+    Scale shape: ONE scan and ONE shuffle — per user, one groupBy
+    collects the first view time and the (bounded, per-user) click /
+    purchase time arrays; the sequential step logic (each step only
+    after the previous, inside its window) is then row-local
+    array_min(filter(...)), which is order-independent, so
+    collect_list's nondeterministic ordering cannot leak into the
+    result.  All time comparisons are integer microsecond arithmetic
+    (unix_micros), so ties and window edges resolve identically on
+    both engines.  (The naive form — three filtered groupBys and three
+    same-key joins — scans events 6x and shuffles 3x; hash-identical,
+    measured 1.9 s vs 0.8 s at sf0.1.)
     """
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("unix_micros(ts)").alias("um")
     )
     hour = 3_600_000_000
     day = 86_400_000_000
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("um").alias("t1"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("um"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("um"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("um"))
+        ).alias("purchases"),
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter((F.col("um") > F.col("t1")) & (F.col("um") <= F.col("t1") + hour))
-        .groupBy("user_id")
-        .agg(F.min("um").alias("t2"))
+    t1 = F.col("t1")
+    t2 = F.array_min(
+        F.filter("clicks", lambda c: (c > t1) & (c <= t1 + F.lit(hour)))
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter((F.col("um") > F.col("t2")) & (F.col("um") <= F.col("t2") + day))
-        .groupBy("user_id")
-        .agg(F.min("um").alias("t3"))
-    )
-    users = e.select("user_id").distinct()
-    steps = (
-        users.join(v.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
-        .join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
-        .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
-        .select(
-            "user_id",
-            (
-                F.coalesce("s1", F.lit(0))
-                + F.coalesce("s2", F.lit(0))
-                + F.coalesce("s3", F.lit(0))
-            ).alias("steps_completed"),
-        )
+    steps = per_user.select(
+        "user_id",
+        (
+            t1.isNotNull().cast("int")
+            + t2.isNotNull().cast("int")
+            + F.array_min(
+                F.filter(
+                    "purchases",
+                    lambda p: (p > t2) & (p <= t2 + F.lit(day)),
+                )
+            )
+            .isNotNull()
+            .cast("int")
+        ).alias("steps_completed"),
     )
     return (
         steps.groupBy("steps_completed")
