@@ -554,18 +554,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar/timezone semantics (date_trunc('week') would drag in
     locale week-start rules) and no float epoch division (DuckDB's
     epoch() returns DOUBLE and ::BIGINT *rounds*, which can cross a
-    week boundary Spark's truncation does not).  Scale shape: one
-    min-per-user agg, one distinct on (user, week) — both pre-reduced
-    map-side — and a same-key join of per-user cohorts back onto
-    user-week activity.
+    week boundary Spark's truncation does not).  Scale shape: ONE scan,
+    ONE user shuffle — per user, a single groupBy yields both the
+    cohort (min week) and the distinct active-week set (bounded by
+    the retention horizon, here ≤5); exploding that set and counting
+    per (cohort, offset) needs only a tiny second agg.  collect_set
+    order is nondeterministic but explode+count is order-independent.
     """
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
     )
-    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
-    active = e.select("user_id", "wk").distinct()
+    per_user = e.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_week"), F.collect_set("wk").alias("wks")
+    )
     return (
-        active.join(first, "user_id")
+        per_user.select("cohort_week", F.explode("wks").alias("wk"))
         .select(
             "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("weeks_since")
         )
