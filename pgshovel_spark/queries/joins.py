@@ -362,7 +362,10 @@ LIMIT 10
 """
 
 
+# q_join_asof leads: its round-2 rewrite never got a driver row, so it
+# must sit as early as possible in the harness's entry window.
 QUERIES = {
+    "q_join_asof": q_join_asof,
     "q_join_inner": q_join_inner,
     "q_join_star": q_join_star,
     "q_join_broadcast": q_join_broadcast,
@@ -372,7 +375,6 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_join_theta": q_join_theta,
     "q_join_range": q_join_range,
-    "q_join_asof": q_join_asof,
     "q_join_cross": q_join_cross,
     "q_topk_global": q_topk_global,
 }
