@@ -6,10 +6,10 @@ Broder containment pairs, winnowing fingerprints, and the
 funnel/cohort queries an event pipeline serves — the remaining pieces
 of a production training-data + product-analytics stack.
 
-Registered AFTER the driver's ~50-entry correctness window on purpose
-(see queries/__init__.py): the window stays aimed at this round's
-changed families; this module is hash-checked by tools/selfcheck.py
-and tests/test_oracle_parity.py instead.
+Registered FIRST (after the one-plan pipeline module) as of round 3
+(see queries/__init__.py): this batch had never had a driver
+correctness row, so it now leads the driver's ~50-entry window; it is
+also hash-checked by tools/selfcheck.py and tests/test_oracle_parity.py.
 
 Determinism: integer outputs wherever possible (quantized levels,
 counts, milli-scaled floors); the only floats are ROUND()ed ratios of
@@ -40,7 +40,11 @@ def _docs_parallel(spark, sf_dir):
 #: classes, no lookaround (RE2 has none).  Contraction suffixes split
 #: first, then space-prefixed letter runs / digit runs / punctuation
 #: runs.  Whitespace itself is never emitted as a piece.
-_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+# Whitespace is spelled as an explicit character class, not \s: Java's
+# \s is [ \t\n\x0B\f\r] but RE2/DuckDB's \s omits vertical tab, so a
+# document containing U+000B would pre-tokenize differently per engine.
+_WS_CLS = r" \t\n\x0B\f\r"
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9" + _WS_CLS + "']+"
 
 
 def q_text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,13 +85,15 @@ def q_text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB RE2: '' escapes the quote; \s inside a standard (non-E'')
-# string is passed through verbatim to the regex engine.
+# DuckDB RE2: '' escapes the quote; backslash escapes inside a
+# standard (non-E'') string pass through verbatim to the regex engine.
+# Whitespace is the same explicit class as _WS_CLS (see above) so both
+# engines agree on U+000B.
 _BPE_PRETOKENIZE_SQL = r"""
 WITH p AS (
   SELECT doc_id, lang,
          unnest(regexp_extract_all(lower(text),
-                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\x0B\f\r'']+'))
            AS piece
   FROM documents
 )
@@ -211,7 +217,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_INCREMENTAL_SQL = r"""
 WITH d AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
   FROM documents
 ), corpus AS (
   SELECT norm, MIN(doc_id) AS dup_of FROM d WHERE doc_id % 5 <> 0 GROUP BY norm
@@ -282,7 +288,7 @@ def q_text_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_CROSSDUP_SQL = r"""
 WITH d AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS a
   FROM documents
 ), dt AS (
   SELECT DISTINCT doc_id, lang, tri
@@ -309,13 +315,22 @@ GROUP BY dt.doc_id, dt.lang
 # --------------------------------------- SimHash near-dup pairs (banded)
 
 #: Knuth multiplicative spread of the shared polynomial token hash:
-#: the raw hash tops out around 2^28, so its high bits are constant
-#: and any band over them would bucket the whole corpus together
-#: (quadratic blow-up).  (th * 2654435761) % 2^32 diffuses entropy
-#: across all 32 signature bits; products stay < 2^63 (exact BIGINT
-#: arithmetic on both engines).
+#: the raw hash tops out around 2^28 on this corpus, so its high bits
+#: are constant and any band over them would bucket the whole corpus
+#: together (quadratic blow-up).  The hash is reduced mod 2^31 BEFORE
+#: the multiply so the product is bounded by 2^31 * 2654435761 < 2^63
+#: for ANY input length — without the reduction a shingle longer than
+#: ~120 chars overflows BIGINT, which Spark wraps silently while
+#: DuckDB raises OutOfRangeException (engine divergence).  The mod is
+#: a no-op at raw hash < 2^31, so fixture results are unchanged.
 _SPREAD_MUL = 2654435761
 _SPREAD_MOD = 4294967296
+_SPREAD_RED = 2147483648  # 2^31 pre-multiply reduction, both engines
+
+
+def _spread(h):
+    """Overflow-proof Knuth spread: ((h % 2^31) * mul) % 2^32."""
+    return ((h % _SPREAD_RED) * _SPREAD_MUL) % _SPREAD_MOD
 
 
 def _simhash32(spark, sf_dir):
@@ -345,7 +360,7 @@ def _simhash32(spark, sf_dir):
         .select("doc_id", F.explode(shingles).alias("s"))
         .select(
             "doc_id",
-            ((_token_hash(F.col("s")) * _SPREAD_MUL) % _SPREAD_MOD).alias("th"),
+            _spread(_token_hash(F.col("s"))).alias("th"),
         )
     )
     weights = [
@@ -412,7 +427,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_PAIRS_SQL = r"""
 WITH tokd AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -425,7 +440,7 @@ WITH tokd AS (
          (CAST((((((length(t) * 31 + ascii(substring(t, 1, 1))) * 31
            + ascii(substring(t, 2, 1))) * 31 + ascii(substring(t, 3, 1))) * 31
            + ascii(substring(t, 4, 1))) * 31 + ascii(substring(t, -1, 1)))
-           AS BIGINT) * 2654435761) % 4294967296 AS th
+           AS BIGINT) % 2147483648 * 2654435761) % 4294967296 AS th
   FROM sh
 ), bits AS (
   SELECT doc_id, th, bit
@@ -662,7 +677,7 @@ def q_sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_CONTAINMENT_SQL = r"""
 WITH tokd AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id, lang,
@@ -731,7 +746,7 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = g.select(
         "doc_id",
         "i",
-        ((_token_hash(F.col("t")) * _SPREAD_MUL) % _SPREAD_MOD).alias("h"),
+        _spread(_token_hash(F.col("t"))).alias("h"),
     )
     from pyspark.sql import Window
 
@@ -761,7 +776,7 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_WINNOWING_SQL = r"""
 WITH d AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS a
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS a
   FROM documents
 ), tg AS (
   SELECT doc_id, i - 1 AS i,
@@ -774,7 +789,7 @@ WITH d AS (
          (CAST((((((length(t) * 31 + ascii(substring(t, 1, 1))) * 31
            + ascii(substring(t, 2, 1))) * 31 + ascii(substring(t, 3, 1))) * 31
            + ascii(substring(t, 4, 1))) * 31 + ascii(substring(t, -1, 1)))
-           AS BIGINT) * 2654435761) % 4294967296 AS h
+           AS BIGINT) % 2147483648 * 2654435761) % 4294967296 AS h
   FROM tg
 ), fps AS (
   SELECT doc_id, i,
@@ -830,17 +845,25 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Spark posexplode emits 0-based positions; generate_series(1, 64) is
-# 1-based list indexing -> i-1 aliases the same dim ids.
+# Spark posexplode emits 0-based positions; DuckDB's parallel unnests
+# zip positionally, so generate_series(1, len(embedding)) derives the
+# dim bound PER ROW (a hardcoded 64 would silently count NULL
+# list-index rows if dimensionality ever changed) -> i-1 aliases the
+# same dim ids as posexplode.
 _EMBED_CENTROIDS_SQL = """
+WITH dims AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS v
+  FROM embeddings
+)
 SELECT label, i - 1 AS dim,
        COUNT(*) AS n_vecs,
-       CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT)) AS BIGINT)
+       CAST(SUM(CAST(floor(v::DOUBLE * 1000) AS BIGINT)) AS BIGINT)
          AS sum_milli,
-       ROUND(SUM(CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT))
+       ROUND(SUM(CAST(floor(v::DOUBLE * 1000) AS BIGINT))
              / CAST(COUNT(*) AS DOUBLE), 3) AS centroid_milli
-FROM embeddings
-CROSS JOIN generate_series(1, 64) AS t(i)
+FROM dims
 GROUP BY label, i
 """
 

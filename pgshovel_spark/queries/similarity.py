@@ -72,7 +72,7 @@ def _tok_distinct(spark, sf_dir):
 _TOK_DISTINCT_SQL = """
   SELECT doc_id, lang,
          unnest(list_distinct(list_filter(
-           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS t
+           string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))) AS t
   FROM documents
 """
 
@@ -241,7 +241,7 @@ def q_sim_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_NGRAM_SQL = """
 WITH tok AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id, lang,
@@ -670,7 +670,7 @@ quality AS (
            AS unique_ratio
   FROM (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')
              AS toks
     FROM documents
   )

@@ -62,7 +62,7 @@ SELECT
   COUNT(*) AS n_dupes,
   CAST(length(norm) AS BIGINT) AS norm_len
 FROM (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm
   FROM documents
 )
 GROUP BY norm
@@ -86,7 +86,7 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_WORDCOUNT_SQL = """
 SELECT word, COUNT(*) AS n
 FROM (
-  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+  SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
   FROM documents
 )
 WHERE word <> ''
@@ -174,7 +174,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_TFIDF_SQL = """
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS term
   FROM documents
 ), tok2 AS (
   SELECT * FROM tok WHERE term <> ''
@@ -229,10 +229,10 @@ _TEXT_TOKENS_SQL = """
 SELECT
   doc_id,
   lang,
-  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws,
-  CAST(CEIL(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
-  ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-        / len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')), 4) AS chars_per_token
+  CAST(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws,
+  CAST(CEIL(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+  ROUND(CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
+        / len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')), 4) AS chars_per_token
 FROM documents
 """
 
@@ -263,7 +263,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_QUALITY_SQL = """
 WITH t AS (
   SELECT doc_id, lang, n_chars,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 )
 SELECT
@@ -316,7 +316,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_LANGID_SQL = """
 WITH t AS (
   SELECT doc_id, lang,
-         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+         list_distinct(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS toks
   FROM documents
 ), scored AS (
   SELECT doc_id, lang,
@@ -358,7 +358,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_FINGERPRINT_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(list_filter(
-           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS t
+           string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))) AS t
   FROM documents
 )
 SELECT doc_id,

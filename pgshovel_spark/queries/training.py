@@ -28,7 +28,7 @@ from pgshovel_spark.sources.tables import load_table
 _PACK_CAP = 2048
 
 #: tokenized docs as an array column `a` (shared by several queries)
-_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_TOKS = "list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
 
 
 def _docs_toks(spark, sf_dir):
