@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
+from pgshovel_spark.queries.similarity import _DF_CAP as _SIM_DF_CAP
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -342,27 +343,14 @@ def _simhash32(spark, sf_dir):
     SimHash collapses (measured: 158k signature-identical pairs at
     sf0.1); bigram shingles carry word order and a far larger feature
     space, separating the signatures (40 identical pairs, ~300 within
-    hamming 3 — actual near-dups)."""
-    from pgshovel_spark.queries.similarity import _docs_parallel, _token_hash
+    hamming 3 — actual near-dups).
 
-    d = _docs_parallel(spark, sf_dir)
-    toks = F.filter(tokens("text"), lambda t: t != "")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
-    rows = (
-        d.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(shingles).alias("s"))
-        .select(
-            "doc_id",
-            _spread(_token_hash(F.col("s"))).alias("th"),
-        )
-    )
+    Consumes the shared checkpointed _bigram_shingles posting table
+    (its th column IS the Knuth-spread shingle hash), so the shingle
+    pass is shared with q_sim_ngram / q_sim_containment."""
+    from pgshovel_spark.queries.similarity import _bigram_shingles
+
+    rows = _bigram_shingles(spark, sf_dir).select("doc_id", "th")
     weights = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b) % 2 == 1, 1).otherwise(-1)
@@ -622,29 +610,24 @@ def q_sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared count, the containment ratio, and which doc is the
     contained one (smaller shingle set; doc_id breaks ties).
 
-    Scale shape: identical to q_sim_ngram's — blocked equi-join on
-    the 8-byte xxhash64(lang, shingle) key (same documented ~1e-8
-    collision trade; the oracle joins raw strings), integer-only
-    threshold (shared·10 ≥ min_sz·8), ratio from exact BIGINTs
-    post-filter.
+    Scale shape: identical to q_sim_ngram's — consumes the same
+    shared checkpointed _bigram_shingles posting table, drops shingles
+    with document frequency > _DF_CAP on both engines (no posting list
+    can go quadratic), blocked equi-join on the 8-byte
+    xxhash64(lang, shingle) key (same documented ~1e-8 collision
+    trade; the oracle joins raw strings), integer-only threshold
+    (shared·10 ≥ min_sz·8), ratio from exact BIGINTs post-filter.
     """
-    from pgshovel_spark.queries.similarity import _docs_parallel
+    from pgshovel_spark.queries import similarity
 
-    d = _docs_parallel(spark, sf_dir)
-    toks = F.filter(tokens("text"), lambda t: t != "")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
+    sh = similarity._bigram_shingles(spark, sf_dir).select("doc_id", "sh")
+    df_tab = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= similarity._DF_CAP)
+        .select("sh")
     )
-    sh = (
-        d.filter(F.size(toks) >= 2)
-        .select("doc_id", "lang", F.explode(shingles).alias("s"))
-        .select("doc_id", F.xxhash64("lang", "s").alias("sh"))
-    )
+    sh = sh.join(df_tab, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("id1"), "sh")
     b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh_b"))
@@ -674,18 +657,13 @@ def q_sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIM_CONTAINMENT_SQL = r"""
-WITH tokd AS (
-  SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id, lang,
-         unnest(list_distinct(list_transform(
-           generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])))
-           AS s
-  FROM tokd WHERE len(toks) >= 2
-), sizes AS (
+def _sim_containment_sql(df_cap: int) -> str:
+    from pgshovel_spark.queries.similarity import _shingle_capped_sql
+
+    return (
+        _shingle_capped_sql(df_cap)
+        + """
+, sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ), shared AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
@@ -704,6 +682,7 @@ JOIN sizes s1 ON s1.doc_id = id1
 JOIN sizes s2 ON s2.doc_id = id2
 WHERE shared * 10 >= LEAST(s1.sz, s2.sz) * 8
 """
+    )
 
 
 # --------------------------------------------------------- winnowing
@@ -889,7 +868,7 @@ ORACLES = {
     "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "q_embed_centroids": _EMBED_CENTROIDS_SQL,
     "q_text_winnowing": _TEXT_WINNOWING_SQL,
-    "q_sim_containment": _SIM_CONTAINMENT_SQL,
+    "q_sim_containment": _sim_containment_sql(_SIM_DF_CAP),
     "q_funnel_steps": _FUNNEL_STEPS_SQL,
     "q_cohort_retention": _COHORT_RETENTION_SQL,
 }
