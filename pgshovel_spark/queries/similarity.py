@@ -103,6 +103,22 @@ _DF_CAP = 1000
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def shared_artifact_rdd_ids() -> set[int]:
+    """Persistent-RDD ids backing the memoized shared tables (shingle
+    posting table, cluster table).  Block-manager housekeeping (e.g.
+    bench.py's between-query unpersist) must SKIP these ids: a
+    localCheckpoint'ed DataFrame has no lineage to recompute from, so
+    dropping its blocks breaks every later query that reuses it."""
+    ids: set[int] = set()
+    for cache in (_SHINGLE_CACHE, _CLUSTER_CACHE):
+        for df in cache.values():
+            try:
+                ids.add(df._jdf.queryExecution().analyzed().rdd().id())
+            except Exception:  # pragma: no cover - plan shape changed
+                pass
+    return ids
+
+
 def _bigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh, th) for every distinct bigram shingle per document:
     ``sh`` = xxhash64(lang, shingle) — the 8-byte blocking join key of
