@@ -9,11 +9,16 @@ pruning bounds scanned bytes regardless of corpus size, which is what
 makes ANN feasible at 100 TB (the same inverted-file layout FAISS uses,
 expressed as a parquet layout instead of an in-memory index).
 
-Determinism: centroids initialize from the k lowest-id vectors and run
-a fixed iteration count, so rebuilds are reproducible.  Assignment is
-a vectorized Arrow-batched pandas_udf (one numpy matmul per batch) —
-the per-row higher-order-function fold would be interpreted and ~100x
-slower at assignment time.
+Determinism: the quantizer initializes with k-means++ (Arthur &
+Vassilvitskii 2007) over a DETERMINISTIC hash-ordered sample of the
+corpus with a fixed-seed RNG, then runs a fixed Lloyd iteration count
+— rebuilds are bit-reproducible.  The sample is the lowest-xxhash64
+``sample_n`` vectors: a uniform pseudo-random subset that one
+TakeOrdered job computes at any corpus size (the classic reservoir
+alternative needs a sequential pass).  Assignment is a vectorized
+Arrow-batched pandas_udf (one numpy matmul per batch) — the per-row
+higher-order-function fold would be interpreted and ~100x slower at
+assignment time.
 """
 
 from __future__ import annotations
@@ -44,6 +49,44 @@ def _nearest_udf(centroids: np.ndarray):
     return nearest
 
 
+def _kmeanspp_init(
+    vecs: DataFrame, k_clusters: int, id_col: str, sample_n: int, seed: int
+) -> np.ndarray:
+    """k-means++ seeding over a deterministic sample.
+
+    The candidate pool is the ``sample_n`` vectors with the lowest
+    xxhash64(id) — uniform pseudo-random, order-independent, and ONE
+    distributed TakeOrdered job no matter the corpus size; the pool
+    (not the corpus) is what the quadratic-ish D^2 seeding touches.
+    Distances use 1 - cosine on normalized vectors (the metric the
+    quantizer serves).  Fixed-seed RNG -> reproducible index builds.
+    """
+    cand = (
+        vecs.select("__v", F.xxhash64(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = _normalize(np.stack([np.asarray(r["__v"]) for r in cand]))
+    rng = np.random.RandomState(seed)
+    first = int(rng.randint(len(X)))
+    chosen = [first]
+    # squared cosine distance to the nearest chosen seed so far
+    d2 = np.square(1.0 - X @ X[first])
+    for _ in range(1, min(k_clusters, len(X))):
+        total = float(d2.sum())
+        if total <= 0.0:  # all candidates identical to a seed
+            nxt = int(rng.randint(len(X)))
+        else:
+            nxt = int(rng.choice(len(X), p=d2 / total))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, np.square(1.0 - X @ X[nxt]))
+    cents = X[chosen]
+    if len(cents) < k_clusters:  # degenerate tiny corpus: pad by repeat
+        cents = np.vstack([cents] * (k_clusters // len(cents) + 1))[:k_clusters]
+    return np.ascontiguousarray(cents, dtype=float)
+
+
 def build_ivf_index(
     df: DataFrame,
     out_dir: str,
@@ -51,20 +94,25 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_iter: int = 5,
+    sample_n: int | None = None,
+    seed: int = 2971,
 ) -> None:
-    """Train a k-means coarse quantizer (cosine metric, ``n_iter``
-    Lloyd rounds) and persist:
+    """Train a k-means coarse quantizer (cosine metric, k-means++
+    sampled init, ``n_iter`` Lloyd rounds) and persist:
 
     - ``{out_dir}/centroids``: k rows (centroid_id, centroid).
     - ``{out_dir}/vectors``: the input plus ``centroid_id``,
       partitioned by it — the inverted file.
 
     Centroid state is k x dim floats (a few KB) — collecting it to the
-    driver between rounds is model state, not data."""
+    driver between rounds is model state, not data; the k-means++
+    candidate pool is ``sample_n`` rows (default 64 per cluster,
+    FAISS's train-set heuristic), also bounded driver state."""
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
 
-    init = vecs.orderBy(id_col).limit(k_clusters).collect()
-    cents = np.stack([np.asarray(r["__v"]) for r in init])
+    cents = _kmeanspp_init(
+        vecs, k_clusters, id_col, sample_n or max(64 * k_clusters, 256), seed
+    )
 
     for _ in range(n_iter):
         assigned = vecs.withColumn("__c", _nearest_udf(cents)("__v"))
