@@ -5,16 +5,20 @@ typed metadata (SURVEY.md §2.G / north-star multimodal surface).  All
 heavy per-item work runs in Arrow-batched ``mapInPandas`` stages so
 the plan parallelizes per partition and never collects to the driver.
 
-The actual codec calls (image decode, audio resample, video frame
-extraction) are STUBBED: the runtime image/audio libraries are not in
-this container.  Each stub either raises NotImplementedError (real
-codec path) or produces a deterministic fake derived from the bytes
-(test path) — the Spark-side schema, batching, partitioning, and UDF
-signatures are real and tested either way.
+Codec policy: full decode libraries (JPEG, MP3, H.264 ...) are not in
+this container, so ``decode_image`` / ``decode_audio`` implement the
+REAL header parsers for the stdlib-parseable formats (BMP and PNG
+dimensions, RIFF/WAV channel/rate/frame counts) and raise ValueError
+on anything else; ``fake_decode_dims`` remains the deterministic
+stand-in the hash-checked queries use (its outputs are reproducible in
+the DuckDB oracle, which a real codec's wouldn't be).  The Spark-side
+schema, batching, partitioning, and UDF signatures are identical on
+both paths.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,12 +53,36 @@ FRAME_SAMPLE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real image decode — requires an imaging library not present in
-    this container."""
-    raise NotImplementedError(
-        "image codec not available in this environment; use "
-        "fake_decode_dims() for deterministic testing"
-    )
+    """Real image dimension decode for the stdlib-parseable formats.
+
+    - BMP ('BM' magic): BITMAPINFOHEADER width/height at byte 18
+      (int32 LE; height negative for top-down rows -> abs()).
+    - PNG (8-byte signature): IHDR width/height at byte 16 (uint32 BE).
+
+    Raises ValueError on anything else — compressed formats (JPEG,
+    WebP ...) need codec libraries this container doesn't ship.
+    """
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return int(w), abs(int(h))
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", payload, 16)
+        return int(w), int(h)
+    raise ValueError("unsupported image format (BMP and PNG headers only)")
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int]:
+    """Real audio header decode for RIFF/WAV payloads via the stdlib
+    ``wave`` module: returns (n_channels, sample_rate, n_frames).
+    Raises ValueError for non-WAV payloads."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return w.getnchannels(), w.getframerate(), w.getnframes()
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"unsupported audio format: {e}") from e
 
 
 def fake_decode_dims(payload: bytes) -> tuple[int, int]:
@@ -65,8 +93,15 @@ def fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return (first % 64 + 1) * 16, (n % 64 + 1) * 16
 
 
-def extract_media_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+def extract_media_features(
+    df: DataFrame, id_col: str, payload_col: str, decoder=fake_decode_dims
+) -> DataFrame:
     """Arrow-batched feature extraction over an opaque binary column.
+
+    ``decoder`` maps payload bytes -> (width, height): pass
+    ``decode_image`` for real BMP/PNG payloads (the default stays the
+    deterministic fake, which the hash-checked queries reproduce in
+    their DuckDB oracles).
 
     ``mapInPandas`` keeps the payload off the driver and lets each
     executor process whole Arrow batches; at 100 TB the input should
@@ -81,7 +116,7 @@ def extract_media_features(df: DataFrame, id_col: str, payload_col: str) -> Data
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [fake_decode_dims(p if p is not None else b"") for p in payloads]
+            dims = [decoder(p if p is not None else b"") for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

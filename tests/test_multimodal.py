@@ -1,0 +1,116 @@
+"""Real-codec-path tests for the multimodal operators.
+
+The container ships no imaging/audio libraries, so the REAL path
+covers the stdlib-parseable formats: BMP + PNG dimension headers and
+RIFF/WAV audio headers, decoded by hand-rolled struct parsing / the
+stdlib ``wave`` module.  Payloads here are genuine files built
+in-test (a valid 3x2 BMP, a valid 1x1 PNG, a valid 8kHz mono WAV), so
+these tests exercise actual decoding — not the deterministic fake the
+hash-checked queries use.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import sys
+import wave
+import zlib
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pgshovel_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    extract_media_features,
+)
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """A minimal valid 24-bit BMP (BITMAPINFOHEADER, bottom-up rows)."""
+    pad = (4 - (width * 3) % 4) % 4
+    rows = b"".join(
+        b"".join(
+            bytes([(x * 7) % 256, (y * 11) % 256, 42]) for x in range(width)
+        )
+        + b"\x00" * pad
+        for y in range(height)
+    )
+    data_off = 14 + 40
+    size = data_off + len(rows)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + info + rows
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A minimal valid 8-bit grayscale PNG."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(n_channels: int, rate: int, n_frames: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x01" * n_channels * n_frames)
+    return buf.getvalue()
+
+
+def test_decode_image_bmp_and_png():
+    assert decode_image(make_bmp(3, 2)) == (3, 2)
+    assert decode_image(make_bmp(640, 480)) == (640, 480)
+    assert decode_image(make_png(1, 1)) == (1, 1)
+    assert decode_image(make_png(17, 9)) == (17, 9)
+    # top-down BMP stores negative height; decode must abs() it
+    td = bytearray(make_bmp(4, 3))
+    struct.pack_into("<i", td, 22, -3)
+    assert decode_image(bytes(td)) == (4, 3)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 not decodable here")
+
+
+def test_decode_audio_wav():
+    assert decode_audio(make_wav(1, 8000, 100)) == (1, 8000, 100)
+    assert decode_audio(make_wav(2, 44100, 7)) == (2, 44100, 7)
+    with pytest.raises(ValueError):
+        decode_audio(b"OggS not a wav")
+
+
+def test_real_decode_path_distributed(spark):
+    """The REAL decoder runs inside the Arrow-batched mapInPandas
+    stage — same plumbing as the hash-checked fake path, genuine
+    BMP/PNG bytes, no NotImplementedError anywhere."""
+    rows = [
+        (0, make_bmp(3, 2)),
+        (1, make_bmp(12, 34)),
+        (2, make_png(5, 6)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: (r.width, r.height)
+        for r in extract_media_features(
+            df, "doc_id", "payload", decoder=decode_image
+        ).collect()
+    }
+    assert out == {0: (3, 2), 1: (12, 34), 2: (5, 6)}
