@@ -19,7 +19,7 @@ first so Spark and DuckDB fold identical IEEE doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
@@ -546,6 +546,160 @@ FROM steps GROUP BY steps_completed
 """
 
 
+def q_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel step: for users who
+    completed view→click (within 1h) and click→purchase (within 24h,
+    strictly ordered — same windows as q_funnel_steps), the exact
+    integer-microsecond p50/p90 and mean of each step's latency — the
+    "how fast do users move through the funnel" companion to the
+    step-count query.
+
+    Determinism: percentiles are type-1 (inverted CDF — the value at
+    the first position whose cumulative count reaches ceil(q*n)), so
+    every output is an exact BIGINT microsecond value with no float
+    interpolation to diverge between engines; the mean is a ROUND of
+    exact-BIGINT sum / count.
+
+    Scale shape: same one-scan + one-user-shuffle base as
+    q_funnel_steps, then the percentile runs over the FREQUENCY table
+    (step, delta_us, count) — the groupBy pre-reduces with map-side
+    combine, and the per-step cumulative-sum window sorts only
+    distinct latency values, not raw conversions.  This is the exact-
+    percentile-without-buffering-raw-values pattern (Spark's exact
+    ``percentile`` aggregate buffers every row per group, which a
+    100 TB event stream cannot afford).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("um")
+    )
+    hour = 3_600_000_000
+    day = 86_400_000_000
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("um"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("um"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("um"))
+        ).alias("purchases"),
+    )
+    t1 = F.col("t1")
+    per_user = per_user.select(
+        "user_id",
+        "t1",
+        F.array_min(
+            F.filter("clicks", lambda c: (c > t1) & (c <= t1 + F.lit(hour)))
+        ).alias("t2"),
+        "purchases",
+    )
+    t2 = F.col("t2")
+    per_user = per_user.select(
+        "user_id",
+        "t1",
+        "t2",
+        F.array_min(
+            F.filter("purchases", lambda p: (p > t2) & (p <= t2 + F.lit(day)))
+        ).alias("t3"),
+    )
+    deltas = (
+        per_user.select(
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("t2").isNotNull(),
+                        F.struct(
+                            F.lit("view_to_click").alias("step"),
+                            (F.col("t2") - F.col("t1")).alias("delta_us"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("t3").isNotNull(),
+                        F.struct(
+                            F.lit("click_to_purchase").alias("step"),
+                            (F.col("t3") - F.col("t2")).alias("delta_us"),
+                        ),
+                    ),
+                )
+            ).alias("x")
+        )
+        .filter(F.col("x").isNotNull())
+        .select("x.step", "x.delta_us")
+    )
+    freq = deltas.groupBy("step", "delta_us").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("step")
+        .orderBy("delta_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("step")
+    cum = freq.select(
+        "step",
+        "delta_us",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+        F.sum(F.col("delta_us") * F.col("cnt")).over(w_all).alias("s"),
+    )
+    return cum.groupBy("step").agg(
+        F.max("tot").cast("long").alias("n_conversions"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(tot + 1) DIV 2"), F.col("delta_us"))
+        )
+        .cast("long")
+        .alias("p50_us"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(9 * tot + 9) DIV 10"), F.col("delta_us"))
+        )
+        .cast("long")
+        .alias("p90_us"),
+        F.round(F.max("s").cast("double") / F.max("tot"), 2).alias("avg_us"),
+    )
+
+
+_FUNNEL_WINDOWS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS um FROM events
+), v AS (
+  SELECT user_id, MIN(um) AS t1 FROM ev WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.um) AS t2
+  FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.um > v.t1
+    AND e.um <= v.t1 + 3600000000
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.um) AS t3
+  FROM ev e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.um > c.t2
+    AND e.um <= c.t2 + 86400000000
+  GROUP BY e.user_id
+), deltas AS (
+  SELECT 'view_to_click' AS step, c.t2 - v.t1 AS delta_us
+  FROM c JOIN v ON c.user_id = v.user_id
+  UNION ALL
+  SELECT 'click_to_purchase' AS step, p.t3 - c.t2 AS delta_us
+  FROM p JOIN c ON p.user_id = c.user_id
+), freq AS (
+  SELECT step, delta_us, COUNT(*) AS cnt FROM deltas GROUP BY step, delta_us
+), cum AS (
+  SELECT step, delta_us, cnt,
+         SUM(cnt) OVER (PARTITION BY step ORDER BY delta_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY step) AS tot,
+         SUM(delta_us * cnt) OVER (PARTITION BY step) AS s
+  FROM freq
+)
+SELECT step,
+       CAST(MAX(tot) AS BIGINT) AS n_conversions,
+       CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN delta_us END) AS BIGINT)
+         AS p50_us,
+       CAST(MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN delta_us END) AS BIGINT)
+         AS p90_us,
+       ROUND(CAST(MAX(s) AS DOUBLE) / MAX(tot), 2) AS avg_us
+FROM cum GROUP BY step
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users are cohorted by the epoch week
     of their FIRST event; for every (cohort_week, weeks_since) cell,
@@ -857,6 +1011,7 @@ QUERIES = {
     "q_text_winnowing": q_text_winnowing,
     "q_sim_containment": q_sim_containment,
     "q_funnel_steps": q_funnel_steps,
+    "q_funnel_windows": q_funnel_windows,
     "q_cohort_retention": q_cohort_retention,
 }
 
@@ -870,5 +1025,6 @@ ORACLES = {
     "q_text_winnowing": _TEXT_WINNOWING_SQL,
     "q_sim_containment": _sim_containment_sql(_SIM_DF_CAP),
     "q_funnel_steps": _FUNNEL_STEPS_SQL,
+    "q_funnel_windows": _FUNNEL_WINDOWS_SQL,
     "q_cohort_retention": _COHORT_RETENTION_SQL,
 }
