@@ -32,6 +32,7 @@ from pgshovel_spark.queries import (
     scans,
     setops,
     similarity,
+    sketches,
     text,
     training,
     windows,
@@ -41,20 +42,23 @@ from pgshovel_spark.queries import (
 # queries in this order (and may cap the number checked per run, ~50).
 # Round-3 priority: (1) the pipeline/curation batch, which has never had
 # a driver correctness row (registered past the round-2 window), (2) the
-# similarity family, whose exact pair generators grew document-frequency
-# caps this round and whose keep_best plan now checkpoints its cluster
-# table, (3) aggregates — carrying the round-2 rewrites of
-# q_agg_quantiles / q_profile_table that were never driver-re-verified —
-# and joins, led by the rewritten q_join_asof.  Position math:
-# pipeline(1) + curation(11) + similarity(12) = 24, aggregates 25-39,
-# joins from 40, so every never-verified or rewritten query sits well
-# inside a 50-entry cap.  Long-stable r2-green families (text, llm,
+# new round-3 sketch/pruning batch (HLL, count-min, bloom, zipf,
+# gap-islands), (3) the similarity family, whose exact pair generators
+# grew document-frequency caps this round and whose keep_best plan now
+# checkpoints its cluster table, (4) aggregates — carrying the round-2
+# rewrites of q_agg_quantiles / q_profile_table plus the new
+# q_agg_salted — and joins, led by the rewritten q_join_asof and the new
+# q_join_multiway.  Position math: pipeline(1) + curation(11) +
+# sketches(5) = 17, similarity 18-29, aggregates 30-45, q_join_asof 46,
+# q_join_multiway 47 — every never-verified, new, or rewritten query
+# sits inside a 50-entry cap.  Long-stable r2-green families (text, llm,
 # training, cdc, windows) and the r1-green scans/exprs/setops tails
 # absorb any truncation; they remain covered by the local selfcheck hash
 # gate + hypothesis property tests.
 _MODULES = (
     pipeline,
     curation,
+    sketches,
     similarity,
     aggregates,
     joins,

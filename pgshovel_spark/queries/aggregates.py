@@ -577,8 +577,46 @@ SELECT 'l_returnflag', n, n - flag_nn, flag_d, NULL, NULL FROM s
 # Changed-first: the six queries rewritten round 2 (split-accumulator
 # sums / the new GROUPING SETS query) lead so they fall inside the
 # external harness's entry cap; stable r1-green queries follow.
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation — the explicit skew lever (see
+    operators/skew.py) expressed as a query whose answer provably
+    equals the plain groupBy (the oracle IS the unsalted SQL).
+
+    events has ~6 event types over millions of rows — the classic
+    low-cardinality/hot-key aggregate.  Phase 1 groups by
+    (event_type, event_id % 8): 8-way fan-out spreads each hot key
+    across partitions and map-side combine reduces each to <=8
+    partial rows.  Phase 2 merges the 8 partials per key.  The value
+    sum stays exact through both phases (split-accumulator decimal,
+    order-independent), so salting changes the shuffle layout, never
+    the answer — that invariance is what the hash check certifies.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", F.col("event_id") % 8)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            exact_sum(F.col("value")).alias("psum"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 2).cast("double").alias("sum_value"),
+    )
+
+
+_AGG_SALTED_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_agg_pricing_summary": q_agg_pricing_summary,
+    "q_agg_salted": q_agg_salted,
     "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_agg_having": q_agg_having,
     "q_agg_rollup": q_agg_rollup,
@@ -597,6 +635,7 @@ QUERIES = {
 
 ORACLES = {
     "q_agg_pricing_summary": _PRICING_SUMMARY_SQL,
+    "q_agg_salted": _AGG_SALTED_SQL,
     "q_agg_histogram": _AGG_HISTOGRAM_SQL,
     "q_agg_quantiles": _AGG_QUANTILES_SQL,
     "q_profile_table": _PROFILE_TABLE_SQL,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgshovel_spark.functions.determinism import dec, dsum, epoch_s
+from pgshovel_spark.functions.determinism import dec, dsum, epoch_s, exact_sum
 from pgshovel_spark.operators.asof import asof_join
 from pgshovel_spark.operators.topk import topk_global
 from pgshovel_spark.sources.tables import load_table
@@ -364,8 +364,71 @@ LIMIT 10
 
 # q_join_asof leads: its round-2 rewrite never got a driver row, so it
 # must sit as early as possible in the harness's entry window.
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join (shipping priority): BUILDING-segment
+    customers x unfilled orders x late-shipped lineitems, top-10 orders
+    by revenue.
+
+    Scale shape: this is the query Catalyst's join reordering +
+    broadcast selection exists for.  customer (filtered to one
+    segment) broadcasts into orders; the surviving orders equi-join
+    lineitem on its natural key, so the only big shuffle is
+    lineitem's — and the o_orderdate / l_shipdate predicates push to
+    the Parquet scans, pruning row groups before any join runs.
+    Revenue uses the split-accumulator exact sum (order-independent),
+    and the top-10 is rank-deterministic: ORDER BY the ROUNDED exact
+    revenue with a full o_orderkey tiebreak, executed as
+    TakeOrderedAndProject (per-partition top-k, no global sort).
+    """
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(exact_sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            epoch_s("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_JOIN_MULTIWAY_SQL = """
+SELECT
+  o_orderkey,
+  CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_s,
+  o_orderpriority,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE)
+    AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q_join_asof": q_join_asof,
+    "q_join_multiway": q_join_multiway,
     "q_join_inner": q_join_inner,
     "q_join_star": q_join_star,
     "q_join_broadcast": q_join_broadcast,
@@ -390,6 +453,7 @@ ORACLES = {
     "q_join_theta": _JOIN_THETA_SQL,
     "q_join_range": _JOIN_RANGE_SQL,
     "q_join_asof": _JOIN_ASOF_SQL,
+    "q_join_multiway": _JOIN_MULTIWAY_SQL,
     "q_join_cross": _JOIN_CROSS_SQL,
     "q_topk_global": _TOPK_GLOBAL_SQL,
 }

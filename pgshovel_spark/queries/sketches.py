@@ -1,0 +1,500 @@
+"""Mergeable-sketch and runtime-pruning operators (round-3 additions
+beyond SURVEY.md §2.G-ter): HyperLogLog registers, count-min sketch
+heavy-hitter estimates, Bloom-filter join pruning, a Zipf
+frequency-spectrum audit, and gaps-and-islands run detection.
+
+Why these belong in a 100 TB engine: exact COUNT(DISTINCT) and exact
+heavy-hitter counting need a full shuffle of every distinct key; the
+sketch forms reduce each partition to a CONSTANT-size state (64
+registers / d x w counters) that merges associatively — the map-side
+partial aggregate IS the sketch merge, so shuffle volume is
+#partitions x sketch-size regardless of data volume.  The Bloom
+operator is the runtime-filter pattern (build a compact membership
+summary on the small side, prune the big side before the expensive
+exact join) that Spark's own `spark.sql.optimizer.runtimeFilter`
+machinery applies transparently; here it is expressed as an explicit,
+oracle-checkable plan.
+
+Determinism: every sketch uses the repo's shared polynomial token
+hash + overflow-proof Knuth spread (identical integer arithmetic on
+both engines, see queries/similarity.py and queries/curation.py), and
+bit-position extraction is an explicit integer CASE ladder — never
+log2()/floating-point bit math, which libm rounds differently across
+engines.  The only floats are final HLL estimates built from exact
+powers of two (every partial sum representable, see q_sketch_hll).
+
+Public-knowledge provenance: Flajolet et al. 2007 (HyperLogLog),
+Cormode & Muthukrishnan 2005 (count-min), Bloom 1970.  The reference
+snapshot (/root/reference, empty — SURVEY.md Provenance) has no
+sketch surface; these extend the training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.textfns import tokens
+from pgshovel_spark.queries.curation import _spread
+from pgshovel_spark.queries.similarity import _TOKEN_HASH_SQL, _token_hash
+from pgshovel_spark.sources.tables import load_table
+
+#: DuckDB-side Knuth spread (overflow-proof) over the shared token hash.
+_SPREAD_SQL = "((({h}) % 2147483648) * 2654435761) % 4294967296"
+
+#: tokenized documents -> one row per (doc) token occurrence, oracle side
+_TOKS_SQL = (
+    "SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text),"
+    " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS t FROM documents"
+)
+
+
+def _tok_occurrences(spark, sf_dir):
+    """One row per token OCCURRENCE (lang, t) — counts, not sets."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d.select(
+        "doc_id", "lang", F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("t")
+    )
+
+
+# ------------------------------------------------------------------ HLL
+
+_HLL_M = 64  # 2^6 buckets
+_HLL_WBITS = 26  # hash bits above the bucket index (32 - 6)
+
+
+def _rho_spark(w):
+    """Position (1-based, from MSB) of the leftmost 1-bit in a
+    ``_HLL_WBITS``-wide field; all-zero field -> WBITS + 1.  Explicit
+    integer comparisons — no float log2."""
+    expr = None
+    for r in range(1, _HLL_WBITS + 1):
+        cond = w >= (1 << (_HLL_WBITS - r))
+        expr = F.when(cond, r) if expr is None else expr.when(cond, r)
+    return expr.otherwise(_HLL_WBITS + 1)
+
+
+def _rho_sql(w: str) -> str:
+    arms = " ".join(
+        f"WHEN {w} >= {1 << (_HLL_WBITS - r)} THEN {r}" for r in range(1, _HLL_WBITS + 1)
+    )
+    return f"CASE {arms} ELSE {_HLL_WBITS + 1} END"
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per language, next to the
+    exact count it approximates.
+
+    Register construction is the real mergeable-sketch shape: per
+    (lang, bucket) ``max(rho)`` — Spark's partial aggregation makes
+    every partition reduce to <=64 registers before the shuffle, so at
+    100 TB the shuffle carries #partitions x 64 rows however many
+    tokens exist.  The exact count (for the audit column) pays the
+    usual count-distinct shuffle; a production pipeline drops it.
+
+    Determinism of the float estimate: each ``power(2, -register)``
+    is an exact binary fraction >= 2^-27, and <= 64 such terms span <
+    34 bits of mantissa, so every partial sum is EXACT in double on
+    both engines (no rounding, hence order-independent); the final
+    alpha * m^2 / z is the same two IEEE ops on identical inputs.  The
+    standard small-range linear-counting correction is deliberately
+    omitted: it needs ln(), whose last-ulp rounding differs across
+    libm implementations (determinism contract, SURVEY.md App. A).
+    """
+    toks = _tok_occurrences(spark, sf_dir)
+    dt = toks.select("lang", "t").distinct()
+    h = _spread(_token_hash(F.col("t")))
+    # h < 2^32 is exactly representable in double, and /64 is a
+    # power-of-two scale, so floor(h / 64) == h // 64 exactly.
+    b = dt.select(
+        "lang",
+        (h % _HLL_M).alias("bucket"),
+        F.floor(h / F.lit(_HLL_M)).cast("long").alias("w"),
+    )
+    regs = b.groupBy("lang", "bucket").agg(F.max(_rho_spark(F.col("w"))).alias("register"))
+    summary = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("buckets_nonzero"),
+        F.sum("register").alias("sum_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("z_nz"),
+    )
+    exact = dt.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.lit(0.709) * F.lit(float(_HLL_M * _HLL_M)) / (
+        F.col("z_nz") + (F.lit(_HLL_M) - F.col("buckets_nonzero"))
+    )
+    return (
+        summary.join(exact, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "buckets_nonzero",
+            "sum_registers",
+            F.round(est, 2).alias("hll_estimate"),
+        )
+    )
+
+
+_SKETCH_HLL_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+dt AS (SELECT DISTINCT lang, t FROM toks),
+h AS (
+  SELECT lang, t, {_SPREAD_SQL.format(h=_TOKEN_HASH_SQL.format(t="t"))} AS hv
+  FROM dt
+),
+b AS (
+  SELECT lang, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
+),
+regs AS (
+  SELECT lang, bucket, MAX({_rho_sql("w")}) AS register
+  FROM b GROUP BY lang, bucket
+),
+summary AS (
+  SELECT lang,
+         COUNT(*) AS buckets_nonzero,
+         SUM(register) AS sum_registers,
+         SUM(power(2.0, -register)) AS z_nz
+  FROM regs GROUP BY lang
+),
+exact AS (SELECT lang, COUNT(*) AS n_exact FROM dt GROUP BY lang)
+SELECT s.lang,
+       e.n_exact,
+       s.buckets_nonzero,
+       CAST(s.sum_registers AS BIGINT) AS sum_registers,
+       ROUND(0.709 * {float(_HLL_M * _HLL_M)} / (s.z_nz + ({_HLL_M} - s.buckets_nonzero)), 2)
+         AS hll_estimate
+FROM summary s JOIN exact e USING (lang)
+"""
+
+
+# ------------------------------------------------------------ count-min
+
+_CMS_W = 128  # counters per hash row
+_CMS_P = 2147483647
+#: (a, b) for the two pairwise-independent rows h_i(x) = (a*x + b) mod P mod W
+_CMS_COEFS = [(2971, 1049), (3413, 2221)]
+_CMS_TOPK = 10
+
+
+def _cms_col(h, a, b):
+    return ((h % 2147483648) * a + b) % _CMS_P % _CMS_W
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: per language, the top-10 tokens
+    by exact occurrence count, with the CMS estimate (min over d=2
+    counter rows) beside the truth — ``cms_est >= true_cnt`` always
+    (one-sided error), and the overage column shows collision noise.
+
+    Scale shape: the sketch build is groupBy((lang, row, col)) over at
+    most d*w = 256 cells per language — constant-size mergeable state,
+    map-side combined.  The exact top-k (audit side) is a per-lang
+    count + window top-k, the same two-shuffle shape as
+    q_win_topk_group.  The estimate lookup joins 10 rows/lang against
+    256 cells/lang — broadcast-trivial at any scale.
+    """
+    toks = _tok_occurrences(spark, sf_dir)
+    cnt = toks.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    h = _token_hash(F.col("t"))
+    cells = None
+    for row, (a, b) in enumerate(_CMS_COEFS):
+        part = cnt.select(
+            "lang",
+            F.lit(row).alias("hrow"),
+            _cms_col(h, a, b).alias("col"),
+            "true_cnt",
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    sketch = cells.groupBy("lang", "hrow", "col").agg(F.sum("true_cnt").alias("cell"))
+
+    w = Window.partitionBy("lang").orderBy(F.desc("true_cnt"), F.asc("t"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CMS_TOPK)
+        .drop("rn")
+    )
+    probe = top.select(
+        "lang",
+        "t",
+        "true_cnt",
+        _cms_col(h, *_CMS_COEFS[0]).alias("c0"),
+        _cms_col(h, *_CMS_COEFS[1]).alias("c1"),
+    )
+    s0 = sketch.filter(F.col("hrow") == 0).select("lang", F.col("col").alias("c0"), F.col("cell").alias("cell0"))
+    s1 = sketch.filter(F.col("hrow") == 1).select("lang", F.col("col").alias("c1"), F.col("cell").alias("cell1"))
+    return (
+        probe.join(F.broadcast(s0), ["lang", "c0"])
+        .join(F.broadcast(s1), ["lang", "c1"])
+        .select(
+            "lang",
+            "t",
+            "true_cnt",
+            F.least("cell0", "cell1").alias("cms_est"),
+            (F.least("cell0", "cell1") - F.col("true_cnt")).alias("overage"),
+        )
+    )
+
+
+def _cms_col_sql(h: str, a: int, b: int) -> str:
+    return f"((({h}) % 2147483648) * {a} + {b}) % {_CMS_P} % {_CMS_W}"
+
+
+_TOKEN_HASH_T = _TOKEN_HASH_SQL.format(t="t")
+
+_SKETCH_CMS_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+cnt AS (SELECT lang, t, COUNT(*) AS true_cnt FROM toks GROUP BY lang, t),
+cells AS (
+  SELECT lang, 0 AS hrow, {_cms_col_sql(_TOKEN_HASH_T, *_CMS_COEFS[0])} AS col, true_cnt FROM cnt
+  UNION ALL
+  SELECT lang, 1 AS hrow, {_cms_col_sql(_TOKEN_HASH_T, *_CMS_COEFS[1])} AS col, true_cnt FROM cnt
+),
+sketch AS (SELECT lang, hrow, col, SUM(true_cnt) AS cell FROM cells GROUP BY lang, hrow, col),
+top AS (
+  SELECT lang, t, true_cnt
+  FROM (SELECT lang, t, true_cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY true_cnt DESC, t ASC) AS rn
+        FROM cnt)
+  WHERE rn <= {_CMS_TOPK}
+),
+probe AS (
+  SELECT lang, t, true_cnt,
+         {_cms_col_sql(_TOKEN_HASH_T, *_CMS_COEFS[0])} AS c0,
+         {_cms_col_sql(_TOKEN_HASH_T, *_CMS_COEFS[1])} AS c1
+  FROM top
+)
+SELECT p.lang, p.t, p.true_cnt,
+       CAST(LEAST(s0.cell, s1.cell) AS BIGINT) AS cms_est,
+       CAST(LEAST(s0.cell, s1.cell) - p.true_cnt AS BIGINT) AS overage
+FROM probe p
+JOIN sketch s0 ON s0.lang = p.lang AND s0.hrow = 0 AND s0.col = p.c0
+JOIN sketch s1 ON s1.lang = p.lang AND s1.hrow = 1 AND s1.col = p.c1
+"""
+
+
+# -------------------------------------------------------- bloom pruning
+
+_BLOOM_M = 4096  # filter bits
+#: k=2 hash functions (a, b) over the integer key
+_BLOOM_COEFS = [(2971, 1049), (6037, 1973)]
+
+
+def _bloom_pos(key, a, b):
+    return ((key % 2147483648) * a + b) % _CMS_P % _BLOOM_M
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, audited: build a 4096-bit / k=2
+    filter over ``orders.o_custkey``, probe every customer, and count
+    per nation how many customers pass the filter vs how many truly
+    have orders — the false-positive overhead a runtime filter trades
+    for skipping the full join.
+
+    Scale shape: the build side reduces to <= m DISTINCT bit positions
+    (a constant-size set, like Spark's own InSubqueryExec/bloom
+    runtime filters) and broadcasts; the probe is two broadcast-hash
+    membership joins + one aggregation — the big side never shuffles.
+    The exact audit column pays one semi-join; a production pruning
+    pass drops it (that is the point of the filter).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bits = None
+    for a, b in _BLOOM_COEFS:
+        p = keys.select(_bloom_pos(F.col("k"), a, b).alias("pos"))
+        bits = p if bits is None else bits.unionAll(p)
+    bits = bits.distinct().withColumn("hit", F.lit(1))
+
+    probe = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        _bloom_pos(F.col("c_custkey"), *_BLOOM_COEFS[0]).alias("p0"),
+        _bloom_pos(F.col("c_custkey"), *_BLOOM_COEFS[1]).alias("p1"),
+    )
+    b0 = bits.select(F.col("pos").alias("p0"), F.col("hit").alias("h0"))
+    b1 = bits.select(F.col("pos").alias("p1"), F.col("hit").alias("h1"))
+    actual = keys.select(F.col("k").alias("c_custkey")).withColumn("has_orders", F.lit(1))
+    flagged = (
+        probe.join(F.broadcast(b0), "p0", "left")
+        .join(F.broadcast(b1), "p1", "left")
+        .join(F.broadcast(actual), "c_custkey", "left")
+        .select(
+            "c_nationkey",
+            (F.col("h0").isNotNull() & F.col("h1").isNotNull()).cast("long").alias("pass_"),
+            F.coalesce(F.col("has_orders"), F.lit(0)).cast("long").alias("act"),
+        )
+    )
+    return flagged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("pass_").alias("n_bloom_pass"),
+        F.sum("act").alias("n_with_orders"),
+        F.sum(F.col("pass_") - F.col("act")).alias("n_false_pos"),
+    )
+
+
+def _bloom_pos_sql(key: str, a: int, b: int) -> str:
+    return f"((({key}) % 2147483648) * {a} + {b}) % {_CMS_P} % {_BLOOM_M}"
+
+
+_BLOOM_PRUNE_SQL = f"""
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos_sql("k", *_BLOOM_COEFS[0])} AS pos FROM keys
+    UNION ALL
+    SELECT {_bloom_pos_sql("k", *_BLOOM_COEFS[1])} AS pos FROM keys
+  )
+),
+probe AS (
+  SELECT c_custkey, c_nationkey,
+         {_bloom_pos_sql("c_custkey", *_BLOOM_COEFS[0])} AS p0,
+         {_bloom_pos_sql("c_custkey", *_BLOOM_COEFS[1])} AS p1
+  FROM customer
+),
+flagged AS (
+  SELECT p.c_nationkey,
+         CAST(b0.pos IS NOT NULL AND b1.pos IS NOT NULL AS BIGINT) AS pass_,
+         CAST(k.k IS NOT NULL AS BIGINT) AS act
+  FROM probe p
+  LEFT JOIN bits b0 ON b0.pos = p.p0
+  LEFT JOIN bits b1 ON b1.pos = p.p1
+  LEFT JOIN keys k ON k.k = p.c_custkey
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(pass_) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(act) AS BIGINT) AS n_with_orders,
+       CAST(SUM(pass_ - act) AS BIGINT) AS n_false_pos
+FROM flagged GROUP BY c_nationkey
+"""
+
+
+# ------------------------------------------------------------- zipf
+
+_ZIPF_BITS = 40  # token counts < 2^40 at any conceivable corpus scale
+
+
+def _log2_floor_spark(c):
+    """floor(log2(c)) for c >= 1 via integer comparisons (no libm)."""
+    expr = None
+    for k in range(_ZIPF_BITS, 0, -1):
+        cond = c >= (1 << k)
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(0)
+
+
+def _log2_floor_sql(c: str) -> str:
+    arms = " ".join(f"WHEN {c} >= {1 << k} THEN {k}" for k in range(_ZIPF_BITS, 0, -1))
+    return f"CASE {arms} ELSE 0 END"
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-spectrum audit: bucket the corpus vocabulary by
+    floor(log2(occurrence count)) and report types / token mass /
+    min-max counts per octave — the one-page diagnostic for "is this
+    crawl's token distribution natural or bot-flooded".
+
+    Scale shape: one token count aggregation (map-side combined) and
+    one 40-row output aggregation.  The log2 bucket is an integer CASE
+    ladder, not float log2 (libm last-ulp divergence across engines).
+    """
+    toks = _tok_occurrences(spark, sf_dir)
+    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        cnt.select(_log2_floor_spark(F.col("cnt")).alias("octave"), "cnt")
+        .groupBy("octave")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("token_mass"),
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
+
+
+_TEXT_ZIPF_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+cnt AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t)
+SELECT {_log2_floor_sql("cnt")} AS octave,
+       COUNT(*) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS token_mass,
+       MIN(cnt) AS min_cnt,
+       MAX(cnt) AS max_cnt
+FROM cnt GROUP BY 1
+"""
+
+
+# ------------------------------------------------------ gaps & islands
+
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (ordered by ts, event_id), summarized as island-length
+    spectra per event type — the classic sessionless run detector
+    (bot bursts, retry storms) expressed with the row_number-difference
+    trick.
+
+    Scale shape: two window functions over the SAME (user_id) /
+    (user_id, event_type) partitioning — one shuffle on user_id (Spark
+    plans the second window without re-shuffling since its keys are a
+    superset), then an island groupBy and a tiny spectrum groupBy.
+    All time edges are integer microseconds (unix_micros / epoch_us).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("um"),
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    islands = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("island_len"),
+        F.min("um").alias("start_um"),
+        F.max("um").alias("end_um"),
+    )
+    return islands.groupBy("event_type", "island_len").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.min(F.col("end_um") - F.col("start_um")).alias("min_span_us"),
+        F.max(F.col("end_um") - F.col("start_um")).alias("max_span_us"),
+    )
+
+
+_GAP_ISLANDS_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type, epoch_us(ts) AS um,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, grp,
+         COUNT(*) AS island_len,
+         MIN(um) AS start_um,
+         MAX(um) AS end_um
+  FROM runs GROUP BY user_id, event_type, grp
+)
+SELECT event_type, island_len,
+       COUNT(*) AS n_islands,
+       MIN(end_um - start_um) AS min_span_us,
+       MAX(end_um - start_um) AS max_span_us
+FROM islands GROUP BY event_type, island_len
+"""
+
+
+QUERIES = {
+    "q_sketch_hll": q_sketch_hll,
+    "q_sketch_cms": q_sketch_cms,
+    "q_bloom_prune": q_bloom_prune,
+    "q_text_zipf": q_text_zipf,
+    "q_gap_islands": q_gap_islands,
+}
+
+ORACLES = {
+    "q_sketch_hll": _SKETCH_HLL_SQL,
+    "q_sketch_cms": _SKETCH_CMS_SQL,
+    "q_bloom_prune": _BLOOM_PRUNE_SQL,
+    "q_text_zipf": _TEXT_ZIPF_SQL,
+    "q_gap_islands": _GAP_ISLANDS_SQL,
+}
