@@ -86,10 +86,11 @@ def _clear_shared_caches(spark) -> None:
     """Drop the memoized shared tables and their blocks (between the
     warm-up and timed phases, so the timed run builds them fresh at
     the timed scale inside a timed window)."""
-    from pgshovel_spark.queries import similarity
+    from pgshovel_spark.queries import similarity, sketches
 
     similarity._SHINGLE_CACHE.clear()
     similarity._CLUSTER_CACHE.clear()
+    sketches._TOKCNT_CACHE.clear()
     _drop_stale_blocks(spark)
 
 

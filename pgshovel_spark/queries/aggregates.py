@@ -248,16 +248,32 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    # p*p (up to ~1.2e10 at 4 conceptual decimals) exceeds exact_sum's
+    # micro-rounding bound, and the boxed DECIMAL(24,6) buffer it used
+    # before cost ~0.6s/600k rows (measured).  Integer-cents form
+    # instead: pc = round(p*100) is an exact long < 1e8, pc^2 < 1e16 is
+    # exact, and the SPLIT (>>16, &0xffff) halves sum in plain long
+    # buffers inside codegen; recombination is exact decimal on the
+    # tiny aggregated rows, and p*p == pc^2/1e4 by construction.
+    # Overflow bound: sum(pc^2 >> 16) < 1.6e11/group-row -> safe to
+    # ~5.7e7 rows/group; beyond that widen the split to >>32.
+    pc = (p * 100 + F.lit(0.5)).cast("long")
+    pcc = pc * pc
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        # q*q (<=2.5e3) and q*p (<=5.3e6) stay inside the split-long
-        # contract; p*p (up to ~1.2e10) exceeds its micro-rounding
-        # bound and keeps the 38-digit boxed-decimal buffer.
         exact_sum(q).cast("double").alias("sq"),
         exact_sum(p).cast("double").alias("sp"),
         exact_sum(q * q).cast("double").alias("sqq"),
-        F.sum(dec(p * p)).cast("double").alias("spp"),
+        F.sum(F.shiftright(pcc, 16)).alias("spp_hi"),
+        F.sum(pcc.bitwiseAND(F.lit(65535))).alias("spp_lo"),
         exact_sum(q * p).cast("double").alias("sqp"),
+    )
+    agg = agg.withColumn(
+        "spp",
+        (
+            F.col("spp_hi").cast("decimal(38,0)") * 65536 + F.col("spp_lo")
+        ).cast("double")
+        / F.lit(10000.0),
     )
     n = F.col("n").cast("double")
     var_q = (F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)
@@ -285,7 +301,7 @@ WITH s AS (
     CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sq,
     CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sp,
     CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sqq,
-    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS spp,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS spp,
     CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sqp
   FROM lineitem GROUP BY l_returnflag
 )

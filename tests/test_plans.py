@@ -159,3 +159,40 @@ def test_dedup_incremental_fingerprint_join(spark):
     # the text column is read once per scan but never a join key
     joins = [ln for ln in plan.splitlines() if "HashJoin" in ln]
     assert joins and all("text" not in ln for ln in joins)
+
+
+def test_multiway_join_broadcasts_filtered_dim(spark):
+    """Q3 shape: the BUILDING-filtered customer dim must broadcast
+    (never shuffle lineitem against it), and both date predicates must
+    reach the parquet scans."""
+    plan = _plan(spark, "q_join_multiway")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = plan.split("PushedFilters")
+    assert any("o_orderdate" in seg[:300] or "l_shipdate" in seg[:300] for seg in pushed[1:])
+
+
+def test_bloom_prune_probe_side_never_shuffles(spark):
+    """The membership probes are broadcast joins; customer must not be
+    exchanged for them (the whole point of the runtime-filter shape)."""
+    plan = _plan(spark, "q_bloom_prune")
+    assert plan.count("BroadcastHashJoin") >= 3  # two bit probes + exact audit
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_islands_single_user_shuffle(spark):
+    """Both windows partition by (user_id[, event_type]) — Spark must
+    plan ONE hash exchange on user_id and satisfy the second window
+    from the same distribution (superset keys sort, no re-exchange)."""
+    plan = _plan(spark, "q_gap_islands")
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) <= 2  # user window + final spectrum agg
+
+
+def test_salted_agg_two_hash_aggregates(spark):
+    """Salted plan must keep BOTH phases as hash aggregates with
+    map-side combine (4 HashAggregate nodes: partial+final x 2)."""
+    plan = _plan(spark, "q_agg_salted")
+    assert plan.count("HashAggregate") >= 4
