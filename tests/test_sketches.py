@@ -11,11 +11,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
+from pgshovel_spark.queries.aggregates import q_agg_salted
 from pgshovel_spark.queries.sketches import (
     _HLL_M,
     _HLL_WBITS,
     _tok_occurrences,
-    q_agg_salted,
     q_bloom_prune,
     q_gap_islands,
     q_sketch_cms,
