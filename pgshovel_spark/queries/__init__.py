@@ -26,6 +26,7 @@ from pgshovel_spark.queries import (
     cdc,
     curation,
     decision,
+    events,
     exprs,
     joins,
     llm,
@@ -44,22 +45,24 @@ from pgshovel_spark.queries import (
 # Round-3 priority: every query that has never had a driver correctness
 # row sits inside a 50-entry cap: (1) the pipeline/curation batch
 # (registered past the round-2 window), (2) the round-3 sketch/pruning
-# batch (HLL, count-min, bloom, zipf, gap-islands), (3) the new
-# decision-support subquery batch, (4) aggregates — carrying the
-# round-2 rewrites of q_agg_quantiles / q_profile_table plus the new
+# batch, (3) the new decision-support subquery, event-analytics, and
+# prefix-filtered-join queries, (4) aggregates — carrying the round-2
+# rewrites of q_agg_quantiles / q_profile_table plus the new
 # q_agg_salted — and joins, led by the rewritten q_join_asof and the
 # new q_join_multiway.  Position math: pipeline(1) + curation(11) +
-# sketches(5) = 17, decision 18-25, aggregates 26-41 (quantiles 34,
-# profile 35), q_join_asof 42, q_join_multiway 43, stable joins to 50.
-# Long-stable r2-green families (similarity, text, llm, training, cdc,
-# windows) and the r1-green scans/exprs/setops tails absorb any
-# truncation; they remain covered by the local selfcheck hash gate +
-# hypothesis property tests.
+# sketches(5) = 17, decision 18-25, events 26-28,
+# q_sim_jaccard_prefix 29 (hoisted via _PRIORITY out of the similarity
+# module), aggregates 30-45 (quantiles 38, profile 39), q_join_asof 46,
+# q_join_multiway 47, stable joins to 50.  Long-stable r2-green
+# families (similarity, text, llm, training, cdc, windows) and the
+# r1-green scans/exprs/setops tails absorb any truncation; they remain
+# covered by the local selfcheck hash gate + hypothesis property tests.
 _MODULES = (
     pipeline,
     curation,
     sketches,
     decision,
+    events,
     aggregates,
     joins,
     similarity,
@@ -73,21 +76,35 @@ _MODULES = (
     setops,
 )
 
+#: Names pulled to the front of registration order right after their
+#: preceding module's block, regardless of which module defines them.
+#: Inserted between the `events` and `aggregates` blocks.
+_PRIORITY_AFTER_EVENTS = ("q_sim_jaccard_prefix",)
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def all_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
+def _ordered(attr: str) -> dict:
+    merged: dict = {}
     for mod in _MODULES:
-        overlap = out.keys() & mod.QUERIES.keys()
+        entries = getattr(mod, attr)
+        overlap = merged.keys() & entries.keys()
         if overlap:
             raise ValueError(f"duplicate query names {overlap} in {mod.__name__}")
-        out.update(mod.QUERIES)
+        merged.update(entries)
+    out: dict = {}
+    for mod in _MODULES:
+        out.update({k: merged[k] for k in getattr(mod, attr)})
+        if mod is events:
+            out.update(
+                {k: merged[k] for k in _PRIORITY_AFTER_EVENTS if k in merged}
+            )
     return out
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _ordered("QUERIES")
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return out
+    return _ordered("ORACLES")

@@ -1,0 +1,213 @@
+"""Event-stream analytics operators (SURVEY.md §2 product-analytics
+surface, extending the funnel/cohort/sessionize family).
+
+Shapes that matter at 100 TB of events:
+
+- Everything here is ONE scan of events plus ONE user-key shuffle
+  (window or groupBy) — the attribution and transition queries never
+  join events to itself.
+- Time is integer microseconds end-to-end (``unix_micros`` /
+  ``epoch_us``): window edges and ties resolve identically on both
+  engines, per the determinism contract.
+- Per-user window ordering is the TOTAL order (um, event_id), so
+  row-frame semantics are engine-independent even under timestamp
+  ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.determinism import dsum, exact_sum
+from pgshovel_spark.sources.tables import load_table
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRIOR non-purchase event within 7 days, else 'direct'.
+
+    One pass: a per-user row window ordered by (um, event_id) carries
+    the last non-purchase (channel, time) via ``last(..., ignorenulls)``
+    over UNBOUNDED PRECEDING..1 PRECEDING; purchase rows then decide
+    row-locally whether that touch is fresh enough.  No self-join, no
+    second shuffle — the classic attribution query that event
+    warehouses otherwise write as an as-of join.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("unix_micros(ts)").alias("um"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("um", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_um = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("um")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        e.select("event_type", "value", "um", touch_type.alias("tt"), touch_um.alias("tum"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("tum") >= F.col("um") - F.lit(_WEEK_US), F.col("tt")
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "value",
+        )
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value", 2).alias("attributed_value"),
+    )
+
+
+_EVENT_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS um
+  FROM events
+), touched AS (
+  SELECT event_type, value, um,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY um, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tt,
+         last_value(CASE WHEN event_type <> 'purchase' THEN um END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY um, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tum
+  FROM ev
+)
+SELECT CASE WHEN tum >= um - {_WEEK_US} THEN tt ELSE 'direct' END AS channel,
+       COUNT(*) AS n_purchases,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE)
+         AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and within-source probabilities for each
+    (prev_type -> event_type) edge; a session's first event
+    transitions from 'START'.
+
+    One user-key window (lag) + one tiny groupBy; the probability
+    denominator is a window over the 26-row transition table, not a
+    second scan.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("unix_micros(ts)").alias("um")
+    )
+    w = Window.partitionBy("user_id").orderBy("um", "event_id")
+    seq = e.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("START")).alias("prev_type"),
+        "event_type",
+    )
+    counts = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wsrc = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 4).alias("p"),
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS um FROM events
+), seq AS (
+  SELECT COALESCE(lag(event_type)
+           OVER (PARTITION BY user_id ORDER BY um, event_id), 'START')
+           AS prev_type,
+         event_type
+  FROM ev
+), counts AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+FROM counts
+"""
+
+
+def q_agg_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers (|z| > 3) of event value per event type.
+
+    Two-pass shape: a per-type moment aggregate (mean and E[x^2] from
+    EXACT decimal sums — value is 2dp so value^2 is exact at 4dp),
+    broadcast back over the scan; the z computation and filter are
+    row-local.  sqrt/divide run on bit-identical doubles on both
+    engines, so the |z| > 3 cut is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        (exact_sum("value").cast("double") / F.count(F.lit(1))).alias("mean"),
+        (
+            exact_sum(F.col("value") * F.col("value")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ex2"),
+    )
+    stats = stats.select(
+        "event_type",
+        "mean",
+        F.sqrt(F.col("ex2") - F.col("mean") * F.col("mean")).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 3).alias("z"),
+        )
+    )
+
+
+_AGG_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS mean,
+         CAST(SUM(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+           AS ex2
+  FROM events GROUP BY event_type
+), sd AS (
+  SELECT event_type, mean, sqrt(ex2 - mean * mean) AS sd FROM stats
+)
+SELECT event_id, e.event_type, value,
+       ROUND((value - mean) / sd, 3) AS z
+FROM events e JOIN sd ON e.event_type = sd.event_type
+WHERE abs((value - mean) / sd) > 3
+"""
+
+
+QUERIES = {
+    "q_event_attribution": q_event_attribution,
+    "q_event_transitions": q_event_transitions,
+    "q_agg_outliers": q_agg_outliers,
+}
+
+ORACLES = {
+    "q_event_attribution": _EVENT_ATTRIBUTION_SQL,
+    "q_event_transitions": _EVENT_TRANSITIONS_SQL,
+    "q_agg_outliers": _AGG_OUTLIERS_SQL,
+}

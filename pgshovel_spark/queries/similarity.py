@@ -282,6 +282,117 @@ WHERE shared * 2 >= (s1.sz + s2.sz - shared)
 _SIM_JACCARD_SQL = _sim_jaccard_sql(_DF_CAP)
 
 
+def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.6 via PREFIX FILTERING — the
+    lossless scale path for exact set-similarity joins (SSJoin /
+    PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
+
+    Where q_sim_jaccard bounds its posting lists by *dropping*
+    ubiquitous features (df cap — changes the feature space),
+    prefix filtering is EXACT over the full space: order every
+    document's tokens by global rarity (df asc, then token), keep only
+    the first ``sz - ceil(tau*sz) + 1`` tokens as the candidate-join
+    prefix.  Two sets with Jaccard >= tau MUST share a prefix token
+    under any common global order, so joining on prefix tokens alone
+    loses no qualifying pair, while the hot stop-word keys land in
+    nobody's prefix — candidate generation is driven by each doc's
+    RAREST tokens.  A length filter (5*sz2 >= 3*sz1 both ways for
+    tau = 3/5) prunes further before verification.
+
+    Verification is row-local: per-doc sorted token arrays join to the
+    (distinct) candidate pairs and ``array_intersect`` computes the
+    exact overlap — no second posting-list shuffle.
+
+    Integer-only threshold arithmetic (5*shared >= 3*union), so the
+    qualifying set is bit-deterministic; the oracle is the NAIVE
+    all-pairs join — same result set by the losslessness property,
+    which makes this query its own cross-algorithm proof.
+    """
+    tau_num, tau_den = 3, 5  # tau = 0.6
+    raw = _tok_distinct(spark, sf_dir)
+    dfreq = raw.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = raw.join(dfreq, ["lang", "t"]).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "t")),
+    )
+    sizes = raw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # prefix length p = sz - ceil(tau*sz) + 1, via integer ceil division
+    with_sz = ranked.join(sizes, "doc_id")
+    prefix = with_sz.filter(
+        F.col("pos")
+        <= F.col("sz") - F.floor((tau_num * F.col("sz") + tau_den - 1) / tau_den) + 1
+    ).select("lang", "doc_id", "t", "sz")
+    a = prefix.select("lang", F.col("doc_id").alias("id1"), "t", F.col("sz").alias("sz1"))
+    b = prefix.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("id2"),
+        F.col("t").alias("t_b"),
+        F.col("sz").alias("sz2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("t") == F.col("t_b"))
+            & (F.col("id1") < F.col("id2"))
+            & (tau_den * F.col("sz2") >= tau_num * F.col("sz1"))
+            & (tau_den * F.col("sz1") >= tau_num * F.col("sz2")),
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    arrs = raw.groupBy("doc_id").agg(F.sort_array(F.collect_list("t")).alias("toks"))
+    a1 = arrs.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1"))
+    a2 = arrs.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2"))
+    verified = (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("toks1", "toks2")).alias("shared"),
+            (F.size("toks1") + F.size("toks2")).alias("szsum"),
+        )
+        .select(
+            "id1",
+            "id2",
+            "shared",
+            (F.col("szsum") - F.col("shared")).alias("union_sz"),
+        )
+        .filter(tau_den * F.col("shared") >= tau_num * F.col("union_sz"))
+    )
+    return verified.select(
+        "id1",
+        "id2",
+        "shared",
+        "union_sz",
+        F.round(F.col("shared").cast("double") / F.col("union_sz"), 4).alias("jaccard"),
+    )
+
+
+#: The oracle is deliberately the NAIVE all-pairs form (no prefix, no
+#: cap): hash equality proves the prefix filter lost nothing.
+_SIM_JACCARD_PREFIX_SQL = f"""
+WITH tok AS (
+{_TOK_DISTINCT_SQL}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, shared,
+       s1.sz + s2.sz - shared AS union_sz,
+       ROUND(CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared), 4) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE 5 * shared >= 3 * (s1.sz + s2.sz - shared)
+"""
+
+
 def q_sim_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-shingle Jaccard near-dup pairs (J >= 0.3), same-language
     blocks.  Shingles carry word order, so this catches reordered or
@@ -841,6 +952,7 @@ QUERIES = {
     "q_sim_cosine": q_sim_cosine,
     "q_sim_knn": q_sim_knn,
     "q_sim_jaccard": q_sim_jaccard,
+    "q_sim_jaccard_prefix": q_sim_jaccard_prefix,
     "q_sim_ngram": q_sim_ngram,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -855,6 +967,7 @@ QUERIES = {
 ORACLES = {
     "q_sim_cosine": _SIM_COSINE_SQL,
     "q_sim_jaccard": _SIM_JACCARD_SQL,
+    "q_sim_jaccard_prefix": _SIM_JACCARD_PREFIX_SQL,
     "q_sim_ngram": _SIM_NGRAM_SQL,
     "q_dedup_minhash": _DEDUP_MINHASH_SQL,
     "q_dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
