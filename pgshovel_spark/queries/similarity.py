@@ -296,19 +296,19 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     under any common global order, so joining on prefix tokens alone
     loses no qualifying pair, while the hot stop-word keys land in
     nobody's prefix — candidate generation is driven by each doc's
-    RAREST tokens.  A length filter (5*sz2 >= 3*sz1 both ways for
-    tau = 3/5) prunes further before verification.
+    RAREST tokens.  A length filter (10*sz2 >= 9*sz1 both ways for
+    tau = 9/10) prunes further before verification.
 
     Verification is row-local: per-doc sorted token arrays join to the
     (distinct) candidate pairs and ``array_intersect`` computes the
     exact overlap — no second posting-list shuffle.
 
-    Integer-only threshold arithmetic (5*shared >= 3*union), so the
+    Integer-only threshold arithmetic (10*shared >= 9*union), so the
     qualifying set is bit-deterministic; the oracle is the NAIVE
     all-pairs join — same result set by the losslessness property,
     which makes this query its own cross-algorithm proof.
     """
-    tau_num, tau_den = 3, 5  # tau = 0.6
+    tau_num, tau_den = 9, 10  # tau = 0.9 (near-dup threshold)
     raw = _tok_distinct(spark, sf_dir)
     dfreq = raw.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("df"))
     ranked = raw.join(dfreq, ["lang", "t"]).withColumn(
@@ -344,9 +344,12 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = raw.groupBy("doc_id").agg(F.sort_array(F.collect_list("t")).alias("toks"))
     a1 = arrs.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1"))
     a2 = arrs.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2"))
+    # the per-doc array table is tiny relative to the candidate set
+    # (O(corpus) vs O(pairs)) — broadcast both sides so verification
+    # is map-side over the candidate stream, no extra shuffle
     verified = (
-        cand.join(a1, "id1")
-        .join(a2, "id2")
+        cand.join(F.broadcast(a1), "id1")
+        .join(F.broadcast(a2), "id2")
         .select(
             "id1",
             "id2",
@@ -389,7 +392,7 @@ SELECT id1, id2, shared,
 FROM shared
 JOIN sizes s1 ON s1.doc_id = id1
 JOIN sizes s2 ON s2.doc_id = id2
-WHERE 5 * shared >= 3 * (s1.sz + s2.sz - shared)
+WHERE 10 * shared >= 9 * (s1.sz + s2.sz - shared)
 """
 
 

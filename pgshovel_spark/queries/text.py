@@ -500,8 +500,81 @@ WHERE h_bucket < keep_rate
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    gibberish/boilerplate quality signal (low entropy = repeated
+    filler, high = random noise; used alongside the Gopher-style
+    ratio filters in q_text_quality).
+
+    H = log(n)/log2 - (sum c*log c)/(n*log2) over per-char counts c.
+
+    Determinism: the per-doc char counts are exact integers; the
+    floating sum Σ c*ln(c) is computed as a SEQUENTIAL LEFT FOLD over
+    the SORTED count array (Spark ``aggregate`` over ``sort_array``,
+    DuckDB ``list_reduce`` over ``list_sort``) — identical operand
+    order, hence identical doubles, where a plain SUM() aggregate
+    would be partial-aggregation-order-dependent.  The ln itself
+    follows q_text_tfidf's cross-engine log precedent (rounded 4dp).
+
+    Scale shape: explode chars -> (doc, char) count -> per-doc fold;
+    two map-side-combining shuffles on doc_id, all row-local after.
+    """
+    d = _docs_parallel(spark, sf_dir)
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sort_array(F.collect_list("cnt")).alias("arr"),
+    )
+    ln2 = F.lit(0.6931471805599453)
+    fold = F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_counted"),
+        "distinct_chars",
+        F.round(
+            F.log(F.col("n").cast("double")) / ln2
+            - fold / (F.col("n").cast("double") * ln2),
+            4,
+        ).alias("entropy_bits"),
+    )
+
+
+_TEXT_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS cnt FROM chars WHERE ch <> ''
+  GROUP BY doc_id, ch
+), per_doc AS (
+  SELECT doc_id,
+         SUM(cnt) AS n,
+         COUNT(*) AS distinct_chars,
+         list_sort(list(cnt)) AS arr
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars_counted,
+       distinct_chars,
+       ROUND(ln(CAST(n AS DOUBLE)) / 0.6931471805599453
+             - list_reduce(list_transform(arr,
+                 c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))), (a, b) -> a + b)
+               / (CAST(n AS DOUBLE) * 0.6931471805599453),
+             4) AS entropy_bits
+FROM per_doc
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_text_entropy": q_text_entropy,
     "q_text_wordcount": q_text_wordcount,
     "q_text_stats": q_text_stats,
     "q_text_tfidf": q_text_tfidf,
@@ -515,6 +588,7 @@ QUERIES = {
 
 ORACLES = {
     "q_dedup_exact": _DEDUP_EXACT_SQL,
+    "q_text_entropy": _TEXT_ENTROPY_SQL,
     "q_text_wordcount": _TEXT_WORDCOUNT_SQL,
     "q_text_stats": _TEXT_STATS_SQL,
     "q_text_tfidf": _TEXT_TFIDF_SQL,

@@ -85,7 +85,7 @@ def test_prefix_join_matches_naive_spark_join(spark):
         .select(
             "id1", "id2", "shared", (F.col("s1") + F.col("s2") - F.col("shared")).alias("union_sz")
         )
-        .filter(5 * F.col("shared") >= 3 * F.col("union_sz"))
+        .filter(10 * F.col("shared") >= 9 * F.col("union_sz"))
     )
     want = {(r.id1, r.id2, r.shared, r.union_sz) for r in naive.collect()}
     assert got == want
