@@ -630,8 +630,122 @@ FROM events GROUP BY event_type
 """
 
 
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ETL partial-aggregate merge: maintain DAILY partials
+    (count + exact-decimal sum per day), then fold them into MONTHLY
+    figures by re-aggregating the partial state — never re-scanning
+    the fact table.  The oracle is the DIRECT monthly aggregate over
+    raw orders, so the hash match certifies the merge is lossless
+    (the mergeable-state property every incremental pipeline relies
+    on; split-accumulator sums are exactly associative, floats are
+    not).
+
+    At 100 TB the daily partials are the persisted rollup table
+    (#days x #groups rows); month/quarter/year views fold from it at
+    interactive cost.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("DAY", "o_orderdate").alias("day"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        exact_sum("o_totalprice").alias("psum"),
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("MONTH", "day").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.round(F.sum("psum"), 2).cast("double").alias("total_price"),
+        )
+        .select(
+            F.expr("unix_micros(month)").alias("month_us"),
+            "o_orderstatus",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_AGG_INCREMENTAL_MERGE_SQL = """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def q_pii_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization over customer quasi-identifiers —
+    the privacy gate a training-data pipeline runs before releasing
+    per-segment statistics.
+
+    Quasi-identifier = (mktsegment, acctbal bucketed to 2000-wide
+    bands, integer floor).  Groups with k < 5 are GENERALIZED: their
+    balance band widens to the whole segment (bal_bucket = -1) and
+    they re-aggregate, so every released row has k >= 5 or is the
+    segment-level residual.  Pure integer bucket math — deterministic
+    on both engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    k_min = 5
+    bucket = F.floor(F.col("c_acctbal") / 2000).cast("long")
+    fine = c.groupBy(
+        F.col("c_mktsegment").alias("segment"), bucket.alias("bal_bucket")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    generalized = fine.select(
+        "segment",
+        F.when(F.col("k") >= k_min, F.col("bal_bucket"))
+        .otherwise(F.lit(-1))
+        .alias("bal_bucket"),
+        "k",
+    )
+    return (
+        generalized.groupBy("segment", "bal_bucket")
+        .agg(
+            F.sum("k").alias("k"),
+            F.count(F.lit(1)).alias("n_merged_groups"),
+        )
+        .select(
+            "segment",
+            "bal_bucket",
+            F.col("k").cast("long").alias("k"),
+            "n_merged_groups",
+            (F.col("bal_bucket") == -1).alias("generalized"),
+        )
+    )
+
+
+_PII_KANON_SQL = """
+WITH fine AS (
+  SELECT c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+         COUNT(*) AS k
+  FROM customer GROUP BY 1, 2
+), generalized AS (
+  SELECT segment,
+         CASE WHEN k >= 5 THEN bal_bucket ELSE -1 END AS bal_bucket,
+         k
+  FROM fine
+)
+SELECT segment, bal_bucket,
+       CAST(SUM(k) AS BIGINT) AS k,
+       COUNT(*) AS n_merged_groups,
+       bal_bucket = -1 AS generalized
+FROM generalized GROUP BY segment, bal_bucket
+"""
+
+
 QUERIES = {
     "q_agg_pricing_summary": q_agg_pricing_summary,
+    "q_agg_incremental_merge": q_agg_incremental_merge,
+    "q_pii_kanon": q_pii_kanon,
     "q_agg_salted": q_agg_salted,
     "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_agg_having": q_agg_having,
@@ -651,6 +765,8 @@ QUERIES = {
 
 ORACLES = {
     "q_agg_pricing_summary": _PRICING_SUMMARY_SQL,
+    "q_agg_incremental_merge": _AGG_INCREMENTAL_MERGE_SQL,
+    "q_pii_kanon": _PII_KANON_SQL,
     "q_agg_salted": _AGG_SALTED_SQL,
     "q_agg_histogram": _AGG_HISTOGRAM_SQL,
     "q_agg_quantiles": _AGG_QUANTILES_SQL,
