@@ -79,7 +79,7 @@ _MODULES = (
 #: Names pulled to the front of registration order right after their
 #: preceding module's block, regardless of which module defines them.
 #: Inserted between the `events` and `aggregates` blocks.
-_PRIORITY_AFTER_EVENTS = ("q_sim_jaccard_prefix", "q_text_entropy")
+_PRIORITY_AFTER_EVENTS = ("q_sim_jaccard_prefix", "q_text_entropy", "q_text_unigram_ppl")
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

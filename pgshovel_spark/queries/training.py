@@ -520,8 +520,97 @@ GROUP BY lang
 """
 
 
+def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity proxy per document — the
+    CCNet-style LM quality filter, with the corpus itself as the LM.
+
+    Per doc: NLL/token = ln(N_lang) - (Σ m_t · ln cnt_t) / n_toks,
+    where cnt_t is the token's corpus frequency in the doc's language
+    and m_t its in-doc multiplicity.  Low = built from common tokens
+    (fluent/boilerplate), high = rare-token soup (noise) — the
+    standard signal for dropping machine-generated gibberish.
+
+    Determinism: the float Σ m·ln(cnt) is a SEQUENTIAL FOLD over the
+    (cnt, t, m)-sorted struct array (same posture as q_text_entropy),
+    so operand order is engine-identical; ln follows the tfidf
+    precedent.  Reuses the memoized (lang, t, cnt) corpus table the
+    sketch family shares — one tokenize pass per session.
+
+    Scale shape: per-doc multiplicities are one map-side-combined
+    groupBy; the language-model table is broadcast (vocab-sized);
+    the fold is row-local.
+    """
+    from pgshovel_spark.queries.sketches import _tok_occurrences, _token_counts
+
+    occ = (
+        _tok_occurrences(spark, sf_dir)
+        .groupBy("doc_id", "lang", "t")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    lm = _token_counts(spark, sf_dir)
+    totals = lm.groupBy("lang").agg(F.sum("cnt").alias("n_lang"))
+    per_doc = (
+        occ.join(F.broadcast(lm), ["lang", "t"])
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.sum("m").alias("n_toks"),
+            F.sort_array(F.collect_list(F.struct("cnt", "t", "m"))).alias("arr"),
+        )
+    )
+    fold = F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda a, s: a + s["m"].cast("double") * F.log(s["cnt"].cast("double")),
+    )
+    nll = (
+        F.log(F.col("n_lang").cast("double"))
+        - fold / F.col("n_toks").cast("double")
+    )
+    return per_doc.join(F.broadcast(totals), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.round(nll, 4).alias("nll_per_token"),
+        F.round(nll / F.lit(0.6931471805599453), 4).alias("bits_per_token"),
+    )
+
+
+_TEXT_UNIGRAM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text),
+         '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, lang, t, COUNT(*) AS m FROM toks GROUP BY doc_id, lang, t
+), lm AS (
+  SELECT lang, t, COUNT(*) AS cnt FROM toks GROUP BY lang, t
+), totals AS (
+  SELECT lang, SUM(cnt) AS n_lang FROM lm GROUP BY lang
+), per_doc AS (
+  SELECT doc_id, any_value(o.lang) AS lang, SUM(m) AS n_toks,
+         list_sort(list({'cnt': cnt, 't': o.t, 'm': m})) AS arr
+  FROM occ o JOIN lm ON o.lang = lm.lang AND o.t = lm.t
+  GROUP BY doc_id
+), folded AS (
+  SELECT doc_id, lang, n_toks,
+         list_reduce(list_transform(arr,
+           s -> CAST(s.m AS DOUBLE) * ln(CAST(s.cnt AS DOUBLE))),
+           (a, b) -> a + b) AS fold
+  FROM per_doc
+)
+SELECT doc_id, f.lang, CAST(n_toks AS BIGINT) AS n_toks,
+       ROUND(ln(CAST(n_lang AS DOUBLE)) - fold / CAST(n_toks AS DOUBLE), 4)
+         AS nll_per_token,
+       ROUND((ln(CAST(n_lang AS DOUBLE)) - fold / CAST(n_toks AS DOUBLE))
+             / 0.6931471805599453, 4) AS bits_per_token
+FROM folded f JOIN totals ON f.lang = totals.lang
+"""
+
+
 QUERIES = {
     "q_pack_sequences": q_pack_sequences,
+    "q_text_unigram_ppl": q_text_unigram_ppl,
     "q_text_repetition": q_text_repetition,
     "q_text_ngram_pmi": q_text_ngram_pmi,
     "q_dedup_rhp": q_dedup_rhp,
@@ -531,6 +620,7 @@ QUERIES = {
 
 ORACLES = {
     "q_pack_sequences": _PACK_SEQUENCES_SQL,
+    "q_text_unigram_ppl": _TEXT_UNIGRAM_PPL_SQL,
     "q_text_repetition": _TEXT_REPETITION_SQL,
     "q_text_ngram_pmi": _TEXT_NGRAM_PMI_SQL,
     "q_dedup_rhp": _DEDUP_RHP_SQL,
