@@ -158,3 +158,97 @@ def sample_frames(
             )
 
     return src.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+#: Schema of a perceptual-hash feature row.
+IMAGE_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode an uncompressed 24-bit BITMAPINFOHEADER BMP into a
+    row-major grayscale grid (top-down).  Stdlib-only; raises
+    ValueError on anything else (see module codec policy)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows: list[list[int]] = []
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        base = data_off + src_y * stride
+        row = []
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            # integer luma approximation (BT.601-ish, /256 keeps it exact)
+            row.append((77 * r + 150 * g + 29 * b) >> 8)
+        rows.append(row)
+    return w, h, rows
+
+
+def average_hash(payload: bytes, grid: int = 8) -> tuple[int, int, int]:
+    """64-bit perceptual average-hash over real decoded BMP pixels:
+    block-mean downsample to ``grid`` x ``grid`` grayscale, threshold
+    each cell at the global mean (bit=1 when >= mean), MSB-first
+    row-major.  All-integer arithmetic, so the hash is deterministic
+    across platforms.  Returns (width, height, hash)."""
+    w, h, rows = decode_bmp_gray(payload)
+    if w < 1 or h < 1:
+        raise ValueError("empty image")
+    cells = []
+    for gy in range(grid):
+        y0, y1 = gy * h // grid, max(gy * h // grid + 1, (gy + 1) * h // grid)
+        for gx in range(grid):
+            x0, x1 = gx * w // grid, max(gx * w // grid + 1, (gx + 1) * w // grid)
+            acc = n = 0
+            for y in range(y0, min(y1, h)):
+                for x in range(x0, min(x1, w)):
+                    acc += rows[y][x]
+                    n += 1
+            cells.append(acc // max(n, 1))
+    mean = sum(cells) // len(cells)
+    bits = 0
+    for c in cells:
+        bits = (bits << 1) | (1 if c >= mean else 0)
+    # interpret as signed 64-bit so it fits Spark's LongType
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return w, h, bits
+
+
+def image_hash_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched perceptual hashing over an opaque BMP binary
+    column — the near-duplicate-image fingerprint step of a multimodal
+    curation pipeline (pairs within small hamming distance of their
+    ahash are near-dup candidates; the banding machinery of
+    q_simhash_pairs applies unchanged to these 64-bit hashes)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "ahash": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, bits = average_hash(p if p is not None else b"")
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(bits)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, IMAGE_HASH_SCHEMA)

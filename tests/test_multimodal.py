@@ -114,3 +114,31 @@ def test_real_decode_path_distributed(spark):
         ).collect()
     }
     assert out == {0: (3, 2), 1: (12, 34), 2: (5, 6)}
+
+
+def test_average_hash_properties():
+    from pgshovel_spark.operators.multimodal import average_hash, decode_bmp_gray
+
+    w, h, rows = decode_bmp_gray(make_bmp(16, 16))
+    assert (w, h) == (16, 16) and len(rows) == 16 and len(rows[0]) == 16
+    w1, h1, bits1 = average_hash(make_bmp(32, 24))
+    w2, h2, bits2 = average_hash(make_bmp(32, 24))
+    assert (w1, h1, bits1) == (w2, h2, bits2)  # deterministic
+    # a near-identical image (one corner pixel perturbed) stays within
+    # a small hamming distance; a different pattern is farther
+    img = bytearray(make_bmp(32, 24))
+    img[-1] ^= 0xFF
+    _, _, bits3 = average_hash(bytes(img))
+    ham = bin((bits1 ^ bits3) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4
+
+
+def test_image_hash_features_distributed(spark):
+    from pgshovel_spark.operators.multimodal import average_hash, image_hash_features
+
+    payloads = [(i, make_bmp(8 + i, 8)) for i in range(6)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: (r.width, r.height, r.ahash) for r in image_hash_features(
+        df, "doc_id", "payload").collect()}
+    for i, p in payloads:
+        assert got[i] == average_hash(p)
