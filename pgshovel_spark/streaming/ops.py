@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -225,4 +226,74 @@ def assemble_transactions(changes: DataFrame, timeout_ms: int | None = None) -> 
             if timeout_ms is None
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
+    )
+
+
+#: one output row per purchase: the credited channel and its value
+ATTRIBUTION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("channel", StringType()),
+        StructField("value", DoubleType()),
+        StructField("um", LongType()),
+    ]
+)
+
+
+def attribute_last_touch(
+    events: DataFrame, window_us: int = 7 * 86_400_000_000
+) -> DataFrame:
+    """Streaming last-touch attribution — the stateful analog of the
+    hash-checked batch q_event_attribution: per user, the most recent
+    prior non-purchase event within ``window_us`` credits each
+    purchase, else 'direct'.
+
+    State per user is ONE (touch_type, touch_um) tuple — O(users)
+    state however long the stream runs, no buffered history.  Rows
+    within a micro-batch are processed in (um, event_id) order;
+    equivalence with the batch query holds when micro-batches arrive
+    in event-time order (the file-replay harness guarantees it; a
+    production deployment adds a watermark upstream for reordering
+    slack).
+    """
+    src = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("um"),
+    )
+
+    def attr(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        tt, tum = state.get if state.exists else ("", -1)
+        out_ch, out_val, out_um = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["um", "event_id"])
+            for _, row in pdf.iterrows():
+                if row["event_type"] == "purchase":
+                    fresh = tum >= 0 and tum >= row["um"] - window_us
+                    out_ch.append(tt if fresh else "direct")
+                    out_val.append(row["value"])
+                    out_um.append(row["um"])
+                else:
+                    tt, tum = row["event_type"], row["um"]
+        state.update((tt, tum))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_ch),
+                "channel": out_ch,
+                "value": out_val,
+                "um": out_um,
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        attr,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType="tt STRING, tum LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -591,3 +591,26 @@ def test_upsert_sinks_survive_empty_first_batch(spark, tmp_path):
              checkpoint_dir=str(tmp_path / f"ck_{label}1"))
         got = {r.key: r.val for r in spark.read.parquet(target).collect()}
         assert got == {1: 10.0}, label
+
+
+def test_stream_attribution_equals_batch(spark, event_files):
+    """Stateful last-touch attribution over 4 time-ordered
+    micro-batches == the hash-checked batch q_event_attribution."""
+    from pgshovel_spark.queries.events import q_event_attribution
+    from pgshovel_spark.streaming.ops import attribute_last_touch
+
+    stream = _events_stream(spark, event_files)
+    run_to_memory(attribute_last_touch(stream), "attr_mem")
+    rows = spark.sql("SELECT * FROM attr_mem").collect()
+    got: dict[str, tuple[int, float]] = {}
+    for r in rows:
+        n, v = got.get(r.channel, (0, 0.0))
+        got[r.channel] = (n + 1, v + r.value)
+    want = {
+        r.channel: (r.n_purchases, r.attributed_value)
+        for r in q_event_attribution(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for ch, (n, v) in got.items():
+        assert n == want[ch][0], ch
+        assert abs(v - want[ch][1]) < 0.01, ch
