@@ -70,6 +70,12 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_toks") >= _MIN_TOKS)
         .filter(dup_ratio <= _MAX_DUP_RATIO)
         .select("doc_id", "lang", "n_toks")
+        # the survivor stream feeds THREE consumers (per-lang totals,
+        # the budget scalar, and the sampled stream itself); without
+        # materializing it the scan+tokenize+dedup-window subtree runs
+        # once per consumer (measured 2.4 -> ~1.1s at sf0.1).  Tiny:
+        # 3 longs + lang per surviving doc.
+        .localCheckpoint(eager=True)
     )
 
     # 4. budget mixture sample over the SURVIVING corpus

@@ -181,14 +181,17 @@ def q_text_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitting the full >=5 set avoids ranking on raw floats entirely.
     Plan shape: map-side bigram build (transform, no self-join), two
     aggs, unigram re-join, N via broadcast 1-row agg (no extra action).
+    Unigram counts derive from the session-shared (lang, t, cnt)
+    token-count table (one tokenize pass per session, amortized with
+    the sketch family) rather than a second explode of the corpus.
     """
+    from pgshovel_spark.queries.sketches import _token_counts
+
     d = _docs_toks(spark, sf_dir)
     uni = (
-        d.filter(F.size("a") >= 1)
-        .select(F.explode("a").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        _token_counts(spark, sf_dir)
+        .groupBy(F.col("t").alias("w"))
+        .agg(F.sum("cnt").alias("c"))
     )
     n_total = uni.agg(F.sum("c").cast("double").alias("__n"))
     bigrams = (
