@@ -543,6 +543,9 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = stats.crossJoin(
             li.select(c).distinct().agg(F.count(F.lit(1)).alias(alias))
         )
+    # the 1-row stats frame feeds one union branch per profiled column;
+    # materialize it so the 4 underlying scans run once, not per branch
+    stats = stats.localCheckpoint(eager=True)
     rows = [
         ("l_quantity", "qty_nn", "qty_d", "qty_min", "qty_max"),
         ("l_extendedprice", "price_nn", "price_d", "price_min", "price_max"),
