@@ -426,7 +426,66 @@ LIMIT 10
 """
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED join — the skew lever for joins, completing the
+    q_agg_salted pair: the (small) dimension side is REPLICATED once
+    per salt value and the fact side spreads each hot key across
+    ``n_salt`` shuffle partitions via ``event_id % n_salt``, so one hot
+    join key (events has only 5 event types — every key is hot) no
+    longer lands on a single task.  The oracle is the PLAIN unsalted
+    join + aggregate, certifying that salting changes the shuffle
+    layout, never the answer.
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    can't help (e.g. a broadcast-ineligible mid-size dimension with a
+    few dominant keys).  Replication factor x dimension size is the
+    cost; n_salt bounds the residual per-task row count.
+    """
+    n_salt = 8
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min(F.expr("unix_micros(ts)")).alias("first_um"),
+    )
+    dim_salted = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt")
+    )
+    fact = ev.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % n_salt).alias("salt"),
+    )
+    return (
+        fact.join(F.broadcast(dim_salted), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+            F.min("first_event_id").alias("first_event_id"),
+            F.min("first_um").alias("first_um"),
+        )
+    )
+
+
+_JOIN_SALTED_SQL = """
+WITH dim AS (
+  SELECT event_type,
+         MIN(event_id) AS first_event_id,
+         MIN(epoch_us(ts)) AS first_um
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_value,
+       MIN(first_event_id) AS first_event_id,
+       MIN(first_um) AS first_um
+FROM events e JOIN dim ON e.event_type = dim.event_type
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
+    "q_join_salted": q_join_salted,
     "q_join_asof": q_join_asof,
     "q_join_multiway": q_join_multiway,
     "q_join_inner": q_join_inner,
@@ -443,6 +502,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_join_salted": _JOIN_SALTED_SQL,
     "q_join_inner": _JOIN_INNER_SQL,
     "q_join_star": _JOIN_STAR_SQL,
     "q_join_broadcast": _JOIN_BROADCAST_SQL,

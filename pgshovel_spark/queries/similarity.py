@@ -218,6 +218,49 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(5)
 
 
+def q_sim_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity vs a probe document: Levenshtein
+    distance between each document's first 60 characters and the
+    probe's (doc_id 0), plus a length-normalized similarity — the
+    string-metric member of the similarity family (catches
+    char-level mutations that token-set and shingle measures miss).
+
+    Probe-based, not all-pairs: broadcast one row, map-side
+    levenshtein per doc (O(60^2) integer DP per row, JVM-side).
+    Levenshtein(unit costs) agrees exactly across engines; the
+    normalized ratio divides two exact ints.  The all-pairs variant
+    at scale blocks by simhash/minhash bucket first and verifies
+    candidates with exactly this expression.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 60)
+    probe = d.filter(F.col("doc_id") == 0).select(head.alias("probe_head"))
+    dist = F.levenshtein(head, F.col("probe_head"))
+    denom = F.greatest(F.length(head), F.length("probe_head"))
+    return d.crossJoin(F.broadcast(probe)).select(
+        "doc_id",
+        "lang",
+        dist.cast("long").alias("edit_dist"),
+        F.round(F.lit(1.0) - dist.cast("double") / denom.cast("double"), 4).alias(
+            "edit_sim"
+        ),
+    )
+
+
+_SIM_EDITDIST_SQL = """
+WITH probe AS (
+  SELECT substring(text, 1, 60) AS probe_head FROM documents WHERE doc_id = 0
+)
+SELECT doc_id, lang,
+       CAST(levenshtein(substring(text, 1, 60), probe_head) AS BIGINT)
+         AS edit_dist,
+       ROUND(1.0 - CAST(levenshtein(substring(text, 1, 60), probe_head) AS DOUBLE)
+             / GREATEST(length(substring(text, 1, 60)), length(probe_head)), 4)
+         AS edit_sim
+FROM documents CROSS JOIN probe
+"""
+
+
 def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs within a language block
     (blocked self-join on (lang, token); integer arithmetic only).
@@ -989,6 +1032,7 @@ WHERE r.rn = 1
 
 QUERIES = {
     "q_sim_cosine": q_sim_cosine,
+    "q_sim_editdist": q_sim_editdist,
     "q_sim_knn": q_sim_knn,
     "q_sim_jaccard": q_sim_jaccard,
     "q_sim_jaccard_prefix": q_sim_jaccard_prefix,
@@ -1005,6 +1049,7 @@ QUERIES = {
 
 ORACLES = {
     "q_sim_cosine": _SIM_COSINE_SQL,
+    "q_sim_editdist": _SIM_EDITDIST_SQL,
     "q_sim_jaccard": _SIM_JACCARD_SQL,
     "q_sim_jaccard_prefix": _SIM_JACCARD_PREFIX_SQL,
     "q_sim_ngram": _SIM_NGRAM_SQL,

@@ -543,7 +543,99 @@ FROM islands GROUP BY event_type, island_len
 """
 
 
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch over order totals, audited
+    against the exact percentile.
+
+    The sketch is a fixed-width integer histogram (1000-unit buckets):
+    per-partition partial counts merge by + inside the ordinary hash
+    aggregate — constant-size state per partition like the HLL/CMS
+    family, and the same bucket table merges across days.  A quantile
+    q reads off the first bucket whose cumulative count reaches
+    ceil(q*n) (pure integer arithmetic), so the sketch answer is
+    bit-deterministic and its error is bounded by the bucket width.
+    The exact percentile (linear interpolation, the q_agg_median
+    cross-engine contract) rides alongside as the audit column.
+
+    Scale shape: one map-side-combined groupBy for the histogram, a
+    window cumsum over the ~#buckets rows, one broadcast of the 3-row
+    quantile spec; the exact audit pays the usual percentile sort —
+    a production pipeline drops it and keeps only the sketch.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.groupBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    totals = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("x50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("x90"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("x99"),
+    )
+    qs = spark.createDataFrame([(500,), (900,), (990,)], "q_milli long")
+    need = F.expr("CAST((q_milli * n + 999) div 1000 AS BIGINT)")  # ceil(q*n/1000)
+    est = F.lit(1000) * F.col("bucket") + F.lit(500)
+    exact = (
+        F.when(F.col("q_milli") == 500, F.col("x50"))
+        .when(F.col("q_milli") == 900, F.col("x90"))
+        .otherwise(F.col("x99"))
+    )
+    return (
+        qs.crossJoin(F.broadcast(totals))
+        .join(cum, cum.cum >= need)
+        .groupBy("q_milli")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min(est).alias("sketch_estimate"),
+            F.round(F.min(F.round(exact, 2)), 2).alias("exact_value"),
+        )
+        .select(
+            "q_milli",
+            "bucket",
+            F.col("sketch_estimate").cast("double").alias("sketch_estimate"),
+            F.col("exact_value").cast("double").alias("exact_value"),
+        )
+    )
+
+
+_SKETCH_QUANTILE_SQL = """
+WITH hist AS (
+  SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT bucket, cnt,
+         SUM(cnt) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+), totals AS (
+  SELECT COUNT(*) AS n,
+         CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS x50,
+         CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS x90,
+         CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS x99
+  FROM orders
+), qs AS (
+  SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS q_milli
+)
+SELECT q_milli,
+       MIN(bucket) AS bucket,
+       CAST(MIN(1000 * bucket + 500) AS DOUBLE) AS sketch_estimate,
+       ROUND(MIN(ROUND(CASE WHEN q_milli = 500 THEN x50
+                            WHEN q_milli = 900 THEN x90
+                            ELSE x99 END, 2)), 2) AS exact_value
+FROM qs CROSS JOIN totals
+JOIN cum ON cum.cum >= CAST((q_milli * n + 999) // 1000 AS BIGINT)
+GROUP BY q_milli
+"""
+
+
 QUERIES = {
+    "q_sketch_quantile": q_sketch_quantile,
     "q_sketch_hll": q_sketch_hll,
     "q_sketch_cms": q_sketch_cms,
     "q_bloom_prune": q_bloom_prune,
@@ -552,6 +644,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sketch_quantile": _SKETCH_QUANTILE_SQL,
     "q_sketch_hll": _SKETCH_HLL_SQL,
     "q_sketch_cms": _SKETCH_CMS_SQL,
     "q_bloom_prune": _BLOOM_PRUNE_SQL,

@@ -210,8 +210,57 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
 """
 
 
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full partition
+    frame: each user's first, last, and second event type by the
+    (ts, event_id) total order, one summary row per user.
+
+    ``last_value`` uses the UNBOUNDED FOLLOWING frame explicitly (the
+    default CURRENT ROW frame is the classic wrong-answer trap).  One
+    window shuffle + a row_number filter to collapse to one row per
+    user — same single-shuffle shape as the rest of the family.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.expr("unix_micros(ts)").alias("um")
+    )
+    w = Window.partitionBy("user_id").orderBy("um", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(wfull).alias("first_type"),
+            F.last("event_type").over(wfull).alias("last_type"),
+            F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+            F.count(F.lit(1)).over(wfull).alias("n_events"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_WIN_FIRST_LAST_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS um FROM events
+), ranked AS (
+  SELECT user_id,
+         first_value(event_type) OVER w AS first_type,
+         last_value(event_type) OVER w AS last_type,
+         nth_value(event_type, 2) OVER w AS second_type,
+         COUNT(*) OVER w AS n_events,
+         row_number() OVER (PARTITION BY user_id ORDER BY um, event_id) AS rn
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY um, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, first_type, last_type, second_type, n_events
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     # changed/new-this-round first (harness checks in registration order)
+    "q_win_first_last": q_win_first_last,
     "q_win_ntile": q_win_ntile,
     "q_win_percent": q_win_percent,
     "q_win_rank": q_win_rank,
@@ -222,6 +271,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_win_first_last": _WIN_FIRST_LAST_SQL,
     "q_win_rank": _WIN_RANK_SQL,
     "q_win_running": _WIN_RUNNING_SQL,
     "q_win_moving": _WIN_MOVING_SQL,
