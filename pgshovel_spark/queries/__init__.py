@@ -26,6 +26,7 @@ from pgshovel_spark.queries import (
     cdc,
     curation,
     decision,
+    dq,
     events,
     exprs,
     joins,
@@ -60,6 +61,7 @@ _MODULES = (
     curation,
     sketches,
     decision,
+    dq,
     events,
     aggregates,
     joins,
@@ -120,6 +122,9 @@ _PRIORITY = (
     "q_join_salted",
     "q_win_first_last",
     "q_sim_editdist",
+    "q_dq_checks",
+    "q_scd2_intervals",
+    "q_ts_gapfill",
     # round-2 plan rewrites whose new plans never had a driver row
     "q_agg_salted",
     "q_agg_quantiles",

@@ -268,9 +268,133 @@ WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', CAST(ts AS TIMES
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build from the change stream — the CDC
+    consumer's "temporal table" materialization: each per-user value
+    change becomes a version row with a validity interval
+    [valid_from, valid_to), the current version open-ended (NULL).
+
+    One user-key window (lead over the (um, event_id) total order) —
+    the same single shuffle every warehouse SCD2 merge pays; row
+    numbering gives the version counter.  All integer microseconds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("um", "event_id")
+    src = e.select(
+        "user_id", "event_id", F.round("value", 2).alias("value"),
+        F.expr("unix_micros(ts)").alias("um"),
+    )
+    return src.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "value",
+        F.col("um").alias("valid_from_us"),
+        F.lead("um").over(w).alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+_SCD2_INTERVALS_SQL = """
+SELECT user_id,
+       row_number() OVER w AS version,
+       ROUND(value, 2) AS value,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LOCF (last observation carried
+    forward): per user, one row per HOUR bucket between the user's
+    first and last event, carrying the most recent event value at or
+    before the bucket's end — the hypertable resample/interpolate op.
+
+    Plan: per-user bounds (one agg) -> sequence+explode generates the
+    hourly spine row-locally -> spine UNIONs with the events and ONE
+    (um, marker)-ordered window carries the last value forward (events
+    sort before the spine row at the same instant).  One user-key
+    shuffle; spine size is bounded by the time span, not the event
+    count.
+    """
+    hour_us = 3_600_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.expr("unix_micros(ts)").alias("um"),
+    )
+    bounds = e.groupBy("user_id").agg(
+        (F.floor(F.min("um") / hour_us) * hour_us).cast("long").alias("h0"),
+        (F.floor(F.max("um") / hour_us) * hour_us).cast("long").alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0") + hour_us, F.col("h1") + hour_us, F.lit(hour_us))
+        ).alias("bucket_end_us"),
+    )
+    tagged = e.select(
+        "user_id", F.col("um").alias("t"), F.lit(0).alias("marker"), "value"
+    ).unionAll(
+        spine.select(
+            "user_id", F.col("bucket_end_us").alias("t"), F.lit(1).alias("marker"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "marker")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.select(
+        "user_id", "t", "marker",
+        F.last("value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+    return (
+        filled.filter(F.col("marker") == 1)
+        .select(
+            "user_id",
+            (F.col("t") - hour_us).alias("bucket_us"),
+            "locf_value",
+        )
+    )
+
+
+_TS_GAPFILL_SQL = """
+WITH e AS (
+  SELECT user_id, ROUND(value, 2) AS value, epoch_us(ts) AS um FROM events
+), bounds AS (
+  SELECT user_id,
+         CAST(FLOOR(MIN(um) / 3600000000) * 3600000000 AS BIGINT) AS h0,
+         CAST(FLOOR(MAX(um) / 3600000000) * 3600000000 AS BIGINT) AS h1
+  FROM e GROUP BY user_id
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(h0 + 3600000000, h1 + 3600000000, 3600000000))
+           AS bucket_end_us
+  FROM bounds
+), tagged AS (
+  SELECT user_id, um AS t, 0 AS marker, value FROM e
+  UNION ALL
+  SELECT user_id, bucket_end_us, 1, NULL FROM spine
+), filled AS (
+  SELECT user_id, t, marker,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, marker
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+  FROM tagged
+)
+SELECT user_id, t - 3600000000 AS bucket_us, locf_value
+FROM filled WHERE marker = 1
+"""
+
+
 QUERIES = {
     # changed / never-driver-checked first (registration order is the
     # harness's check order)
+    "q_scd2_intervals": q_scd2_intervals,
+    "q_ts_gapfill": q_ts_gapfill,
     "q_sessionize": q_sessionize,
     "q_win_tumbling": q_win_tumbling,
     "q_win_sliding": q_win_sliding,
@@ -281,6 +405,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_scd2_intervals": _SCD2_INTERVALS_SQL,
+    "q_ts_gapfill": _TS_GAPFILL_SQL,
     "q_cdc_latest_state": _CDC_LATEST_STATE_SQL,
     "q_cdc_changelog": _CDC_CHANGELOG_SQL,
     "q_win_range_frame": _WIN_RANGE_FRAME_SQL,
