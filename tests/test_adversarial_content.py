@@ -84,7 +84,18 @@ def adversarial_con(adversarial_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_simhash_pairs", "q_text_winnowing", "q_text_bpe_pretokenize", "q_dedup_exact"],
+    [
+        "q_simhash_pairs",
+        "q_text_winnowing",
+        "q_text_bpe_pretokenize",
+        "q_dedup_exact",
+        # round-3 text ops: entropy's sorted fold, the unigram LM fold,
+        # and the prefix join must survive long tokens + vertical tabs
+        "q_text_entropy",
+        "q_text_unigram_ppl",
+        "q_sim_jaccard_prefix",
+        "q_sim_editdist",
+    ],
 )
 def test_adversarial_parity(spark, adversarial_con, name, adversarial_dir):
     sdf = _QUERIES[name](spark, adversarial_dir).toPandas()
