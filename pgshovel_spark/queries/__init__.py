@@ -123,6 +123,7 @@ _PRIORITY = (
     "q_win_first_last",
     "q_sim_editdist",
     "q_dq_checks",
+    "q_growth_trend",
     "q_scd2_intervals",
     "q_ts_gapfill",
     # round-2 plan rewrites whose new plans never had a driver row

@@ -29,7 +29,7 @@ aggregates on lineitem, which combine map-side first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
@@ -403,6 +403,51 @@ GROUP BY c_count
 """
 
 
+def q_growth_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth
+    — the reporting query layered on any revenue rollup: aggregate to
+    months (exact decimal), then two lag windows over the tiny monthly
+    table.
+
+    Determinism: the monthly sums are exact decimals; growth ratios
+    divide two exact doubles and round 4dp.  The window table is
+    #months rows — the single-partition window here is bounded by the
+    calendar, not the data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.expr("unix_micros(date_trunc('MONTH', o_orderdate))").alias("month_us")
+    ).agg(dsum("o_totalprice", 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("month_us")
+    prev_m = F.lag("revenue", 1).over(w)
+    prev_y = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month_us",
+        "n_orders",
+        "revenue",
+        F.round((F.col("revenue") - prev_m) / prev_m, 4).alias("mom_growth"),
+        F.round((F.col("revenue") - prev_y) / prev_y, 4).alias("yoy_growth"),
+    )
+
+
+_GROWTH_TREND_SQL = """
+WITH monthly AS (
+  SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE)
+           AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month_us, n_orders, revenue,
+       ROUND((revenue - lag(revenue, 1) OVER w) / lag(revenue, 1) OVER w, 4)
+         AS mom_growth,
+       ROUND((revenue - lag(revenue, 12) OVER w) / lag(revenue, 12) OVER w, 4)
+         AS yoy_growth
+FROM monthly
+WINDOW w AS (ORDER BY month_us)
+"""
+
+
 QUERIES = {
     "q_sub_scalar_avg": q_sub_scalar_avg,
     "q_sub_exists": q_sub_exists,
@@ -412,6 +457,7 @@ QUERIES = {
     "q_nation_pairs": q_nation_pairs,
     "q_market_share": q_market_share,
     "q_custdist": q_custdist,
+    "q_growth_trend": q_growth_trend,
 }
 
 ORACLES = {
@@ -423,4 +469,5 @@ ORACLES = {
     "q_nation_pairs": _NATION_PAIRS_SQL,
     "q_market_share": _MARKET_SHARE_SQL,
     "q_custdist": _CUSTDIST_SQL,
+    "q_growth_trend": _GROWTH_TREND_SQL,
 }
