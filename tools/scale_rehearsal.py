@@ -61,6 +61,13 @@ PANEL = (
     "q_dedup_clusters",       # connected components over LSH graph
     "q_text_decontaminate",   # broadcast shingle-set overlap
     "q_pack_sequences",       # per-lang window cumsum + chunk spans
+    # round-3 additions
+    "q_sim_jaccard_prefix",   # prefix-filtered exact SSJoin (output-sensitive)
+    "q_event_attribution",    # one-window attribution over 1M events
+    "q_ts_gapfill",           # hourly LOCF spine (spans, not rows)
+    "q_scd2_intervals",       # lead-window temporal table build
+    "q_text_unigram_ppl",     # corpus-LM fold per doc
+    "q_sketch_quantile",      # constant-state mergeable histogram
 )
 
 
