@@ -657,6 +657,18 @@ _BANDS_LONG_SQL = "\n  UNION ALL ".join(
 )
 
 
+#: Band-bucket size cap for PAIR EMISSION (q_dedup_minhash_pairs): a
+#: bucket of m near-identical docs emits m^2/2 pairs — the round-3
+#: 10x rehearsal measured the uncapped form output-quadratic on a
+#: dup-dense corpus (>30 min at 10x).  Buckets larger than the cap
+#: are boilerplate-duplicate cliques: the pair LIST for them is not
+#: actionable (the cluster path — star reduction, linear — is), so
+#: both engines drop them from emission, bounding any bucket's output
+#: at cap^2/2.  No-op at the sf0.01 correctness fixture (max bucket
+#: 243, measured).
+_BUCKET_CAP = 1000
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket
     (the banding join that replaces the quadratic all-pairs scan at
@@ -665,9 +677,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature table is localCheckpoint'ed (eager, tiny — one row
     per doc) so the self-join's two branches don't recompute the
     tokenize+minhash subtree twice; at scale this is the signatures
-    table you'd persist to storage anyway."""
+    table you'd persist to storage anyway.  Buckets above _BUCKET_CAP
+    docs are excluded from pair emission on BOTH engines (see cap
+    note); their members still reach the dedup pipeline through the
+    cluster path, which consumes buckets linearly."""
     sigs = q_dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
     long_ = _bands_long(sigs)
+    small = (
+        long_.groupBy("band_idx", "key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= _BUCKET_CAP)
+        .select("band_idx", "key")
+    )
+    long_ = long_.join(small, ["band_idx", "key"])
     a = long_.select(F.col("doc_id").alias("id1"), "band_idx", "key")
     b = long_.select(F.col("doc_id").alias("id2"), F.col("band_idx").alias("bi2"), F.col("key").alias("key2"))
     return (
@@ -684,8 +706,15 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_MINHASH_PAIRS_SQL = f"""
 WITH sigs AS ({_DEDUP_MINHASH_SQL}),
-long_ AS (
+long_raw AS (
   {_BANDS_LONG_SQL}
+),
+small AS (
+  SELECT band_idx, key FROM long_raw
+  GROUP BY band_idx, key HAVING COUNT(*) <= {_BUCKET_CAP}
+),
+long_ AS (
+  SELECT long_raw.* FROM long_raw JOIN small USING (band_idx, key)
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_bands
 FROM long_ a JOIN long_ b

@@ -57,14 +57,9 @@ PANEL = (
     "q_dedup_exact",          # 50k-doc hash-key dedup
     "q_text_tfidf",           # 50k-doc tokenize + 2 aggs + window
     "q_sim_jaccard",          # blocked pair generation (quadratic risk)
-    # q_dedup_minhash_pairs is EXCLUDED from the default panel: on the
-    # replica corpus every doc is a near-dup of its 9 siblings, so the
-    # materialized pair set grows ~100x (output-quadratic in clique
-    # size) and the run exceeds any sane local budget (>30 min
-    # measured round 3).  That is the documented property of pair
-    # MATERIALIZATION on dup-dense corpora — the scale path for dedup
-    # is q_dedup_clusters below (star reduction: LINEAR edges over the
-    # same buckets, 6.7s at 10x), with keep_best consuming its output.
+    "q_dedup_minhash_pairs",  # LSH pairs, _BUCKET_CAP-bounded (round 3:
+                              # uncapped form measured >30 min at 10x on
+                              # the dup-dense replica corpus; capped 5 s)
     "q_dedup_clusters",       # connected components over LSH graph
     "q_text_decontaminate",   # broadcast shingle-set overlap
     "q_pack_sequences",       # per-lang window cumsum + chunk spans
