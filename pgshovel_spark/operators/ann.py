@@ -180,3 +180,83 @@ def ivf_search(
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def ivf_knn_join(
+    spark: SparkSession,
+    index_dir: str,
+    probes: DataFrame,
+    n_probe: int = 2,
+    top_k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Distributed batched KNN JOIN through the IVF index: top-k
+    neighbors for EVERY probe row — the hard-negative-mining /
+    near-dup-lookup shape a training pipeline actually runs (N probes,
+    not one).
+
+    Plan: the k x dim centroid matrix routes each probe to its
+    ``n_probe`` nearest lists (one Arrow batch matmul, then explode);
+    probes JOIN the inverted file on ``centroid_id`` — the vectors'
+    PARTITION key, so each probe's candidates come from directory-
+    pruned reads and the join shuffles candidates, never the corpus;
+    cosine scores are one Arrow matmul per batch; a per-probe
+    row_number window takes the top-k (deterministic (sim DESC, id)
+    tiebreak).  Driver state is the centroid matrix only.
+
+    Candidate volume is sum over probes of their n_probe list sizes —
+    n_probe/k of the corpus per probe, the IVF contract.
+    """
+    from pyspark.sql import Window
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    order = np.argsort([r["centroid_id"] for r in cent])
+    cmat = _normalize(
+        np.stack([np.asarray(cent[i]["centroid"]) for i in order])
+    )
+    cids = np.array([cent[i]["centroid_id"] for i in order])
+
+    @pandas_udf("array<long>")
+    def route(embs: pd.Series) -> pd.Series:
+        m = _normalize(np.stack(embs.to_numpy()).astype(float))
+        sims = m @ cmat.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([[int(cids[j]) for j in row] for row in top])
+
+    routed = probes.select(
+        F.col(probe_id_col).alias("__pid"),
+        F.col(probe_vec_col).cast("array<double>").alias("__pv"),
+        F.explode(route(F.col(probe_vec_col).cast("array<double>"))).alias(
+            "centroid_id"
+        ),
+    )
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+        id_col, "centroid_id", F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cand = routed.join(vecs, "centroid_id")
+
+    @pandas_udf("double")
+    def cos2(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(float)
+        mb = np.stack(b.to_numpy()).astype(float)
+        denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        denom[denom == 0.0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", ma, mb) / denom)
+
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.select("__pid", id_col, cos2("__pv", "__v").alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            F.col("__pid").alias(probe_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round("sim", 6).alias("sim"),
+            F.col("rn").alias("rank"),
+        )
+    )

@@ -285,3 +285,34 @@ def test_ivf_recall_vs_brute_force(spark, tmp_path):
         for r in spark.read.parquet(idx2 + "/centroids").collect()
     )
     assert c1 == c2
+
+
+def test_ivf_knn_join_matches_per_probe_search(spark, tmp_path):
+    """Batched KNN join == N independent ivf_search calls (same index,
+    same n_probe) for every probe."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.operators.ann import build_ivf_index, ivf_knn_join, ivf_search
+    from pgshovel_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf_join")
+    build_ivf_index(e, idx, k_clusters=4, n_iter=3)
+    probe_rows = e.orderBy("vec_id").limit(8).collect()
+    probes = spark.createDataFrame(
+        [(r.vec_id, [float(x) for x in r.embedding]) for r in probe_rows],
+        "probe_id long, probe_vec array<double>",
+    )
+    joined = ivf_knn_join(spark, idx, probes, n_probe=2, top_k=5)
+    got = {}
+    for r in joined.collect():
+        got.setdefault(r.probe_id, []).append((r.rank, r.neighbor_id))
+    for pr in probe_rows:
+        single = ivf_search(
+            spark, idx, [float(x) for x in pr.embedding], n_probe=2, top_k=5
+        ).collect()
+        want = [(i + 1, r.vec_id) for i, r in enumerate(single)]
+        assert sorted(got[pr.vec_id]) == want, pr.vec_id
+    # each probe must find itself first (it's in the corpus)
+    for pid, pairs in got.items():
+        assert sorted(pairs)[0][1] == pid
