@@ -412,9 +412,15 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("t_b"),
         F.col("sz").alias("sz2"),
     )
+    # the prefix table is O(corpus x prefix_len) tiny, but its join
+    # KEY space is the vocabulary (~dozens of distinct (lang, t)) — a
+    # shuffled join on it is maximally skewed (one task per hot
+    # token).  Broadcast the build side explicitly; AQE's
+    # stats-threshold decision was observed flapping between broadcast
+    # (5 s) and skewed sort-merge (11+ s) run to run.
     cand = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("lang") == F.col("lang_b"))
             & (F.col("t") == F.col("t_b"))
             & (F.col("id1") < F.col("id2"))
@@ -427,8 +433,8 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = docs.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1"))
     a2 = docs.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2"))
     verified = (
-        cand.join(a1, "id1")
-        .join(a2, "id2")
+        cand.join(F.broadcast(a1), "id1")
+        .join(F.broadcast(a2), "id2")
         .select(
             "id1",
             "id2",
