@@ -25,14 +25,15 @@ then measures plan EXECUTION: scan, shuffle, aggregate.  DuckDB (the
 baseline) carries no equivalent per-query compile cost, so this is the
 apples-to-apples comparison of engine execution; see BASELINE.md.
 
-Shared-artifact policy: the shingle posting table and the dedup
-cluster table are memoized localCheckpoints shared across their query
-families (the artifact a production pipeline persists once).  The
+Shared-artifact policy: the token/shingle posting tables, per-lang
+token counts and the dedup cluster table are parquet scratch
+artifacts (operators/scratch.py) shared across their query families —
+the artifact a production pipeline persists to storage once.  The
 FIRST consumer in the timed loop pays the build inside its timed
-window (sorted order: q_dedup_clusters pays the cluster build,
-q_sim_containment the shingle build); later consumers reuse.  The
-between-query block cleanup skips those pinned blocks — a
-checkpointed table has no lineage to recompute from.
+window (sorted order: q_dedup_clusters pays the token+cluster builds,
+q_sim_containment the shingle build); later consumers are plain
+parquet scans.  The scratch dir is cleared between the warm-up and
+timed phases so every timed artifact is built at the timed scale.
 """
 
 from __future__ import annotations
@@ -45,30 +46,26 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pgshovel_spark.operators.scratch import clear_scratch  # noqa: E402
 from pgshovel_spark.queries import all_oracles, all_queries  # noqa: E402
-from pgshovel_spark.queries.similarity import shared_artifact_rdd_ids  # noqa: E402
 from pgshovel_spark.session import get_session  # noqa: E402
 
 MAX_LINE = 1900  # driver records the last 2000 chars of output
 
 
 def _drop_stale_blocks(spark) -> None:
-    """Unpersist blocks left by finished queries (localCheckpoint
-    materializations never auto-release), EXCEPT the pinned shared
-    artifacts (shingle/cluster tables) later queries reuse.  Without
-    this the block manager grows across the executions and GC pressure
-    inflates late queries by 2-5x; a real deployment runs one query
-    per app and never sees this.  Runs OUTSIDE the per-query timer."""
-    pinned = shared_artifact_rdd_ids()
+    """Unpersist any blocks left by finished queries.  Shared
+    artifacts are parquet scratch files now (no pinned block-manager
+    state to protect), so this is plain housekeeping: without it the
+    block manager grows across the executions and GC pressure inflates
+    late queries; a real deployment runs one query per app and never
+    sees this.  Runs OUTSIDE the per-query timer."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     it = jmap.entrySet().iterator()
     while it.hasNext():
-        entry = it.next()
-        if entry.getKey() in pinned:
-            continue
         # blocking=True: finish the removal here, not inside the next
         # query's timed window.
-        entry.getValue().unpersist(True)
+        it.next().getValue().unpersist(True)
     # Spark's ContextCleaner reclaims shuffle files and broadcasts only
     # when GC collects their driver-side handles; after the iterative
     # heavies (clusters/keep_best: many stages + localCheckpoints) the
@@ -83,14 +80,10 @@ def _drop_stale_blocks(spark) -> None:
 
 
 def _clear_shared_caches(spark) -> None:
-    """Drop the memoized shared tables and their blocks (between the
-    warm-up and timed phases, so the timed run builds them fresh at
-    the timed scale inside a timed window)."""
-    from pgshovel_spark.queries import similarity, sketches
-
-    similarity._SHINGLE_CACHE.clear()
-    similarity._CLUSTER_CACHE.clear()
-    sketches._TOKCNT_CACHE.clear()
+    """Drop the shared scratch artifacts and any leftover blocks
+    (between the warm-up and timed phases, so the timed run builds
+    every artifact fresh at the timed scale inside a timed window)."""
+    clear_scratch(spark)
     _drop_stale_blocks(spark)
 
 

@@ -1,0 +1,111 @@
+"""Session-scoped shared-artifact store: parquet scratch tables and
+reliable checkpoints.
+
+Shared derived tables (the token / shingle posting tables, per-lang
+token counts, the dedup cluster map) used to be memoized
+``localCheckpoint``s.  A localCheckpoint lives only in executor block
+managers with TRUNCATED lineage: on a real cluster, one lost executor
+invalidates every later consumer of the artifact for the rest of the
+session — the Spark runtime itself warns "cannot be recomputed after
+unpersisting".  Writing the artifact as parquet under a session
+scratch directory keeps the build-once / reuse-everywhere economics
+while adding storage durability, and it is exactly the "persist the
+posting table once" shape a production pipeline uses at 100 TB: the
+scratch root stands in for the artifact location in object storage
+(set it to an s3://... / hdfs://... URI on a cluster), consumers are
+plain parquet scans with full column pruning and predicate pushdown,
+and a lost executor re-reads from storage instead of failing the
+session.
+
+Iterative algorithms (connected components) truncate their per-round
+lineage through ``materialize`` — a RELIABLE checkpoint into the same
+scratch root — for the identical reason: the round table must survive
+executor loss, and the plan must stay flat across rounds.
+
+Everything here is driver-light: paths and a dict of DataFrame
+handles; no data ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Scratch root.  Repo-local so the sandboxed test/bench runs never
+#: write outside the repo; on a cluster, point this at shared storage.
+SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".scratch"
+
+#: (applicationId, artifact key) -> parquet-backed DataFrame handle.
+_BUILT: dict[tuple[str, str], DataFrame] = {}
+
+
+def _app_dir(spark: SparkSession) -> Path:
+    app = spark.sparkContext.applicationId
+    d = SCRATCH_ROOT / app
+    if not d.is_dir():
+        # First scratch touch of this session: garbage-collect scratch
+        # left by finished sessions (their appIds differ).  Best-effort
+        # — a concurrent session's dir is never this session's appId,
+        # and the driver harness runs sessions sequentially.
+        if SCRATCH_ROOT.is_dir():
+            for stale in SCRATCH_ROOT.iterdir():
+                if stale.name != app:
+                    shutil.rmtree(stale, ignore_errors=True)
+        d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def scratch_table(
+    spark: SparkSession, name: str, sf_dir: str, build
+) -> DataFrame:
+    """Return the shared artifact ``name`` for ``sf_dir``, building it
+    once per session: ``build(spark, sf_dir) -> DataFrame`` runs on
+    first touch, its result is written as parquet under the session
+    scratch dir, and every consumer (this call and all later ones)
+    gets a plain parquet scan of it — durable, lineage-free to
+    recompute, column-prunable."""
+    key = (spark.sparkContext.applicationId, f"{name}::{sf_dir}")
+    got = _BUILT.get(key)
+    if got is not None:
+        return got
+    # one directory per (artifact, fixture): sf_dir slug keeps scales
+    # apart when one session touches several fixtures (tests do)
+    slug = f"{name}__{abs(hash(sf_dir)) % 10**10}"
+    path = _app_dir(spark) / slug
+    if not (path / "_SUCCESS").exists():
+        build(spark, sf_dir).write.mode("overwrite").parquet(str(path))
+    df = spark.read.parquet(str(path))
+    _BUILT[key] = df
+    return df
+
+
+def clear_scratch(spark: SparkSession) -> None:
+    """Drop every memoized artifact handle and its files (bench uses
+    this between its warm-up and timed phases so the timed run builds
+    artifacts at the timed scale inside a timed window)."""
+    _BUILT.clear()
+    app = spark.sparkContext.applicationId
+    d = SCRATCH_ROOT / app
+    for child in d.iterdir() if d.is_dir() else ():
+        if child.name != "checkpoints":
+            shutil.rmtree(child, ignore_errors=True)
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Reliable checkpoint: truncate lineage by materializing ``df``
+    into the scratch checkpoint dir.  Used (a) per round inside
+    iterative algorithms so plans stay flat, and (b) for per-query
+    subtrees consumed by several plan branches.  Unlike
+    ``localCheckpoint`` the data lands on storage, so a lost executor
+    re-reads instead of poisoning every consumer; unpersisting never
+    strands a consumer either (no truncated-lineage-in-memory state).
+
+    Sets the context checkpoint dir lazily so the call also works
+    under an externally owned SparkSession (the correctness driver's)."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(str(_app_dir(spark) / "checkpoints"))
+    return df.checkpoint(eager=eager)

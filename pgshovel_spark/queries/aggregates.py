@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dec, dsum, exact_avg, exact_sum
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -545,7 +546,7 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # the 1-row stats frame feeds one union branch per profiled column;
     # materialize it so the 4 underlying scans run once, not per branch
-    stats = stats.localCheckpoint(eager=True)
+    stats = materialize(stats)
     rows = [
         ("l_quantity", "qty_nn", "qty_d", "qty_min", "qty_max"),
         ("l_extendedprice", "price_nn", "price_d", "price_min", "price_max"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.queries.similarity import _DF_CAP as _SIM_DF_CAP
 from pgshovel_spark.sources.tables import load_table
 
@@ -381,11 +382,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (id1, id2) dedups multi-band agreements before the bit_count
     filter; everything is integer arithmetic in codegen.
 
-    The signature table is localCheckpoint'ed (eager, one row per
-    doc) so the shingle+32-sum subtree runs ONCE, not once per join
-    side — same reuse pattern as q_dedup_minhash_pairs.
+    The signature table is materialized (reliable checkpoint, one
+    row per doc) so the shingle+32-sum subtree runs ONCE, not once
+    per join side — same reuse pattern as q_dedup_minhash_pairs.
     """
-    s = _simhash32(spark, sf_dir).localCheckpoint(eager=True)
+    s = materialize(_simhash32(spark, sf_dir))
     bands = F.array(
         *[(F.shiftright(F.col("sig"), 8 * b) % 256).cast("int") for b in range(4)]
     )

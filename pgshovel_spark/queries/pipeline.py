@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.queries.training import (
     _BUDGET_MILLI,
     _KNUTH,
@@ -70,13 +71,13 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_toks") >= _MIN_TOKS)
         .filter(dup_ratio <= _MAX_DUP_RATIO)
         .select("doc_id", "lang", "n_toks")
-        # the survivor stream feeds THREE consumers (per-lang totals,
-        # the budget scalar, and the sampled stream itself); without
-        # materializing it the scan+tokenize+dedup-window subtree runs
-        # once per consumer (measured 2.4 -> ~1.1s at sf0.1).  Tiny:
-        # 3 longs + lang per surviving doc.
-        .localCheckpoint(eager=True)
     )
+    # the survivor stream feeds THREE consumers (per-lang totals,
+    # the budget scalar, and the sampled stream itself); without
+    # materializing it the scan+tokenize+dedup-window subtree runs
+    # once per consumer (measured 2.4 -> ~1.1s at sf0.1).  Tiny:
+    # 3 longs + lang per surviving doc.
+    d = materialize(d)
 
     # 4. budget mixture sample over the SURVIVING corpus
     w = F.lit(None).cast("long")

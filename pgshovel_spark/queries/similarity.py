@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
 from pgshovel_spark.functions.vectors import cosine_sim
+from pgshovel_spark.operators.scratch import materialize, scratch_table
 from pgshovel_spark.sources.tables import load_table
 
 #: polynomial token hash shared by minhash/simhash (same arithmetic in
@@ -62,30 +63,23 @@ def _docs_parallel(spark, sf_dir):
     return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
-#: Memoized distinct-token posting table per (application, sf_dir) —
-#: same shared-artifact pattern as _SHINGLE_CACHE: four queries (and
-#: several subtrees within each) consume (doc_id, lang, t); the
-#: tokenize/array_distinct/explode pass is the dominant cost of each,
-#: so it runs once per session.  At 100 TB this is the token posting
-#: table a pipeline persists once and shares across similarity passes.
-_TOK_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _tok_distinct(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _TOK_CACHE.get(key)
-    if cached is not None:
-        return cached
-    d = _docs_parallel(spark, sf_dir)
-    tab = (
-        d.select(
+    """Shared distinct-token posting table (doc_id, lang, t): four
+    queries (and several subtrees within each) consume it, and the
+    tokenize/array_distinct/explode pass is the dominant cost of each
+    — so it is built once per session and persisted as a parquet
+    scratch artifact (operators/scratch.py).  At 100 TB this is the
+    token posting table a pipeline persists once to object storage and
+    shares across every similarity pass; consumers are plain parquet
+    scans, durable against executor loss."""
+
+    def build(spark, sf_dir):
+        d = _docs_parallel(spark, sf_dir)
+        return d.select(
             "doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("t")
-        )
-        .filter(F.col("t") != "")
-        .localCheckpoint(eager=True)
-    )
-    _TOK_CACHE[key] = tab
-    return tab
+        ).filter(F.col("t") != "")
+
+    return scratch_table(spark, "tok_distinct", sf_dir, build)
 
 
 _TOK_DISTINCT_SQL = """
@@ -112,66 +106,44 @@ _TOK_DISTINCT_SQL = """
 #: results there are identical to the uncapped semantics.
 _DF_CAP = 1000
 
-#: Memoized, localCheckpoint'ed distinct-bigram-shingle posting table
-#: per (Spark application, sf_dir): q_sim_ngram, q_sim_containment and
-#: q_simhash_pairs all consume the same (doc_id, sh, th) table, so the
-#: tokenize -> shingle -> explode subtree (the dominant cost of each)
-#: runs once per session instead of once per query.  At 100 TB this is
-#: the shingle posting table a real pipeline persists to storage once
-#: and shares across its dedup passes.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def shared_artifact_rdd_ids() -> set[int]:
-    """Persistent-RDD ids backing the memoized shared tables (shingle
-    posting table, cluster table).  Block-manager housekeeping (e.g.
-    bench.py's between-query unpersist) must SKIP these ids: a
-    localCheckpoint'ed DataFrame has no lineage to recompute from, so
-    dropping its blocks breaks every later query that reuses it."""
-    from pgshovel_spark.queries.sketches import _TOKCNT_CACHE
-
-    ids: set[int] = set()
-    for cache in (_SHINGLE_CACHE, _CLUSTER_CACHE, _TOKCNT_CACHE, _TOK_CACHE):
-        for df in cache.values():
-            try:
-                ids.add(df._jdf.queryExecution().analyzed().rdd().id())
-            except Exception:  # pragma: no cover - plan shape changed
-                pass
-    return ids
-
-
 def _bigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh, th) for every distinct bigram shingle per document:
     ``sh`` = xxhash64(lang, shingle) — the 8-byte blocking join key of
     the exact pair generators (collision odds ~1e-8 over this
     vocabulary; the oracles join raw strings) — and ``th`` = the
-    Knuth-spread polynomial hash the 32-bit SimHash signature uses."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from pgshovel_spark.queries.curation import _spread
+    Knuth-spread polynomial hash the 32-bit SimHash signature uses.
 
-    d = _docs_parallel(spark, sf_dir)
-    toks = F.filter(tokens("text"), lambda t: t != "")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    Shared parquet scratch artifact (operators/scratch.py): q_sim_ngram,
+    q_sim_containment and q_simhash_pairs all consume the same table,
+    so the tokenize -> shingle -> explode subtree (the dominant cost of
+    each) runs once per session.  At 100 TB this is the shingle posting
+    table a real pipeline persists to storage once and shares across
+    its dedup passes."""
+
+    def build(spark, sf_dir):
+        from pgshovel_spark.queries.curation import _spread
+
+        d = _docs_parallel(spark, sf_dir)
+        toks = F.filter(tokens("text"), lambda t: t != "")
+        shingles = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
         )
-    )
-    tab = (
-        d.filter(F.size(toks) >= 2)
-        .select("doc_id", "lang", F.explode(shingles).alias("s"))
-        .select(
-            "doc_id",
-            F.xxhash64("lang", "s").alias("sh"),
-            _spread(_token_hash(F.col("s"))).alias("th"),
+        return (
+            d.filter(F.size(toks) >= 2)
+            .select("doc_id", "lang", F.explode(shingles).alias("s"))
+            .select(
+                "doc_id",
+                F.xxhash64("lang", "s").alias("sh"),
+                _spread(_token_hash(F.col("s"))).alias("th"),
+            )
         )
-        .localCheckpoint(eager=True)
-    )
-    _SHINGLE_CACHE[key] = tab
-    return tab
+
+    return scratch_table(spark, "bigram_shingles", sf_dir, build)
 
 
 def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,18 +342,25 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs join — same result set by the losslessness property,
     which makes this query its own cross-algorithm proof.
 
-    Plan shape (two real shuffles total): ONE per-doc aggregation
-    builds (lang, rarity-sorted token array) — the rank-by-rarity is a
-    row-local sort_array over (df, t) structs, NOT a global window —
-    the prefix is a row-local ``slice``, the tiny prefix posting table
-    self-joins (AQE broadcasts it), and candidate dedup is the second
-    shuffle.  The doc-array side of verification is O(corpus) vs the
-    candidates' O(pairs), so AQE broadcasts it.
+    Broadcast discipline (the 100 TB contract): the ONLY broadcast is
+    ``dfreq`` — the (lang, token, df) vocabulary, which is bounded by
+    vocabulary size, not corpus size.  The prefix-token self-join is a
+    pinned SHUFFLED hash join on an 8-byte hashed key (hashing the
+    (lang, t) key only ever ADDS candidates on collision — verification
+    filters them — so losslessness is preserved); pinning the strategy
+    removes the run-to-run flapping AQE's stats threshold showed
+    between broadcast and skewed sort-merge, and AQE skew-join
+    splitting still applies to the shuffled hash join when a hot
+    prefix token lands.  Verification joins the O(pairs) candidate
+    table INTO the O(corpus) doc-array table with no pinned hint:
+    after the distinct shuffle AQE knows the candidate side is small
+    and broadcasts it — and at a scale where it isn't small, the join
+    degrades to a plain shuffle instead of an executor OOM.
     """
     tau_num, tau_den = 9, 10  # tau = 0.9 (near-dup threshold)
     raw = _tok_distinct(spark, sf_dir)
     dfreq = raw.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("df"))
-    docs = (
+    docs = materialize(
         raw.join(F.broadcast(dfreq), ["lang", "t"])
         .groupBy("doc_id")
         .agg(
@@ -390,11 +369,9 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_list(F.struct("df", "t"))), lambda x: x["t"]
             ).alias("toks"),
         )
-        # this O(corpus) table feeds FOUR plan branches (both prefix
-        # join sides + both verification sides); materialize it once —
+        # this O(corpus) table feeds THREE plan branches (the prefix
+        # explosion + both verification sides); materialize it once —
         # without this the tokenize subtree re-runs per branch
-        # (measured 21s -> ~8s at sf0.1)
-        .localCheckpoint(eager=True)
     )
     sz = F.size("toks")
     # prefix length p = sz - ceil(tau*sz) + 1, via integer ceil division
@@ -403,29 +380,46 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "doc_id",
         sz.alias("sz"),
-        F.explode(F.slice("toks", 1, p)).alias("t"),
+        F.posexplode(F.slice("toks", 1, p)).alias("pos", "t"),
+    ).select("doc_id", "sz", "pos", F.xxhash64("lang", "t").alias("tkey"))
+    a = prefix.select(
+        F.col("doc_id").alias("id1"),
+        "tkey",
+        F.col("sz").alias("sz1"),
+        F.col("pos").alias("pos1"),
     )
-    a = prefix.select("lang", F.col("doc_id").alias("id1"), "t", F.col("sz").alias("sz1"))
     b = prefix.select(
-        F.col("lang").alias("lang_b"),
         F.col("doc_id").alias("id2"),
-        F.col("t").alias("t_b"),
+        F.col("tkey").alias("tkey_b"),
         F.col("sz").alias("sz2"),
+        F.col("pos").alias("pos2"),
     )
-    # the prefix table is O(corpus x prefix_len) tiny, but its join
-    # KEY space is the vocabulary (~dozens of distinct (lang, t)) — a
-    # shuffled join on it is maximally skewed (one task per hot
-    # token).  Broadcast the build side explicitly; AQE's
-    # stats-threshold decision was observed flapping between broadcast
-    # (5 s) and skewed sort-merge (11+ s) run to run.
+    # PPJoin positional filter (Xiao et al. WWW'08): a match at
+    # (0-based) positions (pos1, pos2) bounds the achievable overlap at
+    # min(pos1, pos2) + 1 + min(sz1-pos1-1, sz2-pos2-1); J >= 9/10
+    # needs overlap o with 19*o >= 9*(sz1+sz2).  For a qualifying pair
+    # the FIRST common token's occurrence always passes (its
+    # before-the-match term only over-counts), so dropping failing
+    # occurrences is lossless while pruning borderline clique edges
+    # before the distinct.  Integer arithmetic throughout.
+    obound = (
+        F.least(F.col("pos1"), F.col("pos2"))
+        + 1
+        + F.least(
+            F.col("sz1") - F.col("pos1") - 1, F.col("sz2") - F.col("pos2") - 1
+        )
+    )
     cand = (
         a.join(
-            F.broadcast(b),
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("t") == F.col("t_b"))
+            b.hint("shuffle_hash"),
+            (F.col("tkey") == F.col("tkey_b"))
             & (F.col("id1") < F.col("id2"))
             & (tau_den * F.col("sz2") >= tau_num * F.col("sz1"))
-            & (tau_den * F.col("sz1") >= tau_num * F.col("sz2")),
+            & (tau_den * F.col("sz1") >= tau_num * F.col("sz2"))
+            & (
+                (tau_num + tau_den) * obound
+                >= tau_num * (F.col("sz1") + F.col("sz2"))
+            ),
         )
         .select("id1", "id2")
         .distinct()
@@ -433,8 +427,8 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = docs.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1"))
     a2 = docs.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2"))
     verified = (
-        cand.join(F.broadcast(a1), "id1")
-        .join(F.broadcast(a2), "id2")
+        cand.join(a1, "id1")
+        .join(a2, "id2")
         .select(
             "id1",
             "id2",
@@ -680,14 +674,14 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the banding join that replaces the quadratic all-pairs scan at
     scale), with the number of agreeing bands.
 
-    The signature table is localCheckpoint'ed (eager, tiny — one row
-    per doc) so the self-join's two branches don't recompute the
-    tokenize+minhash subtree twice; at scale this is the signatures
-    table you'd persist to storage anyway.  Buckets above _BUCKET_CAP
-    docs are excluded from pair emission on BOTH engines (see cap
-    note); their members still reach the dedup pipeline through the
-    cluster path, which consumes buckets linearly."""
-    sigs = q_dedup_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    The signature table is materialized (reliable checkpoint, tiny —
+    one row per doc) so the self-join's two branches don't recompute
+    the tokenize+minhash subtree twice; at scale this is the
+    signatures table you'd persist to storage anyway.  Buckets above
+    _BUCKET_CAP docs are excluded from pair emission on BOTH engines
+    (see cap note); their members still reach the dedup pipeline
+    through the cluster path, which consumes buckets linearly."""
+    sigs = materialize(q_dedup_minhash(spark, sf_dir))
     long_ = _bands_long(sigs)
     small = (
         long_.groupBy("band_idx", "key")
@@ -892,44 +886,35 @@ GROUP BY lang, label
 """
 
 
-#: Memoized (doc_id, cluster_id) connected-components table per
-#: (Spark application, sf_dir): the minhash -> bands -> star-reduction
-#: -> label-propagation pipeline is the most expensive subtree in the
-#: suite, and BOTH q_dedup_clusters and q_dedup_keep_best need it —
-#: keep_best previously re-derived the whole pipeline (and its
-#: per-round localCheckpoints), which doubled block-manager pressure
-#: and made its wall-clock swing 2x between runs.  One checkpointed
-#: table is also what a production dedup pass persists to storage.
-_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CLUSTER_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from pgshovel_spark.operators.graph import connected_components
+    """(doc_id, cluster_id) connected-components table, built once per
+    session as a parquet scratch artifact: the minhash -> bands ->
+    star-reduction -> label-propagation pipeline is the most expensive
+    subtree in the suite, and BOTH q_dedup_clusters and
+    q_dedup_keep_best need it.  The persisted parquet table is also
+    exactly what a production dedup pass writes to storage."""
 
-    sigs = q_dedup_minhash(spark, sf_dir)
-    # N_BANDS rows per doc; checkpointing runs tokenize+minhash ONCE for
-    # the hubs and star branches below (same reuse rationale as the
-    # signature table in q_dedup_minhash_pairs)
-    long_ = _bands_long(sigs).localCheckpoint(eager=True)
-    hubs = long_.groupBy("band_idx", "key").agg(F.min("doc_id").alias("hub"))
-    star = (
-        long_.join(hubs, ["band_idx", "key"])
-        .filter(F.col("doc_id") != F.col("hub"))
-        .select(F.col("hub").alias("id1"), F.col("doc_id").alias("id2"))
-    )
-    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
-    cc = connected_components(
-        nodes, star, node_col="doc_id", src_col="id1", dst_col="id2"
-    )
-    tab = cc.select(
-        "doc_id", F.col("component").alias("cluster_id")
-    ).localCheckpoint(eager=True)
-    _CLUSTER_CACHE[key] = tab
-    return tab
+    def build(spark, sf_dir):
+        from pgshovel_spark.operators.graph import connected_components
+
+        sigs = q_dedup_minhash(spark, sf_dir)
+        # N_BANDS rows per doc; materializing runs tokenize+minhash ONCE
+        # for the hubs and star branches below (same reuse rationale as
+        # the signature table in q_dedup_minhash_pairs)
+        long_ = materialize(_bands_long(sigs))
+        hubs = long_.groupBy("band_idx", "key").agg(F.min("doc_id").alias("hub"))
+        star = (
+            long_.join(hubs, ["band_idx", "key"])
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("hub").alias("id1"), F.col("doc_id").alias("id2"))
+        )
+        nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+        cc = connected_components(
+            nodes, star, node_col="doc_id", src_col="id1", dst_col="id2"
+        )
+        return cc.select("doc_id", F.col("component").alias("cluster_id"))
+
+    return scratch_table(spark, "dedup_clusters", sf_dir, build)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

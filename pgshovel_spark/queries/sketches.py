@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
+from pgshovel_spark.operators.scratch import materialize, scratch_table
 from pgshovel_spark.queries.curation import _spread
 from pgshovel_spark.queries.similarity import _TOKEN_HASH_SQL, _token_hash
 from pgshovel_spark.sources.tables import load_table
@@ -58,28 +59,22 @@ def _tok_occurrences(spark, sf_dir):
     )
 
 
-_TOKCNT_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _token_counts(spark, sf_dir) -> DataFrame:
-    """(lang, t, cnt) per-language token occurrence counts — memoized
-    localCheckpoint shared across the sketch family (HLL buckets its
+    """(lang, t, cnt) per-language token occurrence counts — parquet
+    scratch artifact shared across the sketch family (HLL buckets its
     rows, CMS weights by cnt, Zipf re-aggregates over languages), the
     same shared-artifact pattern as similarity's shingle posting table:
     a production corpus pipeline materializes this table once and every
     downstream statistic derives from it without re-tokenizing."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _TOKCNT_CACHE.get(key)
-    if cached is not None:
-        return cached
-    tab = (
-        _tok_occurrences(spark, sf_dir)
-        .groupBy("lang", "t")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    _TOKCNT_CACHE[key] = tab
-    return tab
+
+    def build(spark, sf_dir):
+        return (
+            _tok_occurrences(spark, sf_dir)
+            .groupBy("lang", "t")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return scratch_table(spark, "token_counts", sf_dir, build)
 
 
 # ------------------------------------------------------------------ HLL
@@ -544,8 +539,7 @@ FROM islands GROUP BY event_type, island_len
 
 
 def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable histogram quantile sketch over order totals, audited
-    against the exact percentile.
+    """Mergeable histogram quantile sketch over order totals.
 
     The sketch is a fixed-width integer histogram (1000-unit buckets):
     per-partition partial counts merge by + inside the ordinary hash
@@ -554,50 +548,51 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q reads off the first bucket whose cumulative count reaches
     ceil(q*n) (pure integer arithmetic), so the sketch answer is
     bit-deterministic and its error is bounded by the bucket width.
-    The exact percentile (linear interpolation, the q_agg_median
-    cross-engine contract) rides alongside as the audit column.
 
-    Scale shape: one map-side-combined groupBy for the histogram, a
-    window cumsum over the ~#buckets rows, one broadcast of the 3-row
-    quantile spec; the exact audit pays the usual percentile sort —
-    a production pipeline drops it and keeps only the sketch.
+    This is the PRODUCTION plan: sketch only.  The exact-percentile
+    audit that used to ride alongside (a full percentile over orders
+    plus a global single-partition window) is a test-time concern and
+    lives in tests/test_sketches.py::test_quantile_sketch_error_bound,
+    which proves the k-th order statistic really falls inside the
+    sketch's answer bucket.
+
+    Scale shape: ONE scan of orders (the materialized histogram feeds
+    all three consumers), then every downstream table is bounded by
+    the BUCKET COUNT — a constant of the price domain, not the data
+    volume — so the cumulative self-join and both broadcasts are
+    provably bounded at any corpus size.  No global window: the
+    cumulative count is a bounded theta-join over the bucket table,
+    which keeps every stage parallel (the windowed form moves all
+    buckets to one partition).
     """
     o = load_table(spark, sf_dir, "orders")
-    hist = o.groupBy(
-        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "bucket", "cnt", F.sum("cnt").over(w).alias("cum")
+    hist = materialize(
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
     )
-    totals = o.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("x50"),
-        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("x90"),
-        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("x99"),
+    h2 = hist.select(F.col("bucket").alias("b2"), F.col("cnt").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("c2").alias("cum"))
     )
+    totals = hist.agg(F.sum("cnt").alias("n"))
     qs = spark.createDataFrame([(500,), (900,), (990,)], "q_milli long")
     need = F.expr("CAST((q_milli * n + 999) div 1000 AS BIGINT)")  # ceil(q*n/1000)
     est = F.lit(1000) * F.col("bucket") + F.lit(500)
-    exact = (
-        F.when(F.col("q_milli") == 500, F.col("x50"))
-        .when(F.col("q_milli") == 900, F.col("x90"))
-        .otherwise(F.col("x99"))
-    )
     return (
         qs.crossJoin(F.broadcast(totals))
-        .join(cum, cum.cum >= need)
+        .join(F.broadcast(cum), F.col("cum") >= need)
         .groupBy("q_milli")
         .agg(
             F.min("bucket").alias("bucket"),
             F.min(est).alias("sketch_estimate"),
-            F.round(F.min(F.round(exact, 2)), 2).alias("exact_value"),
         )
         .select(
             "q_milli",
             "bucket",
             F.col("sketch_estimate").cast("double").alias("sketch_estimate"),
-            F.col("exact_value").cast("double").alias("exact_value"),
         )
     )
 
@@ -608,26 +603,17 @@ WITH hist AS (
          COUNT(*) AS cnt
   FROM orders GROUP BY 1
 ), cum AS (
-  SELECT bucket, cnt,
-         SUM(cnt) OVER (ORDER BY bucket
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum
-  FROM hist
+  SELECT h.bucket, SUM(h2.cnt) AS cum
+  FROM hist h JOIN hist h2 ON h2.bucket <= h.bucket
+  GROUP BY h.bucket
 ), totals AS (
-  SELECT COUNT(*) AS n,
-         CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS x50,
-         CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS x90,
-         CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS x99
-  FROM orders
+  SELECT SUM(cnt) AS n FROM hist
 ), qs AS (
   SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS q_milli
 )
 SELECT q_milli,
        MIN(bucket) AS bucket,
-       CAST(MIN(1000 * bucket + 500) AS DOUBLE) AS sketch_estimate,
-       ROUND(MIN(ROUND(CASE WHEN q_milli = 500 THEN x50
-                            WHEN q_milli = 900 THEN x90
-                            ELSE x99 END, 2)), 2) AS exact_value
+       CAST(MIN(1000 * bucket + 500) AS DOUBLE) AS sketch_estimate
 FROM qs CROSS JOIN totals
 JOIN cum ON cum.cum >= CAST((q_milli * n + 999) // 1000 AS BIGINT)
 GROUP BY q_milli

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -135,10 +136,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term_counts feeds two consumers (df_counts, scored); checkpoint it
     # so tokenize+count runs ONCE — at scale this is the posting table
     # you'd persist to storage anyway.
-    term_counts = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .localCheckpoint(eager=False)
+    term_counts = materialize(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc")),
+        eager=False,
     )
     # distinct (doc_id, term) already guaranteed -> plain count, no
     # shuffle-heavy countDistinct.  NOT broadcast: a real corpus's

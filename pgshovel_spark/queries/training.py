@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 #: context length for q_pack_sequences (tokens per training sequence)
@@ -372,9 +373,8 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("source") == "src0").alias("is_eval"),
         F.explode(F.array_distinct(F.expr(_TRI_SPARK))).alias("s"),
-    ).select("doc_id", "is_eval", F.xxhash64("s").alias("h")).localCheckpoint(
-        eager=False
-    )
+    ).select("doc_id", "is_eval", F.xxhash64("s").alias("h"))
+    hashed = materialize(hashed, eager=False)
     train = hashed.filter(~F.col("is_eval")).select("doc_id", "h")
     ev = (
         hashed.filter(F.col("is_eval"))

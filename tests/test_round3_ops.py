@@ -20,11 +20,23 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_sketch_quantile_error_bounded_by_bucket_width(spark):
+    """The exact-percentile audit that used to ride inside the
+    registered query (a full percentile + global window — dropped from
+    the production plan per its docstring): the k-th order statistic,
+    k = ceil(q*n/1000), must fall inside the sketch's answer bucket,
+    so the estimate error is bounded by the bucket width."""
     rows = q_sketch_quantile(spark, SF).collect()
     assert {r.q_milli for r in rows} == {500, 900, 990}
+    vals = sorted(
+        r.o_totalprice
+        for r in load_table(spark, SF, "orders").select("o_totalprice").collect()
+    )
+    n = len(vals)
     for r in rows:
-        # the sketch midpoint is within half a bucket + interpolation slack
-        assert abs(r.sketch_estimate - r.exact_value) <= 1000, r
+        k = -(-r.q_milli * n // 1000)  # ceil(q*n/1000)
+        kth = vals[k - 1]
+        assert r.bucket * 1000 <= kth < (r.bucket + 1) * 1000, (r, kth)
+        assert abs(r.sketch_estimate - kth) <= 500, (r, kth)
 
 
 def test_salted_join_replicates_dimension(spark):
