@@ -60,12 +60,16 @@ def _drop_stale_blocks(spark) -> None:
     block manager grows across the executions and GC pressure inflates
     late queries; a real deployment runs one query per app and never
     sees this.  Runs OUTSIDE the per-query timer."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    sc = spark.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
     it = jmap.entrySet().iterator()
+    ids = []
     while it.hasNext():
-        # blocking=True: finish the removal here, not inside the next
-        # query's timed window.
-        it.next().getValue().unpersist(True)
+        ids.append(it.next().getKey())
+    for rid in ids:
+        # the ContextCleaner-internal path; blocking=True finishes the
+        # removal here, not inside the next query's timed window.
+        sc._jsc.sc().unpersistRDD(rid, True)
     # Spark's ContextCleaner reclaims shuffle files and broadcasts only
     # when GC collects their driver-side handles; after the iterative
     # heavies (clusters/keep_best: many stages + localCheckpoints) the

@@ -11,12 +11,14 @@ takes the min of its own label and its neighbors' labels; convergence
 in O(graph diameter) rounds — near-dup clusters are shallow (diameter
 ≤ ~4), so this terminates in a handful of rounds even at 100 TB.  Each
 round is one shuffle-join + one aggregate, all DataFrame ops; lineage
-is truncated per round with a RELIABLE checkpoint into the session
-scratch dir (operators/scratch.py) so plans stay flat AND the round
-table survives executor loss — a localCheckpoint here would strand
-the whole iteration on the first lost block.  The per-round
-convergence check is a scalar count — the one legitimate driver-side
-action in an iterative algorithm.
+is truncated per round with localCheckpoint so plans stay flat.  The
+round tables are TRANSIENT intra-query state: losing one costs a
+single bounded re-derivation of that round (unlike a shared artifact,
+where a lost localCheckpoint poisons every later consumer — those
+live as parquet scratch tables, operators/scratch.py).  A deployment
+that wants rounds on storage flips materialize=truncate here.  The
+per-round convergence check is a scalar count — the one legitimate
+driver-side action in an iterative algorithm.
 
 Result: (node, component) where component = min node id reachable —
 deterministic, engine-independent, and expressible in DuckDB as a
@@ -27,8 +29,6 @@ graph ops).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-
-from pgshovel_spark.operators.scratch import materialize
 
 
 def connected_components(
@@ -51,11 +51,11 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
     )
-    sym = materialize(sym.distinct())
+    sym = sym.distinct().localCheckpoint(eager=True)
 
-    labels = materialize(
-        nodes.select(F.col(node_col).alias("__n"), F.col(node_col).alias("__lab"))
-    )
+    labels = nodes.select(
+        F.col(node_col).alias("__n"), F.col(node_col).alias("__lab")
+    ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # (1) neighbor minimum — one shuffle join + partial agg
@@ -77,7 +77,7 @@ def connected_components(
         parent = cand.select(
             F.col("__n").alias("__pn"), F.col("__lab").alias("__plab")
         )
-        new_labels = materialize(
+        new_labels = (
             cand.join(parent, cand["__lab"] == parent["__pn"], "left")
             .select(
                 "__n",
@@ -88,6 +88,7 @@ def connected_components(
             )
             .withColumn("__chg", F.col("__lab") != F.col("__old"))
             .drop("__old")
+            .localCheckpoint(eager=True)
         )
         # convergence probe over the just-materialized checkpoint:
         # limit(1) short-circuits and costs far less than the full

@@ -368,10 +368,15 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.sort_array(F.collect_list(F.struct("df", "t"))), lambda x: x["t"]
             ).alias("toks"),
-        )
+        ),
         # this O(corpus) table feeds THREE plan branches (the prefix
         # explosion + both verification sides); materialize it once —
-        # without this the tokenize subtree re-runs per branch
+        # without this the tokenize subtree re-runs per branch.
+        # EAGER: downstream AQE then plans the self-join and the
+        # verification joins against the cache's EXACT size instead of
+        # logical-plan guesses — the lazy form was observed flapping
+        # 5 s <-> 15 s+ run-to-run on strategy choice.
+        eager=True,
     )
     sz = F.size("toks")
     # prefix length p = sz - ceil(tau*sz) + 1, via integer ceil division
@@ -424,6 +429,9 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
         .distinct()
     )
+    # eager for the same stats-exactness reason as docs: verification
+    # join planning sees the real candidate count.
+    cand = materialize(cand, eager=True)
     a1 = docs.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1"))
     a2 = docs.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2"))
     verified = (

@@ -53,6 +53,20 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan efficiency ---
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config(
+            "spark.sql.codegen.wholeStage",
+            os.environ.get("SPARK_GRAFT_WSCG", "true"),
+        )
+        # Align Spark's huge-method cutoff with HotSpot's real JIT
+        # limit (-XX:-DontCompileHugeMethods threshold, 8000 bytecode
+        # bytes): a generated processNext() above it is NEVER
+        # JIT-compiled and runs as cold interpreted bytecode forever —
+        # strictly worse than the Volcano path, whose small shared
+        # methods are C2-hot.  Spark's default (65535) keeps such
+        # stages on generated code anyway; 8000 makes the fallback
+        # decision match what the JVM will actually compile.  Scale-
+        # independent: the same cliff exists on every executor JVM.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Small split size so the single-file local fixtures scan with
         # real parallelism (a 15 MB lineitem would otherwise be ONE
         # task).  On a cluster with properly sized multi-file tables

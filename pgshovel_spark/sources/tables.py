@@ -29,6 +29,16 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (applicationId, sf_dir, table) -> prepared DataFrame.  Schema
+#: inference reads the parquet footer on every ``spark.read.parquet``
+#: — real file I/O plus several driver round-trips, ~50-150 ms per
+#: call.  A query joining five tables pays that five times per
+#: CONSTRUCTION, which at fixture scale rivals its execution time.
+#: DataFrames are immutable plan handles, so memoizing per session is
+#: safe; the catalog entry a production metastore provides serves the
+#: same role at scale.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table of the star schema from ``{sf_dir}/{name}.parquet``.
@@ -49,9 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # own): timestamps in these tables are NTZ, and ntz->epoch
     # (unix_timestamp) is session-timezone-dependent — pin UTC to match
     # the DuckDB oracle's naive-UTC arithmetic.
+    # the conf pins run on EVERY call (cache hit or not): they must
+    # hold at execution time, and an external caller may have touched
+    # the session between queries.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _DF_CACHE.get(key)
+    if got is not None:
+        return got
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
 
@@ -60,6 +77,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _DF_CACHE[key] = df
     return df
 
 
