@@ -321,6 +321,7 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
+        "event_id",
         F.round("value", 2).alias("value"),
         F.expr("unix_micros(ts)").alias("um"),
     )
@@ -334,17 +335,24 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("h0") + hour_us, F.col("h1") + hour_us, F.lit(hour_us))
         ).alias("bucket_end_us"),
     )
+    # event_id joins the ordering as the deterministic tiebreak (same
+    # contract as SCD2/attribution/sessionize): if two same-user events
+    # ever share a timestamp with different values, the carried-forward
+    # value must not be engine- or run-dependent.  Spine rows carry -1
+    # (the marker already orders them after same-instant events).
     tagged = e.select(
-        "user_id", F.col("um").alias("t"), F.lit(0).alias("marker"), "value"
+        "user_id", F.col("um").alias("t"), F.lit(0).alias("marker"),
+        F.col("event_id").alias("ev"), "value"
     ).unionAll(
         spine.select(
             "user_id", F.col("bucket_end_us").alias("t"), F.lit(1).alias("marker"),
+            F.lit(-1).cast("long").alias("ev"),
             F.lit(None).cast("double").alias("value"),
         )
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", "marker")
+        .orderBy("t", "marker", "ev")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = tagged.select(
@@ -363,7 +371,7 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS_GAPFILL_SQL = """
 WITH e AS (
-  SELECT user_id, ROUND(value, 2) AS value, epoch_us(ts) AS um FROM events
+  SELECT user_id, event_id, ROUND(value, 2) AS value, epoch_us(ts) AS um FROM events
 ), bounds AS (
   SELECT user_id,
          CAST(FLOOR(MIN(um) / 3600000000) * 3600000000 AS BIGINT) AS h0,
@@ -375,13 +383,13 @@ WITH e AS (
            AS bucket_end_us
   FROM bounds
 ), tagged AS (
-  SELECT user_id, um AS t, 0 AS marker, value FROM e
+  SELECT user_id, um AS t, 0 AS marker, event_id AS ev, value FROM e
   UNION ALL
-  SELECT user_id, bucket_end_us, 1, NULL FROM spine
+  SELECT user_id, bucket_end_us, 1, -1, NULL FROM spine
 ), filled AS (
   SELECT user_id, t, marker,
          last_value(value IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY t, marker
+           PARTITION BY user_id ORDER BY t, marker, ev
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
   FROM tagged
 )

@@ -20,8 +20,12 @@ hash + overflow-proof Knuth spread (identical integer arithmetic on
 both engines, see queries/similarity.py and queries/curation.py), and
 bit-position extraction is an explicit integer CASE ladder — never
 log2()/floating-point bit math, which libm rounds differently across
-engines.  The only floats are final HLL estimates built from exact
-powers of two (every partial sum representable, see q_sketch_hll).
+engines.  Floats appear only in final HLL estimates: exact powers of
+two (every partial sum representable, see q_sketch_hll) plus the
+small-range correction's ln() over an exact small-integer ratio.  The
+ln() is the one libm call in the family; its 2dp-rounded value is
+verified to agree across both engines for EVERY possible input (V has
+only 63 possible values — tests/test_sketches.py exhausts them).
 
 Public-knowledge provenance: Flajolet et al. 2007 (HyperLogLog),
 Cormode & Muthukrishnan 2005 (count-min), Bloom 1970.  The reference

@@ -68,6 +68,68 @@ def file_change_stream(
     )
 
 
+def kafka_reader_options(conf: dict) -> dict[str, str]:
+    """The complete option block for a Kafka change-stream source —
+    pure config, unit-testable without a broker.  The reference relay
+    publishes change batches to a Kafka topic; Structured Streaming's
+    built-in ``format("kafka")`` is the production consumer, so
+    deployment is THIS dict plus the spark-sql-kafka package on the
+    cluster classpath — no engine code changes."""
+    opts = {
+        "kafka.bootstrap.servers": conf["servers"],
+        "startingOffsets": conf.get("starting_offsets", "earliest"),
+        # the upsert sink is idempotent on (publisher, epoch, seq), so
+        # at-least-once delivery after a data-loss gap is recoverable;
+        # fail fast only when the caller asks for strictness.
+        "failOnDataLoss": str(conf.get("fail_on_data_loss", False)).lower(),
+    }
+    if "topic_pattern" in conf:
+        opts["subscribePattern"] = conf["topic_pattern"]
+    else:
+        opts["subscribe"] = conf["topic"]
+    if "max_offsets_per_trigger" in conf:
+        opts["maxOffsetsPerTrigger"] = str(conf["max_offsets_per_trigger"])
+    if "group_id_prefix" in conf:
+        opts["groupIdPrefix"] = conf["group_id_prefix"]
+    return opts
+
+
+def stream_source(spark: SparkSession, conf: dict) -> DataFrame:
+    """Config-dispatched change-stream source: ``conf["format"]`` picks
+    file (deterministic replay, dev/test), rate (load generator), or
+    kafka (production message bus) — every downstream operator is
+    source-agnostic, so switching a deployment from file replay to the
+    bus is configuration, not code.
+
+    The kafka branch is config-complete (kafka_reader_options) and
+    parses the value envelope into CHANGE_SCHEMA columns; it needs the
+    spark-sql-kafka package on the cluster classpath (absent in this
+    sandbox — the contract test drives the file branch through this
+    same dispatch and asserts the kafka branch's option assembly)."""
+    fmt = conf.get("format", "file")
+    if fmt == "file":
+        return file_change_stream(
+            spark, conf["path"], conf.get("schema"), conf.get("max_files", 1)
+        )
+    if fmt == "rate":
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(conf.get("rows_per_second", 100)))
+            .load()
+        )
+    if fmt == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_reader_options(conf).items():
+            reader = reader.option(k, v)
+        raw = reader.load()
+        return raw.select(
+            F.from_json(
+                F.col("value").cast("string"), conf.get("schema") or CHANGE_SCHEMA
+            ).alias("c")
+        ).select("c.*")
+    raise ValueError(f"unknown stream source format {fmt!r}")
+
+
 def mutations_from_events(events: DataFrame) -> DataFrame:
     """Adapt the events fixture into change records (each event = an
     UPSERT of that user's latest state) so streaming tests exercise

@@ -68,28 +68,47 @@ def _run_foreach_batch(stream: DataFrame, apply_batch, checkpoint_dir: str):
     return q
 
 
-def upsert_foreach_batch(
-    stream: DataFrame,
-    target_dir: str,
-    keys: Sequence[str],
-    order_cols: Sequence[str],
-    checkpoint_dir: str | None = None,
-):
-    """Latest-state upsert sink: each micro-batch merges into a keyed
-    Parquet table, keeping the newest row per key by ``order_cols``.
+class MergeSink:
+    """Keyed-MERGE sink contract: ``apply(batch_df, batch_id)`` must
+    upsert the batch into the target keeping the newest row per
+    ``keys`` by ``order_cols``, and must be IDEMPOTENT — replaying a
+    batch (foreachBatch redelivers after a crash) converges to the
+    same table.  Together with the stream's ``checkpointLocation``
+    that is the exactly-once delivery contract.
 
-    Plain-Parquet merge (read + union + rank + overwrite) because this
-    environment has no transactional table format; on a real deployment
-    the foreachBatch body becomes a Delta/Iceberg MERGE with the same
-    key semantics.  Idempotent: replaying a batch converges to the
-    same table.
-    """
-    keys = list(keys)
-    order_cols = list(order_cols)
-    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="pgshovel-ckpt-")
+    Implementations: the two plain-parquet engines below (this
+    sandbox has no transactional table format) and
+    :class:`TransactionalMergeSink`, the config-complete Delta /
+    Iceberg binding a production deployment uses instead — same
+    constructor shape, so the swap is configuration."""
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def __init__(self, keys: Sequence[str], order_cols: Sequence[str]):
+        self.keys = list(keys)
+        self.order_cols = list(order_cols)
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        raise NotImplementedError
+
+    def run(self, stream: DataFrame, checkpoint_dir: str | None = None):
+        """Drive a stream through this sink to completion
+        (availableNow) with a replayable checkpoint."""
+        checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="pgshovel-ckpt-")
+        return _run_foreach_batch(stream, self.apply, checkpoint_dir)
+
+
+class SnapshotParquetMergeSink(MergeSink):
+    """Latest-state upsert into a keyed Parquet table by full-snapshot
+    rewrite (read + union + rank + overwrite + atomic dir swap).
+    Simple and correct for small state tables; the bucketed engine
+    below is the O(changed keys) form."""
+
+    def __init__(self, target_dir: str, keys: Sequence[str], order_cols: Sequence[str]):
+        super().__init__(keys, order_cols)
+        self.target_dir = target_dir
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        target_dir = self.target_dir
         staging = target_dir + ".staging"
         backup = target_dir + ".old"
         # Crash recovery: a previous apply may have died mid-swap.  If
@@ -109,11 +128,11 @@ def upsert_foreach_batch(
             merged = current.unionByName(batch_df.select(*current.columns))
         else:
             merged = batch_df
-        latest = _latest_rows(merged, keys, order_cols)
+        latest = _latest_rows(merged, self.keys, self.order_cols)
         # Write the new table beside the old one, then swap via two
         # renames (atomic on POSIX; any crash window is covered by the
         # recovery above).  Real deployments on object stores use a
-        # transactional format's MERGE instead — see docstring.
+        # transactional format's MERGE instead — see MergeSink.
         latest.write.mode("overwrite").parquet(staging)
         if os.path.exists(target_dir):
             os.rename(target_dir, backup)
@@ -121,17 +140,65 @@ def upsert_foreach_batch(
         if os.path.exists(backup):
             shutil.rmtree(backup)
 
-    return _run_foreach_batch(stream, apply_batch, checkpoint_dir)
+
+class TransactionalMergeSink(MergeSink):
+    """Delta/Iceberg binding: each batch ranks latest-per-key then runs
+    ONE transactional MERGE — readers get snapshot isolation and the
+    engine rewrites only touched files, which is the durable production
+    answer the parquet engines approximate.  Config-complete here
+    (``merge_sql`` emits the exact statement, unit-tested); executing
+    it needs the format's runtime on the cluster classpath
+    (delta-spark / iceberg-spark-runtime), absent in this sandbox."""
+
+    def __init__(
+        self,
+        table: str,
+        keys: Sequence[str],
+        order_cols: Sequence[str],
+        source_view: str = "__pgshovel_batch",
+    ):
+        super().__init__(keys, order_cols)
+        self.table = table
+        self.source_view = source_view
+
+    def merge_sql(self) -> str:
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+        newer = " OR ".join(
+            "("
+            + " AND ".join(f"s.{c} = t.{c}" for c in self.order_cols[:i])
+            + (" AND " if i else "")
+            + f"s.{o} > t.{o})"
+            for i, o in enumerate(self.order_cols)
+        )
+        return (
+            f"MERGE INTO {self.table} t USING {self.source_view} s ON {on} "
+            f"WHEN MATCHED AND ({newer}) THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = _latest_rows(batch_df, self.keys, self.order_cols)
+        latest.createOrReplaceTempView(self.source_view)
+        batch_df.sparkSession.sql(self.merge_sql())
 
 
-def merge_upsert_foreach_batch(
+def upsert_foreach_batch(
     stream: DataFrame,
     target_dir: str,
     keys: Sequence[str],
     order_cols: Sequence[str],
-    n_buckets: int = 16,
     checkpoint_dir: str | None = None,
 ):
+    """Latest-state upsert sink — SnapshotParquetMergeSink through the
+    MergeSink interface (kept as the stable functional entry point)."""
+    return SnapshotParquetMergeSink(target_dir, keys, order_cols).run(
+        stream, checkpoint_dir
+    )
+
+
+class BucketedParquetMergeSink(MergeSink):
     """MERGE-shaped upsert: rewrite ONLY the key-bucket partitions a
     micro-batch touches, not the whole table.
 
@@ -153,57 +220,67 @@ def merge_upsert_foreach_batch(
     match (a different count would re-bucket new keys while stale rows
     linger in old buckets — silent duplicate keys).
 
-    Idempotent like upsert_foreach_batch: replaying a batch converges.
+    Idempotent like the snapshot sink: replaying a batch converges.
     """
-    keys = list(keys)
-    order_cols = list(order_cols)
-    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="pgshovel-ckpt-")
-    kb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
-    staging_root = target_dir + ".staging"
-    bak_root = target_dir + ".bak"
-    meta_path = target_dir + ".meta.json"
+    def __init__(
+        self,
+        target_dir: str,
+        keys: Sequence[str],
+        order_cols: Sequence[str],
+        n_buckets: int = 16,
+    ):
+        super().__init__(keys, order_cols)
+        self.target_dir = target_dir
+        self.n_buckets = n_buckets
+        self._kb = F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(n_buckets)
+        ).cast("int")
+        self._staging_root = target_dir + ".staging"
+        self._bak_root = target_dir + ".bak"
+        self._meta_path = target_dir + ".meta.json"
 
-    def _check_meta() -> None:
+    def _check_meta(self) -> None:
         import json
 
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
                 stored = json.load(f)
-            if stored.get("n_buckets") != n_buckets:
+            if stored.get("n_buckets") != self.n_buckets:
                 raise ValueError(
                     f"state table was bucketed with n_buckets="
-                    f"{stored.get('n_buckets')}; got {n_buckets} — rebucket "
+                    f"{stored.get('n_buckets')}; got {self.n_buckets} — rebucket "
                     "the table (rewrite) instead of changing the call option"
                 )
         else:
-            os.makedirs(os.path.dirname(meta_path) or ".", exist_ok=True)
-            with open(meta_path, "w") as f:
-                json.dump({"n_buckets": n_buckets, "keys": keys}, f)
+            os.makedirs(os.path.dirname(self._meta_path) or ".", exist_ok=True)
+            with open(self._meta_path, "w") as f:
+                json.dump({"n_buckets": self.n_buckets, "keys": self.keys}, f)
 
-    def _recover() -> None:
+    def _recover(self) -> None:
         """Heal an interrupted bucket swap: a bucket dir still in .bak
         whose target dir is missing was renamed away but never replaced
         — restore it so no key's state is ever lost."""
-        if os.path.isdir(bak_root):
-            for d in os.listdir(bak_root):
-                src = os.path.join(bak_root, d)
-                dst = os.path.join(target_dir, d)
+        if os.path.isdir(self._bak_root):
+            for d in os.listdir(self._bak_root):
+                src = os.path.join(self._bak_root, d)
+                dst = os.path.join(self.target_dir, d)
                 if d.startswith("__kb=") and not os.path.exists(dst):
                     os.rename(src, dst)
-            shutil.rmtree(bak_root, ignore_errors=True)
-        shutil.rmtree(staging_root, ignore_errors=True)
+            shutil.rmtree(self._bak_root, ignore_errors=True)
+        shutil.rmtree(self._staging_root, ignore_errors=True)
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover()
-        _check_meta()
+        target_dir = self.target_dir
+        self._recover()
+        self._check_meta()
         if batch_df.isEmpty():
             return  # a 0-row first write would leave a data-file-less table
-        b = batch_df.withColumn("__kb", kb)
+        b = batch_df.withColumn("__kb", self._kb)
         if not _has_table(target_dir):
             # first batch: plain partitioned write
-            b_latest = _latest_rows(b, keys, order_cols)
+            b_latest = _latest_rows(b, self.keys, self.order_cols)
             b_latest.write.mode("overwrite").partitionBy("__kb").parquet(target_dir)
             return
         buckets = [r["__kb"] for r in b.select("__kb").distinct().collect()]
@@ -211,7 +288,7 @@ def merge_upsert_foreach_batch(
             return
         current = spark.read.parquet(target_dir).filter(F.col("__kb").isin(buckets))
         latest = _latest_rows(
-            current.unionByName(b.select(*current.columns)), keys, order_cols
+            current.unionByName(b.select(*current.columns)), self.keys, self.order_cols
         )
         # Write the merged buckets BESIDE the table, then swap each
         # affected bucket dir via rename-away / rename-in.  _recover()
@@ -219,18 +296,32 @@ def merge_upsert_foreach_batch(
         # never loses a key — but an external reader scanning the table
         # between such a crash and the stream's restart can observe the
         # missing bucket.  True reader isolation needs a transactional
-        # table format (Delta/Iceberg MERGE), per the module docstring.
-        latest.write.mode("overwrite").partitionBy("__kb").parquet(staging_root)
-        os.makedirs(bak_root, exist_ok=True)
-        for d in os.listdir(staging_root):
+        # table format (TransactionalMergeSink).
+        latest.write.mode("overwrite").partitionBy("__kb").parquet(self._staging_root)
+        os.makedirs(self._bak_root, exist_ok=True)
+        for d in os.listdir(self._staging_root):
             if not d.startswith("__kb="):
                 continue
             tgt = os.path.join(target_dir, d)
-            bak = os.path.join(bak_root, d)
+            bak = os.path.join(self._bak_root, d)
             if os.path.exists(tgt):
                 os.rename(tgt, bak)
-            os.rename(os.path.join(staging_root, d), tgt)
-        shutil.rmtree(bak_root, ignore_errors=True)
-        shutil.rmtree(staging_root, ignore_errors=True)
+            os.rename(os.path.join(self._staging_root, d), tgt)
+        shutil.rmtree(self._bak_root, ignore_errors=True)
+        shutil.rmtree(self._staging_root, ignore_errors=True)
 
-    return _run_foreach_batch(stream, apply_batch, checkpoint_dir)
+
+def merge_upsert_foreach_batch(
+    stream: DataFrame,
+    target_dir: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """Bucketed MERGE-shaped upsert — BucketedParquetMergeSink through
+    the MergeSink interface (kept as the stable functional entry
+    point)."""
+    return BucketedParquetMergeSink(target_dir, keys, order_cols, n_buckets).run(
+        stream, checkpoint_dir
+    )

@@ -95,3 +95,26 @@ def test_salted_agg_equals_plain_agg(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_hll_small_range_ln_agrees_across_engines(spark):
+    """The HLL small-range correction 64*ln(64/V) is the sketch
+    family's ONE libm call; V (empty registers) has only 63 possible
+    values, so exhaustively prove the 2dp-rounded value is identical
+    on both engines — no half-ulp boundary can flip a registered
+    result (queries/sketches.py module header)."""
+    import duckdb
+
+    rows = spark.sql(
+        "SELECT v, ROUND(64.0 * ln(64.0 / v), 2) AS est"
+        " FROM (SELECT explode(sequence(1, 63)) AS v)"
+    ).collect()
+    got = {r.v: r.est for r in rows}
+    want = {
+        int(v): float(e)
+        for v, e in duckdb.sql(
+            "SELECT v, ROUND(64.0 * ln(64.0 / v), 2) AS est"
+            " FROM (SELECT unnest(generate_series(1, 63)) AS v)"
+        ).fetchall()
+    }
+    assert got == want
