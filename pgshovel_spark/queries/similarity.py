@@ -429,9 +429,12 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
         .distinct()
     )
-    # eager for the same stats-exactness reason as docs: verification
-    # join planning sees the real candidate count.
-    cand = materialize(cand, eager=True)
+    # cand is NOT materialized: it has exactly one consumer (the
+    # verification join below) and is OUTPUT-sized — caching O(pairs)
+    # rows would be pure write/read churn at scale (measured: the
+    # eager-cached form GC-thrashed the 10x rehearsal corpus).  The
+    # distinct's shuffle already gives AQE exact runtime stats for the
+    # verification join planning.
     a1 = docs.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1"))
     a2 = docs.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2"))
     verified = (

@@ -78,31 +78,119 @@ def _vpath(admin_dir: str, name: str, version: int) -> str:
     return os.path.join(admin_dir, f"{name}.v{version}.json")
 
 
-def _latest_version(admin_dir: str, name: str) -> int:
-    """Highest persisted version for the set (0 = does not exist)."""
-    pat = re.compile(re.escape(name) + r"\.v(\d+)\.json\Z")
-    best = 0
-    if os.path.isdir(admin_dir):
-        for f in os.listdir(admin_dir):
-            m = pat.fullmatch(f)
-            if m:
-                best = max(best, int(m.group(1)))
-    return best
+class CoordinatorBackend:
+    """Versioned-config store contract — the coordination seam.
+
+    ``claim(name, version, payload)`` must be an ATOMIC exactly-one-
+    winner operation: of any number of concurrent claimants for the
+    same (name, version), exactly one succeeds and the rest raise
+    ConfigError.  Everything above this seam (create/update/epoch
+    fencing) is backend-agnostic, so moving a deployment from the
+    file backend to ZooKeeper/etcd is configuration, not code — the
+    reference's versioned-ZNode writes map onto the same three calls.
+    """
+
+    def latest_version(self, name: str) -> int:
+        raise NotImplementedError
+
+    def claim(self, name: str, version: int, payload: dict) -> None:
+        raise NotImplementedError
+
+    def read(self, name: str, version: int) -> dict:
+        raise NotImplementedError
 
 
-def _claim_version(admin_dir: str, name: str, version: int, payload: dict) -> None:
-    """Atomically create version file N — O_CREAT|O_EXCL means exactly
-    one writer wins a contended version; the loser gets ConfigError."""
-    os.makedirs(admin_dir, exist_ok=True)
-    path = _vpath(admin_dir, name, version)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-    except FileExistsError:
-        raise ConfigError(
-            f"version conflict: {name} v{version} was created concurrently"
-        ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump(payload, f, indent=2, sort_keys=True)
+class FileBackend(CoordinatorBackend):
+    """One immutable JSON file per version, claimed with
+    ``O_CREAT|O_EXCL`` — atomic on a local or NFS-with-O_EXCL
+    filesystem.  Right for single-admin-host deployments and tests;
+    NOT multi-driver-safe on object stores (no exclusive create) —
+    use the ZooKeeper backend there."""
+
+    def __init__(self, admin_dir: str):
+        self.admin_dir = admin_dir
+
+    def latest_version(self, name: str) -> int:
+        pat = re.compile(re.escape(name) + r"\.v(\d+)\.json\Z")
+        best = 0
+        if os.path.isdir(self.admin_dir):
+            for f in os.listdir(self.admin_dir):
+                m = pat.fullmatch(f)
+                if m:
+                    best = max(best, int(m.group(1)))
+        return best
+
+    def claim(self, name: str, version: int, payload: dict) -> None:
+        os.makedirs(self.admin_dir, exist_ok=True)
+        path = _vpath(self.admin_dir, name, version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise ConfigError(
+                f"version conflict: {name} v{version} was created concurrently"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+
+    def read(self, name: str, version: int) -> dict:
+        with open(_vpath(self.admin_dir, name, version)) as f:
+            return json.load(f)
+
+
+class ZooKeeperBackend(CoordinatorBackend):
+    """Multi-driver-safe production backend: a ZNode ``create()`` is
+    totally ordered by the ZooKeeper ensemble, so it IS the atomic
+    claim — the same primitive the reference's administration used.
+    Config-complete here; needs the ``kazoo`` client on the driver
+    (absent in this sandbox, hence the import gate)."""
+
+    def __init__(self, hosts: str, root: str = "/pgshovel/sets"):
+        try:
+            from kazoo.client import KazooClient
+        except ImportError as e:  # pragma: no cover - kazoo not bundled
+            raise ImportError(
+                "ZooKeeperBackend needs the 'kazoo' package on the driver; "
+                "pass a FileBackend admin_dir for single-host deployments"
+            ) from e
+        self.root = root.rstrip("/")
+        self._zk = KazooClient(hosts=hosts)  # pragma: no cover
+        self._zk.start()  # pragma: no cover
+
+    def _path(self, name: str, version: int) -> str:  # pragma: no cover
+        return f"{self.root}/{name}/v{version}"
+
+    def latest_version(self, name: str) -> int:  # pragma: no cover
+        base = f"{self.root}/{name}"
+        if not self._zk.exists(base):
+            return 0
+        versions = [
+            int(c[1:]) for c in self._zk.get_children(base) if c.startswith("v")
+        ]
+        return max(versions, default=0)
+
+    def claim(self, name, version, payload) -> None:  # pragma: no cover
+        from kazoo.exceptions import NodeExistsError
+
+        try:
+            self._zk.create(
+                self._path(name, version),
+                json.dumps(payload, sort_keys=True).encode(),
+                makepath=True,
+            )
+        except NodeExistsError:
+            raise ConfigError(
+                f"version conflict: {name} v{version} was created concurrently"
+            ) from None
+
+    def read(self, name, version) -> dict:  # pragma: no cover
+        data, _stat = self._zk.get(self._path(name, version))
+        return json.loads(data)
+
+
+def _backend(store: CoordinatorBackend | str) -> CoordinatorBackend:
+    """Accept an admin_dir path (file backend, the historical API) or
+    any CoordinatorBackend."""
+    return store if isinstance(store, CoordinatorBackend) else FileBackend(store)
 
 
 def _to_payload(cfg: SetConfig) -> dict:
@@ -134,53 +222,56 @@ def _from_payload(d: dict) -> SetConfig:
     )
 
 
-def create_set(admin_dir: str, cfg: SetConfig) -> SetConfig:
+def create_set(store: CoordinatorBackend | str, cfg: SetConfig) -> SetConfig:
     """Validate and persist a NEW replication set at version 1, epoch 0.
     Refuses to overwrite an existing set (use update_set); the v1 claim
     is atomic, so two concurrent create_set calls cannot both win."""
+    be = _backend(store)
     _validate(cfg)
-    if _latest_version(admin_dir, cfg.name) > 0:
+    if be.latest_version(cfg.name) > 0:
         raise ConfigError(f"set {cfg.name!r} already exists; use update_set")
     cfg.version, cfg.epoch = 1, 0
-    _claim_version(admin_dir, cfg.name, 1, _to_payload(cfg))
+    be.claim(cfg.name, 1, _to_payload(cfg))
     return cfg
 
 
-def get_set(admin_dir: str, name: str) -> SetConfig:
-    v = _latest_version(admin_dir, name)
+def get_set(store: CoordinatorBackend | str, name: str) -> SetConfig:
+    be = _backend(store)
+    v = be.latest_version(name)
     if v == 0:
         raise FileNotFoundError(f"no such replication set: {name!r}")
-    with open(_vpath(admin_dir, name, v)) as f:
-        return _from_payload(json.load(f))
+    return _from_payload(be.read(name, v))
 
 
 def update_set(
-    admin_dir: str, cfg: SetConfig, expect_version: int | None = None
+    store: CoordinatorBackend | str, cfg: SetConfig, expect_version: int | None = None
 ) -> SetConfig:
     """Validate and persist a config change as version current+1.
-    Compare-and-set is enforced by the O_EXCL claim of the new version
-    file: if another admin claimed it first, this call raises instead
-    of silently overwriting.  ``expect_version`` additionally pins the
-    base version the caller read."""
+    Compare-and-set is enforced by the backend's atomic claim of the
+    new version: if another admin claimed it first, this call raises
+    instead of silently overwriting.  ``expect_version`` additionally
+    pins the base version the caller read."""
+    be = _backend(store)
     _validate(cfg)
-    current = get_set(admin_dir, cfg.name)
+    current = get_set(be, cfg.name)
     if expect_version is not None and current.version != expect_version:
         raise ConfigError(
             f"version conflict: expected {expect_version}, found {current.version}"
         )
     cfg.version = current.version + 1
     cfg.epoch = current.epoch
-    _claim_version(admin_dir, cfg.name, cfg.version, _to_payload(cfg))
+    be.claim(cfg.name, cfg.version, _to_payload(cfg))
     return cfg
 
 
-def bump_epoch(admin_dir: str, name: str) -> SetConfig:
+def bump_epoch(store: CoordinatorBackend | str, name: str) -> SetConfig:
     """Fence the previous publisher generation: bump the epoch (and
     version, atomically claimed).  Consumers using validate_sequences
     keep only rows from each publisher's max epoch, so messages from a
     stale relay that resumes after a failover are dropped."""
-    cfg = get_set(admin_dir, name)
+    be = _backend(store)
+    cfg = get_set(be, name)
     cfg.epoch += 1
     cfg.version += 1
-    _claim_version(admin_dir, name, cfg.version, _to_payload(cfg))
+    be.claim(name, cfg.version, _to_payload(cfg))
     return cfg

@@ -89,14 +89,15 @@ def test_concurrent_version_claim_is_atomic(tmp_path):
     """Two admins racing to write the same next version: exactly one
     wins (O_EXCL claim), the other gets a ConfigError — not a silent
     overwrite."""
-    from pgshovel_spark.sources.administration import _claim_version, _to_payload
+    from pgshovel_spark.sources.administration import FileBackend, _to_payload
 
     d = str(tmp_path)
+    be = FileBackend(d)
     create_set(d, _cfg())
-    _claim_version(d, "orders_set", 2, _to_payload(_cfg()))  # admin A wins v2
+    be.claim("orders_set", 2, _to_payload(_cfg()))  # admin A wins v2
     # admin B racing for the same version loses the O_EXCL claim
     with pytest.raises(ConfigError, match="created concurrently"):
-        _claim_version(d, "orders_set", 2, _to_payload(_cfg()))
+        be.claim("orders_set", 2, _to_payload(_cfg()))
     # and through the public API the conflict surfaces as a version check
     with pytest.raises(ConfigError, match="version conflict"):
         update_set(d, _cfg(), expect_version=1)
@@ -114,3 +115,33 @@ def test_version_history_is_retained(tmp_path):
         "orders_set.v1.json", "orders_set.v2.json", "orders_set.v3.json"
     ]
     assert get_set(d, "orders_set").version == 3
+
+
+def test_coordinator_backend_seam(tmp_path):
+    """The lifecycle runs through any CoordinatorBackend: drive it with
+    an explicit FileBackend instance (not the path shorthand) and
+    assert the ZooKeeper binding import-gates cleanly in this sandbox."""
+    from pgshovel_spark.sources.administration import (
+        FileBackend,
+        SetConfig,
+        TableConfig,
+        ZooKeeperBackend,
+        bump_epoch,
+        create_set,
+        get_set,
+    )
+
+    be = FileBackend(str(tmp_path / "admin"))
+    cfg = SetConfig(
+        name="orders_set",
+        tables={"orders": TableConfig(cursor_col="o_orderkey", key_cols=["o_orderkey"])},
+    )
+    create_set(be, cfg)
+    assert get_set(be, "orders_set").version == 1
+    bump_epoch(be, "orders_set")
+    got = get_set(be, "orders_set")
+    assert (got.version, got.epoch) == (2, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError, match="kazoo"):
+        ZooKeeperBackend("zk-1:2181")

@@ -44,9 +44,30 @@ from pgshovel_spark.sources.tables import TABLES, load_table  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_scale/sf1"
+#: Variant corpus for the EXACT similarity joins: same 10x documents
+#: but each replica i>0 appends ~14% replica-specific tokens, so
+#: cross-replica copies fall BELOW tau=0.9 while within-replica
+#: near-dup pairs (the workload the operator is sized for) are
+#: preserved at 10x volume.  The plain SF1 corpus gives every doc 9
+#: near-identical copies — for a LOSSLESS tau=0.9 join that multiplies
+#: the OUTPUT ~35x by construction, which measures output growth, not
+#: operator scaling.  Other tables are symlinked to SF1.
+SF1P = "/tmp/spark_graft_scale/sf1p"
 REPLICAS = 10
 # Key offsets comfortably past each table's max key at sf0.1.
 OFF = {"orderkey": 10_000_000, "doc_id": 1_000_000, "event_id": 10_000_000}
+
+#: Shared scratch artifacts timed EXPLICITLY per scale (round 4): the
+#: query panel below runs artifact-warm (the production posture — a
+#: pipeline persists these once), so the build cost must be measured
+#: on its own or consumers like q_dedup_clusters would show a vacuous
+#: 0.04s at both scales.
+ARTIFACTS = (
+    "tok_distinct",
+    "bigram_shingles",
+    "token_counts",
+    "dedup_clusters",
+)
 
 PANEL = (
     "q_agg_pricing_summary",  # 6M-row multi-measure hash agg
@@ -119,6 +140,39 @@ def build(spark: SparkSession) -> None:
                 out = out.unionByName(p)
         out.write.mode("overwrite").parquet(os.path.join(SF1, f"{name}.parquet"))
         print(f"built {name}", file=sys.stderr)
+    build_perturbed(spark)
+
+
+def build_perturbed(spark: SparkSession) -> None:
+    """SF1P: the cross-replica-divergent documents variant (see SF1P
+    note); every non-documents table is a symlink into SF1."""
+    os.makedirs(SF1P, exist_ok=True)
+    src = load_table(spark, SF01, "documents")
+    parts = []
+    for i in range(REPLICAS):
+        r = src.withColumn("doc_id", F.col("doc_id") + i * OFF["doc_id"])
+        if i > 0:
+            ntoks = F.size(F.split(F.col("text"), r"\s+"))
+            extra = F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.lit(1), (ntoks / 7).cast("int"))),
+                    lambda j: F.concat(F.lit(f"r{i}q"), j.cast("string")),
+                ),
+            )
+            r = r.withColumn("text", F.concat("text", F.lit(" "), extra))
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(SF1P, "documents.parquet"))
+    for name in TABLES:
+        if name == "documents":
+            continue
+        link = os.path.join(SF1P, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SF1, f"{name}.parquet"), link)
+    print("built perturbed documents", file=sys.stderr)
 
 
 def time_query(qfn, spark: SparkSession, sf_dir: str) -> float:
@@ -131,22 +185,62 @@ def time_query(qfn, spark: SparkSession, sf_dir: str) -> float:
     return best
 
 
+def _artifact_builders():
+    from pgshovel_spark.queries import similarity, sketches
+
+    return {
+        "tok_distinct": similarity._tok_distinct,
+        "bigram_shingles": similarity._bigram_shingles,
+        "token_counts": sketches._token_counts,
+        "dedup_clusters": similarity._cluster_table,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--only", nargs="*", help="subset of PANEL/ARTIFACTS to run")
     args = ap.parse_args()
+
+    from pgshovel_spark.operators.scratch import clear_scratch
 
     spark = get_session()
     if not args.skip_build:
         build(spark)
 
+    builders = _artifact_builders()
     qs = all_queries()
+    # 1. artifact builds, cold per scale (order matters: dedup_clusters
+    # consumes tok_distinct, so it is timed build-on-warm-token-table —
+    # the real incremental cost of the cluster map)
+    clear_scratch(spark)
+    print("| Artifact build | sf0.1 (s) | 10x (s) | factor |")
+    print("|---|---|---|---|")
+    arts = [a for a in ARTIFACTS if not args.only or a in args.only]
+    times: dict[tuple[str, str], float] = {}
+    for sf_dir in (SF01, SF1):
+        clear_scratch(spark)
+        for name in arts:
+            t0 = time.time()
+            builders[name](spark, sf_dir)
+            times[(name, sf_dir)] = time.time() - t0
+    for name in arts:
+        t1, t10 = times[(name, SF01)], times[(name, SF1)]
+        print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |")
+
+    # 2. query panel, artifact-warm (the production steady state)
     print("| Query | sf0.1 (s) | 10x (s) | factor |")
     print("|---|---|---|---|")
     for name in PANEL:
+        if args.only and name not in args.only:
+            continue
+        sf10 = SF1P if name == "q_sim_jaccard_prefix" else SF1
         t1 = time_query(qs[name], spark, SF01)
-        t10 = time_query(qs[name], spark, SF1)
-        print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |")
+        t10 = time_query(qs[name], spark, sf10)
+        note = " (perturbed corpus)" if sf10 == SF1P else ""
+        print(
+            f"| {name}{note} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |", flush=True
+        )
 
 
 if __name__ == "__main__":
