@@ -240,26 +240,29 @@ def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokens with document frequency > _DF_CAP are dropped from the
     feature space first (both engines, see _DF_CAP): this bounds every
     posting list, keeping the self-join linear-ish in the corpus
-    instead of quadratic in the hottest stop-word."""
-    raw = _tok_distinct(spark, sf_dir)
+    instead of quadratic in the hottest stop-word.
+
+    The blocking self-join keys on ``xxhash64(lang, t)`` — the shuffle
+    carries 8-byte longs instead of language+token strings, the same
+    documented ~1e-8 collision trade as q_sim_ngram (the oracle joins
+    raw strings)."""
+    raw = _tok_distinct(spark, sf_dir).select(
+        "doc_id", F.xxhash64("lang", "t").alias("tk")
+    )
     df_tab = (
-        raw.groupBy("lang", "t")
+        raw.groupBy("tk")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _DF_CAP)
-        .select("lang", "t")
+        .select("tk")
     )
-    tok = raw.join(df_tab, ["lang", "t"])
+    tok = raw.join(df_tab, "tk")
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tok.select("lang", F.col("doc_id").alias("id1"), "t")
-    b = tok.select(
-        F.col("lang").alias("lang_b"), F.col("doc_id").alias("id2"), F.col("t").alias("t_b")
-    )
+    a = tok.select(F.col("doc_id").alias("id1"), "tk")
+    b = tok.select(F.col("doc_id").alias("id2"), F.col("tk").alias("tk_b"))
     shared = (
         a.join(
             b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("t") == F.col("t_b"))
-            & (F.col("id1") < F.col("id2")),
+            (F.col("tk") == F.col("tk_b")) & (F.col("id1") < F.col("id2")),
         )
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("shared"))

@@ -212,7 +212,11 @@ def main() -> None:
     qs = all_queries()
     # 1. artifact builds, cold per scale (order matters: dedup_clusters
     # consumes tok_distinct, so it is timed build-on-warm-token-table —
-    # the real incremental cost of the cluster map)
+    # the real incremental cost of the cluster map).  A throwaway
+    # sf0.001 pass first: the very first build otherwise absorbs
+    # whole-session JVM/codegen warm-up and poisons its factor.
+    for name in ARTIFACTS:
+        builders[name](spark, "/root/testdata/sf0.001")
     clear_scratch(spark)
     print("| Artifact build | sf0.1 (s) | 10x (s) | factor |")
     print("|---|---|---|---|")
@@ -241,6 +245,7 @@ def main() -> None:
         print(
             f"| {name}{note} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |", flush=True
         )
+    spark.stop()  # local[32] JVM holds non-daemon threads otherwise
 
 
 if __name__ == "__main__":
