@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dec, epoch_s, exact_sum
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -319,11 +320,15 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     count.
     """
     hour_us = 3_600_000_000
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.round("value", 2).alias("value"),
-        F.expr("unix_micros(ts)").alias("um"),
+    # two consumers (bounds agg + the tagged union) — cache the 4-col
+    # projection so events is scanned once
+    e = materialize(
+        load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.expr("unix_micros(ts)").alias("um"),
+        )
     )
     bounds = e.groupBy("user_id").agg(
         (F.floor(F.min("um") / hour_us) * hour_us).cast("long").alias("h0"),

@@ -1,0 +1,99 @@
+"""Unit tests for the session-scoped shared-artifact store
+(operators/scratch.py): build-once semantics, durability-by-lineage,
+housekeeping, and the iterative-checkpoint helper."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pgshovel_spark.operators import scratch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scratch_table_builds_once_and_memoizes(spark):
+    calls = []
+
+    def build(sp, sf_dir):
+        calls.append(sf_dir)
+        return sp.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    a = scratch.scratch_table(spark, "t_unit_once", SF, build)
+    b = scratch.scratch_table(spark, "t_unit_once", SF, build)
+    assert calls == [SF]  # built exactly once
+    assert a.count() == b.count() == 10
+    # files really landed under this session's app dir
+    app = spark.sparkContext.applicationId
+    hits = list((scratch.SCRATCH_ROOT / app).glob("t_unit_once__*/_SUCCESS"))
+    assert len(hits) == 1
+
+
+def test_scratch_table_is_parquet_backed_with_lineage(spark):
+    """The artifact handle must survive losing its cached blocks: the
+    lineage is a parquet scan, so unpersisting everything and reading
+    again yields the same rows (the durability property that motivated
+    the migration off localCheckpoint)."""
+
+    def build(sp, sf_dir):
+        return sp.range(5).select(F.col("id").alias("k"))
+
+    df = scratch.scratch_table(spark, "t_unit_lineage", SF, build)
+    before = sorted(r.k for r in df.collect())
+    # drop every cached block the way bench housekeeping does
+    sc = spark.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    ids = []
+    while it.hasNext():
+        ids.append(it.next().getKey())
+    for rid in ids:
+        sc._jsc.sc().unpersistRDD(rid, True)
+    after = sorted(r.k for r in df.collect())
+    assert before == after == [0, 1, 2, 3, 4]
+
+
+def test_scratch_keyed_by_sf_dir(spark):
+    def build(sp, sf_dir):
+        n = 3 if sf_dir.endswith("a") else 7
+        return sp.range(n)
+
+    a = scratch.scratch_table(spark, "t_unit_key", "/x/a", build)
+    b = scratch.scratch_table(spark, "t_unit_key", "/x/b", build)
+    assert (a.count(), b.count()) == (3, 7)
+
+
+def test_clear_scratch_forces_rebuild(spark):
+    calls = []
+
+    def build(sp, sf_dir):
+        calls.append(1)
+        return sp.range(4)
+
+    scratch.scratch_table(spark, "t_unit_clear", SF, build)
+    scratch.clear_scratch(spark)
+    scratch.scratch_table(spark, "t_unit_clear", SF, build)
+    assert len(calls) == 2
+
+
+def test_materialize_lazy_and_eager(spark):
+    lazy = scratch.materialize(spark.range(6))
+    assert lazy.storageLevel.useMemory  # marked cached, lineage intact
+    assert lazy.count() == 6
+    eager = scratch.materialize(spark.range(3), eager=True)
+    assert eager.count() == 3
+
+
+def test_truncate_cuts_lineage_on_storage(spark):
+    df = scratch.truncate(spark.range(8).select((F.col("id") + 1).alias("n")))
+    assert df.count() == 8
+    # a checkpointed frame's logical plan is a scan of the checkpoint,
+    # not the original range expression
+    assert "range" not in df._jdf.queryExecution().analyzed().toString().lower()
+    # and the checkpoint dir was set under this session's scratch root
+    ckpt = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    assert str(scratch.SCRATCH_ROOT) in ckpt
