@@ -57,6 +57,11 @@ def connected_components(
         F.col(node_col).alias("__n"), F.col(node_col).alias("__lab")
     ).localCheckpoint(eager=True)
 
+    labels = _propagate(sym, labels, max_iter)
+    return labels.select(F.col("__n").alias(node_col), F.col("__lab").alias("component"))
+
+
+def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         # (1) neighbor minimum — one shuffle join + partial agg
         nbr_min = (
@@ -99,4 +104,4 @@ def connected_components(
         if changed == 0:
             break
 
-    return labels.select(F.col("__n").alias(node_col), F.col("__lab").alias("component"))
+    return labels

@@ -29,6 +29,7 @@ from pgshovel_spark.queries import (
     dq,
     events,
     exprs,
+    graph_analytics,
     joins,
     llm,
     pipeline,
@@ -54,6 +55,7 @@ from pgshovel_spark.queries import (
 # remain covered by the local selfcheck hash gate and the hypothesis
 # property tests.
 _MODULES = (
+    graph_analytics,
     pipeline,
     curation,
     sketches,
@@ -78,6 +80,8 @@ _MODULES = (
 #: NEW plans get fresh driver rows.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
+    # round-4 additions
+    "q_graph_trade_components",
     # the two round-4 rewrites (judge items 1 and 3)
     "q_sim_jaccard_prefix",
     "q_sketch_quantile",
