@@ -86,6 +86,8 @@ PANEL = (
     "q_pack_sequences",       # per-lang window cumsum + chunk spans
     # round-3 additions
     "q_sim_jaccard_prefix",   # prefix-filtered exact SSJoin (output-sensitive)
+    # round-4 addition
+    "q_graph_trade_components",  # distributed CC over the trade graph
     "q_event_attribution",    # one-window attribution over 1M events
     "q_ts_gapfill",           # hourly LOCF spine (spans, not rows)
     "q_scd2_intervals",       # lead-window temporal table build
