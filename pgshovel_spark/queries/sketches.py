@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
-from pgshovel_spark.operators.scratch import materialize, scratch_table
+from pgshovel_spark.operators.scratch import scratch_table
 from pgshovel_spark.queries.curation import _spread
 from pgshovel_spark.queries.similarity import _TOKEN_HASH_SQL, _token_hash
 from pgshovel_spark.sources.tables import load_table
@@ -560,44 +560,56 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     which proves the k-th order statistic really falls inside the
     sketch's answer bucket.
 
-    Scale shape: ONE scan of orders (the materialized histogram feeds
-    all three consumers), then every downstream table is bounded by
-    the BUCKET COUNT — a constant of the price domain, not the data
-    volume — so the cumulative self-join and both broadcasts are
-    provably bounded at any corpus size.  No global window: the
-    cumulative count is a bounded theta-join over the bucket table,
-    which keeps every stage parallel (the windowed form moves all
-    buckets to one partition).
+    Scale shape: ONE scan of orders with a map-side-combined histogram
+    aggregate, then ONE final aggregate folds every (bucket, cnt)
+    partial into a single sorted array — bounded by the BUCKET COUNT,
+    a constant of the price domain, not the data volume (the same
+    bounded-state argument as the HLL registers).  The three quantile
+    lookups are row-local integer folds over that array; no broadcast
+    exchange, no theta join, no window — the whole query is one
+    two-level aggregation plus a row-local projection, which is also
+    the cheapest possible cluster plan for a mergeable sketch.
     """
     o = load_table(spark, sf_dir, "orders")
-    hist = materialize(
-        o.groupBy(
-            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket")
-        ).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = o.groupBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    row = hist.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("h")
     )
-    h2 = hist.select(F.col("bucket").alias("b2"), F.col("cnt").alias("c2"))
-    cum = (
-        hist.join(F.broadcast(h2), F.col("b2") <= F.col("bucket"))
-        .groupBy("bucket")
-        .agg(F.sum("c2").alias("cum"))
-    )
-    totals = hist.agg(F.sum("cnt").alias("n"))
-    qs = spark.createDataFrame([(500,), (900,), (990,)], "q_milli long")
-    need = F.expr("CAST((q_milli * n + 999) div 1000 AS BIGINT)")  # ceil(q*n/1000)
-    est = F.lit(1000) * F.col("bucket") + F.lit(500)
-    return (
-        qs.crossJoin(F.broadcast(totals))
-        .join(F.broadcast(cum), F.col("cum") >= need)
-        .groupBy("q_milli")
-        .agg(
-            F.min("bucket").alias("bucket"),
-            F.min(est).alias("sketch_estimate"),
+    n = F.aggregate("h", F.lit(0).cast("long"), lambda acc, x: acc + x["cnt"])
+    row = row.select("h", n.alias("n"))
+
+    def pick(q_milli: int):
+        # first bucket whose cumulative count reaches ceil(q*n/1000):
+        # fold state = (cum so far, found bucket or -1)
+        need = F.expr(f"CAST(({q_milli} * n + 999) div 1000 AS BIGINT)")
+        zero = F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("b")
         )
-        .select(
-            "q_milli",
-            "bucket",
-            F.col("sketch_estimate").cast("double").alias("sketch_estimate"),
+        fold = F.aggregate(
+            "h",
+            zero,
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.when(acc["b"] >= 0, acc["b"])
+                .when(acc["cum"] + x["cnt"] >= need, x["bucket"])
+                .otherwise(F.lit(-1))
+                .alias("b"),
+            ),
         )
+        return F.struct(
+            F.lit(q_milli).cast("long").alias("q_milli"), fold["b"].alias("bucket")
+        )
+
+    return row.select(
+        F.explode(F.array(pick(500), pick(900), pick(990))).alias("r")
+    ).select(
+        F.col("r.q_milli").alias("q_milli"),
+        F.col("r.bucket").alias("bucket"),
+        (F.lit(1000) * F.col("r.bucket") + F.lit(500))
+        .cast("double")
+        .alias("sketch_estimate"),
     )
 
 
