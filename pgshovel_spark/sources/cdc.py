@@ -195,3 +195,61 @@ def incremental_pulls(
             with open(watermark_file, "w") as f:
                 json.dump({"watermark": _encode_watermark(watermark)}, f)
         pulls += 1
+
+
+# ------------------------------------------------- snapshot bootstrap
+
+def mvcc_visible(txid_col, xmin: int, xmax: int, xip: list[int]):
+    """Postgres MVCC visibility of a transaction in snapshot
+    {xmin, xmax, xip}: txid < xmin committed-and-visible; >= xmax not
+    yet assigned at snapshot time; in xip in-progress at snapshot time
+    (hence invisible even though < xmax).  Returns a boolean Column.
+
+    This is the visibility rule pgshovel's PgQ batches carry
+    (Snapshot {min(xmin), max(xmax), active(xip)} per batch, SURVEY.md
+    §1.1) — reconstructed from public Postgres MVCC semantics; the
+    reference snapshot is empty, so no file:line citation is possible.
+    """
+    c = F.col(txid_col) if isinstance(txid_col, str) else txid_col
+    vis = c < F.lit(xmax)
+    if xip:
+        vis = vis & ~c.isin(list(xip))
+    return vis
+
+
+def bootstrap_consistent_state(
+    snapshot_df: DataFrame,
+    changes_df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    txid_col: str = "txid",
+    xmin: int = 0,
+    xmax: int = 0,
+    xip: list[int] | None = None,
+) -> DataFrame:
+    """Consistent initial load: combine a table dump taken at MVCC
+    snapshot {xmin, xmax, xip} with the mutation stream, applying ONLY
+    mutations NOT already reflected in the dump (txid invisible to the
+    snapshot), then keep the newest row per key.  The change-stream
+    consumer can then resume from the stream position with an
+    idempotent upsert sink — replayed mutations the dump already
+    reflects change nothing, which is the whole point of doing the
+    filter by MVCC visibility instead of by wall-clock.
+
+    Scale shape: one visibility filter (row-local) + the same
+    rank-per-key merge the upsert sinks use; the snapshot side is a
+    plain (column-pruned, partition-pruned) batch read.
+    """
+    xip = xip or []
+    post = changes_df.filter(~mvcc_visible(txid_col, xmin, xmax, xip))
+    tagged = snapshot_df.select(
+        *keys, *order_cols, *(c for c in snapshot_df.columns if c not in keys + order_cols)
+    ).unionByName(post.select(*snapshot_df.columns))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

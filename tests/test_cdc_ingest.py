@@ -124,3 +124,47 @@ def test_incremental_pulls_timestamp_watermark_roundtrip(spark, tmp_path):
         for b in incremental_pulls(read2, "updated_at", watermark_file=wfile, max_pulls=5)
     ]
     assert batches2[0] == [4]
+
+
+def test_bootstrap_consistent_state_equals_full_replay(spark):
+    """The §1.1 snapshot/bootstrap contract: dump at MVCC snapshot S +
+    mutations invisible to S == applying the FULL mutation history —
+    no duplicates (dump-reflected txns filtered out) and no loss
+    (in-progress-at-S txns ARE applied even though txid < xmax)."""
+    from pgshovel_spark.sources.cdc import bootstrap_consistent_state, mvcc_visible
+    from pyspark.sql import Window, functions as F
+
+    # mutation history: (k, v, txid); txids 1..10, snapshot taken at
+    # xmax=8 with txid 5 and 7 still in progress (invisible to S)
+    rows = [
+        (1, "a1", 1), (2, "b1", 2), (1, "a2", 3), (3, "c1", 4),
+        (2, "b2", 5),          # in-progress at S -> NOT in dump
+        (3, "c2", 6),
+        (1, "a3", 7),          # in-progress at S -> NOT in dump
+        (4, "d1", 8), (2, "b3", 9), (5, "e1", 10),  # after S
+    ]
+    hist = spark.createDataFrame(rows, "k long, v string, txid long")
+    xmin, xmax, xip = 1, 8, [5, 7]
+
+    # the dump = latest visible row per key at snapshot S
+    w = Window.partitionBy("k").orderBy(F.col("txid").desc())
+    dump = (
+        hist.filter(mvcc_visible("txid", xmin, xmax, xip))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert {r.k: r.v for r in dump.collect()} == {1: "a2", 2: "b1", 3: "c2"}
+
+    got = bootstrap_consistent_state(
+        dump, hist, keys=["k"], order_cols=["txid"], xmin=xmin, xmax=xmax, xip=xip
+    )
+    full = (
+        hist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    assert {(r.k, r.v) for r in got.collect()} == {(r.k, r.v) for r in full.collect()}
+    # idempotence: replaying the post-S mutations again changes nothing
+    again = bootstrap_consistent_state(
+        got, hist, keys=["k"], order_cols=["txid"], xmin=xmin, xmax=xmax, xip=xip
+    )
+    assert {(r.k, r.v) for r in again.collect()} == {(r.k, r.v) for r in full.collect()}
