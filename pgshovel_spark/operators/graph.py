@@ -16,7 +16,9 @@ round tables are TRANSIENT intra-query state: losing one costs a
 single bounded re-derivation of that round (unlike a shared artifact,
 where a lost localCheckpoint poisons every later consumer — those
 live as parquet scratch tables, operators/scratch.py).  A deployment
-that wants rounds on storage flips materialize=truncate here.  The
+that wants rounds on storage swaps the per-round localCheckpoint
+calls below for operators/scratch.truncate() (a reliable checkpoint
+into the scratch root).  The
 per-round convergence check is a scalar count — the one legitimate
 driver-side action in an iterative algorithm.
 

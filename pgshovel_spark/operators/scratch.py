@@ -17,10 +17,11 @@ plain parquet scans with full column pruning and predicate pushdown,
 and a lost executor re-reads from storage instead of failing the
 session.
 
-Iterative algorithms (connected components) truncate their per-round
-lineage through ``materialize`` — a RELIABLE checkpoint into the same
-scratch root — for the identical reason: the round table must survive
-executor loss, and the plan must stay flat across rounds.
+Two more helpers: ``materialize`` marks a per-query multi-branch
+subtree cached WITH lineage intact (compute once, recoverable from
+the plan), and ``truncate`` is a reliable checkpoint into the scratch
+root for iterative algorithms that must cut lineage while keeping the
+round table on storage.
 
 Everything here is driver-light: paths and a dict of DataFrame
 handles; no data ever reaches the driver.
@@ -47,13 +48,20 @@ def _app_dir(spark: SparkSession) -> Path:
     d = SCRATCH_ROOT / app
     if not d.is_dir():
         # First scratch touch of this session: garbage-collect scratch
-        # left by finished sessions (their appIds differ).  Best-effort
-        # — a concurrent session's dir is never this session's appId,
-        # and the driver harness runs sessions sequentially.
+        # left by FINISHED sessions.  Age-gated (24 h) so a CONCURRENT
+        # session's live artifacts are never deleted — its dir mtime is
+        # recent even though its appId differs; truly stale piles from
+        # old runs still clear themselves.  Best-effort.
+        import time
+
+        cutoff = time.time() - 24 * 3600
         if SCRATCH_ROOT.is_dir():
             for stale in SCRATCH_ROOT.iterdir():
-                if stale.name != app:
-                    shutil.rmtree(stale, ignore_errors=True)
+                try:
+                    if stale.name != app and stale.stat().st_mtime < cutoff:
+                        shutil.rmtree(stale, ignore_errors=True)
+                except OSError:
+                    pass
         d.mkdir(parents=True, exist_ok=True)
     return d
 

@@ -99,7 +99,7 @@ _PRIORITY = (
     "q_sketch_hll",
     "q_sketch_cms",
     "q_text_zipf",
-    # materialize() swaps (localCheckpoint -> reliable checkpoint)
+    # materialize() swaps (localCheckpoint -> lineage-intact cache)
     "q_profile_table",
     "q_text_tfidf",
     "q_text_decontaminate",

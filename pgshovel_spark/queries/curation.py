@@ -382,9 +382,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (id1, id2) dedups multi-band agreements before the bit_count
     filter; everything is integer arithmetic in codegen.
 
-    The signature table is materialized (reliable checkpoint, one
-    row per doc) so the shingle+32-sum subtree runs ONCE, not once
-    per join side — same reuse pattern as q_dedup_minhash_pairs.
+    The signature table is materialized (cached with lineage intact,
+    one row per doc) so the shingle+32-sum subtree runs ONCE, not
+    once per join side — same reuse pattern as q_dedup_minhash_pairs.
     """
     s = materialize(_simhash32(spark, sf_dir))
     bands = F.array(

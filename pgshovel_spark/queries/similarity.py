@@ -348,9 +348,14 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast discipline (the 100 TB contract): the ONLY broadcast is
     ``dfreq`` — the (lang, token, df) vocabulary, which is bounded by
     vocabulary size, not corpus size.  The prefix-token self-join is a
-    pinned SHUFFLED hash join on an 8-byte hashed key (hashing the
-    (lang, t) key only ever ADDS candidates on collision — verification
-    filters them — so losslessness is preserved); pinning the strategy
+    pinned SHUFFLED hash join on an 8-byte hashed key.  Hashing the
+    (lang, t) key never LOSES a qualifying pair (equal keys hash
+    equal); a 64-bit collision can only ADD a candidate, and
+    verification keeps it out of the result unless the doc pair's
+    token arrays genuinely overlap above tau — the residual
+    ~2^-64-per-key-pair admission window is the same documented trade
+    q_sim_ngram makes (the oracle joins raw strings).  Pinning the
+    strategy
     removes the run-to-run flapping AQE's stats threshold showed
     between broadcast and skewed sort-merge, and AQE skew-join
     splitting still applies to the shuffled hash join when a hot
@@ -688,8 +693,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the banding join that replaces the quadratic all-pairs scan at
     scale), with the number of agreeing bands.
 
-    The signature table is materialized (reliable checkpoint, tiny —
-    one row per doc) so the self-join's two branches don't recompute
+    The signature table is materialized (cached with lineage intact,
+    tiny — one row per doc) so the self-join's two branches don't recompute
     the tokenize+minhash subtree twice; at scale this is the
     signatures table you'd persist to storage anyway.  Buckets above
     _BUCKET_CAP docs are excluded from pair emission on BOTH engines

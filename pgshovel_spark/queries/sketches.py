@@ -602,9 +602,12 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(q_milli).cast("long").alias("q_milli"), fold["b"].alias("bucket")
         )
 
-    return row.select(
+    out = row.select(
         F.explode(F.array(pick(500), pick(900), pick(990))).alias("r")
-    ).select(
+    )
+    # empty input: the fold finds no bucket (b = -1) — emit 0 rows,
+    # matching the oracle's empty join result
+    return out.filter(F.col("r.bucket") >= 0).select(
         F.col("r.q_milli").alias("q_milli"),
         F.col("r.bucket").alias("bucket"),
         (F.lit(1000) * F.col("r.bucket") + F.lit(500))

@@ -164,7 +164,9 @@ class ZooKeeperBackend(CoordinatorBackend):
         if not self._zk.exists(base):
             return 0
         versions = [
-            int(c[1:]) for c in self._zk.get_children(base) if c.startswith("v")
+            int(c[1:])
+            for c in self._zk.get_children(base)
+            if re.fullmatch(r"v\d+", c)
         ]
         return max(versions, default=0)
 

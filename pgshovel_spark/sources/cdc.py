@@ -214,7 +214,9 @@ def mvcc_visible(txid_col, xmin: int, xmax: int, xip: list[int]):
     vis = c < F.lit(xmax)
     if xip:
         vis = vis & ~c.isin(list(xip))
-    return vis
+    # txid < xmin is visible UNCONDITIONALLY (every txn below xmin had
+    # completed at snapshot time), even against a malformed xip entry.
+    return (c < F.lit(xmin)) | vis
 
 
 def bootstrap_consistent_state(

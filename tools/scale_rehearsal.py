@@ -209,6 +209,10 @@ def main() -> None:
     spark = get_session()
     if not args.skip_build:
         build(spark)
+    elif not os.path.exists(os.path.join(SF1P, "documents.parquet")):
+        # --skip-build from a pre-round-4 sf1 dir: the perturbed
+        # documents variant is cheap to (re)derive on its own
+        build_perturbed(spark)
 
     builders = _artifact_builders()
     qs = all_queries()
