@@ -22,3 +22,15 @@ def test_registry_consistency():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs), "oracle for unknown query"
     assert len(qs) > 0
+
+
+def test_session_ships_the_jit_alignment_config(spark):
+    """hugeMethodLimit=8000 is the engine default (EXPERIMENTS.md
+    round 4: generated methods above HotSpot's 8000-byte JIT limit run
+    permanently interpreted); a silent config regression would bring
+    back the 5s<->20s bench flap."""
+    from pgshovel_spark.session import get_session
+
+    s = get_session("cfgtest")
+    assert s.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+    assert s.conf.get("spark.sql.adaptive.enabled") == "true"
