@@ -142,3 +142,58 @@ def test_image_hash_features_distributed(spark):
         df, "doc_id", "payload").collect()}
     for i, p in payloads:
         assert got[i] == average_hash(p)
+
+
+# ------------------------------------------------ product quantization
+
+def test_pq_roundtrip_determinism_and_code_size(spark):
+    from pgshovel_spark.operators.ann import pq_encode, train_pq_codebooks
+    from pgshovel_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    b1 = train_pq_codebooks(e, sample_n=400)
+    b2 = train_pq_codebooks(e, sample_n=400)
+    import numpy as np
+
+    assert np.array_equal(b1, b2)  # fixed-seed rebuilds bit-identical
+    assert b1.shape == (8, 16, 8)  # 64-dim -> 8 subspaces of 8
+    enc = pq_encode(e, b1)
+    rows = enc.limit(5).collect()
+    assert all(len(r.code) == 8 for r in rows)  # 32x compression
+
+
+def test_pq_adc_orders_like_exact_distance(spark):
+    """ADC is an approximation: assert it preserves the coarse order —
+    the exact L2 top-10 of a probe must score a (much) lower mean ADC
+    distance than a fixed distant decile, and the probe's own code
+    must be its ADC argmin."""
+    import numpy as np
+
+    from pgshovel_spark.operators.ann import (
+        pq_encode,
+        pq_search,
+        train_pq_codebooks,
+    )
+    from pgshovel_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in e.collect()}
+    probe_id = 0
+    probe = vecs[probe_id]
+    exact = sorted(
+        ((np.sum((v - probe) ** 2), i) for i, v in vecs.items() if i != probe_id)
+    )
+    top10 = [i for _, i in exact[:10]]
+    far10 = [i for _, i in exact[len(exact) // 2 : len(exact) // 2 + 10]]
+
+    books = train_pq_codebooks(e, sample_n=400)
+    enc = pq_encode(e, books)
+    got = pq_search(enc, books, probe, k=1)
+    assert got.collect()[0].vec_id == probe_id  # self is ADC-nearest
+
+    adc = {r.vec_id: r.adc_dist
+           for r in pq_search(enc, books, probe, k=len(vecs)).collect()}
+    near = sum(adc[i] for i in top10) / 10
+    far = sum(adc[i] for i in far10) / 10
+    assert near < far * 0.9  # coarse order preserved with margin
