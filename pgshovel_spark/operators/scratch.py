@@ -1,5 +1,5 @@
-"""Session-scoped shared-artifact store: parquet scratch tables and
-reliable checkpoints.
+"""Shared-artifact store: parquet scratch tables and reliable
+checkpoints.
 
 Shared derived tables (the token / shingle posting tables, per-lang
 token counts, the dedup cluster map) used to be memoized
@@ -7,15 +7,33 @@ token counts, the dedup cluster map) used to be memoized
 managers with TRUNCATED lineage: on a real cluster, one lost executor
 invalidates every later consumer of the artifact for the rest of the
 session — the Spark runtime itself warns "cannot be recomputed after
-unpersisting".  Writing the artifact as parquet under a session
-scratch directory keeps the build-once / reuse-everywhere economics
-while adding storage durability, and it is exactly the "persist the
-posting table once" shape a production pipeline uses at 100 TB: the
-scratch root stands in for the artifact location in object storage
-(set it to an s3://... / hdfs://... URI on a cluster), consumers are
-plain parquet scans with full column pruning and predicate pushdown,
-and a lost executor re-reads from storage instead of failing the
-session.
+unpersisting".  Writing the artifact as parquet under a scratch
+directory keeps the build-once / reuse-everywhere economics while
+adding storage durability, and it is exactly the "persist the posting
+table once" shape a production pipeline uses at 100 TB: the scratch
+root stands in for the artifact location in object storage (set it to
+an s3://... / hdfs://... URI on a cluster), consumers are plain
+parquet scans with full column pruning and predicate pushdown, and a
+lost executor re-reads from storage instead of failing the session.
+
+Artifact directories are keyed by a STABLE content key — the artifact
+name plus a sha1 digest of the fixture dir — NOT by application id,
+so a second session over the same corpus reuses the files instead of
+rebuilding (the cross-session reuse a persisted posting table exists
+for).  Two safety properties follow:
+
+* **Atomic publication.**  A build writes to a session-private temp
+  dir and renames it into place; concurrent sessions racing to build
+  the same artifact each produce a complete table and the first
+  rename wins (the loser reads the winner's files).  A consumer never
+  observes a half-written directory.
+* **Liveness-gated GC.**  Every ``scratch_table`` access touches a
+  ``_HEARTBEAT`` file in the artifact dir; the garbage collector only
+  removes dirs whose heartbeat (and dir mtime) is >24 h stale.  A
+  concurrent session running longer than 24 h keeps its artifacts
+  alive by touching them — the old age-gate used the dir's own mtime,
+  which only changes when direct children change, so a long-lived
+  session could lose a LIVE artifact mid-run.
 
 Two more helpers: ``materialize`` marks a per-query multi-branch
 subtree cached WITH lineage intact (compute once, recoverable from
@@ -29,7 +47,10 @@ handles; no data ever reaches the driver.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import shutil
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,30 +60,64 @@ from pyspark.storagelevel import StorageLevel
 #: write outside the repo; on a cluster, point this at shared storage.
 SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".scratch"
 
-#: (applicationId, artifact key) -> parquet-backed DataFrame handle.
-_BUILT: dict[tuple[str, str], DataFrame] = {}
+#: Cross-session artifact tables live here (stable content-keyed dirs).
+ARTIFACT_ROOT = SCRATCH_ROOT / "artifacts"
+
+#: artifact key -> parquet-backed DataFrame handle (per-process memo).
+_BUILT: dict[str, DataFrame] = {}
+
+#: GC runs once per process, on the first scratch touch.
+_GC_DONE = False
+
+_STALE_SECS = 24 * 3600
+
+
+def artifact_path(name: str, sf_dir: str) -> Path:
+    """Stable, collision-resistant on-disk location for an artifact:
+    the name plus a sha1 digest of the fixture dir.  Reproducible
+    across processes (unlike Python's salted ``hash``), so a second
+    session over the same corpus finds the same directory."""
+    slug = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return ARTIFACT_ROOT / f"{name}__{slug}"
+
+
+def _alive(d: Path, now: float) -> bool:
+    """True if the artifact/checkpoint dir shows life within the stale
+    window: heartbeat file if present, else the dir's own mtime."""
+    hb = d / "_HEARTBEAT"
+    try:
+        newest = hb.stat().st_mtime if hb.exists() else d.stat().st_mtime
+    except OSError:
+        return True  # racing with its owner — leave it alone
+    return newest >= now - _STALE_SECS
+
+
+def _gc_once() -> None:
+    """Best-effort removal of scratch left by dead sessions, gated on
+    the liveness heartbeat so a concurrent long-running session's
+    artifacts are never deleted (it touches them on every access)."""
+    global _GC_DONE
+    if _GC_DONE:
+        return
+    _GC_DONE = True
+    now = time.time()
+    for root in (ARTIFACT_ROOT, SCRATCH_ROOT):
+        if not root.is_dir():
+            continue
+        for child in root.iterdir():
+            if child == ARTIFACT_ROOT or not child.is_dir():
+                continue
+            try:
+                if not _alive(child, now):
+                    shutil.rmtree(child, ignore_errors=True)
+            except OSError:
+                pass
 
 
 def _app_dir(spark: SparkSession) -> Path:
-    app = spark.sparkContext.applicationId
-    d = SCRATCH_ROOT / app
-    if not d.is_dir():
-        # First scratch touch of this session: garbage-collect scratch
-        # left by FINISHED sessions.  Age-gated (24 h) so a CONCURRENT
-        # session's live artifacts are never deleted — its dir mtime is
-        # recent even though its appId differs; truly stale piles from
-        # old runs still clear themselves.  Best-effort.
-        import time
-
-        cutoff = time.time() - 24 * 3600
-        if SCRATCH_ROOT.is_dir():
-            for stale in SCRATCH_ROOT.iterdir():
-                try:
-                    if stale.name != app and stale.stat().st_mtime < cutoff:
-                        shutil.rmtree(stale, ignore_errors=True)
-                except OSError:
-                    pass
-        d.mkdir(parents=True, exist_ok=True)
+    """Per-session dir (checkpoints and other session-private state)."""
+    d = SCRATCH_ROOT / spark.sparkContext.applicationId
+    d.mkdir(parents=True, exist_ok=True)
     return d
 
 
@@ -70,22 +125,35 @@ def scratch_table(
     spark: SparkSession, name: str, sf_dir: str, build
 ) -> DataFrame:
     """Return the shared artifact ``name`` for ``sf_dir``, building it
-    once per session: ``build(spark, sf_dir) -> DataFrame`` runs on
-    first touch, its result is written as parquet under the session
-    scratch dir, and every consumer (this call and all later ones)
-    gets a plain parquet scan of it — durable, lineage-free to
-    recompute, column-prunable."""
-    key = (spark.sparkContext.applicationId, f"{name}::{sf_dir}")
+    at most once PER CORPUS (not per session): ``build(spark, sf_dir)
+    -> DataFrame`` runs only when no published artifact exists on
+    disk; otherwise — including in a brand-new session — the existing
+    parquet table is reused.  Every consumer gets a plain parquet scan
+    of it: durable, lineage-free to recompute, column-prunable."""
+    _gc_once()
+    path = artifact_path(name, sf_dir)
+    key = str(path)
     got = _BUILT.get(key)
     if got is None:
-        # one directory per (artifact, fixture): sf_dir slug keeps scales
-        # apart when one session touches several fixtures (tests do)
-        slug = f"{name}__{abs(hash(sf_dir)) % 10**10}"
-        path = _app_dir(spark) / slug
         if not (path / "_SUCCESS").exists():
-            build(spark, sf_dir).write.mode("overwrite").parquet(str(path))
+            # Build into a session-private temp dir, then atomically
+            # publish.  If a concurrent session won the race, keep its
+            # copy and drop ours — consumers read one complete table
+            # either way.
+            tmp = path.with_name(
+                path.name + f".tmp-{spark.sparkContext.applicationId}"
+            )
+            build(spark, sf_dir).write.mode("overwrite").parquet(str(tmp))
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
         got = spark.read.parquet(str(path))
         _BUILT[key] = got
+    try:
+        (path / "_HEARTBEAT").touch()
+    except OSError:
+        pass
     # (Re-)mark the handle cached: consumers typically fan the artifact
     # into several plan branches, and a cached scan feeds them all from
     # memory instead of re-decoding parquet per branch.  Lineage stays
@@ -105,10 +173,8 @@ def clear_scratch(spark: SparkSession) -> None:
     this between its warm-up and timed phases so the timed run builds
     artifacts at the timed scale inside a timed window)."""
     _BUILT.clear()
-    app = spark.sparkContext.applicationId
-    d = SCRATCH_ROOT / app
-    for child in d.iterdir() if d.is_dir() else ():
-        if child.name != "checkpoints":
+    if ARTIFACT_ROOT.is_dir():
+        for child in ARTIFACT_ROOT.iterdir():
             shutil.rmtree(child, ignore_errors=True)
 
 
@@ -140,5 +206,10 @@ def truncate(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     sc = spark.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
-        sc.setCheckpointDir(str(_app_dir(spark) / "checkpoints"))
+        d = _app_dir(spark) / "checkpoints"
+        sc.setCheckpointDir(str(d))
+        try:
+            (d.parent / "_HEARTBEAT").touch()
+        except OSError:
+            pass
     return df.checkpoint(eager=True)

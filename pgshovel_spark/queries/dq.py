@@ -78,34 +78,26 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             viol(F.col("o_orderkey").isNull()).alias("fklo_viol"),
         )
     )
-    as_rows = "AS (check_name, n_checked, n_violations)"
-    parts = [
-        o_agg.select(
-            F.expr(
-                "stack(2, 'orders_pk_unique', o_n, o_pk_viol,"
-                " 'orders_date_in_bounds', o_n, o_date_viol) " + as_rows
-            )
-        ),
-        li_agg.select(
-            F.expr(
-                "stack(2, 'lineitem_qty_in_range', li_n, li_qty_viol,"
-                " 'lineitem_discount_in_range', li_n, li_disc_viol) " + as_rows
-            )
-        ),
-        c_agg.select(
-            F.expr("stack(1, 'customer_name_not_null', c_n, c_name_viol) " + as_rows)
-        ),
-        ev_agg.select(
-            F.expr("stack(1, 'events_value_non_negative', ev_n, ev_val_viol) " + as_rows)
-        ),
-        fk_oc.select(
-            F.expr("stack(1, 'orders_fk_customer', fkoc_n, fkoc_viol) " + as_rows)
-        ),
-        fk_lo.select(
-            F.expr("stack(1, 'lineitem_fk_orders', fklo_n, fklo_viol) " + as_rows)
-        ),
-    ]
-    out = reduce(DataFrame.unionAll, parts)
+    # The six one-row partials really do cross-join into a single row
+    # (each side is exactly 1 row, so the "cross join" is a broadcast
+    # of five scalars — no data movement), and ONE stack fans that row
+    # out to one row per constraint.  One action -> one job; each
+    # partial is a stage feeding the final 1x1 joins.
+    one = reduce(DataFrame.crossJoin, [o_agg, li_agg, c_agg, ev_agg, fk_oc, fk_lo])
+    out = one.select(
+        F.expr(
+            "stack(8,"
+            " 'orders_pk_unique', o_n, o_pk_viol,"
+            " 'orders_date_in_bounds', o_n, o_date_viol,"
+            " 'lineitem_qty_in_range', li_n, li_qty_viol,"
+            " 'lineitem_discount_in_range', li_n, li_disc_viol,"
+            " 'customer_name_not_null', c_n, c_name_viol,"
+            " 'events_value_non_negative', ev_n, ev_val_viol,"
+            " 'orders_fk_customer', fkoc_n, fkoc_viol,"
+            " 'lineitem_fk_orders', fklo_n, fklo_viol"
+            ") AS (check_name, n_checked, n_violations)"
+        )
+    )
     return out.select(
         "check_name",
         "n_checked",

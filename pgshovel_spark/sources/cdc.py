@@ -244,14 +244,23 @@ def bootstrap_consistent_state(
     """
     xip = xip or []
     post = changes_df.filter(~mvcc_visible(txid_col, xmin, xmax, xip))
-    tagged = snapshot_df.select(
-        *keys, *order_cols, *(c for c in snapshot_df.columns if c not in keys + order_cols)
-    ).unionByName(post.select(*snapshot_df.columns))
+    # Source-precedence tiebreak: a post-snapshot mutation that TIES
+    # the snapshot row on every order column must still win (it is by
+    # construction newer — it was invisible to the snapshot), else
+    # row_number picks a nondeterministic winner on ties.
+    cols = snapshot_df.columns
+    tagged = (
+        snapshot_df.select(*cols)
+        .withColumn("__src", F.lit(0))
+        .unionByName(post.select(*cols).withColumn("__src", F.lit(1)))
+    )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
+    )
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__src")
     )

@@ -168,3 +168,23 @@ def test_bootstrap_consistent_state_equals_full_replay(spark):
         got, hist, keys=["k"], order_cols=["txid"], xmin=xmin, xmax=xmax, xip=xip
     )
     assert {(r.k, r.v) for r in again.collect()} == {(r.k, r.v) for r in full.collect()}
+
+
+def test_bootstrap_tiebreak_mutation_beats_snapshot(spark):
+    """A post-snapshot mutation that TIES the dump row on every order
+    column must win deterministically (it is newer by construction —
+    it was invisible to the snapshot).  Without the source-precedence
+    tiebreak, row_number picks an arbitrary winner on the tie."""
+    from pgshovel_spark.sources.cdc import bootstrap_consistent_state
+
+    dump = spark.createDataFrame([(1, "old", 5)], "k long, v string, txid long")
+    # txid 5 was in progress at snapshot time (in xip) -> invisible to
+    # the dump, so the bootstrap must apply it; it ties the dump row
+    # on the only order column (txid).
+    changes = spark.createDataFrame([(1, "new", 5)], "k long, v string, txid long")
+    got = bootstrap_consistent_state(
+        dump, changes, keys=["k"], order_cols=["txid"],
+        xmin=1, xmax=8, xip=[5],
+    )
+    assert [(r.k, r.v) for r in got.collect()] == [(1, "new")]
+    assert got.columns == ["k", "v", "txid"]  # helper columns dropped

@@ -27,10 +27,38 @@ def test_scratch_table_builds_once_and_memoizes(spark):
     b = scratch.scratch_table(spark, "t_unit_once", SF, build)
     assert calls == [SF]  # built exactly once
     assert a.count() == b.count() == 10
-    # files really landed under this session's app dir
-    app = spark.sparkContext.applicationId
-    hits = list((scratch.SCRATCH_ROOT / app).glob("t_unit_once__*/_SUCCESS"))
-    assert len(hits) == 1
+    # files landed at the stable content-keyed artifact path
+    p = scratch.artifact_path("t_unit_once", SF)
+    assert (p / "_SUCCESS").exists() and (p / "_HEARTBEAT").exists()
+
+
+def test_artifact_path_is_stable_and_collision_resistant():
+    """The on-disk slug must be reproducible across processes (no
+    salted Python hash) and distinct per fixture dir."""
+    import hashlib
+
+    p = scratch.artifact_path("tok", "/x/a")
+    assert p.name == "tok__" + hashlib.sha1(b"/x/a").hexdigest()[:12]
+    assert scratch.artifact_path("tok", "/x/b").name != p.name
+
+
+def test_scratch_reused_across_sessions(spark):
+    """A second session over the same corpus must SKIP the build: the
+    artifact dir is keyed by (name, corpus digest), not application
+    id.  Simulated by dropping the in-process memo (what a fresh
+    process starts without) and calling again — the build fn must not
+    re-run because _SUCCESS already exists on disk."""
+    calls = []
+
+    def build(sp, sf_dir):
+        calls.append(1)
+        return sp.range(9)
+
+    scratch.scratch_table(spark, "t_unit_xsession", SF, build)
+    scratch._BUILT.clear()  # new session's empty memo
+    df = scratch.scratch_table(spark, "t_unit_xsession", SF, build)
+    assert calls == [1]  # built once, reused from disk
+    assert df.count() == 9
 
 
 def test_scratch_table_is_parquet_backed_with_lineage(spark):
