@@ -29,11 +29,16 @@ Shared-artifact policy: the token/shingle posting tables, per-lang
 token counts and the dedup cluster table are parquet scratch
 artifacts (operators/scratch.py) shared across their query families —
 the artifact a production pipeline persists to storage once.  The
-FIRST consumer in the timed loop pays the build inside its timed
-window (sorted order: q_dedup_clusters pays the token+cluster builds,
-q_sim_containment the shingle build); later consumers are plain
-parquet scans.  The scratch dir is cleared between the warm-up and
-timed phases so every timed artifact is built at the timed scale.
+scratch dir is cleared between the warm-up and timed phases, then
+each artifact is built inside its OWN timed row (``artifact:<name>``)
+at the timed scale: the builds count toward the Spark total (the
+oracle re-derives those tables inside every consuming query), and the
+per-query rows report the warm steady-state cost, so regressions in a
+query's own plan are no longer masked by build-attribution noise.
+
+Per-query job counts (sc.statusTracker over a per-query job group) are
+recorded in BENCH_DETAIL.json: a query whose count exceeds its plan's
+natural action count is leaving fusion on the table.
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pgshovel_spark.operators.scratch import clear_scratch  # noqa: E402
-from pgshovel_spark.queries import all_oracles, all_queries  # noqa: E402
+from pgshovel_spark.queries import all_artifacts, all_oracles, all_queries  # noqa: E402
 from pgshovel_spark.session import get_session  # noqa: E402
 
 MAX_LINE = 1900  # driver records the last 2000 chars of output
@@ -127,13 +132,34 @@ def main() -> None:
         _drop_stale_blocks(spark)
     _clear_shared_caches(spark)
 
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
+
+    # Timed artifact prebuild, each as its OWN labeled row: the builds
+    # still count toward the Spark total (the oracle re-derives these
+    # tables inside every consuming query), but per-query rows then
+    # report WARM cost — the steady-state of a pipeline that persists
+    # its posting tables once — instead of billing a whole build to
+    # whichever query touches the artifact first in registry order.
+    for name, build in all_artifacts().items():
+        _drop_stale_blocks(spark)
+        label = f"artifact:{name}"
+        sc.setJobGroup(label, label)
+        t0 = time.time()
+        build(spark, sf_dir)
+        timings[label] = round(time.time() - t0, 3)
+        jobs[label] = len(tracker.getJobIdsForGroup(label))
+
     for name in sorted(qs):
         _drop_stale_blocks(spark)
+        sc.setJobGroup(name, name)
         t0 = time.time()
         # noop sink executes the full plan without driver-side collect.
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        jobs[name] = len(tracker.getJobIdsForGroup(name))
     total = round(sum(timings.values()), 3)
     spark.stop()  # free every core before the sequential DuckDB pass
 
@@ -152,6 +178,7 @@ def main() -> None:
                 "n_oracle_queries": len(oracle_timings),
                 "warmup_dir": warm_dir,
                 "spark": timings,
+                "spark_jobs": jobs,
                 "oracle": oracle_timings,
             },
             indent=1,

@@ -154,3 +154,19 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     return _ordered("ORACLES")
+
+
+def all_artifacts() -> dict[str, QueryFn]:
+    """Shared parquet scratch artifacts (operators/scratch.py), in
+    dependency order.  Calling an entry forces the build (the parquet
+    write happens eagerly inside scratch_table on first touch) and
+    returns the artifact handle.  bench.py times each build as its own
+    labeled row so per-query timings report WARM artifact cost — the
+    steady-state a production pipeline runs in — instead of billing
+    the whole build to whichever query touches the artifact first."""
+    return {
+        "tok_distinct": similarity._tok_distinct,
+        "bigram_shingles": similarity._bigram_shingles,
+        "token_counts": sketches._token_counts,
+        "dedup_clusters": similarity._cluster_table,
+    }

@@ -776,21 +776,7 @@ def q_sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgshovel_spark.queries import similarity
 
     sh = similarity._bigram_shingles(spark, sf_dir).select("doc_id", "sh")
-    df_tab = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= similarity._DF_CAP)
-        .select("sh")
-    )
-    sh = sh.join(df_tab, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("id1"), "sh")
-    b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh_b"))
-    shared = (
-        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("id1") < F.col("id2")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    shared, sizes = similarity._capped_pair_counts(sh, "sh")
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
     min_sz = F.least("sz1", "sz2")

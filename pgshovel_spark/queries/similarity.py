@@ -233,6 +233,49 @@ FROM documents CROSS JOIN probe
 """
 
 
+def _capped_pair_counts(posting: DataFrame, key: str):
+    """Shared engine of the exact set-overlap family (q_sim_jaccard,
+    q_sim_ngram, q_sim_containment): co-occurrence counts over the
+    df-capped feature space of a (doc_id, key) posting table.
+
+    Plan shape (the round-5 job-count fix — was 15 AQE stage-jobs,
+    now 9, measured 2.8 -> 1.9 s at sf0.1):
+
+    - The OVER-cap key list (df > _DF_CAP) is broadcast as an ANTI
+      join instead of shuffle-joining the keep-list: ubiquitous keys
+      are the Zipf HEAD of the vocabulary — a small set in any corpus
+      — so the capped posting table is a map-side filter of the
+      artifact scan, not a key-shuffle of the whole posting table.
+      The old keep-list inner join re-executed the posting subtree
+      through a shuffle once per consumer (3x).
+    - ``sizes`` (one row per doc — corpus-reduced) is materialize()d:
+      it feeds both the id1 and id2 probes of the final join, and a
+      cached one-shot beats re-aggregating the posting table twice.
+
+    Returns (shared, sizes): shared = (id1, id2, shared) within-block
+    co-occurrence counts with id1 < id2; sizes = (doc_id, sz) kept-set
+    sizes over the same capped space.
+    """
+    drop_tab = (
+        posting.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select(key)
+    )
+    kept = posting.join(F.broadcast(drop_tab), key, "anti")
+    sizes = materialize(
+        kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    )
+    a = kept.select(F.col("doc_id").alias("id1"), key)
+    b = kept.select(F.col("doc_id").alias("id2"), F.col(key).alias("kb"))
+    shared = (
+        a.join(b, (F.col(key) == F.col("kb")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return shared, sizes
+
+
 def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs within a language block
     (blocked self-join on (lang, token); integer arithmetic only).
@@ -249,24 +292,7 @@ def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _tok_distinct(spark, sf_dir).select(
         "doc_id", F.xxhash64("lang", "t").alias("tk")
     )
-    df_tab = (
-        raw.groupBy("tk")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _DF_CAP)
-        .select("tk")
-    )
-    tok = raw.join(df_tab, "tk")
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tok.select(F.col("doc_id").alias("id1"), "tk")
-    b = tok.select(F.col("doc_id").alias("id2"), F.col("tk").alias("tk_b"))
-    shared = (
-        a.join(
-            b,
-            (F.col("tk") == F.col("tk_b")) & (F.col("id1") < F.col("id2")),
-        )
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    shared, sizes = _capped_pair_counts(raw, "tk")
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
     out = (
@@ -510,21 +536,7 @@ def q_sim_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles with document frequency > _DF_CAP are dropped on both
     engines first (see _DF_CAP) so no posting list can go quadratic."""
     sh = _bigram_shingles(spark, sf_dir).select("doc_id", "sh")
-    df_tab = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _DF_CAP)
-        .select("sh")
-    )
-    sh = sh.join(df_tab, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("id1"), "sh")
-    b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh_b"))
-    shared = (
-        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("id1") < F.col("id2")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    shared, sizes = _capped_pair_counts(sh, "sh")
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
     return (
