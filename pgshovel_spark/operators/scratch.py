@@ -148,6 +148,13 @@ def scratch_table(
                 os.rename(tmp, path)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)
+            # A previous table at this path may still be registered in
+            # the session's CacheManager / file-listing caches (the
+            # plan is canonically identical — same path — so a stale
+            # entry would serve blocks backed by the DELETED old part
+            # files: FAILED_READ_FILE on first cache miss).  Refresh
+            # invalidates both for this path only.
+            spark.catalog.refreshByPath(str(path))
         got = spark.read.parquet(str(path))
         _BUILT[key] = got
     try:
@@ -171,11 +178,29 @@ def scratch_table(
 def clear_scratch(spark: SparkSession) -> None:
     """Drop every memoized artifact handle and its files (bench uses
     this between its warm-up and timed phases so the timed run builds
-    artifacts at the timed scale inside a timed window)."""
+    artifacts at the timed scale inside a timed window).
+
+    Unpersists each handle FIRST: a rebuilt artifact lands at the SAME
+    path, so its scan plan is canonically identical to the old one —
+    a stale CacheManager entry would serve blocks backed by the
+    deleted part-files (FileNotFound on any cache miss) instead of
+    the rebuilt table."""
+    for df in _BUILT.values():
+        try:
+            df.unpersist(blocking=True)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
     _BUILT.clear()
     if ARTIFACT_ROOT.is_dir():
         for child in ARTIFACT_ROOT.iterdir():
             shutil.rmtree(child, ignore_errors=True)
+            # drop any cache/file-listing entries registered for the
+            # deleted path — handles cached OUTSIDE the memo too (the
+            # unpersist loop only covers _BUILT's handles)
+            try:
+                spark.catalog.refreshByPath(str(child))
+            except Exception:  # pragma: no cover
+                pass
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:

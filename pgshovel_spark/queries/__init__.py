@@ -75,11 +75,27 @@ _MODULES = (
     setops,
 )
 
-#: Every query whose plan changed in round 4, registered first so all
-#: of them sit inside the driver's ~50-entry check window and their
-#: NEW plans get fresh driver rows.  Module blocks follow for the
-#: long-verified, untouched remainder.
+#: Every round-5 addition and changed plan registered first (then the
+#: round-4 block) so all of them sit inside the driver's ~50-entry
+#: check window and their NEW plans get fresh driver rows.  Module
+#: blocks follow for the long-verified, untouched remainder.
 _PRIORITY = (
+    # round-5 additions (never driver-checked)
+    "q_ann_recall",
+    "q_graph_degrees",
+    "q_graph_triangles",
+    # round-5 plan rewrites: anti-broadcast df-cap (set-overlap
+    # family), pre-reduced broadcast dims (Q7/Q8), single-scan
+    # pipeline head, stack-fused profile/dq
+    "q_sim_jaccard",
+    "q_sim_ngram",
+    "q_sim_containment",
+    "q_dedup_minhash_pairs",
+    "q_nation_pairs",
+    "q_market_share",
+    "q_pipeline_curate",
+    "q_profile_table",
+    "q_dq_checks",
     # round-4 additions
     "q_graph_trade_components",
     # the two round-4 rewrites (judge items 1 and 3)
@@ -87,29 +103,20 @@ _PRIORITY = (
     "q_sketch_quantile",
     # shared-artifact migration: localCheckpoint -> parquet scratch
     # (every consumer's plan now reads the scratch parquet table)
-    "q_sim_jaccard",
-    "q_sim_ngram",
     "q_sim_simhash",
     "q_dedup_minhash",
-    "q_dedup_minhash_pairs",
     "q_dedup_clusters",
     "q_dedup_keep_best",
-    "q_sim_containment",
     "q_simhash_pairs",
     "q_sketch_hll",
     "q_sketch_cms",
     "q_text_zipf",
     # materialize() swaps (localCheckpoint -> lineage-intact cache)
-    "q_profile_table",
     "q_text_tfidf",
     "q_text_decontaminate",
-    "q_pipeline_curate",
     # round-4 advice fix: LOCF tiebreak added on both engines
     "q_ts_gapfill",
     # round-4 job-fusion work on the 1.0-1.7 s bench band
-    "q_dq_checks",
-    "q_nation_pairs",
-    "q_market_share",
     "q_win_ntile",
     "q_sub_exists",
     "q_sub_in_agg",
@@ -167,6 +174,7 @@ def all_artifacts() -> dict[str, QueryFn]:
     return {
         "tok_distinct": similarity._tok_distinct,
         "bigram_shingles": similarity._bigram_shingles,
+        "shingle_pair_stats": similarity._shingle_pair_stats,
         "token_counts": sketches._token_counts,
         "dedup_clusters": similarity._cluster_table,
     }

@@ -775,14 +775,9 @@ def q_sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pgshovel_spark.queries import similarity
 
-    sh = similarity._bigram_shingles(spark, sf_dir).select("doc_id", "sh")
-    shared, sizes = similarity._capped_pair_counts(sh, "sh")
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
     min_sz = F.least("sz1", "sz2")
     return (
-        shared.join(s1, "id1")
-        .join(s2, "id2")
+        similarity._shingle_pair_stats(spark, sf_dir)
         .filter(F.col("shared") * 10 >= min_sz * 8)
         .select(
             "id1",

@@ -117,5 +117,191 @@ FROM members m JOIN edge_rollup e USING (component)
 """
 
 
-QUERIES = {"q_graph_trade_components": q_graph_trade_components}
-ORACLES = {"q_graph_trade_components": _GRAPH_TRADE_COMPONENTS_SQL}
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (cn, sn) bipartite trade edge set q_graph_trade_components
+    iterates over — shared by the non-iterative graph queries below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= _MIN_QTY)
+            & (F.col("l_shipdate") >= F.lit(_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_TO).cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cn"),
+            (F.col("l_suppkey") * 2 + 1).alias("sn"),
+        )
+        .distinct()
+    )
+
+
+_TRADE_EDGES_SQL = f"""
+  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= {_MIN_QTY}
+    AND l_shipdate >= TIMESTAMP '{_FROM}'
+    AND l_shipdate < TIMESTAMP '{_TO}'
+"""
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bipartite trade graph, per side:
+    (side, degree, n_nodes) — the non-iterative companion to the CC
+    query (exact integer oracle, no recursive CTE).  Two aggregations:
+    degree per node, then the histogram; both shuffle 8-byte keys."""
+    e = _trade_edges(spark, sf_dir)
+    cdeg = e.groupBy(F.col("cn").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).withColumn("side", F.lit("customer"))
+    sdeg = e.groupBy(F.col("sn").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).withColumn("side", F.lit("supplier"))
+    return (
+        cdeg.unionByName(sdeg)
+        .groupBy("side", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+_GRAPH_DEGREES_SQL = f"""
+WITH e0 AS (
+{_TRADE_EDGES_SQL}
+), deg AS (
+  SELECT 'customer' AS side, cn AS node, COUNT(*) AS degree FROM e0 GROUP BY cn
+  UNION ALL
+  SELECT 'supplier', sn, COUNT(*) FROM e0 GROUP BY sn
+)
+SELECT side, CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY side, degree
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    CO-SUPPLIER customer graph (customers adjacent iff they trade with
+    a common supplier — the unipartite projection of the trade graph).
+
+    Degree-ordered wedge closing (the MapReduce triangle-counting
+    scheme of Cohen / Suri-Vassilvitskii): every edge is oriented from
+    its lower-(degree, id) endpoint to the higher one, wedges are
+    built only at each edge's LOW endpoint, and a wedge (v, w) closes
+    iff the oriented edge v->w exists.  Each triangle is counted
+    exactly once, and the wedge count is O(m^1.5) regardless of hub
+    degree — an unoriented wedge join would be quadratic in the
+    hottest supplier's customer list.  All-integer output plus one
+    rounded ratio; the oracle runs the identical non-recursive joins.
+    """
+    e0 = _trade_edges(spark, sf_dir)
+    # unipartite projection: customer pairs sharing a supplier
+    a = e0.select(F.col("sn").alias("s"), F.col("cn").alias("u"))
+    b = e0.select(F.col("sn").alias("s2"), F.col("cn").alias("v"))
+    edges = materialize(
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # orient: lo = lower (degree, id) endpoint, hi = the other
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = materialize(
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("c2"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("x") < F.col("y"))).select(
+        "x", "y"
+    )
+    closer = oriented.select(
+        F.col("lo").alias("cx"), F.col("hi").alias("cy")
+    ).unionByName(
+        oriented.select(F.col("hi").alias("cx"), F.col("lo").alias("cy"))
+    )
+    tri = wedges.join(
+        closer, (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")), "semi"
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # open + closed wedges, centered anywhere: sum over nodes of C(d,2)
+    n_wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    return (
+        n_edges.crossJoin(n_wed)
+        .crossJoin(n_tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.col("n_triangles") * 3.0
+                / F.when(F.col("n_wedges") > 0, F.col("n_wedges")).cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+_GRAPH_TRIANGLES_SQL = f"""
+WITH e0 AS (
+{_TRADE_EDGES_SQL}
+), edges AS (
+  SELECT DISTINCT a.cn AS u, b.cn AS v
+  FROM e0 a JOIN e0 b ON a.sn = b.sn AND a.cn < b.cn
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+), wedges AS (
+  SELECT w1.hi AS x, w2.hi AS y
+  FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+), closer AS (
+  SELECT lo AS cx, hi AS cy FROM oriented
+  UNION ALL SELECT hi, lo FROM oriented
+), tri AS (
+  SELECT COUNT(*) AS n_triangles FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM closer c WHERE c.cx = w.x AND c.cy = w.y)
+), ne AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+), nw AS (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT ne.n_edges, nw.n_wedges, CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       ROUND(CAST(tri.n_triangles * 3.0 AS DOUBLE)
+             / CASE WHEN nw.n_wedges > 0 THEN nw.n_wedges END, 6)
+         AS clustering_coeff
+FROM ne CROSS JOIN nw CROSS JOIN tri
+"""
+
+
+QUERIES = {
+    "q_graph_trade_components": q_graph_trade_components,
+    "q_graph_degrees": q_graph_degrees,
+    "q_graph_triangles": q_graph_triangles,
+}
+ORACLES = {
+    "q_graph_trade_components": _GRAPH_TRADE_COMPONENTS_SQL,
+    "q_graph_degrees": _GRAPH_DEGREES_SQL,
+    "q_graph_triangles": _GRAPH_TRIANGLES_SQL,
+}

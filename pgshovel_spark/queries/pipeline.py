@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgshovel_spark.functions.textfns import norm_text
+from pgshovel_spark.functions.textfns import norm_text, tokens
 from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.queries.training import (
     _BUDGET_MILLI,
@@ -32,7 +32,6 @@ from pgshovel_spark.queries.training import (
     _TOKS,
     _TRI_DUCK,
     _TRI_SPARK,
-    _docs_toks,
 )
 
 #: minimum tokens for the quality gate (docs below carry no signal)
@@ -46,16 +45,22 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup -> repetition filter -> length gate -> budget mixture
     sample -> pack, composed into one plan; emits the packed survivor
     set (doc_id, lang, token counts, chunk spans)."""
-    d = _docs_toks(spark, sf_dir)
-    # carry the dedup key alongside the token array (norm recomputed
-    # from text inside _docs_toks's select would lose the column, so
-    # re-join shape: recompute from the base table scan instead)
+    # ONE scan of documents carrying both the token array and the
+    # dedup key — computing h in the same select as the tokenize
+    # removes the former doc_id self-join (a full corpus shuffle) that
+    # re-derived h from a second scan of the base table.
     from pgshovel_spark.sources.tables import load_table
 
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.xxhash64(norm_text("text")).alias("h")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.filter(tokens("text"), lambda t: t != "").alias("a"),
+            F.xxhash64(norm_text("text")).alias("h"),
+        )
     )
-    d = d.join(base, "doc_id")
 
     # 1. exact dedup: survivor = min doc_id per normalized-text hash
     keeper = F.min("doc_id").over(Window.partitionBy("h"))

@@ -276,6 +276,32 @@ def _capped_pair_counts(posting: DataFrame, key: str):
     return shared, sizes
 
 
+def _shingle_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared parquet artifact: (id1, id2, shared, sz1, sz2) for every
+    document pair co-occurring in the df-capped bigram-shingle space —
+    the candidate-pair statistics table BOTH shingle-similarity
+    queries (q_sim_ngram Jaccard, q_sim_containment) threshold from.
+    Built once per corpus (scratch_table), each consumer is a single
+    map-side filter+project over the artifact scan — the persisted
+    candidate-stats table a production dedup suite derives once and
+    thresholds many ways.
+
+    The artifact NAME carries the df cap: the table's content is a
+    function of (corpus, _DF_CAP), so a run under a different cap
+    (the df-cap regression tests shrink it to 2) must land in its own
+    directory — keying by corpus alone would serve one cap's pair
+    stats to another's query."""
+
+    def build(spark, sf_dir):
+        sh = _bigram_shingles(spark, sf_dir).select("doc_id", "sh")
+        shared, sizes = _capped_pair_counts(sh, "sh")
+        s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+        s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+        return shared.join(s1, "id1").join(s2, "id2")
+
+    return scratch_table(spark, f"shingle_pair_stats_c{_DF_CAP}", sf_dir, build)
+
+
 def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs within a language block
     (blocked self-join on (lang, token); integer arithmetic only).
@@ -535,13 +561,8 @@ def q_sim_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole query; the oracle joins raw strings (collision odds ~1e-8).
     Shingles with document frequency > _DF_CAP are dropped on both
     engines first (see _DF_CAP) so no posting list can go quadratic."""
-    sh = _bigram_shingles(spark, sf_dir).select("doc_id", "sh")
-    shared, sizes = _capped_pair_counts(sh, "sh")
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
     return (
-        shared.join(s1, "id1")
-        .join(s2, "id2")
+        _shingle_pair_stats(spark, sf_dir)
         .filter(F.col("shared") * 10 >= (F.col("sz1") + F.col("sz2") - F.col("shared")) * 3)
         .select(
             "id1",
@@ -714,13 +735,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the cluster path, which consumes buckets linearly."""
     sigs = materialize(q_dedup_minhash(spark, sf_dir))
     long_ = _bands_long(sigs)
-    small = (
+    # OVER-cap buckets are the rare pathological cliques — a small
+    # set by construction — so broadcast them as an ANTI join: the
+    # capped bucket table is then a map-side filter of the (cached)
+    # signature expansion instead of a keep-list shuffle join that
+    # re-executes the subtree per consumer (same round-5 job-count
+    # fix as _capped_pair_counts).
+    big = (
         long_.groupBy("band_idx", "key")
         .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= _BUCKET_CAP)
+        .filter(F.col("bsz") > _BUCKET_CAP)
         .select("band_idx", "key")
     )
-    long_ = long_.join(small, ["band_idx", "key"])
+    long_ = long_.join(F.broadcast(big), ["band_idx", "key"], "anti")
     a = long_.select(F.col("doc_id").alias("id1"), "band_idx", "key")
     b = long_.select(F.col("doc_id").alias("id2"), F.col("band_idx").alias("bi2"), F.col("key").alias("key2"))
     return (
@@ -887,6 +914,162 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+#: q_ann_recall parameters: recall@K of an NPROBE-list IVF search,
+#: measured over the first NPROBES vectors used as probes.
+_RECALL_K = 10
+_RECALL_NPROBE = 2
+_RECALL_PROBES = 20
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable ANN QUALITY metric: recall@10 of the IVF
+    (label-partitioned inverted-file, nprobe=2) search against the
+    exact top-10, per probe — the first 20 vectors serve as probes.
+
+    The one operator family whose ANSWER is approximate gets an exact,
+    hash-checkable quality number this way: both the reference top-k
+    and the IVF top-k rank by ``(round(cos_sim, 3) DESC, vec_id ASC)``
+    — an integer-safe total order both engines compute identically
+    (rounding first makes float-rank drift impossible below 5e-4, and
+    the vec_id tiebreak settles everything else) — and the recall
+    arithmetic is pure integers (hits * 100 / K).
+
+    Scale shape: the probe batch broadcasts onto one map-side scoring
+    pass of the corpus (the batched-KNN join shape, operators/ann.py
+    ivf_knn_join); per-probe top-k is a window over probe_id; the
+    centroid build is one posexplode aggregation.  Nothing quadratic:
+    cost is |corpus| x |probe batch| map-side flops plus two
+    probe-partitioned windows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _RECALL_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= _RECALL_PROBES)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            (F.round(cosine_sim("embedding", "probe_emb"), 3) + 0.0).alias("rsim"),
+        )
+    )
+    scored = materialize(scored)  # feeds both the exact and the IVF rank
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rsim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    # label-partitioned IVF: centroid per label, probe scans only the
+    # NPROBE nearest lists
+    emb_d = F.col("embedding").cast("array<double>")
+    cent = (
+        e.select("label", F.posexplode(emb_d).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p.getField("cv")).alias("centroid"),
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("rcs").desc(), F.col("label").asc()
+    )
+    near = (
+        cent.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "label",
+            (F.round(cosine_sim("centroid", "probe_emb"), 3) + 0.0).alias("rcs"),
+        )
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= _RECALL_NPROBE)
+        .select("probe_id", "label")
+    )
+    ann = (
+        scored.join(F.broadcast(near), ["probe_id", "label"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RECALL_K)
+        # rename BOTH columns: exact and ann descend from the same
+        # materialized `scored` frame, so joining on same-named
+        # attributes would resolve to a trivially-true self-compare
+        .select(
+            F.col("probe_id").alias("ann_probe"), F.col("vec_id").alias("ann_vec")
+        )
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("probe_id") == F.col("ann_probe"))
+            & (F.col("vec_id") == F.col("ann_vec")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("ann_vec").alias("n_hits"),
+            (F.count("ann_vec") * 100 / F.lit(_RECALL_K))
+            .cast("long")
+            .alias("recall_pct"),
+        )
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_emb
+  FROM embeddings WHERE vec_id < {_RECALL_PROBES}
+), scored AS (
+  SELECT p.probe_id, e.vec_id, e.label,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      p.probe_emb::DOUBLE[]), 3) + 0.0 AS rsim
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id >= {_RECALL_PROBES}
+), exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY rsim DESC, vec_id ASC) AS rk
+    FROM scored) WHERE rk <= {_RECALL_K}
+), cent AS (
+  SELECT label, pos, AVG(v) AS cv FROM (
+    -- two unnests in one SELECT zip element-wise in DuckDB
+    SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+           unnest(embedding::DOUBLE[]) AS v
+    FROM embeddings)
+  GROUP BY label, pos
+), centv AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label
+), near AS (
+  SELECT probe_id, label FROM (
+    SELECT p.probe_id, c.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY ROUND(list_cosine_similarity(c.centroid,
+                            p.probe_emb::DOUBLE[]), 3) + 0.0 DESC,
+                      c.label ASC) AS rk
+    FROM centv c CROSS JOIN probes p) WHERE rk <= {_RECALL_NPROBE}
+), ann AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT s.probe_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.probe_id
+                              ORDER BY s.rsim DESC, s.vec_id ASC) AS rk
+    FROM scored s JOIN near n ON s.probe_id = n.probe_id AND s.label = n.label)
+  WHERE rk <= {_RECALL_K}
+)
+SELECT e.probe_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.vec_id) * 100 / {_RECALL_K} AS BIGINT) AS recall_pct
+FROM exact e
+LEFT JOIN ann a ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+GROUP BY e.probe_id
+"""
 
 
 def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,6 +1276,7 @@ QUERIES = {
     "q_sim_simhash": q_sim_simhash,
     "q_dedup_embedding": q_dedup_embedding,
     "q_sim_ann_ivf": q_sim_ann_ivf,
+    "q_ann_recall": q_ann_recall,
     "q_multimodal_join": q_multimodal_join,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_keep_best": q_dedup_keep_best,
@@ -1108,6 +1292,7 @@ ORACLES = {
     "q_dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
     "q_sim_simhash": _SIM_SIMHASH_SQL,
     "q_dedup_embedding": _DEDUP_EMBEDDING_SQL,
+    "q_ann_recall": _ANN_RECALL_SQL,
     "q_multimodal_join": _MULTIMODAL_JOIN_SQL,
     "q_dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "q_dedup_keep_best": _DEDUP_KEEP_BEST_SQL,

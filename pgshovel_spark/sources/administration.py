@@ -137,6 +137,68 @@ class FileBackend(CoordinatorBackend):
             return json.load(f)
 
 
+class SqliteBackend(CoordinatorBackend):
+    """Second fully-executable backend (beyond FileBackend), proving
+    the seam is genuinely backend-agnostic: versioned configs live in
+    one sqlite database, and the atomic exactly-one-winner claim is a
+    plain ``INSERT`` against the ``(name, version)`` PRIMARY KEY —
+    sqlite serializes writers with a database lock, so of any number
+    of concurrent claimants (threads OR processes sharing the file)
+    exactly one insert commits and the rest hit the unique constraint.
+    Right for a small multi-process admin host; the ZooKeeper backend
+    remains the multi-HOST production path."""
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        with self._conn() as con:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS set_config ("
+                " name TEXT NOT NULL, version INTEGER NOT NULL,"
+                " payload TEXT NOT NULL, PRIMARY KEY (name, version))"
+            )
+
+    def _conn(self):
+        import sqlite3
+
+        os.makedirs(os.path.dirname(self.db_path) or ".", exist_ok=True)
+        # generous busy timeout: concurrent claimants queue on the
+        # database write lock instead of erroring spuriously
+        return sqlite3.connect(self.db_path, timeout=30.0)
+
+    def latest_version(self, name: str) -> int:
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT COALESCE(MAX(version), 0) FROM set_config WHERE name = ?",
+                (name,),
+            ).fetchone()
+        return int(row[0])
+
+    def claim(self, name: str, version: int, payload: dict) -> None:
+        import sqlite3
+
+        try:
+            with self._conn() as con:
+                con.execute(
+                    "INSERT INTO set_config (name, version, payload)"
+                    " VALUES (?, ?, ?)",
+                    (name, version, json.dumps(payload, sort_keys=True)),
+                )
+        except sqlite3.IntegrityError:
+            raise ConfigError(
+                f"version conflict: {name} v{version} was created concurrently"
+            ) from None
+
+    def read(self, name: str, version: int) -> dict:
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT payload FROM set_config WHERE name = ? AND version = ?",
+                (name, version),
+            ).fetchone()
+        if row is None:
+            raise FileNotFoundError(f"{name} v{version} not found")
+        return json.loads(row[0])
+
+
 class ZooKeeperBackend(CoordinatorBackend):
     """Multi-driver-safe production backend: a ZNode ``create()`` is
     totally ordered by the ZooKeeper ensemble, so it IS the atomic

@@ -121,13 +121,33 @@ def stream_source(spark: SparkSession, conf: dict) -> DataFrame:
         reader = spark.readStream.format("kafka")
         for k, v in kafka_reader_options(conf).items():
             reader = reader.option(k, v)
-        raw = reader.load()
-        return raw.select(
-            F.from_json(
-                F.col("value").cast("string"), conf.get("schema") or CHANGE_SCHEMA
-            ).alias("c")
-        ).select("c.*")
+        return parse_change_envelope(reader.load(), conf.get("schema"))
     raise ValueError(f"unknown stream source format {fmt!r}")
+
+
+def parse_change_envelope(
+    raw: DataFrame, schema: StructType | None = None
+) -> DataFrame:
+    """Decode Kafka wire rows (binary ``value`` plus
+    key/topic/partition/offset/timestamp envelope columns) into
+    CHANGE_SCHEMA change records — the exact projection the kafka
+    branch of ``stream_source`` applies after ``.load()``.
+
+    Factored out so the parse/schema contract is testable WITHOUT a
+    broker: the contract test feeds recorded Kafka-shaped batch rows
+    through this function and asserts parity with the file-source
+    branch; the only surface left untested in the sandbox is
+    ``format("kafka").load()`` itself (a Spark built-in).
+
+    Malformed JSON yields a NULL struct -> NULL columns (Spark
+    from_json PERMISSIVE), which the downstream idempotent upsert
+    drops on its NULL-key filter rather than poisoning the batch.
+    Works on both batch and streaming DataFrames."""
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"), schema or CHANGE_SCHEMA
+        ).alias("c")
+    ).select("c.*")
 
 
 def mutations_from_events(events: DataFrame) -> DataFrame:

@@ -161,19 +161,45 @@ class TransactionalMergeSink(MergeSink):
         self.table = table
         self.source_view = source_view
 
-    def merge_sql(self) -> str:
-        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
-        newer = " OR ".join(
+    def newer_predicate(self, s: str = "s", t: str = "t") -> str:
+        """Lexicographic 'source row is strictly newer' predicate over
+        ``order_cols`` — the WHEN MATCHED guard of the MERGE, shared
+        by every dialect rendering."""
+        return " OR ".join(
             "("
-            + " AND ".join(f"s.{c} = t.{c}" for c in self.order_cols[:i])
+            + " AND ".join(f"{s}.{c} = {t}.{c}" for c in self.order_cols[:i])
             + (" AND " if i else "")
-            + f"s.{o} > t.{o})"
+            + f"{s}.{o} > {t}.{o})"
             for i, o in enumerate(self.order_cols)
         )
+
+    def merge_sql(self) -> str:
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
         return (
             f"MERGE INTO {self.table} t USING {self.source_view} s ON {on} "
-            f"WHEN MATCHED AND ({newer}) THEN UPDATE SET * "
+            f"WHEN MATCHED AND ({self.newer_predicate()}) THEN UPDATE SET * "
             f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def sqlite_upsert_sql(self, columns: Sequence[str]) -> str:
+        """The SAME keyed-upsert contract rendered in sqlite's UPSERT
+        dialect (INSERT .. ON CONFLICT(keys) DO UPDATE .. WHERE newer)
+        — built from the identical newer_predicate as merge_sql, so
+        executing it against a real sqlite database exercises the
+        emitted MERGE's semantics end-to-end even though no
+        Delta/Iceberg runtime exists in the sandbox.  Feed it
+        latest-ranked batch rows (one per key), exactly what apply()
+        stages into the MERGE's source view."""
+        cols = ", ".join(columns)
+        ph = ", ".join("?" for _ in columns)
+        keys = ", ".join(self.keys)
+        sets = ", ".join(
+            f"{c} = excluded.{c}" for c in columns if c not in self.keys
+        )
+        newer = self.newer_predicate(s="excluded", t=self.table)
+        return (
+            f"INSERT INTO {self.table} ({cols}) VALUES ({ph}) "
+            f"ON CONFLICT({keys}) DO UPDATE SET {sets} WHERE {newer}"
         )
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:

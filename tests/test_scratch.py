@@ -15,6 +15,15 @@ from pgshovel_spark.operators import scratch
 
 SF = "/root/testdata/sf0.001"
 
+import uuid
+
+#: Artifacts persist ACROSS sessions by design (content-keyed dirs),
+#: so tests that assert build-once / rebuild semantics must use names
+#: unique to this test run — a previous run's artifact would satisfy
+#: the _SUCCESS check and break the assertion.
+_RUN = uuid.uuid4().hex[:8]
+
+
 
 def test_scratch_table_builds_once_and_memoizes(spark):
     calls = []
@@ -23,12 +32,12 @@ def test_scratch_table_builds_once_and_memoizes(spark):
         calls.append(sf_dir)
         return sp.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
 
-    a = scratch.scratch_table(spark, "t_unit_once", SF, build)
-    b = scratch.scratch_table(spark, "t_unit_once", SF, build)
+    a = scratch.scratch_table(spark, f"t_unit_once_{_RUN}", SF, build)
+    b = scratch.scratch_table(spark, f"t_unit_once_{_RUN}", SF, build)
     assert calls == [SF]  # built exactly once
     assert a.count() == b.count() == 10
     # files landed at the stable content-keyed artifact path
-    p = scratch.artifact_path("t_unit_once", SF)
+    p = scratch.artifact_path(f"t_unit_once_{_RUN}", SF)
     assert (p / "_SUCCESS").exists() and (p / "_HEARTBEAT").exists()
 
 
@@ -54,9 +63,9 @@ def test_scratch_reused_across_sessions(spark):
         calls.append(1)
         return sp.range(9)
 
-    scratch.scratch_table(spark, "t_unit_xsession", SF, build)
+    scratch.scratch_table(spark, f"t_unit_xsession_{_RUN}", SF, build)
     scratch._BUILT.clear()  # new session's empty memo
-    df = scratch.scratch_table(spark, "t_unit_xsession", SF, build)
+    df = scratch.scratch_table(spark, f"t_unit_xsession_{_RUN}", SF, build)
     assert calls == [1]  # built once, reused from disk
     assert df.count() == 9
 
@@ -70,7 +79,7 @@ def test_scratch_table_is_parquet_backed_with_lineage(spark):
     def build(sp, sf_dir):
         return sp.range(5).select(F.col("id").alias("k"))
 
-    df = scratch.scratch_table(spark, "t_unit_lineage", SF, build)
+    df = scratch.scratch_table(spark, f"t_unit_lineage_{_RUN}", SF, build)
     before = sorted(r.k for r in df.collect())
     # drop every cached block the way bench housekeeping does
     sc = spark.sparkContext
@@ -90,8 +99,8 @@ def test_scratch_keyed_by_sf_dir(spark):
         n = 3 if sf_dir.endswith("a") else 7
         return sp.range(n)
 
-    a = scratch.scratch_table(spark, "t_unit_key", "/x/a", build)
-    b = scratch.scratch_table(spark, "t_unit_key", "/x/b", build)
+    a = scratch.scratch_table(spark, f"t_unit_key_{_RUN}", "/x/a", build)
+    b = scratch.scratch_table(spark, f"t_unit_key_{_RUN}", "/x/b", build)
     assert (a.count(), b.count()) == (3, 7)
 
 
@@ -102,9 +111,9 @@ def test_clear_scratch_forces_rebuild(spark):
         calls.append(1)
         return sp.range(4)
 
-    scratch.scratch_table(spark, "t_unit_clear", SF, build)
+    scratch.scratch_table(spark, f"t_unit_clear_{_RUN}", SF, build)
     scratch.clear_scratch(spark)
-    scratch.scratch_table(spark, "t_unit_clear", SF, build)
+    scratch.scratch_table(spark, f"t_unit_clear_{_RUN}", SF, build)
     assert len(calls) == 2
 
 
