@@ -197,12 +197,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unipartite projection: customer pairs sharing a supplier
     a = e0.select(F.col("sn").alias("s"), F.col("cn").alias("u"))
     b = e0.select(F.col("sn").alias("s2"), F.col("cn").alias("v"))
+    # edges feeds three branches (degrees, orientation, the closing
+    # edge set); deg feeds three (both orientation probes, the
+    # edge/wedge statistics).  Both are corpus-reduced -> materialize.
     edges = materialize(
         a.join(b, (F.col("s") == F.col("s2")) & (F.col("u") < F.col("v")))
         .select("u", "v")
         .distinct()
     )
-    deg = (
+    deg = materialize(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .groupBy("node")
@@ -214,7 +217,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_u = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = materialize(
+    oriented = (
         edges.join(du, "u")
         .join(dv, "v")
         .select(
@@ -222,38 +225,36 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
     )
+    # the two wedge probes are the SAME subtree (alias-only renames),
+    # so their shuffle is a single ReusedExchange; the closing set
+    # comes straight off the cached undirected edges (both directions)
     w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
     w2 = oriented.select(F.col("lo").alias("c2"), F.col("hi").alias("y"))
     wedges = w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("x") < F.col("y"))).select(
         "x", "y"
     )
-    closer = oriented.select(
-        F.col("lo").alias("cx"), F.col("hi").alias("cy")
-    ).unionByName(
-        oriented.select(F.col("hi").alias("cx"), F.col("lo").alias("cy"))
-    )
+    closer = edges.select(
+        F.col("u").alias("cx"), F.col("v").alias("cy")
+    ).unionByName(edges.select(F.col("v").alias("cx"), F.col("u").alias("cy")))
     tri = wedges.join(
         closer, (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")), "semi"
     )
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    # open + closed wedges, centered anywhere: sum over nodes of C(d,2)
-    n_wed = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    # edge count and wedge count both ride ONE aggregate over deg:
+    # sum(d)/2 = |E| exactly, sum C(d,2) = wedges centered anywhere
+    stats = deg.agg(
+        F.expr("sum(d) div 2").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
     )
-    return (
-        n_edges.crossJoin(n_wed)
-        .crossJoin(n_tri)
-        .select(
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.round(
-                F.col("n_triangles") * 3.0
-                / F.when(F.col("n_wedges") > 0, F.col("n_wedges")).cast("double"),
-                6,
-            ).alias("clustering_coeff"),
-        )
+    return stats.crossJoin(n_tri).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.col("n_triangles") * 3.0
+            / F.when(F.col("n_wedges") > 0, F.col("n_wedges")).cast("double"),
+            6,
+        ).alias("clustering_coeff"),
     )
 
 
