@@ -176,5 +176,6 @@ def all_artifacts() -> dict[str, QueryFn]:
         "bigram_shingles": similarity._bigram_shingles,
         "shingle_pair_stats": similarity._shingle_pair_stats,
         "token_counts": sketches._token_counts,
+        "trade_edges": graph_analytics._trade_edges,
         "dedup_clusters": similarity._cluster_table,
     }
