@@ -943,28 +943,34 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is |corpus| x |probe batch| map-side flops plus two
     probe-partitioned windows.
     """
+    from pgshovel_spark.functions.vectors import dot, l2_norm
+
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < _RECALL_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
-    scored = (
-        e.filter(F.col("vec_id") >= _RECALL_PROBES)
-        .crossJoin(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "vec_id",
-            "label",
-            (F.round(cosine_sim("embedding", "probe_emb"), 3) + 0.0).alias("rsim"),
-        )
+    # Hoist the norms out of the pair loop: cosine_sim would recompute
+    # each vector's norm once PER PROBE (20x) and each probe's norm
+    # once per corpus row — the folds are interpreted higher-order
+    # expressions, so that redundancy is the scoring pass's dominant
+    # cost.  sqrt(sum sq) and the index-order dot are the exact same
+    # arithmetic cosine_sim performs, so values stay bit-identical to
+    # the oracle's list_cosine_similarity.
+    ev = e.filter(F.col("vec_id") >= _RECALL_PROBES).select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("__vn")
     )
-    scored = materialize(scored)  # feeds both the exact and the IVF rank
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("rsim").desc(), F.col("vec_id").asc()
-    )
-    exact = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _RECALL_K)
-        .select("probe_id", "vec_id")
+    pv = probes.select("probe_id", "probe_emb", l2_norm("probe_emb").alias("__pn"))
+    denom = F.col("__vn") * F.col("__pn")
+    scored = ev.crossJoin(F.broadcast(pv)).select(
+        "probe_id",
+        "vec_id",
+        "label",
+        (
+            F.round(
+                F.when(denom != 0.0, dot("embedding", "probe_emb") / denom), 3
+            )
+            + 0.0
+        ).alias("rsim"),
     )
     # label-partitioned IVF: centroid per label, probe scans only the
     # NPROBE nearest lists
@@ -994,28 +1000,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RECALL_NPROBE)
         .select("probe_id", "label")
     )
-    ann = (
-        scored.join(F.broadcast(near), ["probe_id", "label"])
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _RECALL_K)
-        # rename BOTH columns: exact and ann descend from the same
-        # materialized `scored` frame, so joining on same-named
-        # attributes would resolve to a trivially-true self-compare
-        .select(
-            F.col("probe_id").alias("ann_probe"), F.col("vec_id").alias("ann_vec")
-        )
+    # SINGLE-PASS recall: instead of materializing two ranked sets and
+    # joining them, flag each scored row with "is in a probed list"
+    # (broadcast left join on the tiny near table), then rank TWICE in
+    # one plan — over the full candidate set (the exact reference) and
+    # within the (probe, flag) sub-partition (the IVF result).  A hit
+    # is a row inside BOTH top-k sets, so recall is one conditional
+    # aggregation — no self-join, no cache, scored consumed once.
+    s2 = scored.join(
+        F.broadcast(near.withColumn("__nf", F.lit(1))),
+        ["probe_id", "label"],
+        "left",
+    )
+    w_all = Window.partitionBy("probe_id").orderBy(
+        F.col("rsim").desc(), F.col("vec_id").asc()
+    )
+    w_near = Window.partitionBy("probe_id", "__nf").orderBy(
+        F.col("rsim").desc(), F.col("vec_id").asc()
+    )
+    hit = (
+        (F.col("rka") <= _RECALL_K)
+        & F.col("__nf").isNotNull()
+        & (F.col("rkn") <= _RECALL_K)
     )
     return (
-        exact.join(
-            ann,
-            (F.col("probe_id") == F.col("ann_probe"))
-            & (F.col("vec_id") == F.col("ann_vec")),
-            "left",
-        )
+        s2.withColumn("rka", F.row_number().over(w_all))
+        .withColumn("rkn", F.row_number().over(w_near))
         .groupBy("probe_id")
         .agg(
-            F.count("ann_vec").alias("n_hits"),
-            (F.count("ann_vec") * 100 / F.lit(_RECALL_K))
+            F.sum(hit.cast("long")).alias("n_hits"),
+            (F.sum(hit.cast("long")) * 100 / F.lit(_RECALL_K))
             .cast("long")
             .alias("recall_pct"),
         )
