@@ -84,6 +84,11 @@ _PRIORITY = (
     "q_ann_recall",
     "q_graph_degrees",
     "q_graph_triangles",
+    "q_local_volume",
+    "q_revenue_forecast",
+    "q_returned_items",
+    "q_promo_share",
+    "q_basket_revenue",
     # round-5 plan rewrites: anti-broadcast df-cap (set-overlap
     # family), pre-reduced broadcast dims (Q7/Q8), single-scan
     # pipeline head, stack-fused profile/dq

@@ -466,6 +466,271 @@ WINDOW w AS (ORDER BY month_us)
 """
 
 
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — revenue from orders where the customer and the
+    line's supplier sit in the SAME nation, per nation, one year.
+
+    The same-nation predicate is the interesting part: it correlates
+    the two dimension paths, so it rides the fact row AFTER both
+    broadcast lookups as a plain column filter — no extra join.  One
+    lineitem->orders shuffle; supplier and customer reduce to
+    broadcast (key, nationkey) pairs, nation names broadcast onto the
+    5-row result path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    s_dim = s.select(F.col("s_suppkey").alias("sd_key"), "s_nationkey")
+    c_dim = c.select(F.col("c_custkey").alias("cd_key"), "c_nationkey")
+    return (
+        li.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate").filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(s_dim), li.l_suppkey == F.col("sd_key"))
+        .join(F.broadcast(c_dim), F.col("o_custkey") == F.col("cd_key"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_LOCAL_VOLUME_SQL = """
+SELECT n_name AS nation,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — revenue delta from a hypothetical discount
+    change: one column-pruned scan, every predicate pushed to parquet,
+    ONE exact-decimal aggregate.  The canonical 'is the scan path
+    clean' query: no join, no shuffle beyond the 1-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_REVENUE_FORECAST_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue_delta,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top 20 customers by revenue lost to returned
+    items in a quarter.  lineitem filters to returnflag='R' at the
+    scan; one shuffle join to the date-filtered orders; customer
+    attributes broadcast onto the 20-row result; LIMIT carries a
+    total order (revenue DESC, custkey ASC) per the determinism
+    contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate").filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "lost_revenue"
+            )
+        )
+        .join(
+            F.broadcast(
+                c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "c_mktsegment",
+            "lost_revenue",
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — PROMO parts' share of one month's revenue via
+    conditional aggregation: part reduces to a broadcast
+    (key, is_promo) pair, the CASE picks the numerator, both sums stay
+    exact decimal, and the share divides two exact doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    p_dim = p.select(
+        F.col("p_partkey").alias("pd_key"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+    )
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p_dim), li.l_partkey == F.col("pd_key"))
+        .agg(
+            exact_sum(F.when(F.col("is_promo"), vol)).alias("promo_rev"),
+            exact_sum(vol).alias("all_rev"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.coalesce(F.col("promo_rev"), F.lit(0).cast("decimal(24,6)"))
+            .cast("double")
+            / F.col("all_rev").cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+_PROMO_SHARE_SQL = """
+SELECT ROUND(
+         100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+             END), 0) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(24,6))) AS DOUBLE),
+         6) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q_basket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue from three disjunctive brand/size/
+    quantity baskets (adapted to the fixture's columns: no
+    shipmode/shipinstruct).  The OR-of-ANDs predicate evaluates
+    row-locally AFTER the broadcast part lookup; per-basket rollup
+    keeps the result auditable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    p_dim = p.select(
+        F.col("p_partkey").alias("pd_key"), "p_brand", "p_size"
+    )
+    basket = (
+        F.when(
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11),
+            F.lit(1),
+        )
+        .when(
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20),
+            F.lit(2),
+        )
+        .when(
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 40)
+            & F.col("l_quantity").between(20, 30),
+            F.lit(3),
+        )
+    )
+    return (
+        li.join(F.broadcast(p_dim), li.l_partkey == F.col("pd_key"))
+        .withColumn("basket", basket)
+        .filter(F.col("basket").isNotNull())
+        .groupBy("basket")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_BASKET_REVENUE_SQL = """
+SELECT basket,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM (
+  SELECT l_extendedprice, l_discount,
+         CASE
+           WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11 THEN 1
+           WHEN p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20 THEN 2
+           WHEN p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40
+                AND l_quantity BETWEEN 20 AND 30 THEN 3
+         END AS basket
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+WHERE basket IS NOT NULL
+GROUP BY basket
+"""
+
+
 QUERIES = {
     "q_sub_scalar_avg": q_sub_scalar_avg,
     "q_sub_exists": q_sub_exists,
@@ -476,6 +741,11 @@ QUERIES = {
     "q_market_share": q_market_share,
     "q_custdist": q_custdist,
     "q_growth_trend": q_growth_trend,
+    "q_local_volume": q_local_volume,
+    "q_revenue_forecast": q_revenue_forecast,
+    "q_returned_items": q_returned_items,
+    "q_promo_share": q_promo_share,
+    "q_basket_revenue": q_basket_revenue,
 }
 
 ORACLES = {
@@ -488,4 +758,9 @@ ORACLES = {
     "q_market_share": _MARKET_SHARE_SQL,
     "q_custdist": _CUSTDIST_SQL,
     "q_growth_trend": _GROWTH_TREND_SQL,
+    "q_local_volume": _LOCAL_VOLUME_SQL,
+    "q_revenue_forecast": _REVENUE_FORECAST_SQL,
+    "q_returned_items": _RETURNED_ITEMS_SQL,
+    "q_promo_share": _PROMO_SHARE_SQL,
+    "q_basket_revenue": _BASKET_REVENUE_SQL,
 }
