@@ -195,3 +195,66 @@ def test_connected_components_matches_union_find(spark, n_nodes, edges):
     )
     got = {r.node: r.component for r in connected_components(nodes_df, edges_df).collect()}
     assert got == _uf_components(n_nodes, edges)
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """q_graph_triangles' degree-ordered wedge closing equals the
+    O(n^3) brute-force triangle count on the same projection, and its
+    invariants hold: handshake (n_edges = sum(d)/2, encoded in the
+    stats aggregate) and 3*triangles <= wedges."""
+    from itertools import combinations
+
+    from pgshovel_spark.queries.graph_analytics import (
+        _trade_edges,
+        q_graph_triangles,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    row = q_graph_triangles(spark, SF).collect()[0]
+    # brute force over the same co-supplier projection
+    e0 = _trade_edges(spark, SF).collect()
+    by_supp: dict = {}
+    for r in e0:
+        by_supp.setdefault(r.sn, set()).add(r.cn)
+    adj: dict = {}
+    edges = set()
+    for custs in by_supp.values():
+        for u, v in combinations(sorted(custs), 2):
+            edges.add((u, v))
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    tris = sum(
+        1
+        for (u, v) in edges
+        for w in adj[u]
+        if w > v and w in adj[v]
+    )
+    n_wedges = sum(
+        len(nb) * (len(nb) - 1) // 2 for nb in adj.values()
+    )
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tris
+    assert row.n_wedges == n_wedges
+    assert 3 * row.n_triangles <= row.n_wedges
+
+
+def test_ann_recall_bounds_and_exact_nprobe_is_perfect(spark):
+    """Recall invariants: 0 <= n_hits <= K, recall_pct = hits*100/K;
+    and raising nprobe to cover EVERY list makes the IVF search exact
+    (recall 100 for every probe) — the limiting-case correctness check
+    for the approximate path."""
+    import pgshovel_spark.queries.similarity as sim
+
+    SF = "/root/testdata/sf0.001"
+    rows = sim.q_ann_recall(spark, SF).collect()
+    assert len(rows) == sim._RECALL_PROBES
+    for r in rows:
+        assert 0 <= r.n_hits <= sim._RECALL_K
+        assert r.recall_pct == r.n_hits * 100 // sim._RECALL_K
+    old = sim._RECALL_NPROBE
+    try:
+        sim._RECALL_NPROBE = 10  # every label list probed -> exact
+        perfect = sim.q_ann_recall(spark, SF).collect()
+    finally:
+        sim._RECALL_NPROBE = old
+    assert all(r.recall_pct == 100 for r in perfect)
