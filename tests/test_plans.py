@@ -196,3 +196,15 @@ def test_salted_agg_two_hash_aggregates(spark):
     map-side combine (4 HashAggregate nodes: partial+final x 2)."""
     plan = _plan(spark, "q_agg_salted")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_registry_wide_plan_lint(spark):
+    """No registered query's physical plan may contain a scale
+    anti-pattern: CartesianProduct (non-broadcast cross join),
+    BatchEvalPython (row-at-a-time Python UDF), or a non-vectorized
+    parquet scan.  Analyzes plans only — nothing executes — so a new
+    query that regresses onto the slow path fails CI immediately."""
+    from tools.plan_lint import lint_all
+
+    violations = lint_all(spark)
+    assert violations == {}
