@@ -127,3 +127,43 @@ def epoch_s(c: Column | str) -> Column:
     sub-second parts, matching FLOOR(epoch) for post-1970 data."""
     c = F.col(c) if isinstance(c, str) else c
     return F.unix_timestamp(c).cast("long")
+
+
+def iratio(num: Column | str, den: Column | str, nd: int = 4) -> Column:
+    """``round(num/den, nd)`` for NON-NEGATIVE INTEGER columns computed
+    in exact integer arithmetic, returned as double.
+
+    ``F.round(num/den, nd)`` on the double quotient is engine-divergent
+    when the true ratio's decimal expansion lands exactly on a
+    ``5·10^-(nd+1)`` boundary (the quotient double is inexact there;
+    Spark rounds its SHORTEST decimal repr via BigDecimal while DuckDB
+    rounds the ``x·10^nd`` product — they can land on opposite sides).
+    Integer half-up rounding has no such boundary ambiguity::
+
+        q = (num·10^nd·2 + den) div (den·2)      -- exact half-up
+        result = q / 10^nd                        -- same IEEE op both
+
+    Oracle SQL equivalent (DuckDB ``//`` floors = ``div`` truncates for
+    the non-negative inputs this contract requires)::
+
+        CAST((num*2*POW + den) // (den*2) AS DOUBLE) / POW
+    """
+    num = F.col(num) if isinstance(num, str) else num
+    den = F.col(den) if isinstance(den, str) else den
+    scale = 10 ** nd
+    a = num.cast("long") * (2 * scale) + den.cast("long")
+    b = den.cast("long") * 2
+    # exact integer division: (a - a mod b) is divisible by b, and the
+    # double division of two exactly-divisible longs < 2^53 is exact
+    half_up = ((a - F.pmod(a, b)) / b).cast("long")
+    return half_up.cast("double") / F.lit(float(scale))
+
+
+def iratio_sql(num: str, den: str, nd: int = 4) -> str:
+    """The DuckDB rendering of :func:`iratio` (same half-up integer
+    arithmetic; use identical aliases both sides)."""
+    scale = 10 ** nd
+    return (
+        f"CAST(({num} * {2 * scale} + {den}) // ({den} * 2) AS DOUBLE)"
+        f" / {scale}.0"
+    )

@@ -89,6 +89,15 @@ _PRIORITY = (
     "q_returned_items",
     "q_promo_share",
     "q_basket_revenue",
+    # round-5 determinism hardening: micro-int percent_rank/cume_dist
+    # (engine-divergent ROUND(double, 6) found by the full sf0.1
+    # sweep) and exact integer half-up ratio rounding (iratio) for
+    # every int/int ratio output
+    "q_win_percent",
+    "q_sim_editdist",
+    "q_event_transitions",
+    "q_funnel_windows",
+    "q_embed_centroids",
     # round-5 plan rewrites: anti-broadcast df-cap (set-overlap
     # family), pre-reduced broadcast dims (Q7/Q8), single-scan
     # pipeline head, stack-fused profile/dq

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pgshovel_spark.functions.textfns import norm_text, tokens
 from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.queries.similarity import _DF_CAP as _SIM_DF_CAP
+from pgshovel_spark.functions.determinism import iratio, iratio_sql
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -81,8 +82,8 @@ def q_text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pieces",
             "n_distinct_pieces",
             "n_docs",
-            F.round(F.col("n_pieces") / F.col("n_docs"), 2).alias("pieces_per_doc"),
-            F.round(F.col("piece_chars") / F.col("n_pieces"), 4).alias("avg_piece_len"),
+            iratio("n_pieces", "n_docs", 2).alias("pieces_per_doc"),
+            iratio("piece_chars", "n_pieces", 4).alias("avg_piece_len"),
         )
     )
 
@@ -103,9 +104,9 @@ SELECT lang,
        COUNT(*) AS n_pieces,
        COUNT(DISTINCT piece) AS n_distinct_pieces,
        COUNT(DISTINCT doc_id) AS n_docs,
-       ROUND(COUNT(*) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE), 2)
+       CAST((COUNT(*) * 200 + COUNT(DISTINCT doc_id)) // (COUNT(DISTINCT doc_id) * 2) AS DOUBLE) / 100.0
          AS pieces_per_doc,
-       ROUND(SUM(length(piece)) / CAST(COUNT(*) AS DOUBLE), 4)
+       CAST((SUM(length(piece)) * 20000 + COUNT(*)) // (COUNT(*) * 2) AS DOUBLE) / 10000.0
          AS avg_piece_len
 FROM p
 GROUP BY lang
@@ -282,7 +283,7 @@ def q_text_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_tri",
             "n_shared",
-            F.round(F.col("n_shared") / F.col("n_tri"), 4).alias("shared_ratio"),
+            iratio("n_shared", "n_tri", 4).alias("shared_ratio"),
         )
     )
 
@@ -307,8 +308,7 @@ SELECT dt.doc_id, dt.lang,
        COUNT(*) AS n_tri,
        CAST(SUM(CASE WHEN f.tri_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_shared,
-       ROUND(SUM(CASE WHEN f.tri_docs >= 2 THEN 1 ELSE 0 END)
-             / CAST(COUNT(*) AS DOUBLE), 4) AS shared_ratio
+       CAST((SUM(CASE WHEN f.tri_docs >= 2 THEN 1 ELSE 0 END) * 20000 + COUNT(*)) // (COUNT(*) * 2) AS DOUBLE) / 10000.0 AS shared_ratio
 FROM dt JOIN freq f ON dt.lang = f.lang AND dt.tri = f.tri
 GROUP BY dt.doc_id, dt.lang
 """
@@ -652,7 +652,7 @@ def q_funnel_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("p90_us"),
-        F.round(F.max("s").cast("double") / F.max("tot"), 2).alias("avg_us"),
+        iratio(F.max("s"), F.max("tot"), 2).alias("avg_us"),
     )
 
 
@@ -696,7 +696,7 @@ SELECT step,
          AS p50_us,
        CAST(MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN delta_us END) AS BIGINT)
          AS p90_us,
-       ROUND(CAST(MAX(s) AS DOUBLE) / MAX(tot), 2) AS avg_us
+       CAST((MAX(s) * 200 + MAX(tot)) // (MAX(tot) * 2) AS DOUBLE) / 100.0 AS avg_us
 FROM cum GROUP BY step
 """
 
@@ -784,7 +784,7 @@ def q_sim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id2",
             "shared",
             min_sz.alias("min_sz"),
-            F.round(F.col("shared").cast("double") / min_sz, 4).alias("containment"),
+            iratio(F.col("shared"), min_sz, 4).alias("containment"),
             F.when(F.col("sz1") < F.col("sz2"), F.col("id1"))
             .when(F.col("sz2") < F.col("sz1"), F.col("id2"))
             .otherwise(F.least("id1", "id2"))
@@ -809,7 +809,7 @@ def _sim_containment_sql(df_cap: int) -> str:
 )
 SELECT id1, id2, shared,
        LEAST(s1.sz, s2.sz) AS min_sz,
-       ROUND(CAST(shared AS DOUBLE) / LEAST(s1.sz, s2.sz), 4) AS containment,
+       CAST((shared * 20000 + LEAST(s1.sz, s2.sz)) // (LEAST(s1.sz, s2.sz) * 2) AS DOUBLE) / 10000.0 AS containment,
        CASE WHEN s1.sz < s2.sz THEN id1
             WHEN s2.sz < s1.sz THEN id2
             ELSE LEAST(id1, id2) END AS contained_id
@@ -884,7 +884,7 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.groupBy("doc_id").agg(
         F.countDistinct("fp").alias("n_fingerprints"),
         F.count(F.lit(1)).alias("n_windows"),
-        F.round(F.countDistinct("fp") / F.count(F.lit(1)), 4).alias("density"),
+        iratio(F.countDistinct("fp"), F.count(F.lit(1)), 4).alias("density"),
     )
 
 
@@ -916,7 +916,7 @@ WITH d AS (
 SELECT doc_id,
        COUNT(DISTINCT fp) AS n_fingerprints,
        COUNT(*) AS n_windows,
-       ROUND(COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 4) AS density
+       CAST((COUNT(DISTINCT fp) * 20000 + COUNT(*)) // (COUNT(*) * 2) AS DOUBLE) / 10000.0 AS density
 FROM fps
 WHERE i <= n_grams - 4
 GROUP BY doc_id
@@ -955,7 +955,11 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim",
             "n_vecs",
             "sum_milli",
-            F.round(F.col("sum_milli") / F.col("n_vecs"), 3).alias("centroid_milli"),
+            F.when(
+                F.col("sum_milli") >= 0, iratio("sum_milli", "n_vecs", 3)
+            )
+            .otherwise(-iratio(-F.col("sum_milli"), "n_vecs", 3))
+            .alias("centroid_milli"),
         )
     )
 
@@ -972,14 +976,17 @@ WITH dims AS (
          unnest(embedding) AS v
   FROM embeddings
 )
-SELECT label, i - 1 AS dim,
-       COUNT(*) AS n_vecs,
-       CAST(SUM(CAST(floor(v::DOUBLE * 1000) AS BIGINT)) AS BIGINT)
-         AS sum_milli,
-       ROUND(SUM(CAST(floor(v::DOUBLE * 1000) AS BIGINT))
-             / CAST(COUNT(*) AS DOUBLE), 3) AS centroid_milli
-FROM dims
-GROUP BY label, i
+SELECT label, dim, n_vecs, sum_milli,
+       CASE WHEN sum_milli >= 0 THEN CAST((sum_milli * 2000 + n_vecs) // (n_vecs * 2) AS DOUBLE) / 1000.0
+            ELSE -(CAST(((-sum_milli) * 2000 + n_vecs) // (n_vecs * 2) AS DOUBLE) / 1000.0) END AS centroid_milli
+FROM (
+  SELECT label, i - 1 AS dim,
+         COUNT(*) AS n_vecs,
+         CAST(SUM(CAST(floor(v::DOUBLE * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_milli
+  FROM dims
+  GROUP BY label, i
+)
 """
 
 

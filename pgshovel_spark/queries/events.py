@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
+from pgshovel_spark.functions.determinism import iratio, iratio_sql
 from pgshovel_spark.sources.tables import load_table
 
 _WEEK_US = 7 * 86_400_000_000
@@ -125,7 +126,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "event_type",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 4).alias("p"),
+        iratio(F.col("n"), F.sum("n").over(wsrc), 4).alias("p"),
     )
 
 
@@ -143,7 +144,7 @@ WITH ev AS (
   FROM seq GROUP BY prev_type, event_type
 )
 SELECT prev_type, event_type, n,
-       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+       CAST((n * 20000 + SUM(n) OVER (PARTITION BY prev_type)) // (SUM(n) OVER (PARTITION BY prev_type) * 2) AS DOUBLE) / 10000.0 AS p
 FROM counts
 """
 

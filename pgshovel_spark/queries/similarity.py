@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pgshovel_spark.functions.determinism import iratio, iratio_sql
 from pgshovel_spark.functions.textfns import tokens
 from pgshovel_spark.functions.vectors import cosine_sim
 from pgshovel_spark.operators.scratch import materialize, scratch_table
@@ -213,9 +214,7 @@ def q_sim_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         dist.cast("long").alias("edit_dist"),
-        F.round(F.lit(1.0) - dist.cast("double") / denom.cast("double"), 4).alias(
-            "edit_sim"
-        ),
+        iratio(denom - dist, denom, 4).alias("edit_sim"),
     )
 
 
@@ -226,8 +225,7 @@ WITH probe AS (
 SELECT doc_id, lang,
        CAST(levenshtein(substring(text, 1, 60), probe_head) AS BIGINT)
          AS edit_dist,
-       ROUND(1.0 - CAST(levenshtein(substring(text, 1, 60), probe_head) AS DOUBLE)
-             / GREATEST(length(substring(text, 1, 60)), length(probe_head)), 4)
+       CAST(((GREATEST(length(substring(text, 1, 60)), length(probe_head)) - levenshtein(substring(text, 1, 60), probe_head)) * 20000 + GREATEST(length(substring(text, 1, 60)), length(probe_head))) // (GREATEST(length(substring(text, 1, 60)), length(probe_head)) * 2) AS DOUBLE) / 10000.0
          AS edit_sim
 FROM documents CROSS JOIN probe
 """
@@ -332,9 +330,11 @@ def q_sim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id2",
             "shared",
             (F.col("sz1") + F.col("sz2") - F.col("shared")).alias("union_sz"),
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("shared")),
+            # exact integer half-up rounding: round() of the double
+            # quotient is engine-divergent at decimal .5 boundaries
+            iratio(
+                F.col("shared"),
+                F.col("sz1") + F.col("sz2") - F.col("shared"),
                 4,
             ).alias("jaccard"),
         )
@@ -360,7 +360,7 @@ WITH tok_raw AS (
 )
 SELECT id1, id2, shared,
        s1.sz + s2.sz - shared AS union_sz,
-       ROUND(CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared), 4) AS jaccard
+       CAST((shared * 20000 + (s1.sz + s2.sz - shared)) // ((s1.sz + s2.sz - shared) * 2) AS DOUBLE) / 10000.0 AS jaccard
 FROM shared
 JOIN sizes s1 ON s1.doc_id = id1
 JOIN sizes s2 ON s2.doc_id = id2
@@ -519,7 +519,7 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id2",
         "shared",
         "union_sz",
-        F.round(F.col("shared").cast("double") / F.col("union_sz"), 4).alias("jaccard"),
+        iratio("shared", "union_sz", 4).alias("jaccard"),
     )
 
 
@@ -538,7 +538,7 @@ WITH tok AS (
 )
 SELECT id1, id2, shared,
        s1.sz + s2.sz - shared AS union_sz,
-       ROUND(CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared), 4) AS jaccard
+       CAST((shared * 20000 + (s1.sz + s2.sz - shared)) // ((s1.sz + s2.sz - shared) * 2) AS DOUBLE) / 10000.0 AS jaccard
 FROM shared
 JOIN sizes s1 ON s1.doc_id = id1
 JOIN sizes s2 ON s2.doc_id = id2
@@ -569,9 +569,9 @@ def q_sim_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id2",
             "shared",
             (F.col("sz1") + F.col("sz2") - F.col("shared")).alias("union_sz"),
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("shared")),
+            iratio(
+                F.col("shared"),
+                F.col("sz1") + F.col("sz2") - F.col("shared"),
                 4,
             ).alias("jaccard"),
         )
@@ -613,7 +613,7 @@ def _sim_ngram_sql(df_cap: int) -> str:
 )
 SELECT id1, id2, shared,
        s1.sz + s2.sz - shared AS union_sz,
-       ROUND(CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared), 4) AS jaccard
+       CAST((shared * 20000 + (s1.sz + s2.sz - shared)) // ((s1.sz + s2.sz - shared) * 2) AS DOUBLE) / 10000.0 AS jaccard
 FROM shared
 JOIN sizes s1 ON s1.doc_id = id1
 JOIN sizes s2 ON s2.doc_id = id2

@@ -191,11 +191,22 @@ def q_win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
     )
+    # Emitted as MICRO-UNIT INTEGERS, not round(x, 6) doubles:
+    # fractional ROUND of a double is engine-divergent at 6th-decimal
+    # .5 boundaries (Spark rounds the SHORTEST decimal repr via
+    # BigDecimal, DuckDB rounds the x*1e6 product), and at 600 rows
+    # per partition the rank ratios hit such boundaries (found by the
+    # full-registry sf0.1 parity sweep; sf0.01's 60-row partitions
+    # never did).  round-to-INTEGER of the identical double is safe —
+    # a shortest repr can never cross a whole-.5 boundary (x.5 is
+    # exactly representable, so it is only ever the repr of itself),
+    # and the rank ratios here are provably never exactly .5 micro.
+    micro = lambda col: F.round(col * 1000000, 0).cast("long")  # noqa: E731
     return c.select(
         F.col("c_nationkey").cast("long").alias("nationkey"),
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        micro(F.percent_rank().over(w)).alias("pct_rank_micro"),
+        micro(F.cume_dist().over(w)).alias("cume_micro"),
     )
 
 
@@ -203,8 +214,8 @@ _WIN_PERCENT_SQL = """
 SELECT
   CAST(c_nationkey AS BIGINT) AS nationkey,
   c_custkey,
-  ROUND(percent_rank() OVER w, 6) AS pct_rank,
-  ROUND(cume_dist() OVER w, 6) AS cume
+  CAST(ROUND(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_micro,
+  CAST(ROUND(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_micro
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
 """
