@@ -89,3 +89,58 @@ def test_cdc_pipeline_end_to_end(spark, tmp_path):
     kept = validate_sequences(changes)
     rows = {(r.acct): (r.epoch, r.bal) for r in kept.collect()}
     assert rows == {2: (1, 250.0), 3: (1, 333.0)}  # epoch-0 row dropped
+
+
+def test_bootstrap_then_stream_equals_full_replay(spark, tmp_path):
+    """Round-5 composition check: MVCC snapshot bootstrap →
+    change-stream replay through the idempotent merge sink equals a
+    full-history replay.  This is the complete consumer lifecycle —
+    initial load from a dump taken mid-stream, then streaming merge of
+    everything from the stream position, with an overlap window the
+    sink's newest-row-per-key rank must absorb."""
+    from pgshovel_spark.sources.cdc import bootstrap_consistent_state, mvcc_visible
+    from pgshovel_spark.streaming.change_stream import file_change_stream
+    from pgshovel_spark.streaming.sinks import SnapshotParquetMergeSink
+
+    # mutation history: (k, v, txid); snapshot at xmax=8, txids 5,7 in flight
+    rows = [
+        (1, "a1", 1), (2, "b1", 2), (1, "a2", 3), (3, "c1", 4),
+        (2, "b2", 5), (3, "c2", 6), (1, "a3", 7), (4, "d1", 8),
+        (2, "b3", 9), (5, "e1", 10), (1, "a4", 11),
+    ]
+    hist = spark.createDataFrame(rows, "k long, v string, txid long")
+    xmin, xmax, xip = 1, 8, [5, 7]
+    w = Window.partitionBy("k").orderBy(F.col("txid").desc())
+    dump = (
+        hist.filter(mvcc_visible("txid", xmin, xmax, xip))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # initial load: dump + mutations invisible to the snapshot
+    state0 = bootstrap_consistent_state(
+        dump, hist, keys=["k"], order_cols=["txid"],
+        xmin=xmin, xmax=xmax, xip=xip,
+    )
+    target = str(tmp_path / "state")
+    sink = SnapshotParquetMergeSink(target, ["k"], ["txid"])
+    sink.apply(state0, 0)
+
+    # stream the tail from an OVERLAPPING position (txid >= 7): the
+    # sink's rank-per-key merge must absorb the replayed rows
+    tail_dir = str(tmp_path / "tail")
+    hist.filter(F.col("txid") >= 7).repartition(1).write.parquet(tail_dir)
+    stream = file_change_stream(
+        spark, tail_dir, schema=hist.schema, max_files=10
+    )
+    sink.run(stream, str(tmp_path / "ckpt"))
+
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    full = {
+        (r.k, r.v)
+        for r in hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == full == {(1, "a4"), (2, "b3"), (3, "c2"), (4, "d1"), (5, "e1")}
