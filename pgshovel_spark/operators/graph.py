@@ -53,6 +53,7 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
     )
+
     sym = sym.distinct().localCheckpoint(eager=True)
 
     labels = nodes.select(
