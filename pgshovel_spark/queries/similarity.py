@@ -175,10 +175,17 @@ CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
 
 
 def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force top-5 nearest neighbors of the probe by cosine.
-    ROWS-ONLY by design: ranking on raw float similarity is
-    float-rank-sensitive across engines (Appendix A).  The scale path
-    swaps this exact scan for the IVF variant below."""
+    """Brute-force top-5 nearest neighbors of the probe by cosine —
+    the exact-scan baseline the IVF variant approximates.
+
+    HASH-CHECKED (promoted from rows-only in round 6): ranking on the
+    raw float similarity is float-rank-sensitive across engines, but
+    ``(round(cos, 3) DESC, vec_id ASC)`` is an integer-safe total
+    order both engines compute identically — rounding first makes
+    float-rank drift impossible below 5e-4 and the vec_id tiebreak
+    settles everything else (the q_ann_recall precedent).  The emitted
+    similarity is the rounded value, so the output itself is
+    hash-stable too."""
     e = load_table(spark, sf_dir, "embeddings")
     probe = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("probe_emb")
@@ -186,9 +193,26 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
-        .select("vec_id", cosine_sim("embedding", "probe_emb").alias("sim"))
+        .select(
+            "vec_id",
+            (F.round(cosine_sim("embedding", "probe_emb"), 3) + 0.0).alias("sim"),
+        )
     )
     return scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(5)
+
+
+_SIM_KNN_SQL = """
+SELECT vec_id, sim FROM (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      p.embedding::DOUBLE[]), 3) + 0.0 AS sim
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+  WHERE e.vec_id != 0
+)
+ORDER BY sim DESC, vec_id ASC
+LIMIT 5
+"""
 
 
 def q_sim_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,13 +444,26 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau_num, tau_den = 9, 10  # tau = 0.9 (near-dup threshold)
     raw = _tok_distinct(spark, sf_dir)
     dfreq = raw.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("df"))
+    # Token strings leave the plan HERE: every downstream row carries
+    # only the 8-byte xxhash64(lang, t).  The rarity sort keys on
+    # (df, th) — any common global order preserves the prefix-filter
+    # losslessness property, so ordering ties by hash instead of by
+    # string changes WHICH candidates are generated but never loses a
+    # qualifying pair — and verification intersects long arrays
+    # instead of string arrays (measured 5.3 -> 2.7 s warm at sf0.1:
+    # the sort, the shuffles, and array_intersect all shrink to
+    # fixed-width integer work).  A 64-bit in-document collision could
+    # overstate `shared` for one pair; with per-document set sizes ~1e2
+    # that window is ~2^-64 * sz^2 — the same documented trade the
+    # join key (and q_sim_ngram) already makes against the raw-string
+    # oracle.
     docs = materialize(
-        raw.join(F.broadcast(dfreq), ["lang", "t"])
+        raw.select("doc_id", "lang", "t", F.xxhash64("lang", "t").alias("th"))
+        .join(F.broadcast(dfreq), ["lang", "t"])
         .groupBy("doc_id")
         .agg(
-            F.first("lang").alias("lang"),
             F.transform(
-                F.sort_array(F.collect_list(F.struct("df", "t"))), lambda x: x["t"]
+                F.sort_array(F.collect_list(F.struct("df", "th"))), lambda x: x["th"]
             ).alias("toks"),
         ),
         # this O(corpus) table feeds THREE plan branches (the prefix
@@ -442,11 +479,10 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length p = sz - ceil(tau*sz) + 1, via integer ceil division
     p = sz - F.floor((tau_num * sz + tau_den - 1) / tau_den).cast("int") + 1
     prefix = docs.select(
-        "lang",
         "doc_id",
         sz.alias("sz"),
-        F.posexplode(F.slice("toks", 1, p)).alias("pos", "t"),
-    ).select("doc_id", "sz", "pos", F.xxhash64("lang", "t").alias("tkey"))
+        F.posexplode(F.slice("toks", 1, p)).alias("pos", "tkey"),
+    )
     a = prefix.select(
         F.col("doc_id").alias("id1"),
         "tkey",
@@ -956,8 +992,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost.  sqrt(sum sq) and the index-order dot are the exact same
     # arithmetic cosine_sim performs, so values stay bit-identical to
     # the oracle's list_cosine_similarity.
-    ev = e.filter(F.col("vec_id") >= _RECALL_PROBES).select(
-        "vec_id", "label", "embedding", l2_norm("embedding").alias("__vn")
+    # Spread the corpus across the executors before the scoring pass:
+    # the fixture parquet is a single sub-split-size file (one task),
+    # and the per-row fold arithmetic (20 probes x 64-dim zip_with +
+    # aggregate, interpreted — higher-order exprs don't codegen) is
+    # the dominant cost, so one task serializes it.  At production
+    # scale the scan already arrives in many splits and this hash
+    # rebalance is one narrow-ish shuffle of (id, label, vector) —
+    # negligible next to the |corpus| x |probe| scoring flops it
+    # parallelizes.
+    ev = (
+        e.filter(F.col("vec_id") >= _RECALL_PROBES)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "label", "embedding", l2_norm("embedding").alias("__vn"))
     )
     pv = probes.select("probe_id", "probe_emb", l2_norm("probe_emb").alias("__pn"))
     denom = F.col("__vn") * F.col("__pn")
@@ -1299,6 +1346,7 @@ QUERIES = {
 ORACLES = {
     "q_sim_cosine": _SIM_COSINE_SQL,
     "q_sim_editdist": _SIM_EDITDIST_SQL,
+    "q_sim_knn": _SIM_KNN_SQL,
     "q_sim_jaccard": _SIM_JACCARD_SQL,
     "q_sim_jaccard_prefix": _SIM_JACCARD_PREFIX_SQL,
     "q_sim_ngram": _SIM_NGRAM_SQL,
