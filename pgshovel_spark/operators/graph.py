@@ -5,32 +5,51 @@ candidate PAIRS; a training-data pipeline then needs the transitive
 closure — "keep one document per duplicate CLUSTER".  That is connected
 components over the pair graph.
 
-Algorithm: iterative min-label propagation (the simplified large-star
-step).  Every node starts labeled with itself; each round every node
-takes the min of its own label and its neighbors' labels; convergence
-in O(graph diameter) rounds — near-dup clusters are shallow (diameter
-≤ ~4), so this terminates in a handful of rounds even at 100 TB.  Each
-round is one shuffle-join + one aggregate, all DataFrame ops; lineage
-is truncated per round with localCheckpoint so plans stay flat.  The
-round tables are TRANSIENT intra-query state: losing one costs a
-single bounded re-derivation of that round (unlike a shared artifact,
-where a lost localCheckpoint poisons every later consumer — those
-live as parquet scratch tables, operators/scratch.py).  A deployment
-that wants rounds on storage swaps the per-round localCheckpoint
-calls below for operators/scratch.truncate() (a reliable checkpoint
-into the scratch root).  The
-per-round convergence check is a scalar count — the one legitimate
-driver-side action in an iterative algorithm.
+Two execution paths, chosen by the MEASURED edge count (one bounded
+scalar over the checkpointed edge table):
 
-Result: (node, component) where component = min node id reachable —
-deterministic, engine-independent, and expressible in DuckDB as a
-recursive CTE (so the operator is hash-checkable, rare for iterative
-graph ops).
+* **Local union-find** (edge count <= ``local_threshold``): the pair
+  graph of a dedup pass is corpus-REDUCED — banding/prefix filters
+  emit a table orders of magnitude smaller than the corpus — so it
+  routinely fits a single task even when the corpus is 100 TB.  One
+  shuffle gathers the edge list into one partition; an Arrow-batched
+  union-find (union-by-min + path compression, exact and
+  order-independent) labels every endpoint in linear time.  This
+  replaces O(log d) shuffle ROUNDS with one narrow shuffle — the same
+  observation GraphFrames' AggregateMessages users make when the graph
+  is small relative to the cluster.  2 MM edges x 16 bytes = ~32 MB in
+  one task: far under executor memory, and the threshold is the
+  guard.
+
+* **Distributed min-label propagation** (above the threshold): every
+  node takes the min of its own and its neighbors' labels, plus
+  pointer jumping (path halving) — convergence in O(log diameter)
+  rounds, each one shuffle-join + aggregate.  Lineage is truncated per
+  round with localCheckpoint so plans stay flat; the round tables are
+  TRANSIENT intra-query state (losing one costs a single bounded
+  re-derivation — unlike a shared artifact, which lives as parquet,
+  operators/scratch.py).  The per-round convergence probe is a scalar
+  count — the one legitimate driver-side action in an iterative
+  algorithm.
+
+Both paths produce the identical result: (node, component) with
+component = min node id reachable — deterministic, engine-independent,
+and expressible in DuckDB as a recursive CTE (so the operator is
+hash-checkable, rare for iterative graph ops).  The threshold only
+selects the physical strategy, never the answer; tests run both paths
+on the same graph and assert equality.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+#: Default edge-count bound for the single-task union-find path.
+#: 2 MM edges is ~32 MB of (long, long) rows in one partition and
+#: <1 s of union-find — far below executor memory; raise/lower per
+#: deployment.  A dedup candidate graph above this bound is genuinely
+#: large and takes the distributed rounds.
+LOCAL_EDGE_THRESHOLD = 2_000_000
 
 
 def connected_components(
@@ -40,6 +59,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Min-label connected components.
 
@@ -48,13 +68,27 @@ def connected_components(
     orientation (symmetrized internally).  Returns (node_col,
     ``component``) with component = min reachable node id.
     """
-    sym = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
+    und = (
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    # One bounded scalar over the just-checkpointed table decides the
+    # physical strategy (the count reads cached blocks, not the edge
+    # subtree).
+    if und.count() <= local_threshold:
+        comp = _local_components(und)
+        # isolated nodes (no edges) keep their own id as the component
+        return nodes.join(
+            comp, nodes[node_col] == comp["__cn"], "left"
+        ).select(
+            nodes[node_col],
+            F.coalesce("__comp", nodes[node_col]).alias("component"),
+        )
 
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = und.unionByName(
+        und.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+    ).distinct().localCheckpoint(eager=True)
 
     labels = nodes.select(
         F.col(node_col).alias("__n"), F.col(node_col).alias("__lab")
@@ -62,6 +96,45 @@ def connected_components(
 
     labels = _propagate(sym, labels, max_iter)
     return labels.select(F.col("__n").alias(node_col), F.col("__lab").alias("component"))
+
+
+def _local_components(und: DataFrame) -> DataFrame:
+    """Single-task exact union-find over the gathered edge list:
+    (__cn, __comp) for every node with at least one edge.  Union-by-min
+    (the smaller root becomes parent) makes each set's root its minimum
+    member, so component ids match the distributed fixpoint exactly;
+    path compression keeps the loop effectively linear.  The answer is
+    independent of edge arrival order — safe against shuffle
+    nondeterminism."""
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["__s"].tolist(), pdf["__d"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra < rb:
+                    parent[rb] = ra
+                elif rb < ra:
+                    parent[ra] = rb
+        ns = list(parent)
+        yield pd.DataFrame({"__cn": ns, "__comp": [find(x) for x in ns]})
+
+    return und.repartition(1).mapInPandas(uf, "__cn long, __comp long")
 
 
 def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:

@@ -179,6 +179,8 @@ def test_connected_components_no_edges(spark):
 
 def test_connected_components_long_chain(spark):
     # a 40-node path exercises pointer jumping past naive round counts
+    # (local_threshold=0 forces the distributed rounds; the default
+    # would route a 39-edge graph to the union-find path)
     from pgshovel_spark.operators.graph import connected_components
 
     n = 40
@@ -186,8 +188,43 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
-    got = {r.node: r.component for r in connected_components(nodes, edges).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            nodes, edges, local_threshold=0
+        ).collect()
+    }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    """The size gate selects a physical strategy, never the answer:
+    the single-task union-find path and the distributed min-label
+    rounds must label an identical component map on the same graph
+    (chains, a cycle, a star, reversed/duplicate edges, isolated
+    nodes)."""
+    from pgshovel_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "node long")
+    raw = (
+        [(i, i + 1) for i in range(0, 9)]          # chain 0..9
+        + [(10, 11), (11, 12), (12, 10)]           # cycle
+        + [(20, k) for k in range(21, 26)]         # star
+        + [(25, 20), (1, 0), (0, 1)]               # reversed + dup edges
+    )
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    local = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(nodes, edges, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local[9] == 0 and local[12] == 10 and local[25] == 20
+    # isolated nodes keep their own id in both paths
+    assert local[29] == 29
 
 
 def test_ivf_index_build_search_and_pruning(spark, tmp_path):
