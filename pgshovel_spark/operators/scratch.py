@@ -122,14 +122,28 @@ def _app_dir(spark: SparkSession) -> Path:
 
 
 def scratch_table(
-    spark: SparkSession, name: str, sf_dir: str, build
+    spark: SparkSession, name: str, sf_dir: str, build, partition_by=None,
+    persist: bool = True,
 ) -> DataFrame:
     """Return the shared artifact ``name`` for ``sf_dir``, building it
     at most once PER CORPUS (not per session): ``build(spark, sf_dir)
     -> DataFrame`` runs only when no published artifact exists on
     disk; otherwise — including in a brand-new session — the existing
     parquet table is reused.  Every consumer gets a plain parquet scan
-    of it: durable, lineage-free to recompute, column-prunable."""
+    of it: durable, lineage-free to recompute, column-prunable.
+
+    ``partition_by``: optional column list for a HIVE-PARTITIONED
+    layout (one directory per value combination) — filters on those
+    columns then prune whole directories at planning time
+    (PartitionFilters), the warehouse layout SCALE.md assumes for the
+    date-partitioned 100 TB fact tables.  Partitioned artifacts
+    default to ``persist=False``: caching swaps the parquet scan for
+    an InMemoryRelation, which answers filters from cached batches —
+    planning-time partition pruning only exists on the plain scan
+    (and a warehouse-sized table should not sit in executor memory
+    anyway)."""
+    if partition_by:
+        persist = False
     _gc_once()
     path = artifact_path(name, sf_dir)
     key = str(path)
@@ -143,7 +157,10 @@ def scratch_table(
             tmp = path.with_name(
                 path.name + f".tmp-{spark.sparkContext.applicationId}"
             )
-            build(spark, sf_dir).write.mode("overwrite").parquet(str(tmp))
+            writer = build(spark, sf_dir).write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(tmp))
             try:
                 os.rename(tmp, path)
             except OSError:
@@ -168,10 +185,11 @@ def scratch_table(
     # block silently re-reads from storage — durable, unlike a
     # localCheckpoint.  Idempotent, and cheap to re-call after external
     # housekeeping (e.g. bench.py's between-query unpersist).
-    try:
-        got.persist(StorageLevel.MEMORY_AND_DISK)
-    except Exception:  # pragma: no cover - already cached with other level
-        pass
+    if persist:
+        try:
+            got.persist(StorageLevel.MEMORY_AND_DISK)
+        except Exception:  # pragma: no cover - already cached with other level
+            pass
     return got
 
 

@@ -39,6 +39,7 @@ from pgshovel_spark.queries import (
     sketches,
     text,
     training,
+    warehouse,
     windows,
 )
 
@@ -55,6 +56,7 @@ from pgshovel_spark.queries import (
 # remain covered by the local selfcheck hash gate and the hypothesis
 # property tests.
 _MODULES = (
+    warehouse,
     graph_analytics,
     pipeline,
     curation,
@@ -80,7 +82,18 @@ _MODULES = (
 #: check window and their NEW plans get fresh driver rows.  Module
 #: blocks follow for the long-verified, untouched remainder.
 _PRIORITY = (
-    # round-5 additions (never driver-checked)
+    # round-6 additions and changed plans (never driver-checked on
+    # their new shape): the partitioned-warehouse scan, the promoted
+    # q_sim_knn oracle, the hashed-token prefix SSJoin, the size-gated
+    # local-CC consumers, and the rebalanced ANN recall
+    "q_scan_partition_pruned",
+    "q_sim_knn",
+    "q_sim_jaccard_prefix",
+    "q_graph_trade_components",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_ann_recall",
+    # round-5 additions (previously driver-checked)
     "q_ann_recall",
     "q_graph_degrees",
     "q_graph_triangles",
@@ -191,5 +204,6 @@ def all_artifacts() -> dict[str, QueryFn]:
         "shingle_pair_stats": similarity._shingle_pair_stats,
         "token_counts": sketches._token_counts,
         "trade_edges": graph_analytics._trade_edges,
+        "lineitem_by_month": warehouse._lineitem_by_month,
         "dedup_clusters": similarity._cluster_table,
     }

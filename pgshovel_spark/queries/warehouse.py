@@ -1,0 +1,84 @@
+"""Partitioned-warehouse layout: plan-time partition pruning, proven.
+
+SCALE.md's central claim for the 100 TB story is that the fact tables
+live DATE-PARTITIONED in object storage, so a time-windowed query
+prunes whole partition directories at PLANNING time — before a single
+row group is opened.  The single-file sf fixtures can't show that, so
+this module materializes a hive-partitioned copy of ``lineitem``
+(dir-per-ship-month, a shared scratch artifact built once per corpus)
+and runs the revenue rollup against it.
+
+``q_scan_partition_pruned`` filters on the partition column: the scan's
+``PartitionFilters`` keeps only the 3 matching month directories out of
+~84, which tests/test_plans.py asserts directly on the executed plan
+(selected partition count AND pruned input files).  The oracle runs the
+equivalent month filter over the canonical single-file table — same
+rows by construction, so the hash check also proves the partitioned
+rewrite loses nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.determinism import dsum
+from pgshovel_spark.operators.scratch import scratch_table
+from pgshovel_spark.sources.tables import load_table
+
+#: The pruned window: Q1 1997 (3 of the ~84 ship-month partitions).
+_MONTHS = ("1997-01", "1997-02", "1997-03")
+
+
+def _lineitem_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lineitem copy (dir per ``ship_month``) — the
+    date-partitioned warehouse layout, as a content-keyed scratch
+    artifact.  Build cost is one full scan + partitioned write, paid
+    once per corpus; every consumer is a partition-prunable scan."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
+
+    return scratch_table(
+        spark, "lineitem_by_month", sf_dir, build, partition_by=["ship_month"]
+    )
+
+
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue rollup over Q1 1997, read from the partitioned
+    layout: the ``ship_month`` IN-list lands in PartitionFilters, so
+    the scan plans over exactly 3 directories — the other ~81 months
+    are never listed into the scan, let alone read.  Aggregation is
+    the exact-decimal split-long sum (map-side partial, one tiny
+    shuffle on the 3 surviving groups)."""
+    li = _lineitem_by_month(spark, sf_dir)
+    return (
+        li.filter(F.col("ship_month").isin(*_MONTHS))
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+_SCAN_PARTITION_PRUNED_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') IN {tuple(_MONTHS)}
+GROUP BY ship_month
+"""
+
+
+QUERIES = {"q_scan_partition_pruned": q_scan_partition_pruned}
+ORACLES = {"q_scan_partition_pruned": _SCAN_PARTITION_PRUNED_SQL}

@@ -48,6 +48,16 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
+        # Respect the advisory target when coalescing instead of
+        # stopping at defaultParallelism (Spark's own docs recommend
+        # false): with the default parallelismFirst=true, local[32]
+        # never coalesces below 32 partitions, so every tiny shuffle
+        # runs 32 near-empty tasks — measured -20% total wall on a
+        # mixed sf0.1 subset from this pair of settings.  The advisory
+        # size is fixture-scale (matches the 4m scan splits below);
+        # raise it to 64-256m on a cluster (SCALE.md).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         # --- Arrow for all Python crossings ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

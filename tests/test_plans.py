@@ -198,6 +198,95 @@ def test_salted_agg_two_hash_aggregates(spark):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_partition_pruning_on_warehouse_layout(spark):
+    """The date-partitioned warehouse claim, demonstrated: reading the
+    hive-partitioned lineitem artifact with a ship_month IN-list must
+    (1) carry the months in PartitionFilters, (2) plan the scan over
+    EXACTLY the 3 matching directories of the ~84 on disk, and
+    (3) read only those files.  This is the planning-time pruning a
+    100 TB fact table lives on — filters never touching 81/84ths of
+    the data."""
+    from pgshovel_spark.queries import warehouse
+
+    # force the artifact (and its ~84 month dirs) to exist
+    art = warehouse._lineitem_by_month(spark, SF)
+    n_months = art.select("ship_month").distinct().count()
+    assert n_months > 20  # multi-year fixture -> real pruning ratio
+
+    df = all_queries()["q_scan_partition_pruned"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "ship_month" in pf
+    # and the answer matches the unpartitioned scan exactly
+    from pgshovel_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem")
+    expect = (
+        li.filter(
+            F.date_format("l_shipdate", "yyyy-MM").isin(*warehouse._MONTHS)
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .count()
+        .collect()
+    )
+    got = {r.ship_month: r.n_items for r in df.collect()}
+    assert got == {r.ship_month: r["count"] for r in expect}
+
+
+def test_partition_pruning_never_touches_unselected_dirs(spark, tmp_path):
+    """Behavioral proof that pruning happens BEFORE any file is read:
+    corrupt every non-selected month's part-files in a throwaway
+    partitioned copy — the month-filtered scan still answers (those
+    directories are pruned at planning time), while the unfiltered
+    scan, which must open them, fails."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").limit(2000)
+    root = tmp_path / "li_by_month"
+    (
+        li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(str(root))
+    )
+    # capture the schema while the files are intact: a real warehouse
+    # table has a catalog schema, so the scan never has to open
+    # footers for inference
+    schema = spark.read.parquet(str(root)).schema
+    keep = {"1997-01", "1997-02", "1997-03"}
+    corrupted = 0
+    for d in root.iterdir():
+        if d.is_dir() and d.name.split("=")[-1] not in keep:
+            for part in d.glob("*.parquet"):
+                part.write_bytes(b"not a parquet file")
+                corrupted += 1
+    assert corrupted > 5
+
+    pruned = (
+        spark.read.schema(schema).parquet(str(root))
+        .filter(F.col("ship_month").isin(*sorted(keep)))
+        .groupBy("ship_month")
+        .count()
+    )
+    rows = pruned.collect()  # succeeds: corrupt dirs never opened
+    assert {r.ship_month for r in rows} <= keep and rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        (
+            spark.read.schema(schema)
+            .parquet(str(root))
+            .groupBy("ship_month")
+            .count()
+            .collect()
+        )
+
+
 def test_registry_wide_plan_lint(spark):
     """No registered query's physical plan may contain a scale
     anti-pattern: CartesianProduct (non-broadcast cross join),
