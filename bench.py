@@ -88,11 +88,14 @@ def _drop_stale_blocks(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
-def _clear_shared_caches(spark) -> None:
+def _clear_shared_caches(spark, sf_dirs) -> None:
     """Drop the shared scratch artifacts and any leftover blocks
     (between the warm-up and timed phases, so the timed run builds
-    every artifact fresh at the timed scale inside a timed window)."""
-    clear_scratch(spark)
+    every artifact fresh at the timed scale inside a timed window).
+    Scoped to THIS bench's corpora: stale timed-scale artifacts from a
+    previous session are cleared too, while a concurrent session's
+    artifacts for other corpora survive."""
+    clear_scratch(spark, sf_dirs=sf_dirs)
     _drop_stale_blocks(spark)
 
 
@@ -130,7 +133,7 @@ def main() -> None:
     for name in sorted(qs):
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         _drop_stale_blocks(spark)
-    _clear_shared_caches(spark)
+    _clear_shared_caches(spark, [sf_dir, warm_dir])
 
     sc = spark.sparkContext
     tracker = sc.statusTracker()

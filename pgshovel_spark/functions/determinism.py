@@ -147,6 +147,22 @@ def iratio(num: Column | str, den: Column | str, nd: int = 4) -> Column:
     the non-negative inputs this contract requires)::
 
         CAST((num*2*POW + den) // (den*2) AS DOUBLE) / POW
+
+    VALIDITY CONTRACT (callers must guarantee; violations silently
+    degrade, they don't raise):
+
+    * ``den >= 1``.  den = 0 divides by zero — Spark's pmod/div return
+      NULL while DuckDB ``//`` errors, so the engines don't even agree
+      on the failure mode.  Every current caller divides by a count
+      that its own filter/grouping makes >= 1.
+    * ``num < 2^53 / (2·10^nd)`` (for nd=4: ~4.5e8) — beyond it the
+      exactness proof breaks in two stages: ``num·2·10^nd`` above 2^53
+      makes the final double division inexact (wrong last digit
+      possible), and above 2^63 the long multiply wraps.  Counts and
+      token sums at the fixture scales sit far below the bound; a
+      caller aggregating e.g. microsecond sums at 100 TB must pre-scale
+      the ratio (divide both sides by a common unit) or use decimal
+      division (``dround`` on an exact decimal quotient) instead.
     """
     num = F.col(num) if isinstance(num, str) else num
     den = F.col(den) if isinstance(den, str) else den

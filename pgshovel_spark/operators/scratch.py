@@ -193,10 +193,22 @@ def scratch_table(
     return got
 
 
-def clear_scratch(spark: SparkSession) -> None:
-    """Drop every memoized artifact handle and its files (bench uses
-    this between its warm-up and timed phases so the timed run builds
+def clear_scratch(spark: SparkSession, sf_dirs=None) -> None:
+    """Drop memoized artifact handles and their files (bench uses this
+    between its warm-up and timed phases so the timed run builds
     artifacts at the timed scale inside a timed window).
+
+    SCOPED by default: only artifacts this process has touched
+    (``_BUILT``) are deleted — a CONCURRENT session's artifacts for
+    other corpora stay alive (its heartbeat-refreshed dirs previously
+    got rmtree'd unconditionally, stranding its cached handles on
+    deleted part-files).  ``sf_dirs`` widens the scope to every
+    on-disk artifact of the named corpora, whether or not this
+    process built them — what bench.py needs so a PREVIOUS session's
+    timed-scale artifacts can't leak into the timed run as free warm
+    state.  Deleting a corpus out from under a concurrent session on
+    that SAME corpus is inherent to what the bench flag asks for;
+    sessions on other corpora are never touched.
 
     Unpersists each handle FIRST: a rebuilt artifact lands at the SAME
     path, so its scan plan is canonically identical to the old one —
@@ -208,17 +220,27 @@ def clear_scratch(spark: SparkSession) -> None:
             df.unpersist(blocking=True)
         except Exception:  # pragma: no cover - session already stopped
             pass
+    victims = {Path(k) for k in _BUILT}
     _BUILT.clear()
-    if ARTIFACT_ROOT.is_dir():
-        for child in ARTIFACT_ROOT.iterdir():
-            shutil.rmtree(child, ignore_errors=True)
-            # drop any cache/file-listing entries registered for the
-            # deleted path — handles cached OUTSIDE the memo too (the
-            # unpersist loop only covers _BUILT's handles)
-            try:
-                spark.catalog.refreshByPath(str(child))
-            except Exception:  # pragma: no cover
-                pass
+    if sf_dirs:
+        slugs = tuple(
+            hashlib.sha1(d.encode()).hexdigest()[:12] for d in sf_dirs
+        )
+        if ARTIFACT_ROOT.is_dir():
+            victims.update(
+                child
+                for child in ARTIFACT_ROOT.iterdir()
+                if child.name.endswith(slugs)
+            )
+    for child in victims:
+        shutil.rmtree(child, ignore_errors=True)
+        # drop any cache/file-listing entries registered for the
+        # deleted path — handles cached OUTSIDE the memo too (the
+        # unpersist loop only covers _BUILT's handles)
+        try:
+            spark.catalog.refreshByPath(str(child))
+        except Exception:  # pragma: no cover
+            pass
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -245,14 +267,18 @@ def truncate(df: DataFrame) -> DataFrame:
     instead of stranding the iteration (a localCheckpoint here would).
 
     Sets the context checkpoint dir lazily so the call also works
-    under an externally owned SparkSession (the correctness driver's)."""
+    under an externally owned SparkSession (the correctness driver's).
+    The app dir's heartbeat is refreshed on EVERY call — not just at
+    setup — so a session checkpointing for longer than the GC stale
+    window keeps its live checkpoint dir out of a fresh process's
+    sweep."""
     spark = df.sparkSession
     sc = spark.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
         d = _app_dir(spark) / "checkpoints"
         sc.setCheckpointDir(str(d))
-        try:
-            (d.parent / "_HEARTBEAT").touch()
-        except OSError:
-            pass
+    try:
+        (_app_dir(spark) / "_HEARTBEAT").touch()
+    except OSError:
+        pass
     return df.checkpoint(eager=True)

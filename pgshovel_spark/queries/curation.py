@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pgshovel_spark.functions.textfns import norm_text, tokens
 from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.queries.similarity import _DF_CAP as _SIM_DF_CAP
-from pgshovel_spark.functions.determinism import iratio, iratio_sql
+from pgshovel_spark.functions.determinism import iratio
 from pgshovel_spark.sources.tables import load_table
 
 

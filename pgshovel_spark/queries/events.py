@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
-from pgshovel_spark.functions.determinism import iratio, iratio_sql
+from pgshovel_spark.functions.determinism import iratio
 from pgshovel_spark.sources.tables import load_table
 
 _WEEK_US = 7 * 86_400_000_000

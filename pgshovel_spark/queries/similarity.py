@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgshovel_spark.functions.determinism import iratio, iratio_sql
+from pgshovel_spark.functions.determinism import iratio
 from pgshovel_spark.functions.textfns import tokens
 from pgshovel_spark.functions.vectors import cosine_sim
 from pgshovel_spark.operators.scratch import materialize, scratch_table

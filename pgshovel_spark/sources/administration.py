@@ -22,6 +22,7 @@ directory at shared storage.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -150,6 +151,7 @@ class SqliteBackend(CoordinatorBackend):
 
     def __init__(self, db_path: str):
         self.db_path = db_path
+        os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
         with self._conn() as con:
             con.execute(
                 "CREATE TABLE IF NOT EXISTS set_config ("
@@ -157,13 +159,22 @@ class SqliteBackend(CoordinatorBackend):
                 " payload TEXT NOT NULL, PRIMARY KEY (name, version))"
             )
 
+    @contextlib.contextmanager
     def _conn(self):
+        """Per-operation connection that is COMMITTED (or rolled back)
+        AND CLOSED on exit — sqlite3's own context manager only
+        commits/rolls back, leaving the handle to refcount reclamation
+        and the database lock exposed to GC timing."""
         import sqlite3
 
-        os.makedirs(os.path.dirname(self.db_path) or ".", exist_ok=True)
         # generous busy timeout: concurrent claimants queue on the
         # database write lock instead of erroring spuriously
-        return sqlite3.connect(self.db_path, timeout=30.0)
+        con = sqlite3.connect(self.db_path, timeout=30.0)
+        try:
+            with con:  # transaction scope: commit / rollback
+                yield con
+        finally:
+            con.close()
 
     def latest_version(self, name: str) -> int:
         with self._conn() as con:

@@ -117,6 +117,27 @@ def test_clear_scratch_forces_rebuild(spark):
     assert len(calls) == 2
 
 
+def test_clear_scratch_scoped_to_own_artifacts(spark):
+    """A concurrent session's artifact (one THIS process never
+    touched) survives a default clear_scratch; widening the scope with
+    sf_dirs to that corpus removes it — the bench path."""
+
+    def build(sp, sf_dir):
+        return sp.range(5)
+
+    name = f"t_unit_foreign_{_RUN}"
+    corpus = f"/x/foreign_{_RUN}"
+    scratch.scratch_table(spark, name, corpus, build)
+    path = scratch.artifact_path(name, corpus)
+    assert path.is_dir()
+    # simulate the other process owning it: forget our handle
+    scratch._BUILT.pop(str(path))
+    scratch.clear_scratch(spark)
+    assert path.is_dir()  # scoped clear leaves the foreign artifact
+    scratch.clear_scratch(spark, sf_dirs=[corpus])
+    assert not path.exists()  # corpus-scoped clear removes it
+
+
 def test_materialize_lazy_and_eager(spark):
     lazy = scratch.materialize(spark.range(6))
     assert lazy.storageLevel.useMemory  # marked cached, lineage intact
