@@ -224,19 +224,38 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
     )
-    # the two wedge probes are the SAME subtree (alias-only renames),
-    # so their shuffle is a single ReusedExchange; the closing set
-    # comes straight off the cached undirected edges (both directions)
-    w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
-    w2 = oriented.select(F.col("lo").alias("c2"), F.col("hi").alias("y"))
-    wedges = w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("x") < F.col("y"))).select(
-        "x", "y"
+    # Wedge generation by ARRAY expansion instead of an oriented
+    # self-join: group each low endpoint's out-neighbors into one
+    # sorted array (a single shuffle — the self-join paid that shuffle
+    # TWICE plus the join itself) and explode the within-array ordered
+    # pairs row-locally.  Degree orientation bounds every array at
+    # O(sqrt(m)) elements, so no row blows up.  The emitted (x, y)
+    # pairs are ordered x < y by the sort, which lets the closing
+    # semi-join probe the cached u<v edge set DIRECTLY — the old
+    # both-orientations closer union doubled the probe table for
+    # nothing.
+    grouped = oriented.groupBy("lo").agg(
+        F.sort_array(F.collect_list("hi")).alias("hs")
     )
-    closer = edges.select(
-        F.col("u").alias("cx"), F.col("v").alias("cy")
-    ).unionByName(edges.select(F.col("v").alias("cx"), F.col("u").alias("cy")))
+    n = F.size("hs")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("hs"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("hs"), i).alias("x"), y.alias("y")
+                ),
+            ),
+        )
+    )
+    wedges = (
+        grouped.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.x", "p.y")
+    )
     tri = wedges.join(
-        closer, (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")), "semi"
+        edges, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")), "semi"
     )
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     # edge count and wedge count both ride ONE aggregate over deg:
