@@ -270,6 +270,12 @@ def q_text_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(tri)).alias("tri"),
     )
     dt = dt.select("doc_id", "lang", F.xxhash64("lang", "tri").alias("th"))
+    # materialize: the (doc, trigram-hash) rows feed BOTH the
+    # doc-frequency aggregate and the join probe — without the cache
+    # the tokenize+trigram subtree executes once per branch.  (A
+    # window-count rewrite was measured WORSE here: a ~90k-distinct-key
+    # window sort costs more than the extra broadcast join.)
+    dt = materialize(dt)
     freq = dt.groupBy("th").agg(F.count(F.lit(1)).alias("tri_docs"))
     return (
         dt.join(freq, "th")

@@ -79,9 +79,10 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Small split size so the single-file local fixtures scan with
         # real parallelism (a 15 MB lineitem would otherwise be ONE
-        # task).  On a cluster with properly sized multi-file tables
-        # raise this to 128-256m (SCALE.md).
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        # task; at 1m it scans ~11-way, measured -15-30% on the
+        # decision-support band vs 4m).  On a cluster with properly
+        # sized multi-file tables raise this to 128-256m (SCALE.md).
+        .config("spark.sql.files.maxPartitionBytes", "1m")
         # quiet the console
         .config("spark.ui.showConsoleProgress", "false")
         # Headless: no web UI.  The UI listener retains per-execution
