@@ -29,6 +29,7 @@ from pgshovel_spark.queries import (
     dq,
     events,
     exprs,
+    governance,
     graph_analytics,
     joins,
     llm,
@@ -57,6 +58,7 @@ from pgshovel_spark.queries import (
 # property tests.
 _MODULES = (
     warehouse,
+    governance,
     graph_analytics,
     pipeline,
     curation,
@@ -87,6 +89,11 @@ _PRIORITY = (
     # q_sim_knn oracle, the hashed-token prefix SSJoin, the size-gated
     # local-CC consumers, and the rebalanced ANN recall
     "q_scan_partition_pruned",
+    "q_text_blocklist",
+    "q_text_chunk",
+    "q_split_train_eval",
+    "q_graph_triangles",
+    "q_text_crossdup",
     "q_sim_knn",
     "q_sim_jaccard_prefix",
     "q_graph_trade_components",

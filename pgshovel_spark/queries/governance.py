@@ -1,0 +1,210 @@
+"""Corpus-governance operators (round 6): blocklist scrubbing,
+RAG-style chunking, and deterministic train/eval splitting — the
+data-release side of a training-data pipeline (what runs between
+curation and shipping a corpus).
+
+All three are exact/deterministic by construction (integer arithmetic,
+substring emission, multiplicative-hash buckets shared verbatim with
+``q_sample_token_budget``), so each is a full H query with a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgshovel_spark.functions.determinism import iratio
+from pgshovel_spark.functions.textfns import tokens
+from pgshovel_spark.queries.training import _KNUTH, _TOKS
+from pgshovel_spark.sources.tables import load_table
+
+#: Blocklist for the scrub op: terms whose presence flags a document
+#: for review/redaction.  (Fixture corpus is synthetic warehouse
+#: vocabulary — in production this is the PII/unsafe-term lexicon; the
+#: OPERATOR is term-set matching + redaction either way.)
+_BLOCKLIST = ("customer", "secret", "query")
+
+#: Flag threshold: docs with more than this many blocklisted token
+#: occurrences get routed to the redaction path.
+_FLAG_MIN = 5
+
+#: Chunking geometry: fixed window of tokens with overlap (the
+#: retrieval-indexing shape — stride < width so context never splits
+#: across a hard boundary).
+_CHUNK_W = 50
+_CHUNK_STRIDE = 40
+
+
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scrub report per document: occurrence count, distinct
+    blocklisted terms, review flag, and a redacted PREVIEW (first 80
+    chars with blocklisted tokens replaced) — one map-side pass, no
+    shuffle at all (the plan is scan -> project).
+
+    Counting is token-exact (whitespace tokens equal to a blocklist
+    term), not substring-based, so 'customers' never counts as
+    'customer'; the preview redaction is the word-boundary regex both
+    engines implement identically."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    hits = F.filter(toks, lambda t: t.isin(*_BLOCKLIST))
+    pat = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(hits).cast("long").alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_terms"),
+        (F.size(hits) >= _FLAG_MIN).alias("flagged"),
+        F.regexp_replace(
+            F.substring(F.lower("text"), 1, 80), pat, "[X]"
+        ).alias("preview_redacted"),
+    )
+
+
+_TEXT_BLOCKLIST_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len(list_filter({_TOKS},
+            x -> list_contains({list(_BLOCKLIST)}, x))) AS BIGINT) AS n_hits,
+       CAST(len(list_distinct(list_filter({_TOKS},
+            x -> list_contains({list(_BLOCKLIST)}, x)))) AS BIGINT) AS n_terms,
+       len(list_filter({_TOKS},
+            x -> list_contains({list(_BLOCKLIST)}, x))) >= {_FLAG_MIN} AS flagged,
+       regexp_replace(substring(lower(text), 1, 80),
+                      '\\b({"|".join(_BLOCKLIST)})\\b', '[X]', 'g')
+         AS preview_redacted
+FROM documents
+"""
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping {_CHUNK_W}-token
+    windows at stride {_CHUNK_STRIDE}, one output row per chunk with
+    its token span and boundary tokens (first/last) pinning content.
+
+    Row-local end-to-end: the chunk index sequence and the token
+    slices are array expressions inside the scan projection — the
+    explode is the only row multiplier and there is NO shuffle.  At
+    100 TB chunking is exactly this map-only pass writing back to
+    storage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    d = d.select("doc_id", "lang", toks.alias("a")).filter(F.size("a") >= 1)
+    n = F.size("a")
+    # chunk starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.floor((n - 1) / _CHUNK_STRIDE).cast("int") + 1
+    d = d.select(
+        "doc_id",
+        "lang",
+        "a",
+        n.alias("n_toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_c"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    width = F.least(F.lit(_CHUNK_W), F.col("n_toks") - start)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("tok_start"),
+        width.cast("long").alias("n_chunk_toks"),
+        F.element_at("a", start + 1).alias("first_tok"),
+        F.element_at("a", start + width).alias("last_tok"),
+    )
+
+
+_TEXT_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS} AS a FROM documents
+), d AS (
+  SELECT doc_id, lang, a, len(a) AS n_toks,
+         CAST(FLOOR((len(a) - 1) / {_CHUNK_STRIDE}) AS INT) + 1 AS n_chunks
+  FROM t WHERE len(a) >= 1
+)
+SELECT doc_id, lang,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * {_CHUNK_STRIDE} AS BIGINT) AS tok_start,
+       CAST(LEAST({_CHUNK_W}, n_toks - ci * {_CHUNK_STRIDE}) AS BIGINT)
+         AS n_chunk_toks,
+       a[ci * {_CHUNK_STRIDE} + 1] AS first_tok,
+       a[ci * {_CHUNK_STRIDE}
+         + LEAST({_CHUNK_W}, n_toks - ci * {_CHUNK_STRIDE})] AS last_tok
+FROM d, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS ci)
+"""
+
+
+#: train/val/test bucket bounds in permille over the Knuth bucket
+#: (identical hash scheme as q_sample_token_budget — deterministic,
+#: engine-independent, and stable as the corpus grows).
+_SPLIT_TRAIN, _SPLIT_VAL = 900, 950
+
+
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus split report: each doc lands in
+    train/val/test by multiplicative hash of its id (bucket < 900 /
+    < 950 / rest), and the report aggregates docs + token mass per
+    (lang, split) with each split's share of the language's tokens —
+    the leakage-proof split manifest shipped next to a training
+    corpus.  One groupBy; the split assignment is a row-local integer
+    expression."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    bucket = (
+        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
+    ) % F.lit(2**32) % F.lit(1000)
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per = d.select(
+        "lang", split.alias("split"), F.size(toks).cast("long").alias("n_toks")
+    ).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    lang_tot = F.sum("n_tokens").over(Window.partitionBy("lang"))
+    return per.select(
+        "lang",
+        "split",
+        "n_docs",
+        "n_tokens",
+        iratio("n_tokens", lang_tot, 4).alias("token_share"),
+    )
+
+
+_SPLIT_TRAIN_EVAL_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         CASE
+           WHEN ((doc_id % 2147483648) * {_KNUTH}) % 4294967296 % 1000
+                < {_SPLIT_TRAIN} THEN 'train'
+           WHEN ((doc_id % 2147483648) * {_KNUTH}) % 4294967296 % 1000
+                < {_SPLIT_VAL} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         CAST(len({_TOKS}) AS BIGINT) AS n_toks
+  FROM documents
+), per AS (
+  SELECT lang, split, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM d GROUP BY lang, split
+)
+SELECT lang, split, n_docs, n_tokens,
+       CAST((n_tokens * 20000 + SUM(n_tokens) OVER (PARTITION BY lang))
+            // (SUM(n_tokens) OVER (PARTITION BY lang) * 2) AS DOUBLE)
+         / 10000.0 AS token_share
+FROM per
+"""
+
+
+QUERIES = {
+    "q_text_blocklist": q_text_blocklist,
+    "q_text_chunk": q_text_chunk,
+    "q_split_train_eval": q_split_train_eval,
+}
+ORACLES = {
+    "q_text_blocklist": _TEXT_BLOCKLIST_SQL,
+    "q_text_chunk": _TEXT_CHUNK_SQL,
+    "q_split_train_eval": _SPLIT_TRAIN_EVAL_SQL,
+}

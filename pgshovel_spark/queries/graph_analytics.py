@@ -193,15 +193,35 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded ratio; the oracle runs the identical non-recursive joins.
     """
     e0 = _trade_edges(spark, sf_dir)
-    # unipartite projection: customer pairs sharing a supplier
-    a = e0.select(F.col("sn").alias("s"), F.col("cn").alias("u"))
-    b = e0.select(F.col("sn").alias("s2"), F.col("cn").alias("v"))
+    # Unipartite projection (customer pairs sharing a supplier) by
+    # per-supplier ARRAY expansion: one groupBy gathers each
+    # supplier's sorted customer list and the ordered pairs explode
+    # row-locally — replacing the self-join's second shuffle + join
+    # stage.  Safe because a supplier's customer count is bounded by
+    # its order book (max 19 at sf0.1, and bounded by the qty/date
+    # filters at any scale — a hub supplier with 10^4 customers would
+    # make EITHER formulation quadratic; the df-cap discipline of the
+    # similarity family applies if a corpus ever grows one).
+    bysup = e0.groupBy("sn").agg(F.sort_array(F.collect_list("cn")).alias("cs"))
+    m = F.size("cs")
+    cpairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.slice(F.col("cs"), i + 1, m - i),
+                lambda v: F.struct(
+                    F.element_at(F.col("cs"), i).alias("u"), v.alias("v")
+                ),
+            ),
+        )
+    )
     # edges feeds three branches (degrees, orientation, the closing
     # edge set); deg feeds three (both orientation probes, the
     # edge/wedge statistics).  Both are corpus-reduced -> materialize.
     edges = materialize(
-        a.join(b, (F.col("s") == F.col("s2")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
+        bysup.filter(m >= 2)
+        .select(F.explode(cpairs).alias("p"))
+        .select("p.u", "p.v")
         .distinct()
     )
     deg = materialize(
