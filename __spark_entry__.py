@@ -38,6 +38,6 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per hash-checked query.
 
     Keys intentionally absent (rows-only checks): approximate or
-    float-rank-sensitive ops (e.g. q_agg_approx, q_sim_knn).
+    float-rank-sensitive ops (q_agg_approx, q_sim_ann_ivf).
     """
     return all_oracles()
