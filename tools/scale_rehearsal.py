@@ -67,6 +67,10 @@ ARTIFACTS = (
     "bigram_shingles",
     "token_counts",
     "dedup_clusters",
+    # round 6
+    "trade_edges",
+    "shingle_pair_stats",
+    "lineitem_by_month",
 )
 
 PANEL = (
@@ -93,6 +97,13 @@ PANEL = (
     "q_scd2_intervals",       # lead-window temporal table build
     "q_text_unigram_ppl",     # corpus-LM fold per doc
     "q_sketch_quantile",      # constant-state mergeable histogram
+    # round-6 additions
+    "q_graph_triangles",      # array-projection wedge closing
+    "q_scan_partition_pruned",  # partition-pruned warehouse scan
+    "q_text_blocklist",       # map-only governance scrub
+    "q_text_chunk",           # map-only RAG chunking
+    "q_split_train_eval",     # hash-split manifest
+    "q_text_crossdup",        # cached trigram-hash df join
 )
 
 
@@ -188,13 +199,16 @@ def time_query(qfn, spark: SparkSession, sf_dir: str) -> float:
 
 
 def _artifact_builders():
-    from pgshovel_spark.queries import similarity, sketches
+    from pgshovel_spark.queries import graph_analytics, similarity, sketches, warehouse
 
     return {
         "tok_distinct": similarity._tok_distinct,
         "bigram_shingles": similarity._bigram_shingles,
         "token_counts": sketches._token_counts,
         "dedup_clusters": similarity._cluster_table,
+        "trade_edges": graph_analytics._trade_edges,
+        "shingle_pair_stats": similarity._shingle_pair_stats,
+        "lineitem_by_month": warehouse._lineitem_by_month,
     }
 
 
@@ -223,13 +237,13 @@ def main() -> None:
     # whole-session JVM/codegen warm-up and poisons its factor.
     for name in ARTIFACTS:
         builders[name](spark, "/root/testdata/sf0.001")
-    clear_scratch(spark)
+    clear_scratch(spark, sf_dirs=[SF01, SF1, SF1P, "/root/testdata/sf0.001"])
     print("| Artifact build | sf0.1 (s) | 10x (s) | factor |")
     print("|---|---|---|---|")
     arts = [a for a in ARTIFACTS if not args.only or a in args.only]
     times: dict[tuple[str, str], float] = {}
     for sf_dir in (SF01, SF1):
-        clear_scratch(spark)
+        clear_scratch(spark, sf_dirs=[SF01, SF1, SF1P])
         for name in arts:
             t0 = time.time()
             builders[name](spark, sf_dir)
