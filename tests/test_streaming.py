@@ -833,3 +833,45 @@ def test_transactional_merge_semantics_executed_in_sqlite(spark, tmp_path):
         (2, 1, 2, "b1"),         # stale b0-late rejected, replay idempotent
         (3, 1, 4, "c1"),         # replayed batch converges
     }
+
+
+def test_stream_blocklist_scrub_equals_batch(spark, tmp_path):
+    """The governance scrub is map-only (zero shuffles), so the SAME
+    projection applied to a document stream must emit row-for-row what
+    the batch query computes — the streaming ingest-side moderation
+    pass.  Uses the batch query's own column logic on a readStream
+    frame to prove the expressions are streaming-safe (no action, no
+    window, no aggregate)."""
+    from pgshovel_spark.functions.textfns import tokens
+    from pgshovel_spark.queries.governance import _BLOCKLIST, _FLAG_MIN
+    from pgshovel_spark.queries import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "docs_stream")
+    docs.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    hits = F.filter(toks, lambda t: t.isin(*_BLOCKLIST))
+    out = stream.select(
+        "doc_id",
+        F.size(hits).cast("long").alias("n_hits"),
+        (F.size(hits) >= _FLAG_MIN).alias("flagged"),
+    )
+    run_to_memory(out, "blocklist_stream_test")
+    got = {
+        (r.doc_id, r.n_hits, r.flagged)
+        for r in spark.sql(
+            "SELECT doc_id, n_hits, flagged FROM blocklist_stream_test"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.n_hits, r.flagged)
+        for r in all_queries()["q_text_blocklist"](spark, SF)
+        .select("doc_id", "n_hits", "flagged")
+        .collect()
+    }
+    assert got == want
