@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per hash-checked query.
 
-    Keys intentionally absent (rows-only checks): approximate or
-    float-rank-sensitive ops (q_agg_approx, q_sim_ann_ivf).
+    Keys intentionally absent (rows-only checks): q_agg_approx — the
+    one genuinely engine-specific estimate (HLL).
     """
     return all_oracles()

@@ -926,7 +926,14 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate NN: centroids per label (coarse
     quantizer), probe searches the 2 nearest clusters only — the
     inverted-file pattern that bounds scanned vectors at scale.
-    ROWS-ONLY: float centroid means + ranking are engine-sensitive."""
+
+    HASH-CHECKED (promoted in round 6, completing the ANN family):
+    both rankings — the cluster choice and the final top-5 — use the
+    integer-safe ``(round(cos, 3) DESC, id ASC)`` total order
+    (q_ann_recall precedent; the 3-dp rounding absorbs the sub-ulp
+    drift float centroid means can carry across engines) and the
+    emitted similarity is the rounded value.  Only ``q_agg_approx``
+    (HLL estimate, genuinely engine-specific) remains rows-only."""
     e = load_table(spark, sf_dir, "embeddings")
     emb_d = F.col("embedding").cast("array<double>")
     # centroid per label: element-wise mean via posexplode + groupBy
@@ -944,7 +951,10 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
     near_clusters = (
         cent.crossJoin(F.broadcast(probe))
-        .select("label", cosine_sim("centroid", "probe_emb").alias("csim"))
+        .select(
+            "label",
+            (F.round(cosine_sim("centroid", "probe_emb"), 3) + 0.0).alias("csim"),
+        )
         .orderBy(F.col("csim").desc(), F.col("label").asc())
         .limit(2)
         .select("label")
@@ -952,10 +962,46 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = e.join(F.broadcast(near_clusters), "label").filter(F.col("vec_id") != 0)
     return (
         candidates.crossJoin(F.broadcast(probe))
-        .select("vec_id", "label", cosine_sim("embedding", "probe_emb").alias("sim"))
+        .select(
+            "vec_id",
+            "label",
+            (F.round(cosine_sim("embedding", "probe_emb"), 3) + 0.0).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+_SIM_ANN_IVF_SQL = """
+WITH cent AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, AVG(v) AS cv FROM (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings)
+    GROUP BY label, pos)
+  GROUP BY label
+), probe AS (
+  SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0
+), near AS (
+  SELECT label FROM (
+    SELECT c.label,
+           ROUND(list_cosine_similarity(c.centroid, p.probe_emb::DOUBLE[]), 3)
+             + 0.0 AS csim
+    FROM cent c CROSS JOIN probe p)
+  ORDER BY csim DESC, label ASC
+  LIMIT 2
+)
+SELECT e.vec_id, e.label,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                    p.probe_emb::DOUBLE[]), 3) + 0.0 AS sim
+FROM embeddings e
+JOIN near USING (label)
+CROSS JOIN probe p
+WHERE e.vec_id != 0
+ORDER BY sim DESC, vec_id ASC
+LIMIT 5
+"""
 
 
 #: q_ann_recall parameters: recall@K of an NPROBE-list IVF search,
@@ -1360,6 +1406,7 @@ ORACLES = {
     "q_dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
     "q_sim_simhash": _SIM_SIMHASH_SQL,
     "q_dedup_embedding": _DEDUP_EMBEDDING_SQL,
+    "q_sim_ann_ivf": _SIM_ANN_IVF_SQL,
     "q_ann_recall": _ANN_RECALL_SQL,
     "q_multimodal_join": _MULTIMODAL_JOIN_SQL,
     "q_dedup_clusters": _DEDUP_CLUSTERS_SQL,
