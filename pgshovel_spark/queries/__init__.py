@@ -79,16 +79,21 @@ _MODULES = (
     setops,
 )
 
-#: Every round-5 addition and changed plan registered first (then the
-#: round-4 block) so all of them sit inside the driver's ~50-entry
-#: check window and their NEW plans get fresh driver rows.  Module
-#: blocks follow for the long-verified, untouched remainder.
+#: Every round-6 addition / changed plan first (new governance +
+#: warehouse queries, the two ANN promotions, the hashed-token prefix
+#: join, the size-gated CC consumers, the cached-posting set-overlap
+#: family), then the round-5 and round-4 blocks, so everything whose
+#: plan changed recently sits inside the driver's ~50-entry check
+#: window and gets a fresh driver row.  Module blocks follow for the
+#: long-verified, untouched remainder.
 _PRIORITY = (
     # round-6 additions and changed plans (never driver-checked on
     # their new shape): the partitioned-warehouse scan, the promoted
     # q_sim_knn oracle, the hashed-token prefix SSJoin, the size-gated
     # local-CC consumers, and the rebalanced ANN recall
     "q_scan_partition_pruned",
+    "q_sim_ann_ivf",
+    "q_sim_jaccard",
     "q_text_blocklist",
     "q_text_chunk",
     "q_split_train_eval",
