@@ -197,6 +197,71 @@ def test_connected_components_matches_union_find(spark, n_nodes, edges):
     assert got == _uf_components(n_nodes, edges)
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_nodes=st.integers(min_value=1, max_value=10),
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=12
+    ),
+)
+def test_connected_components_distributed_path_property(spark, n_nodes, edges):
+    """Same oracle property, local_threshold=0 — forces the
+    distributed min-label rounds (the default routes every
+    hypothesis-sized graph to the union-find path)."""
+    from pgshovel_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes and a != b]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long") if edges else (
+        spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            nodes_df, edges_df, local_threshold=0
+        ).collect()
+    }
+    assert got == _uf_components(n_nodes, edges)
+
+
+def test_chunking_tiles_every_document(spark):
+    """q_text_chunk invariants on the real fixture: chunk 0 starts at
+    token 0; consecutive starts differ by exactly the stride; the last
+    chunk ends exactly at the doc's token count; every width is in
+    (0, W]; boundary tokens equal the tokens at those positions."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.functions.textfns import tokens
+    from pgshovel_spark.queries import all_queries
+    from pgshovel_spark.queries.governance import _CHUNK_STRIDE, _CHUNK_W
+    from pgshovel_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    chunks = all_queries()["q_text_chunk"](spark, sf).collect()
+    toks = {
+        r.doc_id: r.a
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", F.filter(tokens("text"), lambda t: t != "").alias("a"))
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, a in toks.items() if len(a) >= 1}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        a = toks[doc_id]
+        assert rows[0].tok_start == 0
+        for i, r in enumerate(rows):
+            assert r.chunk_idx == i
+            assert r.tok_start == i * _CHUNK_STRIDE
+            assert 0 < r.n_chunk_toks <= _CHUNK_W
+            assert r.first_tok == a[r.tok_start]
+            assert r.last_tok == a[r.tok_start + r.n_chunk_toks - 1]
+        last = rows[-1]
+        assert last.tok_start + last.n_chunk_toks == len(a)
+
+
 def test_triangle_count_matches_brute_force(spark):
     """q_graph_triangles' degree-ordered wedge closing equals the
     O(n^3) brute-force triangle count on the same projection, and its
