@@ -95,6 +95,12 @@ def adversarial_con(adversarial_dir):
         "q_text_unigram_ppl",
         "q_sim_jaccard_prefix",
         "q_sim_editdist",
+        # round-6 governance ops: blocklist word-boundary regex and
+        # chunk slicing must survive long tokens + vertical tabs
+        "q_text_blocklist",
+        "q_text_chunk",
+        "q_split_train_eval",
+        "q_text_crossdup",
     ],
 )
 def test_adversarial_parity(spark, adversarial_con, name, adversarial_dir):
