@@ -235,6 +235,33 @@ def test_partition_pruning_on_warehouse_layout(spark):
     assert got == {r.ship_month: r["count"] for r in expect}
 
 
+def test_dynamic_partition_pruning_from_join(spark):
+    """Runtime pruning, not just static: when the month filter lives
+    on a JOINED dimension instead of the fact scan, Spark must inject
+    a dynamicpruningexpression into the partitioned scan's
+    PartitionFilters (DPP via the broadcast side) — the star-join
+    pruning a 100 TB fact table depends on when the predicate isn't
+    known until runtime."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.queries import warehouse
+
+    li = warehouse._lineitem_by_month(spark, SF)
+    dim = spark.createDataFrame(
+        [("1997-01", 1), ("1997-02", 1), ("1996-05", 0)], "m string, flag int"
+    )
+    q = (
+        li.join(dim.filter(F.col("flag") == 1), li.ship_month == F.col("m"))
+        .groupBy("ship_month")
+        .count()
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "dynamicpruningexpression" in pf
+    got = {r.ship_month for r in q.collect()}
+    assert got == {"1997-01", "1997-02"}
+
+
 def test_partition_pruning_never_touches_unselected_dirs(spark, tmp_path):
     """Behavioral proof that pruning happens BEFORE any file is read:
     corrupt every non-selected month's part-files in a throwaway
