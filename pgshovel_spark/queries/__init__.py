@@ -92,6 +92,7 @@ _PRIORITY = (
     # q_sim_knn oracle, the hashed-token prefix SSJoin, the size-gated
     # local-CC consumers, and the rebalanced ANN recall
     "q_scan_partition_pruned",
+    "q_join_bucketed",
     "q_sim_ann_ivf",
     "q_sim_jaccard",
     "q_text_blocklist",

@@ -84,5 +84,91 @@ GROUP BY ship_month
 """
 
 
-QUERIES = {"q_scan_partition_pruned": q_scan_partition_pruned}
-ORACLES = {"q_scan_partition_pruned": _SCAN_PARTITION_PRUNED_SQL}
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Register (building if needed) the bucketed customer/orders pair
+    for ``sf_dir``: both hash-clustered on custkey into the same
+    bucket count, sorted within buckets — the co-located layout that
+    makes every recurring join on the key SHUFFLE-FREE (and sort-free)
+    at any scale.  External tables under the scratch root (stable
+    content-keyed paths); the catalog entry is session-scoped, so a
+    fresh session re-registers by rewriting (~150k rows, sub-second at
+    bench scale; a production deployment registers the DDL once in a
+    shared metastore instead)."""
+    import hashlib
+
+    from pgshovel_spark.operators.scratch import ARTIFACT_ROOT
+
+    slug = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    names = []
+    for base, key, cols in (
+        ("customer", "c_custkey", ["c_custkey", "c_mktsegment", "c_acctbal"]),
+        ("orders", "o_custkey", ["o_custkey", "o_totalprice", "o_orderstatus"]),
+    ):
+        tbl = f"{base}_bkt_{slug}"
+        path = ARTIFACT_ROOT / tbl
+        if not spark.catalog.tableExists(tbl) or not (path / "_SUCCESS").exists():
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                load_table(spark, sf_dir, base)
+                .select(*cols)
+                .write.mode("overwrite")
+                .option("path", str(path))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+        names.append(tbl)
+    return names[0], names[1]
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment order rollup over the BUCKETED
+    customer⋈orders pair: both sides are hash-clustered on custkey
+    into the same 8 buckets, so the sort-merge join plans with NO
+    Exchange and NO Sort on either side (asserted in
+    tests/test_plans.py under a no-broadcast session — with
+    broadcasts allowed AQE may still pick a broadcast join here, which
+    is also shuffle-free on the fact side).  The answer is provably
+    layout-independent: the oracle is the PLAIN join on the canonical
+    single-file tables."""
+    from pgshovel_spark.functions.determinism import exact_sum
+
+    cust, orders = _bucketed_pair(spark, sf_dir)
+    c = spark.table(cust)
+    o = spark.table(orders)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(exact_sum("o_totalprice"), 2)
+            .cast("double")
+            .alias("total_revenue"),
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias(
+                "n_finished"
+            ),
+        )
+    )
+
+
+_JOIN_BUCKETED_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE)
+         AS total_revenue,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q_scan_partition_pruned": q_scan_partition_pruned,
+    "q_join_bucketed": q_join_bucketed,
+}
+ORACLES = {
+    "q_scan_partition_pruned": _SCAN_PARTITION_PRUNED_SQL,
+    "q_join_bucketed": _JOIN_BUCKETED_SQL,
+}

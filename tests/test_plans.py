@@ -324,3 +324,23 @@ def test_registry_wide_plan_lint(spark):
 
     violations = lint_all(spark)
     assert violations == {}
+
+
+def test_registered_bucketed_join_no_exchange(spark):
+    """q_join_bucketed's join must be shuffle-free AND sort-free when
+    broadcasts are disabled: both sides arrive bucket-clustered and
+    bucket-sorted on the join key."""
+    from pgshovel_spark.queries.warehouse import _bucketed_pair
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cust, orders = _bucketed_pair(spark, SF)
+        c = spark.table(cust)
+        o = spark.table(orders)
+        joined = c.join(o, c.c_custkey == o.o_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
