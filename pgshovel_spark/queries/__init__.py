@@ -218,5 +218,6 @@ def all_artifacts() -> dict[str, QueryFn]:
         "token_counts": sketches._token_counts,
         "trade_edges": graph_analytics._trade_edges,
         "lineitem_by_month": warehouse._lineitem_by_month,
+        "bucketed_pair": warehouse._bucketed_pair,
         "dedup_clusters": similarity._cluster_table,
     }
