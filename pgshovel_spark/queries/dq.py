@@ -24,35 +24,51 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint sweep over the star schema: primary-key uniqueness,
     referential integrity, domain ranges, and null checks.
 
-    Fused plan: every per-table constraint rides ONE aggregate over
-    ONE scan of its table (orders' PK + date bounds together, both
-    lineitem ranges together), the two referential checks keep their
-    joins, and the six one-row partials cross-join into a single row
-    that ``stack``s out to one row per constraint.  vs the naive
-    8-branch union: orders/lineitem are scanned once instead of three
-    times each, and the job count halves — at 100 TB the scans are the
-    whole cost of a DQ gate, so per-table fusion is the difference
-    between one pass over the warehouse and three."""
+    Fused plan: the referential checks ride the SAME scan as their
+    fact table's row checks — orders' PK/date/FK-to-customer checks
+    are one aggregate over ``orders LEFT JOIN customer`` (the dim key
+    is a PK, so the join is 1:1 and preserves fact counts — the exact
+    assumption the oracle's own LEFT-JOIN counts embed), and both
+    lineitem range checks plus its FK-to-orders check are one
+    aggregate over ``lineitem LEFT JOIN orders(keys)``.  Four one-row
+    partials cross-join into a single row that ``stack``s out to one
+    row per constraint.  vs the naive 8-branch union: orders drops
+    from three scans to two (fact + FK key side), lineitem from two
+    to one — at 100 TB the scans are the whole cost of a DQ gate, and
+    both dim sides broadcast (keys only), so the fused plan adds no
+    shuffle over the bare row checks."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
     ev = load_table(spark, sf_dir, "events")
 
     viol = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
-    o_agg = o.agg(
-        F.count(F.lit(1)).alias("o_n"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("o_pk_viol"),
-        viol(
-            ~F.col("o_orderdate").between(
-                F.lit("1990-01-01").cast("timestamp"),
-                F.lit("2030-01-01").cast("timestamp"),
-            )
-        ).alias("o_date_viol"),
+    # orders row checks + FK-to-customer in ONE pass over the join.
+    o_agg = (
+        o.select("o_orderkey", "o_orderdate", "o_custkey")
+        .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("o_n"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("o_pk_viol"),
+            viol(
+                ~F.col("o_orderdate").between(
+                    F.lit("1990-01-01").cast("timestamp"),
+                    F.lit("2030-01-01").cast("timestamp"),
+                )
+            ).alias("o_date_viol"),
+            viol(F.col("c_custkey").isNull()).alias("fkoc_viol"),
+        )
     )
-    li_agg = li.agg(
-        F.count(F.lit(1)).alias("li_n"),
-        viol(~F.col("l_quantity").between(1, 50)).alias("li_qty_viol"),
-        viol(~F.col("l_discount").between(0.0, 0.5)).alias("li_disc_viol"),
+    # lineitem range checks + FK-to-orders in ONE pass over the join.
+    li_agg = (
+        li.select("l_orderkey", "l_quantity", "l_discount")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("li_n"),
+            viol(~F.col("l_quantity").between(1, 50)).alias("li_qty_viol"),
+            viol(~F.col("l_discount").between(0.0, 0.5)).alias("li_disc_viol"),
+            viol(F.col("o_orderkey").isNull()).alias("fklo_viol"),
+        )
     )
     c_agg = c.agg(
         F.count(F.lit(1)).alias("c_n"),
@@ -62,28 +78,12 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("ev_n"),
         viol(F.col("value") < 0).alias("ev_val_viol"),
     )
-    fk_oc = (
-        o.select("o_custkey")
-        .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left")
-        .agg(
-            F.count(F.lit(1)).alias("fkoc_n"),
-            viol(F.col("c_custkey").isNull()).alias("fkoc_viol"),
-        )
-    )
-    fk_lo = (
-        li.select("l_orderkey")
-        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left")
-        .agg(
-            F.count(F.lit(1)).alias("fklo_n"),
-            viol(F.col("o_orderkey").isNull()).alias("fklo_viol"),
-        )
-    )
-    # The six one-row partials really do cross-join into a single row
+    # The four one-row partials really do cross-join into a single row
     # (each side is exactly 1 row, so the "cross join" is a broadcast
-    # of five scalars — no data movement), and ONE stack fans that row
-    # out to one row per constraint.  One action -> one job; each
+    # of three scalars — no data movement), and ONE stack fans that
+    # row out to one row per constraint.  One action -> one job; each
     # partial is a stage feeding the final 1x1 joins.
-    one = reduce(DataFrame.crossJoin, [o_agg, li_agg, c_agg, ev_agg, fk_oc, fk_lo])
+    one = reduce(DataFrame.crossJoin, [o_agg, li_agg, c_agg, ev_agg])
     out = one.select(
         F.expr(
             "stack(8,"
@@ -93,8 +93,8 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'lineitem_discount_in_range', li_n, li_disc_viol,"
             " 'customer_name_not_null', c_n, c_name_viol,"
             " 'events_value_non_negative', ev_n, ev_val_viol,"
-            " 'orders_fk_customer', fkoc_n, fkoc_viol,"
-            " 'lineitem_fk_orders', fklo_n, fklo_viol"
+            " 'orders_fk_customer', o_n, fkoc_viol,"
+            " 'lineitem_fk_orders', li_n, fklo_viol"
             ") AS (check_name, n_checked, n_violations)"
         )
     )
