@@ -185,16 +185,27 @@ def q_text_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unigram counts derive from the session-shared (lang, t, cnt)
     token-count table (one tokenize pass per session, amortized with
     the sketch family) rather than a second explode of the corpus.
+    The unigram table is broadcast onto both bigram joins (a
+    vocabulary is corpus-reduced; a web-scale vocab that outgrows the
+    broadcast limit just drops the hint and AQE falls back to a
+    shuffle join on runtime sizes).
     """
+    from pgshovel_spark.operators.scratch import materialize
     from pgshovel_spark.queries.sketches import _token_counts
 
     d = _docs_toks(spark, sf_dir)
-    uni = (
+    # uni feeds THREE sibling branches (c1, c2 and, transitively, the
+    # corpus total) — persist it so the artifact scan + groupBy run
+    # once, and derive N straight from the artifact (sum over
+    # (lang, t) partials == sum over words; no third consumer).
+    uni = materialize(
         _token_counts(spark, sf_dir)
         .groupBy(F.col("t").alias("w"))
         .agg(F.sum("cnt").alias("c"))
     )
-    n_total = uni.agg(F.sum("c").cast("double").alias("__n"))
+    n_total = _token_counts(spark, sf_dir).agg(
+        F.sum("cnt").cast("double").alias("__n")
+    )
     bigrams = (
         d.filter(F.size("a") >= 2)
         .select(
@@ -207,8 +218,8 @@ def q_text_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= 5)
     )
-    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
-    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    c1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")))
+    c2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")))
     pmi = F.log(
         F.col("c_xy").cast("double")
         * F.col("__n")
