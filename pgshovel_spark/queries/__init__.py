@@ -88,9 +88,12 @@ _MODULES = (
 #: long-verified, untouched remainder.
 _PRIORITY = (
     # round-6 additions and changed plans (never driver-checked on
-    # their new shape): the partitioned-warehouse scan, the promoted
-    # q_sim_knn oracle, the hashed-token prefix SSJoin, the size-gated
-    # local-CC consumers, and the rebalanced ANN recall
+    # their new shape): the scan-fused DQ gate, the persisted-unigram
+    # PMI, the partitioned-warehouse scan, the promoted q_sim_knn
+    # oracle, the hashed-token prefix SSJoin, the size-gated local-CC
+    # consumers, and the rebalanced ANN recall
+    "q_dq_checks",
+    "q_text_ngram_pmi",
     "q_scan_partition_pruned",
     "q_join_bucketed",
     "q_sim_ann_ivf",
