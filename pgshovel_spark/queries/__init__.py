@@ -92,6 +92,8 @@ _PRIORITY = (
     # PMI, the partitioned-warehouse scan, the promoted q_sim_knn
     # oracle, the hashed-token prefix SSJoin, the size-gated local-CC
     # consumers, and the rebalanced ANN recall
+    "q_ts_resample",
+    "q_skyline",
     "q_dq_checks",
     "q_text_ngram_pmi",
     "q_scan_partition_pruned",

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
 from pgshovel_spark.functions.determinism import iratio
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 _WEEK_US = 7 * 86_400_000_000
@@ -201,13 +202,165 @@ WHERE abs((value - mean) / sd) > 3
 """
 
 
+_HOUR_US = 3_600_000_000
+
+
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) candlesticks —
+    open/high/low/close of ``value`` plus count and exact sum, the
+    standard time-series resample a metrics warehouse materializes.
+
+    ONE shuffle: both row_number windows and the final aggregate hash
+    on the same (event_type, bucket) key, so the windows sort within
+    the one exchange and the aggregate reuses the child distribution.
+    Open/close are selected by row_number over the TOTAL order
+    (um, event_id) — timestamp ties cannot flip the candle on either
+    engine — and emitted as the stored doubles (bit-exact on both
+    sides); only the sum is a computed float, rounded via the decimal
+    path.  Buckets are integer hour indexes of integer microseconds:
+    no timezone, no date truncation semantics to disagree on.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("unix_micros(ts)").alias("um"),
+    )
+    e = e.withColumn(
+        "bucket_s", (F.expr(f"um div {_HOUR_US}") * 3600).cast("long")
+    )
+    wo = Window.partitionBy("event_type", "bucket_s").orderBy("um", "event_id")
+    wc = Window.partitionBy("event_type", "bucket_s").orderBy(
+        F.col("um").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "event_type",
+            "bucket_s",
+            "value",
+            F.row_number().over(wo).alias("rko"),
+            F.row_number().over(wc).alias("rkc"),
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            F.max(F.when(F.col("rko") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rkc") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+        )
+    )
+
+
+_TS_RESAMPLE_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_HOUR_US}) * 3600 AS bucket_s,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // {_HOUR_US}
+                            ORDER BY epoch_us(ts), event_id) AS rko,
+         ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // {_HOUR_US}
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rkc
+  FROM events
+)
+SELECT event_type, CAST(bucket_s AS BIGINT) AS bucket_s,
+       MAX(CASE WHEN rko = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rkc = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_value
+FROM b GROUP BY event_type, bucket_s
+"""
+
+_SKY_BUCKET = 100_000  # coarse-prune bucket width: 10^5 cents
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of users by total spend and event
+    count — the multi-criteria selection operator a curation pipeline
+    uses to pick non-dominated examples ("no other user is >= on both
+    axes and > on one").
+
+    Scalable two-phase shape (the distributed-skyline standard):
+
+    1. COARSE PRUNE, fully parallel: bucket total cents by a fixed
+       width, take each bucket's max count (one small groupBy), sweep
+       the running max over strictly-higher buckets (a window over
+       the BUCKET table — bucket-count-sized, not user-sized), and
+       broadcast the per-bucket threshold back: any user whose count
+       fails the threshold of a strictly-richer bucket is dominated
+       and drops before the exact pass.  Sound: bucket' > bucket
+       implies cents' > cents for every member pair.
+    2. EXACT SWEEP on the surviving near-frontier set (expected tiny):
+       per-cents max count, running max over cents descending, keep
+       cents groups that strictly beat every richer group; skyline
+       members are the survivors' (cents, max-count) holders — equal
+       (cents, count) ties all survive, as dominance is strict.
+
+    All-integer dominance arithmetic (exact decimal cents, counts), so
+    the frontier is bit-deterministic; the oracle is the O(n^2)
+    NOT-EXISTS definition — same set by construction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (exact_sum("value") * 100).cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    u = u.withColumn("bk", F.expr(f"total_cents div {_SKY_BUCKET}"))
+    b = u.groupBy("bk").agg(F.max("n_events").alias("bmax"))
+    wb = Window.orderBy(F.col("bk").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bprev = b.select("bk", F.max("bmax").over(wb).alias("pmax"))
+    cand = materialize(
+        u.join(F.broadcast(bprev), "bk").filter(
+            F.col("pmax").isNull() | (F.col("n_events") > F.col("pmax"))
+        )
+    )
+    g = cand.groupBy("total_cents").agg(F.max("n_events").alias("mx"))
+    wv = Window.orderBy(F.col("total_cents").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_v = (
+        g.select("total_cents", "mx", F.max("mx").over(wv).alias("pm"))
+        .filter(F.col("pm").isNull() | (F.col("mx") > F.col("pm")))
+        .select("total_cents", F.col("mx").alias("n_events"))
+    )
+    return cand.join(F.broadcast(sky_v), ["total_cents", "n_events"]).select(
+        "user_id", "total_cents", "n_events"
+    )
+
+
+_SKYLINE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(24,6))) * 100 AS BIGINT) AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_cents, n_events
+FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u b
+  WHERE b.total_cents >= a.total_cents AND b.n_events >= a.n_events
+    AND (b.total_cents > a.total_cents OR b.n_events > a.n_events)
+)
+"""
+
+
 QUERIES = {
+    "q_ts_resample": q_ts_resample,
+    "q_skyline": q_skyline,
     "q_event_attribution": q_event_attribution,
     "q_event_transitions": q_event_transitions,
     "q_agg_outliers": q_agg_outliers,
 }
 
 ORACLES = {
+    "q_ts_resample": _TS_RESAMPLE_SQL,
+    "q_skyline": _SKYLINE_SQL,
     "q_event_attribution": _EVENT_ATTRIBUTION_SQL,
     "q_event_transitions": _EVENT_TRANSITIONS_SQL,
     "q_agg_outliers": _AGG_OUTLIERS_SQL,
