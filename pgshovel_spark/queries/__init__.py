@@ -94,6 +94,7 @@ _PRIORITY = (
     # consumers, and the rebalanced ANN recall
     "q_ts_resample",
     "q_skyline",
+    "q_agg_mad_outliers",
     "q_dq_checks",
     "q_text_ngram_pmi",
     "q_scan_partition_pruned",

@@ -732,7 +732,78 @@ FROM generalized GROUP BY segment, bal_bucket
 """
 
 
+def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via MEDIAN ABSOLUTE DEVIATION: event values
+    more than 3 sigma-equivalents (3 x 1.4826 x MAD) from their
+    type's median — the heavy-tail-safe alternative to the z-score cut
+    (q_agg_outliers), which a single extreme value can silence by
+    inflating the stddev.
+
+    Two aggregation passes by construction (the deviation median needs
+    the median first); each is a map-side-combining per-type
+    percentile over a 3-column projection, and both tiny per-type
+    stats tables broadcast back — at 100 TB that is two pruned scans
+    and zero corpus shuffles, strictly better than caching a
+    corpus-sized deviation table between the passes.
+
+    Determinism: the median and the MAD are ROUNDED (4 dp) before any
+    downstream arithmetic, so the deviations and the cut compare
+    bit-identical doubles on both engines (the raw interpolated
+    percentile may differ in the last ulp); the 3 x 1.4826 factor is
+    the single literal 4.4478.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.5)), 4).alias(
+            "med"
+        )
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("adev"), F.lit(0.5)), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > F.lit(4.4478) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            F.round("adev", 4).alias("abs_dev"),
+        )
+    )
+
+
+_AGG_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type,
+         ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(value AS DOUBLE)), 4)
+           AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type,
+         ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY adev), 4) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+       ROUND(d.adev, 4) AS abs_dev
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.adev > 4.4478 * m.mad
+"""
+
+
 QUERIES = {
+    "q_agg_mad_outliers": q_agg_mad_outliers,
     "q_agg_pricing_summary": q_agg_pricing_summary,
     "q_agg_incremental_merge": q_agg_incremental_merge,
     "q_pii_kanon": q_pii_kanon,
@@ -754,6 +825,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_agg_mad_outliers": _AGG_MAD_OUTLIERS_SQL,
     "q_agg_pricing_summary": _PRICING_SUMMARY_SQL,
     "q_agg_incremental_merge": _AGG_INCREMENTAL_MERGE_SQL,
     "q_pii_kanon": _PII_KANON_SQL,

@@ -46,6 +46,47 @@ def tumbling_counts(
     )
 
 
+def stream_ohlc(
+    stream: DataFrame, ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming OHLC candlesticks per (event_type, hour) — the
+    incremental form of the batch ``q_ts_resample``.
+
+    Open/close are ``min_by``/``max_by`` over the (um, event_id)
+    struct — ASSOCIATIVE, MERGEABLE state (unlike the batch
+    row_number formulation, which needs a total sort), so partial
+    candles merge correctly across triggers and shuffle partials;
+    the (um, event_id) key is the same total order the batch query
+    ranks by, so a closed window's candle equals the batch row
+    exactly.  State per open window is O(1): two (key, value) pairs,
+    min/max, count and the split-long exact sum."""
+    key = F.struct(
+        F.expr(f"unix_micros({ts_col})").alias("um"), F.col("event_id")
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(exact_sum("value"), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("bucket_s"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup(
     stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "30 days"
 ) -> DataFrame:

@@ -28,6 +28,7 @@ from pgshovel_spark.streaming.change_stream import (
 from pgshovel_spark.streaming.ops import (
     assemble_transactions,
     stream_dedup,
+    stream_ohlc,
     tumbling_counts,
     validate_sequences,
 )
@@ -92,6 +93,28 @@ def test_tumbling_equals_batch(spark, event_files):
     want = {
         (r.hour_s, r.n_events, r.sum_value)
         for r in q_win_tumbling(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_stream_ohlc_equals_batch(spark, event_files):
+    """Streaming min_by/max_by candles == the batch row_number
+    formulation (q_ts_resample): the mergeable (um, event_id)-keyed
+    open/close state must pick the same rows the batch total sort
+    ranks first/last, across 4 replayed micro-batches."""
+    from pgshovel_spark.queries.events import q_ts_resample
+
+    out = stream_ohlc(_events_stream(spark, event_files), watermark="0 seconds")
+    run_to_memory(out, "ohlc_test", output_mode="complete")
+    got = {
+        (r.event_type, r.bucket_s, r.open, r.high, r.low, r.close,
+         r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM ohlc_test").collect()
+    }
+    want = {
+        (r.event_type, r.bucket_s, r.open, r.high, r.low, r.close,
+         r.n_events, r.sum_value)
+        for r in q_ts_resample(spark, SF).collect()
     }
     assert got == want
 
