@@ -95,6 +95,10 @@ _PRIORITY = (
     "q_ts_resample",
     "q_skyline",
     "q_agg_mad_outliers",
+    "q_profit_by_nation",
+    "q_priority_shipping",
+    "q_parts_supplier_count",
+    "q_waiting_orders",
     "q_dq_checks",
     "q_text_ngram_pmi",
     "q_scan_partition_pruned",

@@ -731,7 +731,252 @@ GROUP BY basket
 """
 
 
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    order year ('blue' parts; the fixture has no partsupp, so profit
+    is the discounted revenue term).
+
+    Plan: the ONE fact-fact shuffle (lineitem⋈orders on orderkey)
+    carries the whole query; the part filter and the
+    supplier→nation path are pre-reduced broadcast dims — the filter
+    lands part-side BEFORE the join, so the fact scan's rows drop at
+    the broadcast probe, not after.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s_dim = s.join(n, s.s_nationkey == n.n_nationkey).select(
+        F.col("s_suppkey").alias("sd_suppkey"), F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s_dim), li.l_suppkey == F.col("sd_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "profit"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_PROFIT_BY_NATION_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%blue%'
+GROUP BY 1, 2
+"""
+
+
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional priority counts over the late
+    lines (no l_shipmode in the fixture; l_linestatus plays the
+    grouping role).
+
+    Lines shipped more than 60 days after the order date during
+    1997: per line status, how many belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs the rest — the CASE-count pivot riding the
+    single lineitem⋈orders shuffle, with the date filters pushed to
+    both scans (shipdate window derived from the order window).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01").cast("timestamp"),
+            F.lit("1998-03-01").cast("timestamp"),
+        )
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            & (
+                F.col("o_orderdate").between(
+                    F.lit("1997-01-01").cast("timestamp"),
+                    F.lit("1997-12-31").cast("timestamp"),
+                )
+            ),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+_PRIORITY_SHIPPING_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT))
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CAST(o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AS BIGINT))
+            AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1998-03-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY l_linestatus
+"""
+
+
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier diversity per part attribute, with
+    both exclusion predicates (the fixture has no partsupp; the
+    observed (partkey, suppkey) pairs from lineitem stand in).
+
+    Distinct suppliers per (p_brand, p_size) over trade-observed
+    part-supplier links, excluding one brand, PROMO-type parts, and
+    suppliers in arrears (s_acctbal < 0 — Q16's complaint-supplier
+    exclusion).  The links dedup ONCE on (partkey, suppkey) before
+    the dim joins — at 100 TB that distinct is the only corpus
+    shuffle; the part filter broadcasts, and the excluded-supplier
+    set is a broadcast ANTI join (the small side is the exclusion
+    list, the keep-list discipline used repo-wide).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13") & (~F.col("p_type").like("PROMO%"))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad_s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        links.join(
+            F.broadcast(bad_s), links.l_suppkey == bad_s.s_suppkey, "anti"
+        )
+        .join(F.broadcast(p), links.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_PARTS_SUPPLIER_COUNT_SQL = """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) links
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the double-correlated EXISTS / NOT EXISTS:
+    suppliers who were the SOLE late shipper on a multi-supplier
+    order (late = shipped more than 60 days after the order date; the
+    fixture has no commit/receipt dates).
+
+    Decorrelation: both correlated subqueries become self-joins of
+    the same reduced (orderkey, suppkey) line table — EXISTS
+    (another supplier on the order) is a SEMI join, NOT EXISTS
+    (another LATE supplier) an ANTI join, both keyed on orderkey with
+    the suppkey inequality as the residual.  The late table is
+    corpus-reduced before either probe, and all three per-order
+    tables shuffle on the same orderkey — one co-partitioned key
+    chain, no broadcast of anything corpus-sized.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (
+                li.l_shipdate
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    lines = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    ).distinct()
+    late2 = late.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+    )
+    sole_late = (
+        late.join(
+            lines,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "semi",
+        )
+        .join(
+            late2,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_WAITING_ORDERS_SQL = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+"""
+
+
 QUERIES = {
+    "q_profit_by_nation": q_profit_by_nation,
+    "q_priority_shipping": q_priority_shipping,
+    "q_parts_supplier_count": q_parts_supplier_count,
+    "q_waiting_orders": q_waiting_orders,
     "q_sub_scalar_avg": q_sub_scalar_avg,
     "q_sub_exists": q_sub_exists,
     "q_sub_not_exists": q_sub_not_exists,
@@ -749,6 +994,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_profit_by_nation": _PROFIT_BY_NATION_SQL,
+    "q_priority_shipping": _PRIORITY_SHIPPING_SQL,
+    "q_parts_supplier_count": _PARTS_SUPPLIER_COUNT_SQL,
+    "q_waiting_orders": _WAITING_ORDERS_SQL,
     "q_sub_scalar_avg": _SUB_SCALAR_AVG_SQL,
     "q_sub_exists": _SUB_EXISTS_SQL,
     "q_sub_not_exists": _SUB_NOT_EXISTS_SQL,
