@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -898,18 +899,20 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Decorrelation: both correlated subqueries become self-joins of
     the same reduced (orderkey, suppkey) line table — EXISTS
-    (another supplier on the order) is a SEMI join, NOT EXISTS
-    (another LATE supplier) an ANTI join, both keyed on orderkey with
-    the suppkey inequality as the residual.  The late table is
-    corpus-reduced before either probe, and all three per-order
-    tables shuffle on the same orderkey — one co-partitioned key
-    chain, no broadcast of anything corpus-sized.
+    (another supplier on the order) is a SEMI join probing the RAW
+    line table (semi joins ignore duplicates, so no corpus distinct
+    is paid for the probe side), NOT EXISTS (another LATE supplier)
+    an ANTI join, both keyed on orderkey with the suppkey inequality
+    as the residual.  The late table is corpus-reduced, built once
+    (materialize — it feeds both sides of its own anti self-join),
+    and every per-order table shuffles on the same orderkey — one
+    co-partitioned key chain, no broadcast of anything corpus-sized.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = (
+    late = materialize(
         li.join(
             o,
             (li.l_orderkey == o.o_orderkey)
@@ -924,7 +927,7 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.select(
         F.col("l_orderkey").alias("x_orderkey"),
         F.col("l_suppkey").alias("x_suppkey"),
-    ).distinct()
+    )
     late2 = late.select(
         F.col("l_orderkey").alias("y_orderkey"),
         F.col("l_suppkey").alias("y_suppkey"),
