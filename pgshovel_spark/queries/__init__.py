@@ -92,6 +92,7 @@ _PRIORITY = (
     # PMI, the partitioned-warehouse scan, the promoted q_sim_knn
     # oracle, the hashed-token prefix SSJoin, the size-gated local-CC
     # consumers, and the rebalanced ANN recall
+    "q_graph_pagerank",
     "q_ts_resample",
     "q_skyline",
     "q_agg_mad_outliers",

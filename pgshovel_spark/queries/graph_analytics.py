@@ -334,13 +334,124 @@ FROM ne CROSS JOIN nw CROSS JOIN tri
 """
 
 
+#: PageRank fixed-point scale (ranks are BIGINTs = rank * 1e12) and
+#: iteration count.  3 iterations on a ~20-diameter graph is a TOP-K
+#: ranking (who are the hubs), not a convergence claim — the fixed
+#: unrolled count is what makes the oracle a plain 3-CTE chain instead
+#: of a recursive query, and integer (scaled) arithmetic is what makes
+#: the result hash-exact: both engines truncate positive integer
+#: division identically, while float PageRank would drift in the 15th
+#: digit with summation order.
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 3
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank hubs of the (undirected) customer-supplier
+    trade graph — damping 0.85, 3 unrolled iterations, all arithmetic
+    in scaled BIGINTs.
+
+    Spark shape: the whole iteration is ONE declarative plan — the
+    loop below chains DataFrame transformations, there is no per-round
+    action or driver round-trip (contrast connected components, where
+    convergence is data-dependent and needs a probe).  The adjacency
+    table (src, dst, d) is built once from the shared trade-edge
+    artifact and persisted; each iteration is a join to the previous
+    rank table and a sum over incoming contributions — on a cluster,
+    adjacency stays hash-partitioned by src and the per-iteration
+    shuffle is the (node, rank) table, 16 bytes/row.  Undirected
+    degree >= 1 for every node, so there is no dangling-mass term.
+    """
+    e0 = _trade_edges(spark, sf_dir)
+    dire = e0.select(
+        F.col("cn").alias("src"), F.col("sn").alias("dst")
+    ).unionByName(e0.select(F.col("sn").alias("src"), F.col("cn").alias("dst")))
+    deg = dire.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # (src, dst, out-degree-of-src): reused by all iterations
+    adj = materialize(dire.join(deg, "src"))
+    n_row = deg.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = deg.crossJoin(F.broadcast(n_row)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({_PR_SCALE} AS BIGINT) div __n").alias("r"),
+        F.col("__n").alias("n"),
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            adj.join(ranks, adj.src == ranks.node)
+            .select("dst", F.expr("r div d").alias("c"), "n")
+            .groupBy("dst", "n")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"CAST(15 * {_PR_SCALE} AS BIGINT) div (100 * n)"
+                       " + (85 * s) div 100").alias("r"),
+                "n",
+            )
+        )
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("side"),
+            F.col("r").alias("rank_e12"),
+        )
+        .orderBy(F.col("rank_e12").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 3-iteration CTE chain with the identical scaled-integer
+    arithmetic (DuckDB // floors, Spark div truncates — equal on the
+    all-positive operands here)."""
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(
+            f"it{i} AS (\n"
+            f"  SELECT dst AS node,\n"
+            f"         CAST(15 * {_PR_SCALE} AS BIGINT) // (100 * p.n)\n"
+            f"           + (85 * SUM(p.r // deg.d)) // 100 AS r, p.n AS n\n"
+            f"  FROM dir JOIN deg USING (src)\n"
+            f"  JOIN {prev} p ON p.node = dir.src\n"
+            f"  GROUP BY dst, p.n\n)"
+        )
+        prev = f"it{i}"
+    return f"""
+WITH e0 AS (
+{_TRADE_EDGES_SQL}
+), dir AS (
+  SELECT cn AS src, sn AS dst FROM e0
+  UNION ALL SELECT sn, cn FROM e0
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM dir GROUP BY src
+), nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (
+  SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) // n AS r, n
+  FROM deg CROSS JOIN nn
+),
+{",".join(its)}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       CAST(r AS BIGINT) AS rank_e12
+FROM {prev}
+ORDER BY r DESC, node LIMIT 20
+"""
+
+
+_GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "q_graph_trade_components": q_graph_trade_components,
     "q_graph_degrees": q_graph_degrees,
     "q_graph_triangles": q_graph_triangles,
+    "q_graph_pagerank": q_graph_pagerank,
 }
 ORACLES = {
     "q_graph_trade_components": _GRAPH_TRADE_COMPONENTS_SQL,
     "q_graph_degrees": _GRAPH_DEGREES_SQL,
     "q_graph_triangles": _GRAPH_TRIANGLES_SQL,
+    "q_graph_pagerank": _GRAPH_PAGERANK_SQL,
 }
