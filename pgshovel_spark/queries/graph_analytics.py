@@ -367,8 +367,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cn").alias("src"), F.col("sn").alias("dst")
     ).unionByName(e0.select(F.col("sn").alias("src"), F.col("cn").alias("dst")))
     deg = dire.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # (src, dst, out-degree-of-src): reused by all iterations
-    adj = materialize(dire.join(deg, "src"))
+    # (src, dst, out-degree-of-src): reused by all iterations.  The
+    # rank/degree tables are node-sized (16 bytes/node) while adj is
+    # edge-sized, so every iteration joins broadcast(ranks) INTO the
+    # persisted adjacency — the classic Pregel layout: edges stay put,
+    # only the node-state table moves.
+    adj = materialize(dire.join(F.broadcast(deg), "src"))
     n_row = deg.agg(F.count(F.lit(1)).alias("__n"))
     ranks = deg.crossJoin(F.broadcast(n_row)).select(
         F.col("src").alias("node"),
@@ -377,7 +381,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_PR_ITERS):
         ranks = (
-            adj.join(ranks, adj.src == ranks.node)
+            adj.join(F.broadcast(ranks), adj.src == ranks.node)
             .select("dst", F.expr("r div d").alias("c"), "n")
             .groupBy("dst", "n")
             .agg(F.sum("c").alias("s"))
