@@ -93,6 +93,10 @@ _PRIORITY = (
     # oracle, the hashed-token prefix SSJoin, the size-gated local-CC
     # consumers, and the rebalanced ANN recall
     "q_graph_pagerank",
+    "q_min_cost_supplier",
+    "q_important_stock",
+    "q_excess_inventory",
+    "q_sample_weighted",
     "q_ts_resample",
     "q_skyline",
     "q_agg_mad_outliers",

@@ -975,6 +975,215 @@ GROUP BY s_name
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated MIN subquery with a regional
+    qualifier (the fixture lacks ``partsupp``, so the supplier-part
+    price list is DERIVED: each (part, supplier)'s unit cost is the
+    minimum observed ``l_extendedprice / l_quantity`` on their trade
+    history, the classic rate-card reconstruction).
+
+    For every STANDARD-type part, find the EUROPE supplier offering
+    the lowest derived unit cost; the correlated ``(SELECT MIN ...)``
+    decorrelates to a per-part aggregate joined back to the offer
+    table, and the winning supplier is resolved by an exact
+    (cost, suppkey) equi-join — the tie rule that makes the top-20 a
+    total order.
+
+    Determinism: unit cost is ONE IEEE double division per line (bit
+    identical on both engines), MIN of identical doubles is identical,
+    and the final ordering ties on the integer part key.
+
+    Scale: offers are a lineitem-sized partial aggregate that combines
+    map-side; everything after it is part-table-sized, so AQE
+    broadcasts the dimension joins — the only big shuffle is the
+    (partkey, suppkey) aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    # per-part minima are independent across parts, so the part-type
+    # slice pushes below BOTH aggregates: semi-join the fact table down
+    # to the qualifying parts before any shuffle (the oracle leaves the
+    # filter in its natural outer position — same result, more work)
+    offers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_cost"),
+    ).select(F.col("l_partkey").alias("bp"), "min_cost")
+    winner = (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("bp"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.min("l_suppkey").alias("s_suppkey"), F.min("min_cost").alias("unit_cost"))
+    )
+    return (
+        winner.join(F.broadcast(p), F.col("p_key") == p.p_partkey)
+        .join(F.broadcast(eu_sup), "s_suppkey")
+        .select("p_partkey", "p_name", "s_name", "unit_cost")
+        .orderBy("unit_cost", "p_partkey")
+        .limit(20)
+    )
+
+
+_MIN_COST_SUPPLIER_SQL = """
+WITH eu_sup AS (
+  SELECT s_suppkey, s_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN eu_sup ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, MIN(unit_cost) AS min_cost FROM offers GROUP BY l_partkey
+), winner AS (
+  SELECT o.l_partkey AS p_key, MIN(o.l_suppkey) AS s_suppkey,
+         MIN(b.min_cost) AS unit_cost
+  FROM offers o JOIN best b
+    ON o.l_partkey = b.l_partkey AND o.unit_cost = b.min_cost
+  GROUP BY o.l_partkey
+)
+SELECT p_partkey, p_name, s_name, unit_cost
+FROM winner
+JOIN part ON p_key = p_partkey
+JOIN eu_sup USING (s_suppkey)
+WHERE p_type = 'STANDARD'
+ORDER BY unit_cost, p_partkey
+LIMIT 20
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a GLOBAL scalar subquery.
+
+    Per-part traded value (exact decimal sum of l_extendedprice) over
+    suppliers of one nation, keeping parts whose value exceeds
+    1/2000th of the nation's total — the uncorrelated scalar becomes
+    ONE aggregated row broadcast into the plan via crossJoin, never a
+    driver round-trip.  The HAVING comparison runs on the EXACT decimal
+    sums (both engines), so the cut line cannot drift with summation
+    order; only the emitted value is rounded.
+
+    Scale: one lineitem aggregate (map-side combine), then everything
+    is part-sized; the global total re-aggregates the per-part table,
+    not the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    per_part = materialize(
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(exact_sum("l_extendedprice").alias("val"))
+    )
+    total = per_part.agg(F.sum("val").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 2000 > F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("val"), 2).cast("double").alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "p_partkey")
+    )
+
+
+_IMPORTANT_STOCK_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       CAST(ROUND(val, 2) AS DOUBLE) AS stock_value
+FROM per_part
+WHERE val * 2000 > (SELECT SUM(val) FROM per_part)
+ORDER BY stock_value DESC, p_partkey
+"""
+
+
+def q_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested IN over a correlated-threshold
+    aggregate, resolved as two aggregation levels + a SEMI join chain.
+
+    "Dominant suppliers" of small parts: suppliers who shipped more
+    than 30% of a part's total 1997 volume (parts with p_size <= 10).
+    The inner correlated threshold (``0.5 * SUM(...) WHERE same part``
+    in Q20) is the per-part total joined back to the per-(part,
+    supplier) aggregate; the outer IN becomes a semi-join into
+    supplier.  All quantities are integers, so the 30% comparison is
+    exact cross-engine in integer arithmetic (qty * 10 > tot * 3).
+
+    Scale: both aggregates are the SAME shuffle key family (partkey
+    prefix) — the per-part total re-aggregates the (part, supplier)
+    table, not lineitem; the dimension joins broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    ps_qty = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    part_tot = ps_qty.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    dominant = (
+        ps_qty.join(part_tot, "l_partkey")
+        .filter(F.col("qty") * 10 > F.col("tot") * 3)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey)
+        .select("s_name", "n_parts_dominated")
+        .orderBy(F.col("n_parts_dominated").desc(), "s_name")
+        .limit(25)
+    )
+
+
+_EXCESS_INVENTORY_SQL = """
+WITH ps_qty AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+  GROUP BY l_partkey, l_suppkey
+), part_tot AS (
+  SELECT l_partkey, SUM(qty) AS tot FROM ps_qty GROUP BY l_partkey
+), dominant AS (
+  SELECT l_suppkey, COUNT(*) AS n_parts_dominated
+  FROM ps_qty JOIN part_tot USING (l_partkey)
+  WHERE qty * 10 > tot * 3
+  GROUP BY l_suppkey
+)
+SELECT s_name, n_parts_dominated
+FROM supplier JOIN dominant ON s_suppkey = l_suppkey
+ORDER BY n_parts_dominated DESC, s_name
+LIMIT 25
+"""
+
+
 QUERIES = {
     "q_profit_by_nation": q_profit_by_nation,
     "q_priority_shipping": q_priority_shipping,
@@ -994,6 +1203,9 @@ QUERIES = {
     "q_returned_items": q_returned_items,
     "q_promo_share": q_promo_share,
     "q_basket_revenue": q_basket_revenue,
+    "q_min_cost_supplier": q_min_cost_supplier,
+    "q_important_stock": q_important_stock,
+    "q_excess_inventory": q_excess_inventory,
 }
 
 ORACLES = {
@@ -1015,4 +1227,7 @@ ORACLES = {
     "q_returned_items": _RETURNED_ITEMS_SQL,
     "q_promo_share": _PROMO_SHARE_SQL,
     "q_basket_revenue": _BASKET_REVENUE_SQL,
+    "q_min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
+    "q_important_stock": _IMPORTANT_STOCK_SQL,
+    "q_excess_inventory": _EXCESS_INVENTORY_SQL,
 }

@@ -534,6 +534,68 @@ GROUP BY lang
 """
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential race, the A-ES scheme): every doc draws a priority
+    key = -ln(u) / w with weight w = n_chars, and the k smallest keys
+    are the sample — P(selected) is weight-proportional, and unlike
+    rate-threshold sampling (q_sample_stratified) the output size is
+    EXACTLY k.  The curation use: length- (or quality-score-)
+    proportional subsampling with a hard row budget.
+
+    Determinism: u is the Knuth multiplicative hash of doc_id mapped
+    into (0, 1) — explicit BIGINT arithmetic then ONE double division,
+    so re-runs, task retries, and the oracle agree bit-for-bit; ln
+    follows the tfidf precedent (both engines correctly rounded), and
+    the emitted key is the raw double so there is no rounding boundary
+    to straddle.  (doc_id, key) is a total order for the LIMIT.
+
+    Scale shape: the key is row-local (no shuffle, no rand()); the
+    global smallest-k is a TakeOrdered — k-bounded driver result, the
+    same contract as any LIMIT.  At 100 TB: per-partition top-k
+    combine, never a full sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
+    ) % F.lit(2**32) % F.lit(1000000) + F.lit(1)
+    u = h.cast("double") / F.lit(1000001.0)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight"),
+            key.alias("priority_raw"),
+        )
+        .orderBy("priority_raw", "doc_id")
+        .limit(100)
+        # ln's last ulp differs between libms, so the EMITTED key is
+        # rounded (the tfidf discipline); the raw-double ORDER BY is
+        # safe because distinct (hash, weight) keys are never within
+        # an ulp of each other
+        .select(
+            "doc_id",
+            "lang",
+            "weight",
+            F.round("priority_raw", 8).alias("priority"),
+        )
+    )
+
+
+_SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, weight, ROUND(priority_raw, 8) AS priority
+FROM (
+  SELECT doc_id, lang, n_chars AS weight,
+         -ln(CAST(((doc_id % 2147483648) * {_KNUTH}) % 4294967296 % 1000000 + 1
+                  AS DOUBLE) / 1000001.0) / CAST(n_chars AS DOUBLE) AS priority_raw
+  FROM documents
+  ORDER BY priority_raw, doc_id
+  LIMIT 100
+)
+"""
+
+
 def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model perplexity proxy per document — the
     CCNet-style LM quality filter, with the corpus itself as the LM.
@@ -630,6 +692,7 @@ QUERIES = {
     "q_dedup_rhp": q_dedup_rhp,
     "q_text_decontaminate": q_text_decontaminate,
     "q_sample_token_budget": q_sample_token_budget,
+    "q_sample_weighted": q_sample_weighted,
 }
 
 ORACLES = {
@@ -640,4 +703,5 @@ ORACLES = {
     "q_dedup_rhp": _DEDUP_RHP_SQL,
     "q_text_decontaminate": _TEXT_DECONTAMINATE_SQL,
     "q_sample_token_budget": _SAMPLE_TOKEN_BUDGET_SQL,
+    "q_sample_weighted": _SAMPLE_WEIGHTED_SQL,
 }
