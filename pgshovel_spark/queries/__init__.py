@@ -235,4 +235,5 @@ def all_artifacts() -> dict[str, QueryFn]:
         "lineitem_by_month": warehouse._lineitem_by_month,
         "bucketed_pair": warehouse._bucketed_pair,
         "dedup_clusters": similarity._cluster_table,
+        "label_centroids": similarity._label_centroids,
     }

@@ -520,34 +520,29 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     run before training-data ingestion.  One pass per profile row via
     a single multi-aggregate, reshaped with a literal-column union."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Three COUNT(DISTINCT) in one aggregate would plan a 3-way Expand
-    # (every row tripled before partial aggregation).  Independent
-    # column-pruned distinct scans read the same bytes (one column
-    # each) without the row blow-up, then broadcast-crossJoin their
-    # 1-row results onto the plain aggregate (0.90s -> 0.55s at sf0.1).
-    base = li.agg(
+    # ONE aggregate carrying the three COUNT(DISTINCT)s: Spark plans a
+    # 3-way Expand (each row fans to one (gid, col-value) leg before
+    # partial aggregation).  The round-5 form split this into four
+    # independent column-pruned subtrees to dodge the row fan-out, but
+    # each subtree is its own AQE stage + broadcast crossJoin — 11
+    # scheduler jobs whose fixed floor now exceeds the Expand's CPU
+    # (measured 1.5 s -> ~0.6 s at sf0.1, 11 -> 3 jobs).  At scale the
+    # Expand legs combine map-side to per-partition distincts, so the
+    # shuffle stays distinct-value-sized; the fan-out is scan-CPU only
+    # — the same bytes the four separate scans decoded anyway.
+    stats = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("l_quantity").alias("qty_nn"),
+        F.countDistinct("l_quantity").alias("qty_d"),
         F.round(F.min("l_quantity"), 2).alias("qty_min"),
         F.round(F.max("l_quantity"), 2).alias("qty_max"),
         F.count("l_extendedprice").alias("price_nn"),
+        F.countDistinct("l_extendedprice").alias("price_d"),
         F.round(F.min("l_extendedprice"), 2).alias("price_min"),
         F.round(F.max("l_extendedprice"), 2).alias("price_max"),
         F.count("l_returnflag").alias("flag_nn"),
+        F.countDistinct("l_returnflag").alias("flag_d"),
     )
-    stats = base
-    for c, alias in (
-        ("l_quantity", "qty_d"),
-        ("l_extendedprice", "price_d"),
-        ("l_returnflag", "flag_d"),
-    ):
-        stats = stats.crossJoin(
-            li.select(c).distinct().agg(F.count(F.lit(1)).alias(alias))
-        )
-    # ONE stack over the single joined stats row replaces the former
-    # 3-branch union of a materialize()d frame: no cache population,
-    # no per-branch re-read — one plan, the 4 scans each run once
-    # (round-5 job-count fix: 15 -> ~6 jobs at sf0.1).
     return stats.select(
         F.expr(
             "stack(3,"

@@ -922,6 +922,34 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared parquet artifact: (label, centroid array<double>) — the
+    coarse-quantizer table of the label-partitioned IVF, consumed by
+    q_sim_ann_ivf and q_ann_recall.  Persisting it is exactly what a
+    production IVF does (the index's centroid table IS durable state,
+    operators/ann.py precedent); inline, each consumer paid the
+    2-shuffle posexplode mean build per run.  Cluster-count-sized —
+    every read is a broadcast."""
+    def build(spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        emb_d = F.col("embedding").cast("array<double>")
+        return (
+            e.select("label", F.posexplode(emb_d).alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.avg("v").alias("cv"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+            .select(
+                "label",
+                F.transform(F.col("pairs"), lambda p: p.getField("cv")).alias(
+                    "centroid"
+                ),
+            )
+        )
+
+    return scratch_table(spark, "label_centroids", sf_dir, build)
+
+
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate NN: centroids per label (coarse
     quantizer), probe searches the 2 nearest clusters only — the
@@ -935,19 +963,8 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted similarity is the rounded value.  Only ``q_agg_approx``
     (HLL estimate, genuinely engine-specific) remains rows-only."""
     e = load_table(spark, sf_dir, "embeddings")
-    emb_d = F.col("embedding").cast("array<double>")
-    # centroid per label: element-wise mean via posexplode + groupBy
-    exploded = e.select("label", F.posexplode(emb_d).alias("pos", "v"))
-    cent = (
-        exploded.groupBy("label", "pos")
-        .agg(F.avg("v").alias("cv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
-        .select(
-            "label",
-            F.transform(F.col("pairs"), lambda p: p.getField("cv")).alias("centroid"),
-        )
-    )
+    # coarse quantizer: the persisted label-centroid artifact
+    cent = _label_centroids(spark, sf_dir)
     probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
     near_clusters = (
         cent.crossJoin(F.broadcast(probe))
@@ -1024,67 +1041,71 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vec_id tiebreak settles everything else) — and the recall
     arithmetic is pure integers (hits * 100 / K).
 
-    Scale shape: the probe batch broadcasts onto one map-side scoring
-    pass of the corpus (the batched-KNN join shape, operators/ann.py
-    ivf_knn_join); per-probe top-k is a window over probe_id; the
-    centroid build is one posexplode aggregation.  Nothing quadratic:
-    cost is |corpus| x |probe batch| map-side flops plus two
-    probe-partitioned windows.
+    Scale shape: the probe batch rides into one ARROW-MATMUL scoring
+    pass of the corpus (mapInPandas — the batched-KNN join shape,
+    operators/ann.py ivf_knn_join; the interpreted zip_with fold this
+    replaces was the row's whole cost): each Arrow batch scores all
+    20 probes as one |batch| x 64 @ 64 x 20 numpy product and emits
+    the long-form (probe_id, vec_id, label, rsim) table.  The probe
+    batch is a k-bounded driver collect (ann.py centroid precedent).
+    Per-probe top-k is a window over probe_id; the centroid table is
+    the persisted IVF artifact.  Nothing quadratic: cost is |corpus|
+    x |probe batch| vectorized flops plus one probe-partitioned
+    window.
+
+    Determinism: numpy's dot reorders the 64-term sums vs the oracle's
+    sequential fold — drift ~1e-15, absorbed by the 3-dp rounding
+    unless a true cosine sits within an ulp of a 0.0005 boundary
+    (measure-zero; the q_dedup_embedding matmul precedent).
     """
-    from pgshovel_spark.functions.vectors import dot, l2_norm
+    import numpy as np
+    import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < _RECALL_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
-    # Hoist the norms out of the pair loop: cosine_sim would recompute
-    # each vector's norm once PER PROBE (20x) and each probe's norm
-    # once per corpus row — the folds are interpreted higher-order
-    # expressions, so that redundancy is the scoring pass's dominant
-    # cost.  sqrt(sum sq) and the index-order dot are the exact same
-    # arithmetic cosine_sim performs, so values stay bit-identical to
-    # the oracle's list_cosine_similarity.
-    # Spread the corpus across the executors before the scoring pass:
-    # the fixture parquet is a single sub-split-size file (one task),
-    # and the per-row fold arithmetic (20 probes x 64-dim zip_with +
-    # aggregate, interpreted — higher-order exprs don't codegen) is
-    # the dominant cost, so one task serializes it.  At production
-    # scale the scan already arrives in many splits and this hash
-    # rebalance is one narrow-ish shuffle of (id, label, vector) —
-    # negligible next to the |corpus| x |probe| scoring flops it
-    # parallelizes.
-    ev = (
+    prows = sorted(probes.collect(), key=lambda r: r.probe_id)
+    pids = np.array([r.probe_id for r in prows], dtype=np.int64)
+    P = np.stack([np.asarray(r.probe_emb, dtype=np.float64) for r in prows])
+    pn = np.sqrt((P * P).sum(axis=1))
+
+    out_schema = "probe_id long, vec_id long, label long, rsim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vn = np.sqrt((M * M).sum(axis=1))
+            den = np.outer(vn, pn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(den != 0.0, (M @ P.T) / den, np.nan)
+            k = len(pids)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.tile(pids, n),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "label": np.repeat(pdf["label"].to_numpy(), k),
+                    "rsim": np.round(sims, 3).ravel() + 0.0,
+                }
+            )
+
+    # Spread the corpus before the scoring pass: the fixture parquet is
+    # a single sub-split-size file (one task) and the matmul dominates;
+    # at production scale the scan already arrives in many splits.
+    scored = (
         e.filter(F.col("vec_id") >= _RECALL_PROBES)
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .select("vec_id", "label", "embedding", l2_norm("embedding").alias("__vn"))
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(score, out_schema)
     )
-    pv = probes.select("probe_id", "probe_emb", l2_norm("probe_emb").alias("__pn"))
-    denom = F.col("__vn") * F.col("__pn")
-    scored = ev.crossJoin(F.broadcast(pv)).select(
-        "probe_id",
-        "vec_id",
-        "label",
-        (
-            F.round(
-                F.when(denom != 0.0, dot("embedding", "probe_emb") / denom), 3
-            )
-            + 0.0
-        ).alias("rsim"),
-    )
-    # label-partitioned IVF: centroid per label, probe scans only the
-    # NPROBE nearest lists
-    emb_d = F.col("embedding").cast("array<double>")
-    cent = (
-        e.select("label", F.posexplode(emb_d).alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("cv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
-        .select(
-            "label",
-            F.transform(F.col("pairs"), lambda p: p.getField("cv")).alias("centroid"),
-        )
-    )
+    # label-partitioned IVF: the persisted centroid artifact routes
+    # each probe to its NPROBE nearest lists
+    cent = _label_centroids(spark, sf_dir)
     wc = Window.partitionBy("probe_id").orderBy(
         F.col("rcs").desc(), F.col("label").asc()
     )
@@ -1114,9 +1135,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy("probe_id").orderBy(
         F.col("rsim").desc(), F.col("vec_id").asc()
     )
-    w_near = Window.partitionBy("probe_id", "__nf").orderBy(
-        F.col("rsim").desc(), F.col("vec_id").asc()
-    )
+    # rank WITHIN the probed-list subset without a second window
+    # partitioning: over the same (probe_id)-partitioned total order,
+    # the running count of flagged rows IS the flagged row's rank in
+    # the IVF candidate set — one Window physical op, one shuffle,
+    # where partitionBy(probe_id, __nf) cost a second exchange.
+    w_run = w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hit = (
         (F.col("rka") <= _RECALL_K)
         & F.col("__nf").isNotNull()
@@ -1124,7 +1148,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s2.withColumn("rka", F.row_number().over(w_all))
-        .withColumn("rkn", F.row_number().over(w_near))
+        .withColumn(
+            "rkn",
+            F.sum(F.col("__nf").isNotNull().cast("long")).over(w_run),
+        )
         .groupBy("probe_id")
         .agg(
             F.sum(hit.cast("long")).alias("n_hits"),
