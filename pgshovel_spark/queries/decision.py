@@ -849,11 +849,14 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct suppliers per (p_brand, p_size) over trade-observed
     part-supplier links, excluding one brand, PROMO-type parts, and
     suppliers in arrears (s_acctbal < 0 — Q16's complaint-supplier
-    exclusion).  The links dedup ONCE on (partkey, suppkey) before
-    the dim joins — at 100 TB that distinct is the only corpus
-    shuffle; the part filter broadcasts, and the excluded-supplier
-    set is a broadcast ANTI join (the small side is the exclusion
-    list, the keep-list discipline used repo-wide).
+    exclusion).  NO standalone dedup: both dim joins are broadcast
+    (map-side), so raw lines flow straight into the final
+    countDistinct, whose partial-aggregation phase dedups
+    (brand, size, suppkey) map-side — one corpus shuffle total where
+    an up-front ``links.distinct()`` paid the same reduction as an
+    EXTRA full exchange (one fewer shuffle and 6 -> 5 jobs at sf0.1;
+    the remaining cost is the distinct-aggregate exchange pair
+    itself).
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = (
@@ -868,7 +871,7 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
-    links = li.select("l_partkey", "l_suppkey").distinct()
+    links = li.select("l_partkey", "l_suppkey")
     return (
         links.join(
             F.broadcast(bad_s), links.l_suppkey == bad_s.s_suppkey, "anti"
@@ -897,58 +900,42 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (late = shipped more than 60 days after the order date; the
     fixture has no commit/receipt dates).
 
-    Decorrelation: both correlated subqueries become self-joins of
-    the same reduced (orderkey, suppkey) line table — EXISTS
-    (another supplier on the order) is a SEMI join probing the RAW
-    line table (semi joins ignore duplicates, so no corpus distinct
-    is paid for the probe side), NOT EXISTS (another LATE supplier)
-    an ANTI join, both keyed on orderkey with the suppkey inequality
-    as the residual.  The late table is corpus-reduced, built once
-    (materialize — it feeds both sides of its own anti self-join),
-    and every per-order table shuffles on the same orderkey — one
-    co-partitioned key chain, no broadcast of anything corpus-sized.
+    Decorrelation, one pass: BOTH correlated subqueries are per-order
+    facts — "another supplier exists" is n_suppliers >= 2, "no other
+    late supplier" is n_late == 1 — so instead of probing lineitem
+    with SEMI and ANTI self-joins (three orderkey shuffles of
+    corpus-sized tables), ONE groupBy chain computes
+    (n_sup, n_late, the_late_supplier) per order: lines reduce to
+    distinct (orderkey, suppkey, late-flag), then to one row per
+    order.  The second groupBy re-shuffles only the per-(order,
+    supplier) reduction, and the sole-late filter leaves an
+    orders-fraction-sized table for the broadcast supplier join.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = materialize(
-        li.join(
-            o,
-            (li.l_orderkey == o.o_orderkey)
-            & (
-                li.l_shipdate
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ),
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    lines = li.select(
-        F.col("l_orderkey").alias("x_orderkey"),
-        F.col("l_suppkey").alias("x_suppkey"),
-    )
-    late2 = late.select(
-        F.col("l_orderkey").alias("y_orderkey"),
-        F.col("l_suppkey").alias("y_suppkey"),
-    )
-    sole_late = (
-        late.join(
-            lines,
-            (F.col("l_orderkey") == F.col("x_orderkey"))
-            & (F.col("l_suppkey") != F.col("x_suppkey")),
-            "semi",
-        )
-        .join(
-            late2,
-            (F.col("l_orderkey") == F.col("y_orderkey"))
-            & (F.col("l_suppkey") != F.col("y_suppkey")),
-            "anti",
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("late")
         )
     )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_sup"),
+    )
+    sole_late = per_o.filter((F.col("n_sup") >= 2) & (F.col("n_late") == 1))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        sole_late.join(F.broadcast(s), sole_late.late_sup == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
