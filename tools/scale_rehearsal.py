@@ -104,6 +104,14 @@ PANEL = (
     "q_text_chunk",           # map-only RAG chunking
     "q_split_train_eval",     # hash-split manifest
     "q_text_crossdup",        # cached trigram-hash df join
+    # round-6 second wave
+    "q_graph_pagerank",       # 3 unrolled iterations, one declarative plan
+    "q_waiting_orders",       # one-pass per-order double-correlation
+    "q_min_cost_supplier",    # Q2-shape min-cost rate card
+    "q_important_stock",      # Q11-shape global-scalar HAVING
+    "q_excess_inventory",     # Q20-shape stacked aggregates
+    "q_sample_weighted",      # A-ES priority TakeOrdered
+    "q_ann_recall",           # Arrow-matmul batch scoring + IVF routing
 )
 
 
