@@ -323,3 +323,73 @@ def test_ann_recall_bounds_and_exact_nprobe_is_perfect(spark):
     finally:
         sim._RECALL_NPROBE = old
     assert all(r.recall_pct == 100 for r in perfect)
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """q_graph_pagerank equals a driver-side reference of the same
+    scaled-integer recurrence on the same edge set, and its invariants
+    hold: every rank positive, and total mass stays within n truncation
+    units of the initial SCALE (each of the n per-node divisions
+    truncates < 1 unit; damping redistributes but never creates)."""
+    from pgshovel_spark.queries.graph_analytics import (
+        _PR_ITERS,
+        _PR_SCALE,
+        _trade_edges,
+        q_graph_pagerank,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = {r.node: r.rank_e12 for r in q_graph_pagerank(spark, SF).collect()}
+    e0 = _trade_edges(spark, SF).collect()
+    dire: list = []
+    for r in e0:
+        dire.append((r.cn, r.sn))
+        dire.append((r.sn, r.cn))
+    deg: dict = {}
+    for s, _ in dire:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    rank = {v: _PR_SCALE // n for v in deg}
+    for _ in range(_PR_ITERS):
+        inc: dict = {}
+        for s, d in dire:
+            inc[d] = inc.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            v: (15 * _PR_SCALE) // (100 * n) + (85 * s) // 100
+            for v, s in inc.items()
+        }
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == dict(top)
+    assert all(v > 0 for v in rank.values())
+    assert sum(rank.values()) <= _PR_SCALE
+    assert sum(rank.values()) >= _PR_SCALE - n * (_PR_ITERS + 1) * 2
+
+
+def test_weighted_sample_is_weight_monotone_and_deterministic(spark):
+    """A-ES sampler invariants: (1) re-running yields the identical
+    sample (hash-derived priorities, no rand()); (2) for the same
+    hash draw u, a heavier doc always outranks a lighter one
+    (priority = -ln(u)/w is strictly decreasing in w), so doubling
+    every weight preserves the selected set; (3) exactly k rows."""
+    from pgshovel_spark.queries.training import q_sample_weighted
+
+    SF = "/root/testdata/sf0.001"
+    a = q_sample_weighted(spark, SF).collect()
+    b = q_sample_weighted(spark, SF).collect()
+    assert a == b
+    assert len(a) == 100
+    ids_a = [r.doc_id for r in a]
+    # scale-invariance: priorities ordered the same under w -> 2w
+    # (monotone transform), checked directly on the emitted keys
+    import math
+
+    for r in a:
+        assert r.priority >= 0
+        # recompute the key from its pieces: the emitted rounded value
+        # matches the definition
+        h = ((r.doc_id % 2**31) * 2654435761) % 2**32 % 1000000 + 1
+        expect = -math.log(h / 1000001.0) / r.weight
+        assert abs(expect - r.priority) < 5e-9 + 1e-9 * abs(expect)
+    assert ids_a == sorted(ids_a, key=lambda i: (
+        -math.log((((i % 2**31) * 2654435761) % 2**32 % 1000000 + 1) / 1000001.0)
+        / next(r.weight for r in a if r.doc_id == i), i))
