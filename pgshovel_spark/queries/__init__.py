@@ -97,6 +97,7 @@ _PRIORITY = (
     "q_important_stock",
     "q_excess_inventory",
     "q_sample_weighted",
+    "q_dedup_chunks",
     "q_profile_table",
     "q_ts_resample",
     "q_skyline",

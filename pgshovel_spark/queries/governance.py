@@ -198,13 +198,98 @@ FROM per
 """
 
 
+#: non-overlapping dedup-chunk width (tokens) — the "paragraph" unit
+#: of the RefinedWeb/CCNet-style repeated-passage scrub, applied to
+#: the fixture's flat token streams.
+_DCHUNK_W = 25
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document dedup triage (the paragraph-dedup
+    report): split each doc into NON-overlapping {_DCHUNK_W}-token
+    chunks, and per document report how many of its chunks also occur
+    verbatim in at least one OTHER document — the metric that decides
+    which docs enter a repeated-passage scrub.
+
+    Engine plan: chunk strings are row-local array slices (the
+    q_text_chunk machinery, no shuffle), reduced to 8-byte xxhash64
+    keys before the two aggregates — chunk-frequency groupBy, then the
+    h-keyed join back and a per-doc rollup (the q_text_crossdup
+    shape one level up).  The oracle joins raw chunk STRINGS (same
+    documented ~2^-64 collision trade as q_dedup_exact).
+
+    Scale: chunk table is corpus-token-linear / {_DCHUNK_W}; both
+    shuffles carry (8-byte hash, doc_id) rows; nothing quadratic —
+    duplicate-chunk detection is frequency counting, never pairing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    d = d.select("doc_id", toks.alias("a")).filter(F.size("a") >= 1)
+    n = F.size("a")
+    nch = F.floor((n - 1) / _DCHUNK_W).cast("int") + 1
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("a"), i * _DCHUNK_W + 1, _DCHUNK_W), " "
+                ),
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.xxhash64("chunk").alias("h"))
+    freq = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            iratio("n_dup_chunks", "n_chunks", 4).alias("dup_ratio"),
+        )
+    )
+
+
+_DEDUP_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS a FROM documents
+), d AS (
+  SELECT doc_id, a, CAST(FLOOR((len(a) - 1) / {_DCHUNK_W}) AS INT) + 1 AS nch
+  FROM t WHERE len(a) >= 1
+), chunks AS (
+  SELECT doc_id,
+         array_to_string(a[ci * {_DCHUNK_W} + 1 :
+                           LEAST(len(a), (ci + 1) * {_DCHUNK_W})], ' ') AS chunk
+  FROM d, LATERAL (SELECT unnest(generate_series(0, nch - 1)) AS ci)
+), freq AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST((SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+            // (COUNT(*) * 2) AS DOUBLE) / 10000.0 AS dup_ratio
+FROM chunks JOIN freq USING (chunk)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q_text_blocklist": q_text_blocklist,
     "q_text_chunk": q_text_chunk,
     "q_split_train_eval": q_split_train_eval,
+    "q_dedup_chunks": q_dedup_chunks,
 }
 ORACLES = {
     "q_text_blocklist": _TEXT_BLOCKLIST_SQL,
     "q_text_chunk": _TEXT_CHUNK_SQL,
     "q_split_train_eval": _SPLIT_TRAIN_EVAL_SQL,
+    "q_dedup_chunks": _DEDUP_CHUNKS_SQL,
 }
