@@ -393,3 +393,46 @@ def test_weighted_sample_is_weight_monotone_and_deterministic(spark):
     assert ids_a == sorted(ids_a, key=lambda i: (
         -math.log((((i % 2**31) * 2654435761) % 2**32 % 1000000 + 1) / 1000001.0)
         / next(r.weight for r in a if r.doc_id == i), i))
+
+
+def test_dedup_chunks_invariants(spark):
+    """q_dedup_chunks invariants: chunk counts tile each tokenized doc
+    (n_chunks = ceil(n_toks / W)), 0 <= n_dup_chunks <= n_chunks, the
+    ratio is the exact integer-rounded quotient, and cross-doc
+    symmetry — every exact-duplicate doc pair (same normalized text)
+    has dup_ratio 1.0 on both members."""
+    import math
+
+    from pgshovel_spark.queries.governance import _DCHUNK_W, q_dedup_chunks
+    from pgshovel_spark.functions.textfns import tokens
+    from pgshovel_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    rows = {r.doc_id: r for r in q_dedup_chunks(spark, SF).collect()}
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", F.size(F.filter(tokens("text"), lambda t: t != "")).alias("n"))
+        .collect()
+    )
+    texts = {
+        r.doc_id: r.t
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", F.col("text").alias("t"))
+        .collect()
+    }
+    by_text: dict = {}
+    for i, t in texts.items():
+        by_text.setdefault(" ".join(t.split()), []).append(i)
+    for d in docs:
+        if d.n == 0:
+            assert d.doc_id not in rows
+            continue
+        r = rows[d.doc_id]
+        assert r.n_chunks == math.ceil(d.n / _DCHUNK_W)
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert r.dup_ratio == ((r.n_dup_chunks * 2 * 10**4 + r.n_chunks)
+                               // (r.n_chunks * 2)) / 10**4
+    for _, ids in by_text.items():
+        if len(ids) >= 2:
+            for i in ids:
+                assert rows[i].dup_ratio == 1.0
