@@ -344,3 +344,50 @@ def test_registered_bucketed_join_no_exchange(spark):
         assert joined.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_weighted_sample_no_shuffle(spark):
+    """A-ES sampling must stay a map + TakeOrdered: row-local priority
+    arithmetic, per-partition top-k merge — no Exchange, no Window,
+    no nondeterministic expression."""
+    plan = _plan(spark, "q_sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "rand" not in plan.lower()
+
+
+def test_waiting_orders_no_self_join(spark):
+    """Q21's double correlation must fold into per-order aggregation:
+    lineitem is scanned ONCE (no semi/anti self-join probes)."""
+    plan = _plan(spark, "q_waiting_orders")
+    # ") Scan parquet" = one details-section header per physical scan:
+    # exactly lineitem + orders + supplier
+    assert plan.count(") Scan parquet") <= 3
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+
+
+def test_profile_table_single_scan(spark):
+    """The column profile must ride ONE lineitem scan: a single
+    aggregate carrying every COUNT(DISTINCT) via Expand — not a
+    crossJoin stack of per-column subtree scans."""
+    plan = _plan(spark, "q_profile_table")
+    assert plan.count(") Scan parquet") == 1
+    assert "Expand" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_single_declarative_plan(spark):
+    """PageRank's 3 iterations are ONE plan: no cartesian beyond the
+    1-row n broadcast, and the adjacency table is persisted
+    (InMemoryTableScan) so iterations re-read cache, not parquet."""
+    plan = _plan(spark, "q_graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_dedup_chunks_hashed_join(spark):
+    """Chunk dedup must join on the 8-byte xxhash64 key (fixed-width
+    shuffle rows), never on chunk strings."""
+    plan = _plan(spark, "q_dedup_chunks")
+    assert "xxhash64" in plan
