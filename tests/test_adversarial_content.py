@@ -101,6 +101,10 @@ def adversarial_con(adversarial_dir):
         "q_text_chunk",
         "q_split_train_eval",
         "q_text_crossdup",
+        # round-6 second wave: chunk-hash dedup and the A-ES sampler
+        # (ln of a hash-derived uniform; weight = n_chars of weird text)
+        "q_dedup_chunks",
+        "q_sample_weighted",
     ],
 )
 def test_adversarial_parity(spark, adversarial_con, name, adversarial_dir):
