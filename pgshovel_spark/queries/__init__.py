@@ -98,6 +98,7 @@ _PRIORITY = (
     "q_excess_inventory",
     "q_sample_weighted",
     "q_dedup_chunks",
+    "q_embed_gram",
     "q_profile_table",
     "q_ts_resample",
     "q_skyline",

@@ -176,6 +176,82 @@ FROM lv
 """
 
 
+#: Gram-matrix quantization scale: embedding values quantize to
+#: micro-units (round(x * 1e6) as BIGINT) so the 64x64 Gram entries
+#: are EXACT integer sums — |q| <= ~2e6 per element, products <= 4e12,
+#: corpus sums far under 2^63 at any fixture scale (a 100 TB corpus
+#: re-scales to 1e3 units, trading 3 digits for 6 orders of headroom).
+_GRAM_SCALE = 1_000_000
+
+
+def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix of the embedding corpus (upper
+    triangle, 64x64) in EXACT integer arithmetic — the X^T X
+    covariance/whitening/PCA-prep step of an embedding pipeline,
+    hash-checkable because micro-unit quantization makes every entry
+    an order-independent integer sum.
+
+    Engine plan: quantization is a row-local Spark expression (the
+    q_embed_quantize rounding precedent, identical in the oracle);
+    each Arrow batch then contributes ONE exact int64 Q^T Q partial
+    (numpy integer matmul — 4096 rows per batch regardless of batch
+    size), and a final dim^2-sized groupBy sums partials.  The
+    all-pairs-of-dimensions work never touches the shuffle: at 100 TB
+    the shuffle is (#batches x 2080) rows of 24 bytes.  The oracle is
+    the naive unnest self-join (row x dim explosion) — same integers,
+    quadratic-in-dims join the engine never runs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * F.lit(float(_GRAM_SCALE)), 0).cast(
+            "long"
+        ),
+    )
+    qd = e.select(q.alias("q"))
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            G = Q.T @ Q  # exact int64 integer matmul
+            d = G.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int64), "j": ju.astype(np.int64), "s": G[iu, ju]}
+            )
+
+    return (
+        qd.mapInPandas(gram_partials, "i long, j long, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("gram_micro2"))
+        .orderBy("i", "j")
+    )
+
+
+_EMBED_GRAM_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_GRAM_SCALE}, 0) AS BIGINT)) AS q
+  FROM embeddings
+), el AS (
+  SELECT vec_id, unnest(q) AS v,
+         unnest(range(1, len(q) + 1)) AS pos
+  FROM q
+)
+SELECT a.pos - 1 AS i, b.pos - 1 AS j,
+       CAST(SUM(a.v * b.v) AS BIGINT) AS gram_micro2
+FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+ORDER BY i, j
+"""
+
+
 # --------------------------------------------- incremental batch dedup
 
 
@@ -999,6 +1075,7 @@ FROM (
 QUERIES = {
     "q_text_bpe_pretokenize": q_text_bpe_pretokenize,
     "q_embed_quantize": q_embed_quantize,
+    "q_embed_gram": q_embed_gram,
     "q_dedup_incremental": q_dedup_incremental,
     "q_text_crossdup": q_text_crossdup,
     "q_simhash_pairs": q_simhash_pairs,
@@ -1013,6 +1090,7 @@ QUERIES = {
 ORACLES = {
     "q_text_bpe_pretokenize": _BPE_PRETOKENIZE_SQL,
     "q_embed_quantize": _EMBED_QUANTIZE_SQL,
+    "q_embed_gram": _EMBED_GRAM_SQL,
     "q_dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "q_text_crossdup": _TEXT_CROSSDUP_SQL,
     "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
