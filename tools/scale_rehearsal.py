@@ -112,6 +112,8 @@ PANEL = (
     "q_excess_inventory",     # Q20-shape stacked aggregates
     "q_sample_weighted",      # A-ES priority TakeOrdered
     "q_ann_recall",           # Arrow-matmul batch scoring + IVF routing
+    "q_dedup_chunks",         # chunk-hash frequency dedup triage
+    "q_embed_gram",           # int64 Arrow Gram partials
 )
 
 
