@@ -99,6 +99,7 @@ _PRIORITY = (
     "q_sample_weighted",
     "q_dedup_chunks",
     "q_embed_gram",
+    "q_cdc_snapshot_diff",
     "q_profile_table",
     "q_ts_resample",
     "q_skyline",
