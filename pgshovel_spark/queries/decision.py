@@ -1005,17 +1005,19 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    best = offers.groupBy("l_partkey").agg(
-        F.min("unit_cost").alias("min_cost"),
-    ).select(F.col("l_partkey").alias("bp"), "min_cost")
+    # the correlated MIN + tie rule is ONE ranked window over the
+    # offer table — (cost, suppkey) ASC, keep rank 1 — replacing the
+    # per-part MIN aggregate + equality join-back (2 exchanges fewer;
+    # the oracle keeps the naive decorrelated-join form)
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     winner = (
-        offers.join(
-            best,
-            (F.col("l_partkey") == F.col("bp"))
-            & (F.col("unit_cost") == F.col("min_cost")),
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "unit_cost",
         )
-        .groupBy(F.col("l_partkey").alias("p_key"))
-        .agg(F.min("l_suppkey").alias("s_suppkey"), F.min("min_cost").alias("unit_cost"))
     )
     return (
         winner.join(F.broadcast(p), F.col("p_key") == p.p_partkey)
