@@ -100,6 +100,7 @@ _PRIORITY = (
     "q_dedup_chunks",
     "q_embed_gram",
     "q_cdc_snapshot_diff",
+    "q_drift_psi",
     "q_profile_table",
     "q_ts_resample",
     "q_skyline",

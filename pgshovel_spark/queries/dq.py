@@ -141,5 +141,110 @@ FROM (
 """
 
 
-QUERIES = {"q_dq_checks": q_dq_checks}
-ORACLES = {"q_dq_checks": _DQ_CHECKS_SQL}
+#: PSI parameters: fixed-width value buckets (width 50, clamped to
+#: [0, 9]) and a calendar cut between the reference (A) and current
+#: (B) windows.  Fixed edges — not quantiles — keep the histogram
+#: deterministic and mergeable; Laplace (+1) smoothing makes every
+#: bucket ratio finite on both engines.
+_PSI_CUT = "2024-01-15 00:00:00"
+_PSI_W = 50
+_PSI_NB = 10
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the data-drift
+    monitor a training pipeline runs between a reference window and
+    the current one (PSI > 0.2 = investigate).
+
+    PSI = Σ_b (pB_b − pA_b) · ln(pB_b / pA_b) over {_PSI_NB}
+    fixed-width value buckets, with Laplace-smoothed proportions
+    p = (c+1)/(total+{_PSI_NB}).
+
+    Determinism: bucket counts are exact integers (conditional
+    aggregation, one scan); each bucket's float term derives from
+    identical integer ratios on both engines, and the 10-term sum is
+    a SEQUENTIAL FOLD over the bucket-sorted struct array (the
+    q_text_entropy posture) so operand order is engine-identical.
+    Scale: one corpus scan → (type, bucket)-sized aggregate; the fold
+    is row-local over a 10-element array.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t1 = F.lit(_PSI_CUT).cast("timestamp")
+    b = F.least(
+        F.lit(_PSI_NB - 1),
+        F.floor(F.col("value") / _PSI_W).cast("long"),
+    )
+    counts = (
+        e.select("event_type", b.alias("b"), (F.col("ts") < t1).alias("is_a"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("ca"),
+            F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    folded = (
+        counts.join(tot, "event_type")
+        .groupBy("event_type", "ta", "tb")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("b", "ca", "cb"))).alias("arr")
+        )
+        .select(
+            "event_type",
+            "ta",
+            "tb",
+            F.aggregate(
+                "arr",
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (
+                    ((x.getField("cb") + 1).cast("double") / (F.col("tb") + _PSI_NB).cast("double"))
+                    - ((x.getField("ca") + 1).cast("double") / (F.col("ta") + _PSI_NB).cast("double"))
+                )
+                * F.log(
+                    ((x.getField("cb") + 1) * (F.col("ta") + _PSI_NB)).cast("double")
+                    / ((x.getField("ca") + 1) * (F.col("tb") + _PSI_NB)).cast("double")
+                ),
+            ).alias("psi_raw"),
+        )
+        .select(
+            "event_type",
+            F.col("ta").alias("n_ref"),
+            F.col("tb").alias("n_cur"),
+            (F.round("psi_raw", 6) + 0.0).alias("psi"),
+        )
+    )
+    return folded
+
+
+_DRIFT_PSI_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         LEAST({_PSI_NB - 1}, CAST(FLOOR(value / {_PSI_W}) AS BIGINT)) AS b,
+         SUM(CASE WHEN ts < TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN ts < TIMESTAMP '{_PSI_CUT}' THEN 0 ELSE 1 END) AS cb
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
+  FROM c GROUP BY 1
+), arrs AS (
+  SELECT c.event_type, t.ta, t.tb,
+         list_sort(list(ROW(b, ca, cb))) AS arr
+  FROM c JOIN t USING (event_type)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, ta AS n_ref, tb AS n_cur,
+       ROUND(list_reduce(list_transform(arr, x ->
+         (CAST(x[3] + 1 AS DOUBLE) / (tb + {_PSI_NB})
+          - CAST(x[2] + 1 AS DOUBLE) / (ta + {_PSI_NB}))
+         * LN(CAST((x[3] + 1) * (ta + {_PSI_NB}) AS DOUBLE)
+              / ((x[2] + 1) * (tb + {_PSI_NB})))),
+         (a, b) -> a + b), 6) + 0.0 AS psi
+FROM arrs
+"""
+
+
+QUERIES = {"q_dq_checks": q_dq_checks, "q_drift_psi": q_drift_psi}
+ORACLES = {"q_dq_checks": _DQ_CHECKS_SQL, "q_drift_psi": _DRIFT_PSI_SQL}
