@@ -114,6 +114,8 @@ PANEL = (
     "q_ann_recall",           # Arrow-matmul batch scoring + IVF routing
     "q_dedup_chunks",         # chunk-hash frequency dedup triage
     "q_embed_gram",           # int64 Arrow Gram partials
+    "q_cdc_snapshot_diff",    # one-pass dual-snapshot aggregate
+    "q_drift_psi",            # conditional-agg histogram + fold
 )
 
 
