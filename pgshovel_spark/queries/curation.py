@@ -229,7 +229,7 @@ def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         qd.mapInPandas(gram_partials, "i long, j long, s long")
         .groupBy("i", "j")
         .agg(F.sum("s").alias("gram_micro2"))
-        .orderBy("i", "j")
+        # full 2080-entry triangle, no LIMIT -> no global sort needed
     )
 
 

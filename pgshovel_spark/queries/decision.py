@@ -1088,7 +1088,8 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("val"), 2).cast("double").alias("stock_value"),
         )
-        .orderBy(F.col("stock_value").desc(), "p_partkey")
+        # no LIMIT -> no ORDER BY: the full set is the answer and a
+        # global sort is a wasted range exchange (+ sampling job)
     )
 
 
