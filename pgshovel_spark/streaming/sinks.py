@@ -145,10 +145,13 @@ class TransactionalMergeSink(MergeSink):
     """Delta/Iceberg binding: each batch ranks latest-per-key then runs
     ONE transactional MERGE — readers get snapshot isolation and the
     engine rewrites only touched files, which is the durable production
-    answer the parquet engines approximate.  Config-complete here
-    (``merge_sql`` emits the exact statement, unit-tested); executing
-    it needs the format's runtime on the cluster classpath
-    (delta-spark / iceberg-spark-runtime), absent in this sandbox."""
+    answer the parquet engines approximate.  ``merge_sql`` emits the
+    Delta-dialect statement (needs delta-spark / iceberg-spark-runtime
+    on the cluster classpath, absent in this sandbox);
+    ``merge_sql_ansi`` is the same statement in strict ANSI and IS
+    executed for real — against embedded Derby (a genuine MERGE-capable
+    transactional engine from Spark's own classpath) in
+    tests/test_streaming.py, alongside the sqlite UPSERT rendering."""
 
     def __init__(
         self,
@@ -179,6 +182,28 @@ class TransactionalMergeSink(MergeSink):
             f"MERGE INTO {self.table} t USING {self.source_view} s ON {on} "
             f"WHEN MATCHED AND ({self.newer_predicate()}) THEN UPDATE SET * "
             f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def merge_sql_ansi(self, columns: Sequence[str]) -> str:
+        """The SAME statement as ``merge_sql`` rendered in strict ANSI
+        (explicit column lists instead of Delta's ``UPDATE SET * /
+        INSERT *`` shorthand) — executable verbatim on any
+        MERGE-capable SQL engine.  tests/test_streaming.py runs it
+        against a LIVE embedded Derby database (Spark's own classpath)
+        with the identical ON clause and newer-guard, so the emitted
+        MERGE's semantics are verified on a real transactional engine,
+        not just the sqlite UPSERT emulation."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+        sets = ", ".join(
+            f"{c} = s.{c}" for c in columns if c not in self.keys
+        )
+        cols = ", ".join(columns)
+        vals = ", ".join(f"s.{c}" for c in columns)
+        return (
+            f"MERGE INTO {self.table} t USING {self.source_view} s ON {on} "
+            f"WHEN MATCHED AND ({self.newer_predicate()}) "
+            f"THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
         )
 
     def sqlite_upsert_sql(self, columns: Sequence[str]) -> str:

@@ -940,3 +940,90 @@ def test_weighted_reservoir_equals_batch_sample(spark, tmp_path):
     n_emitted = spark.sql("SELECT COUNT(*) AS c FROM reservoir_test").collect()[0].c
     n_docs = docs.count()
     assert 100 <= n_emitted <= n_docs
+
+
+def test_transactional_merge_ansi_executed_on_derby(spark, tmp_path):
+    """The emitted MERGE runs as a REAL ANSI MERGE statement on a real
+    transactional engine: embedded Apache Derby (Spark's own
+    classpath).  merge_sql_ansi carries the identical ON clause and
+    lexicographic newer-guard as the Delta-dialect merge_sql — same
+    latest-per-key staging, out-of-order and replayed batches — and
+    the final table state must equal SnapshotParquetMergeSink over the
+    same batches.  This closes the 'MERGE never executed by a MERGE
+    engine' gap left by the sqlite UPSERT emulation."""
+    from pgshovel_spark.streaming.sinks import (
+        SnapshotParquetMergeSink,
+        TransactionalMergeSink,
+        _latest_rows,
+    )
+
+    keys, order_cols = ["k"], ["epoch", "seq"]
+    cols = ["k", "epoch", "seq", "v"]
+    batches = [
+        [(1, 1, 1, "a1"), (2, 1, 2, "b1"), (1, 1, 3, "a2")],
+        [(2, 1, 1, "b0-late"), (3, 1, 4, "c1")],
+        [(1, 2, 1, "a3-epoch2"), (3, 1, 4, "c1")],
+        [(2, 1, 2, "b1")],
+    ]
+
+    target = str(tmp_path / "state")
+    snap = SnapshotParquetMergeSink(target, keys, order_cols)
+    for i, rows in enumerate(batches):
+        snap.apply(
+            spark.createDataFrame(rows, "k long, epoch long, seq long, v string"), i
+        )
+    parquet_state = {
+        (r.k, r.epoch, r.seq, r.v) for r in spark.read.parquet(target).collect()
+    }
+
+    # Derby identifiers cannot start with "_" — give the staging view
+    # a plain name (the sink parameterizes it for exactly this reason)
+    tx = TransactionalMergeSink(
+        "state", keys, order_cols, source_view="pgshovel_batch"
+    )
+    merge = tx.merge_sql_ansi(cols)
+    assert "UPDATE SET *" not in merge and "INSERT *" not in merge
+    # identical join + guard structure as the Delta rendering
+    delta = tx.merge_sql()
+    assert merge.split("WHEN MATCHED AND (")[1].split(")")[0] == \
+        delta.split("WHEN MATCHED AND (")[1].split(")")[0]
+
+    url = f"jdbc:derby:{tmp_path}/mergedb;create=true"
+    jvm = spark._jvm
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE state (k INT PRIMARY KEY, epoch INT, seq INT, v VARCHAR(32))"
+    )
+    st.executeUpdate(
+        f"CREATE TABLE {tx.source_view} (k INT, epoch INT, seq INT, v VARCHAR(32))"
+    )
+    for i, rows in enumerate(batches):
+        staged = _latest_rows(
+            spark.createDataFrame(rows, "k long, epoch long, seq long, v string"),
+            keys,
+            order_cols,
+        )
+        st.executeUpdate(f"DELETE FROM {tx.source_view}")
+        for r in staged.collect():
+            st.executeUpdate(
+                f"INSERT INTO {tx.source_view} VALUES"
+                f" ({r.k}, {r.epoch}, {r.seq}, '{r.v}')"
+            )
+        st.executeUpdate(merge)
+    rs = st.executeQuery("SELECT k, epoch, seq, v FROM state")
+    derby_state = set()
+    while rs.next():
+        derby_state.add(
+            (rs.getLong(1), rs.getLong(2), rs.getLong(3), rs.getString(4))
+        )
+    rs.close()
+    st.close()
+    con.close()
+
+    assert derby_state == parquet_state
+    assert derby_state == {
+        (1, 2, 1, "a3-epoch2"),
+        (2, 1, 2, "b1"),
+        (3, 1, 4, "c1"),
+    }
