@@ -144,3 +144,67 @@ def test_bootstrap_then_stream_equals_full_replay(spark, tmp_path):
         .collect()
     }
     assert got == full == {(1, "a4"), (2, "b3"), (3, "c2"), (4, "d1"), (5, "e1")}
+
+
+def test_cdc_pipeline_end_to_end_live_jdbc(spark, tmp_path):
+    """The SAME user story with the database side REAL: an embedded
+    Derby table plays the Postgres source — administration config →
+    jdbc_snapshot_reader (real format("jdbc") reads with pushdown) →
+    incremental pulls with watermark-file persistence across loop
+    restarts → latest-state merge → final state equals the live
+    table's latest row per key.  Every hop a production deployment
+    makes except the network."""
+    from pgshovel_spark.sources.administration import SetConfig, TableConfig, create_set
+    from pgshovel_spark.sources.cdc import incremental_pulls, jdbc_snapshot_reader
+
+    cfg = create_set(
+        str(tmp_path / "admin"),
+        SetConfig(
+            name="accounts",
+            tables={"accounts": TableConfig(cursor_col="seq", key_cols=["acct"])},
+        ),
+    )
+    url = f"jdbc:derby:{tmp_path}/srcdb;create=true"
+    jvm = spark._jvm
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE accounts (seq INT PRIMARY KEY, acct INT, bal DOUBLE)"
+    )
+    for seq, acct, bal in [(1, 1, 100.0), (2, 2, 200.0), (3, 3, 300.0)]:
+        st.executeUpdate(f"INSERT INTO accounts VALUES ({seq}, {acct}, {bal})")
+
+    jdbc_read = jdbc_snapshot_reader(
+        spark, url, "accounts",
+        {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+
+    def read(watermark):
+        return jdbc_read(watermark, cursor_col=cfg.tables["accounts"].cursor_col)
+
+    wfile = str(tmp_path / "ckpt" / "accounts.watermark.json")
+    cur = cfg.tables["accounts"].cursor_col.upper()
+
+    state = None
+    for batch in incremental_pulls(read, cur, watermark_file=wfile, max_pulls=5):
+        state = batch if state is None else state.unionByName(batch)
+    state = _latest(state, ["ACCT"], [cur])
+    assert {(r.ACCT, r.BAL) for r in state.collect()} == {
+        (1, 100.0), (2, 200.0), (3, 300.0),
+    }
+
+    # live mutations: update acct 2, insert acct 4 — then a FRESH loop
+    # (restart) resumes from the watermark file and sees only the delta
+    for seq, acct, bal in [(4, 2, 250.0), (5, 4, 400.0)]:
+        st.executeUpdate(f"INSERT INTO accounts VALUES ({seq}, {acct}, {bal})")
+    delta_rows = 0
+    for batch in incremental_pulls(read, cur, watermark_file=wfile, max_pulls=5):
+        delta_rows += batch.count()
+        state = state.drop("__rn").unionByName(batch) if "__rn" in state.columns else state.unionByName(batch)
+    assert delta_rows == 2
+    final = _latest(state, ["ACCT"], [cur])
+    assert {(r.ACCT, r.BAL) for r in final.collect()} == {
+        (1, 100.0), (2, 250.0), (3, 300.0), (4, 400.0),
+    }
+    st.close()
+    con.close()
