@@ -210,6 +210,79 @@ class SqliteBackend(CoordinatorBackend):
         return json.loads(row[0])
 
 
+class JdbcBackend(CoordinatorBackend):
+    """Third executable backend: versioned configs in any JDBC
+    database, the exactly-one-winner claim again a plain INSERT
+    against the (name, version) PRIMARY KEY — the database's own
+    constraint enforcement is the coordinator, so ANY number of
+    concurrent claimants across hosts resolve to one winner.
+
+    Takes a ``java.sql.Connection`` (duck-typed; tests pass one from
+    Spark's own JVM via py4j, pointed at embedded Derby — a REAL
+    multi-user SQL engine executing real PreparedStatements).  A
+    production deployment hands it a pooled connection to the admin
+    Postgres; the SQL below is deliberately dialect-free."""
+
+    def __init__(self, conn):
+        self._con = conn
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(
+                "CREATE TABLE set_config ("
+                " name VARCHAR(128) NOT NULL, version INT NOT NULL,"
+                " payload VARCHAR(4096) NOT NULL,"
+                " PRIMARY KEY (name, version))"
+            )
+        except Exception:
+            pass  # already exists — CREATE IF NOT EXISTS isn't portable
+        finally:
+            st.close()
+
+    def latest_version(self, name: str) -> int:
+        ps = self._con.prepareStatement(
+            "SELECT COALESCE(MAX(version), 0) FROM set_config WHERE name = ?"
+        )
+        try:
+            ps.setString(1, name)
+            rs = ps.executeQuery()
+            rs.next()
+            return int(rs.getInt(1))
+        finally:
+            ps.close()
+
+    def claim(self, name: str, version: int, payload: dict) -> None:
+        ps = self._con.prepareStatement(
+            "INSERT INTO set_config (name, version, payload) VALUES (?, ?, ?)"
+        )
+        try:
+            ps.setString(1, name)
+            ps.setInt(2, version)
+            ps.setString(3, json.dumps(payload, sort_keys=True))
+            ps.executeUpdate()
+        except Exception as e:  # duplicate-key from the remote engine
+            if "23505" in str(e) or "duplicate" in str(e).lower():
+                raise ConfigError(
+                    f"version conflict: {name} v{version} was created concurrently"
+                ) from None
+            raise
+        finally:
+            ps.close()
+
+    def read(self, name: str, version: int) -> dict:
+        ps = self._con.prepareStatement(
+            "SELECT payload FROM set_config WHERE name = ? AND version = ?"
+        )
+        try:
+            ps.setString(1, name)
+            ps.setInt(2, version)
+            rs = ps.executeQuery()
+            if not rs.next():
+                raise FileNotFoundError(f"{name} v{version} not found")
+            return json.loads(rs.getString(1))
+        finally:
+            ps.close()
+
+
 class ZooKeeperBackend(CoordinatorBackend):
     """Multi-driver-safe production backend: a ZNode ``create()`` is
     totally ordered by the ZooKeeper ensemble, so it IS the atomic

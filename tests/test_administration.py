@@ -147,12 +147,23 @@ def test_coordinator_backend_seam(tmp_path):
         ZooKeeperBackend("zk-1:2181")
 
 
-@pytest.fixture(params=["file", "sqlite"])
-def any_backend(request, tmp_path):
-    from pgshovel_spark.sources.administration import FileBackend, SqliteBackend
+@pytest.fixture(params=["file", "sqlite", "jdbc"])
+def any_backend(request, tmp_path, spark):
+    from pgshovel_spark.sources.administration import (
+        FileBackend,
+        JdbcBackend,
+        SqliteBackend,
+    )
 
     if request.param == "file":
         return FileBackend(str(tmp_path / "admin"))
+    if request.param == "jdbc":
+        # a REAL JDBC engine: embedded Derby from Spark's own classpath
+        con = spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{tmp_path}/admindb;create=true"
+        )
+        con.setAutoCommit(True)
+        return JdbcBackend(con)
     return SqliteBackend(str(tmp_path / "admin" / "sets.db"))
 
 
