@@ -1027,3 +1027,94 @@ def test_transactional_merge_ansi_executed_on_derby(spark, tmp_path):
         (2, 1, 2, "b1"),
         (3, 1, 4, "c1"),
     }
+
+
+def test_jdbc_merge_sink_streams_into_live_derby(spark, tmp_path, event_files):
+    """The FULL streaming hand-off to a JDBC warehouse, all hops real:
+    a file-replayed change stream -> foreachBatch -> Spark
+    DataFrameWriter.jdbc staging -> ANSI MERGE executed by embedded
+    Derby per micro-batch.  Final Derby table must equal the batch
+    latest-state query over the same events, and a REPLAY of the whole
+    stream (fresh checkpoint, same sink) must leave the table
+    unchanged — the idempotence half of exactly-once."""
+    from pyspark.sql import Window
+
+    from pgshovel_spark.streaming.sinks import JdbcMergeSink
+
+    url = f"jdbc:derby:{tmp_path}/warehousedb;create=true"
+    jvm = spark._jvm
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE user_state (user_id BIGINT PRIMARY KEY,"
+        " um BIGINT, event_id BIGINT, val DOUBLE)"
+    )
+    st.close()
+    con.close()
+
+    cols = ["USER_ID", "UM", "EVENT_ID", "VAL"]
+    sink = JdbcMergeSink(
+        url,
+        "user_state",
+        keys=["USER_ID"],
+        order_cols=["UM", "EVENT_ID"],
+        columns=cols,
+        connection_factory=lambda: jvm.java.sql.DriverManager.getConnection(url),
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    schema = load_table(spark, SF, "events").schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(event_files)
+            .select(
+                F.col("user_id").alias("USER_ID"),
+                F.unix_micros("ts").alias("UM"),
+                F.col("event_id").alias("EVENT_ID"),
+                F.col("value").alias("VAL"),
+            )
+        )
+
+    sink.run(stream(), checkpoint_dir=str(tmp_path / "ckpt1"))
+
+    def derby_state():
+        c = jvm.java.sql.DriverManager.getConnection(url)
+        s = c.createStatement()
+        rs = s.executeQuery("SELECT user_id, um, event_id, val FROM user_state")
+        out = set()
+        while rs.next():
+            out.add(
+                (rs.getLong(1), rs.getLong(2), rs.getLong(3), rs.getDouble(4))
+            )
+        rs.close(); s.close(); c.close()
+        return out
+
+    got = derby_state()
+    want = {
+        (r.user_id, r.um, r.event_id, r.val)
+        for r in load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("um"),
+            "event_id",
+            F.col("value").alias("val"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("um").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    }
+    assert got == want
+
+    # full replay with a fresh checkpoint: idempotent (newer-guard bites)
+    sink.run(stream(), checkpoint_dir=str(tmp_path / "ckpt2"))
+    assert derby_state() == want
