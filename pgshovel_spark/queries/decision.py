@@ -1062,12 +1062,15 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape — HAVING against a GLOBAL scalar subquery.
 
     Per-part traded value (exact decimal sum of l_extendedprice) over
-    suppliers of one nation, keeping parts whose value exceeds
-    1/2000th of the nation's total — the uncorrelated scalar becomes
-    ONE aggregated row broadcast into the plan via crossJoin, never a
-    driver round-trip.  The HAVING comparison runs on the EXACT decimal
-    sums (both engines), so the cut line cannot drift with summation
-    order; only the emitted value is rounded.
+    suppliers of one nation, keeping parts whose value exceeds TWICE
+    the nation's average per-part value — the uncorrelated scalar
+    becomes ONE aggregated (total, n_parts) row broadcast into the
+    plan via crossJoin, never a driver round-trip.  (TPC-H Q11 scales
+    its fixed fraction by SF for exactly this reason; the
+    count-adaptive form keeps the selectivity scale-stable without
+    knowing SF.)  The HAVING comparison runs on the EXACT decimal sums
+    (both engines), so the cut line cannot drift with summation order;
+    only the emitted value is rounded.
 
     Scale: one lineitem aggregate (map-side combine), then everything
     is part-sized; the global total re-aggregates the per-part table,
@@ -1080,10 +1083,12 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(exact_sum("l_extendedprice").alias("val"))
     )
-    total = per_part.agg(F.sum("val").alias("tot"))
+    total = per_part.agg(
+        F.sum("val").alias("tot"), F.count(F.lit(1)).alias("np")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("val") * 2000 > F.col("tot"))
+        .filter(F.col("val") * F.col("np") > F.col("tot") * 2)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("val"), 2).cast("double").alias("stock_value"),
@@ -1103,7 +1108,7 @@ WITH per_part AS (
 SELECT l_partkey AS p_partkey,
        CAST(ROUND(val, 2) AS DOUBLE) AS stock_value
 FROM per_part
-WHERE val * 2000 > (SELECT SUM(val) FROM per_part)
+WHERE val * (SELECT COUNT(*) FROM per_part) > (SELECT SUM(val) FROM per_part) * 2
 ORDER BY stock_value DESC, p_partkey
 """
 
