@@ -87,11 +87,15 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
-    # round-6 additions and changed plans (never driver-checked on
-    # their new shape): the scan-fused DQ gate, the persisted-unigram
-    # PMI, the partitioned-warehouse scan, the promoted q_sim_knn
-    # oracle, the hashed-token prefix SSJoin, the size-gated local-CC
-    # consumers, and the rebalanced ANN recall
+    # round-6 second wave (newest first — never driver-checked):
+    # PageRank, the Q2/Q11/Q20 decision shapes, A-ES weighted
+    # sampling, chunk dedup, the integer Gram matrix, snapshot diff,
+    # drift PSI, and the job-fusion rewrites (profile_table,
+    # waiting_orders, ann_recall + the shared IVF centroid artifact);
+    # then the first-wave round-6 changes (scan-fused DQ gate,
+    # persisted-unigram PMI, partitioned-warehouse scan, promoted
+    # q_sim_knn oracle, hashed-token prefix SSJoin, size-gated
+    # local-CC consumers)
     "q_graph_pagerank",
     "q_min_cost_supplier",
     "q_important_stock",
