@@ -345,6 +345,19 @@ FROM ne CROSS JOIN nw CROSS JOIN tri
 _PR_SCALE = 1_000_000_000_000
 _PR_ITERS = 3
 
+#: Node-count bound for broadcasting the node-state (rank/degree)
+#: tables into the edge-partitioned adjacency.  Node state is 16
+#: bytes/row raw (~50 with java object overhead): 10M nodes ~ a few
+#: hundred MB — the ceiling of what a per-iteration broadcast can
+#: justify on commodity executors.  Above it, the iteration falls back
+#: to a plain hash join: adjacency stays hash-partitioned by src (it
+#: is persisted once), and only the node-sized rank table shuffles per
+#: round — the same measured-threshold gate the CC operator applies to
+#: its single-task path (operators/graph.py:LOCAL_EDGE_THRESHOLD).
+#: The threshold selects the PHYSICAL strategy only; tests force both
+#: paths on the same graph and assert identical output.
+PR_BROADCAST_NODE_THRESHOLD = 10_000_000
+
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank hubs of the (undirected) customer-supplier
@@ -352,44 +365,52 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     in scaled BIGINTs.
 
     Spark shape: the whole iteration is ONE declarative plan — the
-    loop below chains DataFrame transformations, there is no per-round
-    action or driver round-trip (contrast connected components, where
-    convergence is data-dependent and needs a probe).  The adjacency
-    table (src, dst, d) is built once from the shared trade-edge
-    artifact and persisted; each iteration is a join to the previous
-    rank table and a sum over incoming contributions — on a cluster,
-    adjacency stays hash-partitioned by src and the per-iteration
-    shuffle is the (node, rank) table, 16 bytes/row.  Undirected
-    degree >= 1 for every node, so there is no dangling-mass term.
+    loop below chains DataFrame transformations; the only driver
+    action is a single bounded node count, which does double duty as
+    (a) the PageRank N constant (folded into the plan as a literal —
+    replacing a crossJoin(broadcast(count)) subtree and an extra
+    carried column) and (b) the broadcast size gate: node state is
+    broadcast into the edge-partitioned adjacency only below
+    PR_BROADCAST_NODE_THRESHOLD; above it the iteration uses a plain
+    hash join, so "edges stay put, only node state moves" holds at ANY
+    scale instead of only while the node table fits a broadcast.
+    Undirected degree >= 1 for every node, so there is no
+    dangling-mass term.
     """
     e0 = _trade_edges(spark, sf_dir)
     dire = e0.select(
         F.col("cn").alias("src"), F.col("sn").alias("dst")
     ).unionByName(e0.select(F.col("sn").alias("src"), F.col("cn").alias("dst")))
-    deg = dire.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = materialize(dire.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
+    # One bounded scalar (node-sized table, already cached) picks the
+    # join strategy AND becomes the literal N below.
+    n_nodes = max(deg.count(), 1)
+    hint = F.broadcast if n_nodes <= PR_BROADCAST_NODE_THRESHOLD else (lambda df: df)
     # (src, dst, out-degree-of-src): reused by all iterations.  The
-    # rank/degree tables are node-sized (16 bytes/node) while adj is
-    # edge-sized, so every iteration joins broadcast(ranks) INTO the
-    # persisted adjacency — the classic Pregel layout: edges stay put,
-    # only the node-state table moves.
-    adj = materialize(dire.join(F.broadcast(deg), "src"))
-    n_row = deg.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = deg.crossJoin(F.broadcast(n_row)).select(
-        F.col("src").alias("node"),
-        F.expr(f"CAST({_PR_SCALE} AS BIGINT) div __n").alias("r"),
-        F.col("__n").alias("n"),
+    # rank/degree tables are node-sized while adj is edge-sized, so
+    # every iteration joins the node-state table INTO the persisted
+    # adjacency — the classic Pregel layout.
+    adj = materialize(dire.join(hint(deg), "src"))
+    # Scaled-integer constants, computed driver-side with Python's
+    # floor division — identical to Spark's `div` / DuckDB's `//` on
+    # these all-positive operands, so hashes are unchanged vs the
+    # previous in-plan formulation.
+    init_r = _PR_SCALE // n_nodes
+    teleport = (15 * _PR_SCALE) // (100 * n_nodes)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(init_r).cast("long").alias("r")
     )
     for _ in range(_PR_ITERS):
         ranks = (
-            adj.join(F.broadcast(ranks), adj.src == ranks.node)
-            .select("dst", F.expr("r div d").alias("c"), "n")
-            .groupBy("dst", "n")
+            adj.join(hint(ranks), adj.src == ranks.node)
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
             .agg(F.sum("c").alias("s"))
             .select(
                 F.col("dst").alias("node"),
-                F.expr(f"CAST(15 * {_PR_SCALE} AS BIGINT) div (100 * n)"
-                       " + (85 * s) div 100").alias("r"),
-                "n",
+                (F.lit(teleport) + F.expr("(85 * s) div 100"))
+                .cast("long")
+                .alias("r"),
             )
         )
     return (

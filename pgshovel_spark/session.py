@@ -83,6 +83,15 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         # decision-support band vs 4m).  On a cluster with properly
         # sized multi-file tables raise this to 128-256m (SCALE.md).
         .config("spark.sql.files.maxPartitionBytes", "1m")
+        # Keep test droppings out of the repo root: the Hive-style
+        # warehouse (CREATE TABLE targets) and Derby's boot log both
+        # default to CWD-relative paths.  Ignored if the JVM is already
+        # up (external driver session) — harmless there, since that
+        # driver controls its own CWD.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/pgshovel-spark-warehouse"),
+        )
         # quiet the console
         .config("spark.ui.showConsoleProgress", "false")
         # Headless: no web UI.  The UI listener retains per-execution
@@ -95,4 +104,12 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Derby writes derby.log to CWD on engine boot unless this JVM
+    # system property is set first; embedded Derby boots lazily on the
+    # first JDBC connection, so setting it post-getOrCreate is early
+    # enough (no-op if Derby already booted in a reused JVM).
+    try:
+        spark._jvm.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    except Exception:
+        pass
     return spark

@@ -365,6 +365,24 @@ def test_pagerank_matches_reference_iteration(spark):
     assert sum(rank.values()) >= _PR_SCALE - n * (_PR_ITERS + 1) * 2
 
 
+def test_pagerank_gated_shuffle_path_equals_broadcast_path(spark):
+    """The broadcast size gate selects the PHYSICAL strategy only:
+    forcing the above-threshold path (plain hash joins, node state
+    shuffles instead of broadcasting) must return the identical
+    top-20."""
+    import pgshovel_spark.queries.graph_analytics as ga
+
+    SF = "/root/testdata/sf0.001"
+    via_broadcast = [tuple(r) for r in ga.q_graph_pagerank(spark, SF).collect()]
+    old = ga.PR_BROADCAST_NODE_THRESHOLD
+    try:
+        ga.PR_BROADCAST_NODE_THRESHOLD = 0
+        via_shuffle = [tuple(r) for r in ga.q_graph_pagerank(spark, SF).collect()]
+    finally:
+        ga.PR_BROADCAST_NODE_THRESHOLD = old
+    assert via_broadcast == via_shuffle
+
+
 def test_weighted_sample_is_weight_monotone_and_deterministic(spark):
     """A-ES sampler invariants: (1) re-running yields the identical
     sample (hash-derived priorities, no rand()); (2) for the same
