@@ -31,7 +31,7 @@ runtime (AQE ReusedExchange), so the input is shuffled exactly once.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__gr_pid"
@@ -66,25 +66,27 @@ def with_global_rank(
     )
 
     counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
-    # Prefix-sum the (≤ n)-row counts via a broadcast cross join instead of a
-    # global Window.orderBy — keeps the whole operator free of
-    # single-partition windows (n² pairs with n ≈ hundreds is negligible).
-    other = counts.select(
-        F.col(_PID).alias("__gr_pid2"), F.col("__gr_cnt").alias("__gr_cnt2")
+    # Prefix-sum the (≤ n)-row counts with a window over ONE coalesced
+    # partition.  The counts table has at most num_partitions rows, so
+    # a single task is the right physical plan here — coalesce(1) is a
+    # narrow dependency (no exchange), unlike a bare Window.orderBy,
+    # which would insert a single-partition EXCHANGE of the same n
+    # rows; and unlike the previous broadcast-crossJoin prefix sum,
+    # which paid two extra exchanges (broadcast build + re-aggregate)
+    # for the same n-row result.
+    wpre = (
+        Window.orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        counts.crossJoin(F.broadcast(other))
-        .groupBy(_PID)
-        .agg(
-            F.sum(
-                F.when(F.col("__gr_pid2") < F.col(_PID), F.col("__gr_cnt2")).otherwise(
-                    F.lit(0)
-                )
-            )
-            .cast("long")
-            .alias(_OFF),
-            F.sum("__gr_cnt2").cast("long").alias(_TOT),
-        )
+    wall = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.coalesce(1).select(
+        _PID,
+        F.coalesce(F.sum("__gr_cnt").over(wpre), F.lit(0))
+        .cast("long")
+        .alias(_OFF),
+        F.sum("__gr_cnt").over(wall).cast("long").alias(_TOT),
     )
 
     out = ranged.join(F.broadcast(offsets), _PID).withColumn(

@@ -12,8 +12,6 @@ key side when eligible.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,9 +28,9 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a PK, so the join is 1:1 and preserves fact counts — the exact
     assumption the oracle's own LEFT-JOIN counts embed), and both
     lineitem range checks plus its FK-to-orders check are one
-    aggregate over ``lineitem LEFT JOIN orders(keys)``.  Four one-row
-    partials cross-join into a single row that ``stack``s out to one
-    row per constraint.  vs the naive 8-branch union: orders drops
+    aggregate over ``lineitem LEFT JOIN orders(keys)``.  Each one-row
+    partial ``stack``s out to its constraint rows and the partials
+    UNION (no exchange).  vs the naive 8-branch union: orders drops
     from three scans to two (fact + FK key side), lineitem from two
     to one — at 100 TB the scans are the whole cost of a DQ gate, and
     both dim sides broadcast (keys only), so the fused plan adds no
@@ -78,24 +76,47 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("ev_n"),
         viol(F.col("value") < 0).alias("ev_val_viol"),
     )
-    # The four one-row partials really do cross-join into a single row
-    # (each side is exactly 1 row, so the "cross join" is a broadcast
-    # of three scalars — no data movement), and ONE stack fans that
-    # row out to one row per constraint.  One action -> one job; each
-    # partial is a stage feeding the final 1x1 joins.
-    one = reduce(DataFrame.crossJoin, [o_agg, li_agg, c_agg, ev_agg])
-    out = one.select(
-        F.expr(
-            "stack(8,"
-            " 'orders_pk_unique', o_n, o_pk_viol,"
-            " 'orders_date_in_bounds', o_n, o_date_viol,"
-            " 'lineitem_qty_in_range', li_n, li_qty_viol,"
-            " 'lineitem_discount_in_range', li_n, li_disc_viol,"
-            " 'customer_name_not_null', c_n, c_name_viol,"
-            " 'events_value_non_negative', ev_n, ev_val_viol,"
-            " 'orders_fk_customer', o_n, fkoc_viol,"
-            " 'lineitem_fk_orders', li_n, fklo_viol"
-            ") AS (check_name, n_checked, n_violations)"
+    # Each one-row partial fans out to its own constraint rows with a
+    # local stack, and the four partials UNION together — a union is a
+    # no-exchange concatenation, where the previous crossJoin chain
+    # paid a broadcast-exchange build per joined partial (3 extra AQE
+    # stage jobs) to assemble the same 8 rows.
+    out = (
+        o_agg.select(
+            F.expr(
+                "stack(3,"
+                " 'orders_pk_unique', o_n, o_pk_viol,"
+                " 'orders_date_in_bounds', o_n, o_date_viol,"
+                " 'orders_fk_customer', o_n, fkoc_viol"
+                ") AS (check_name, n_checked, n_violations)"
+            )
+        )
+        .unionByName(
+            li_agg.select(
+                F.expr(
+                    "stack(3,"
+                    " 'lineitem_qty_in_range', li_n, li_qty_viol,"
+                    " 'lineitem_discount_in_range', li_n, li_disc_viol,"
+                    " 'lineitem_fk_orders', li_n, fklo_viol"
+                    ") AS (check_name, n_checked, n_violations)"
+                )
+            )
+        )
+        .unionByName(
+            c_agg.select(
+                F.expr(
+                    "stack(1, 'customer_name_not_null', c_n, c_name_viol)"
+                    " AS (check_name, n_checked, n_violations)"
+                )
+            )
+        )
+        .unionByName(
+            ev_agg.select(
+                F.expr(
+                    "stack(1, 'events_value_non_negative', ev_n, ev_val_viol)"
+                    " AS (check_name, n_checked, n_violations)"
+                )
+            )
         )
     )
     return out.select(

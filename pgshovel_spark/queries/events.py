@@ -304,16 +304,29 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS definition — same set by construction.
     """
     e = load_table(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(
-        (exact_sum("value") * 100).cast("long").alias("total_cents"),
-        F.count(F.lit(1)).alias("n_events"),
+    # The per-user profile is THE shared subtree (the bucket table, the
+    # candidate filter, and the final membership join all read it) —
+    # cache it once so the events scan + agg runs once, not once per
+    # branch.  Everything downstream of it is bucket- or
+    # frontier-sized, cheap to recompute from the cache, so nothing
+    # else needs pinning.
+    u = materialize(
+        e.groupBy("user_id")
+        .agg(
+            (exact_sum("value") * 100).cast("long").alias("total_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("bk", F.expr(f"total_cents div {_SKY_BUCKET}")),
+        eager=True,
     )
-    u = u.withColumn("bk", F.expr(f"total_cents div {_SKY_BUCKET}"))
     b = u.groupBy("bk").agg(F.max("n_events").alias("bmax"))
     wb = Window.orderBy(F.col("bk").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     bprev = b.select("bk", F.max("bmax").over(wb).alias("pmax"))
+    # cand is frontier-sized and feeds two branches (the exact sweep
+    # and the final membership join); caching it keeps the broadcast
+    # prune chain from re-executing per branch.
     cand = materialize(
         u.join(F.broadcast(bprev), "bk").filter(
             F.col("pmax").isNull() | (F.col("n_events") > F.col("pmax"))

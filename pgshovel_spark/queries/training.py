@@ -194,18 +194,20 @@ def q_text_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgshovel_spark.queries.sketches import _token_counts
 
     d = _docs_toks(spark, sf_dir)
-    # uni feeds THREE sibling branches (c1, c2 and, transitively, the
-    # corpus total) — persist it so the artifact scan + groupBy run
-    # once, and derive N straight from the artifact (sum over
-    # (lang, t) partials == sum over words; no third consumer).
+    # uni feeds THREE sibling branches (c1, c2, and the corpus total N)
+    # — persist it EAGERLY: with a lazy cache, AQE materializes the two
+    # broadcast stages concurrently and both race to populate it,
+    # re-running the artifact scan + groupBy per branch (measured 12
+    # cold jobs; eager population is one job and every consumer reads
+    # the cache).  N is a one-row re-aggregate of the cached vocabulary
+    # (sum of c == sum over words), not a second artifact scan.
     uni = materialize(
         _token_counts(spark, sf_dir)
         .groupBy(F.col("t").alias("w"))
-        .agg(F.sum("cnt").alias("c"))
+        .agg(F.sum("cnt").alias("c")),
+        eager=True,
     )
-    n_total = _token_counts(spark, sf_dir).agg(
-        F.sum("cnt").cast("double").alias("__n")
-    )
+    n_total = uni.agg(F.sum("c").cast("double").alias("__n"))
     bigrams = (
         d.filter(F.size("a") >= 2)
         .select(
@@ -471,16 +473,36 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang aggregate.  No sort, no window; overflow-safe for corpora
     to ~9e15 tokens (budget*weight < 2^63).
     """
+    from pgshovel_spark.operators.scratch import materialize
+
     d = _docs_toks(spark, sf_dir).select(
         "doc_id", "lang", F.size("a").cast("long").alias("n_toks")
     )
     w = F.lit(None).cast("long")
     for lang, wt in sorted(_MIX_WEIGHTS.items()):
         w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
-    d = d.withColumn("w_milli", w).filter(F.col("w_milli").isNotNull())
-    totals = d.groupBy("lang").agg(F.sum("n_toks").alias("lang_toks"))
-    budget = d.agg(F.sum("n_toks").alias("t")).select(
-        F.expr(f"(t * {_BUDGET_MILLI}) div 1000").alias("budget_toks")
+    # (doc_id, lang, n_toks, w_milli) feeds the per-lang totals AND the
+    # membership stream — eager-cache the narrow projection so the
+    # tokenize pass runs once, not once per branch.
+    d = materialize(
+        d.withColumn("w_milli", w).filter(F.col("w_milli").isNotNull()),
+        eager=True,
+    )
+    # ONE broadcast carries both the per-lang mass and the global
+    # budget: the corpus total folds into the 5-row totals table as an
+    # unpartitioned window (5 rows in one task — free), instead of a
+    # separate 1-row aggregate + crossJoin, which costs its own
+    # shuffle + broadcast stage pair under AQE.
+    totals = (
+        d.groupBy("lang")
+        .agg(F.sum("n_toks").alias("lang_toks"))
+        .withColumn(
+            "budget_toks",
+            F.expr(
+                f"(sum(lang_toks) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                f" AND UNBOUNDED FOLLOWING) * {_BUDGET_MILLI}) div 1000"
+            ),
+        )
     )
     rate = F.least(
         F.lit(1000).cast("long"),
@@ -491,7 +513,6 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % F.lit(2**32) % F.lit(1000)
     return (
         d.join(F.broadcast(totals), "lang")
-        .crossJoin(F.broadcast(budget))
         .withColumn("rate_milli", rate)
         .filter(bucket.cast("long") < F.col("rate_milli"))
         .groupBy("lang")
