@@ -290,7 +290,9 @@ def _capped_pair_counts(posting: DataFrame, key: str):
     # same bound as the parquet artifact it filters), spills to disk
     # under pressure, and the measured effect is ~2x on the pair-stats
     # build (7.0 -> 2.6 s cold at sf0.1).
-    kept = materialize(posting.join(F.broadcast(drop_tab), key, "anti"))
+    kept = materialize(
+        posting.join(F.broadcast(drop_tab), key, "anti"), eager=True
+    )
     sizes = materialize(
         kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     )

@@ -42,6 +42,11 @@ class TableConfig:
     cursor_col: str
     key_cols: list[str]
     columns: list[str] | None = None  # None = all columns
+    #: registered source schema {column: spark type simpleString} —
+    #: the reference surface sources/drift.py diffs each pull's
+    #: observed schema against; None = not yet schema-monitored
+    #: (drift monitoring bootstraps it from the first pull).
+    column_types: dict[str, str] | None = None
 
 
 @dataclass
@@ -64,7 +69,7 @@ def _validate(cfg: SetConfig) -> None:
             raise ConfigError(f"{tbl}: bad cursor_col {tc.cursor_col!r}")
         if not tc.key_cols:
             raise ConfigError(f"{tbl}: key_cols must be non-empty")
-        for c in tc.key_cols + (tc.columns or []):
+        for c in tc.key_cols + (tc.columns or []) + list(tc.column_types or {}):
             if not _IDENT.fullmatch(c):
                 raise ConfigError(f"{tbl}: bad column name {c!r}")
         if tc.columns is not None:
@@ -348,7 +353,7 @@ def _to_payload(cfg: SetConfig) -> dict:
         "epoch": cfg.epoch,
         "tables": {
             t: {"cursor_col": tc.cursor_col, "key_cols": tc.key_cols,
-                "columns": tc.columns}
+                "columns": tc.columns, "column_types": tc.column_types}
             for t, tc in cfg.tables.items()
         },
     }
@@ -364,6 +369,12 @@ def _from_payload(d: dict) -> SetConfig:
                 cursor_col=tc["cursor_col"],
                 key_cols=list(tc["key_cols"]),
                 columns=list(tc["columns"]) if tc["columns"] is not None else None,
+                # absent in pre-drift payloads -> None (not yet monitored)
+                column_types=(
+                    dict(tc["column_types"])
+                    if tc.get("column_types") is not None
+                    else None
+                ),
             )
             for t, tc in d["tables"].items()
         },
