@@ -132,15 +132,147 @@ def build_ivf_index(
         cent_rows, "centroid_id long, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
 
+    assigned = df.withColumn(
+        "centroid_id",
+        _nearest_udf(cents)(F.col(vec_col).cast("array<double>")),
+    )
     (
-        df.withColumn(
-            "centroid_id",
-            _nearest_udf(cents)(F.col(vec_col).cast("array<double>")),
-        )
-        .write.mode("overwrite")
+        assigned.write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(os.path.join(out_dir, "vectors"))
     )
+    # Baseline quantization quality for the staleness monitor
+    # (ivf_append / ivf_staleness): mean cosine distance of every
+    # vector to its assigned centroid — one bounded aggregate.
+    _append_stats(
+        spark, out_dir, "build",
+        assigned.select(
+            id_col,
+            "centroid_id",
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        cents,
+    )
+
+
+def _assigned_dist_udf(centroids: np.ndarray):
+    """cosine distance (1 - sim) of each vector to ITS assigned
+    centroid id — vectorized row gather, one matmul per Arrow batch."""
+    cn = _normalize(centroids)
+
+    @pandas_udf("double")
+    def dist(embs: pd.Series, cids: pd.Series) -> pd.Series:
+        m = _normalize(np.stack(embs.to_numpy()))
+        c = cn[cids.to_numpy().astype(int)]
+        return pd.Series(1.0 - np.einsum("ij,ij->i", m, c))
+
+    return dist
+
+
+def _append_stats(
+    spark: SparkSession, index_dir: str, kind: str, assigned: DataFrame,
+    cents: np.ndarray,
+) -> dict:
+    """Append one (kind, n, mean_assigned_dist) row to the index's
+    stats log and return it as a dict.  ``assigned`` must carry
+    (__v array<double>, centroid_id)."""
+    row = (
+        assigned.select(
+            _assigned_dist_udf(cents)(F.col("__v"), F.col("centroid_id")).alias("__d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("__d").alias("mean_dist"))
+        .collect()[0]
+    )
+    stats = {"kind": kind, "n": int(row["n"]), "mean_dist": float(row["mean_dist"] or 0.0)}
+    spark.createDataFrame(
+        [(kind, stats["n"], stats["mean_dist"])],
+        "kind string, n long, mean_dist double",
+    ).coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "stats"))
+    return stats
+
+
+def ivf_append(
+    spark: SparkSession,
+    index_dir: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Incrementally maintain a built IVF index: assign NEW vectors to
+    the EXISTING centroids and append them to the inverted file — no
+    retrain, no rewrite of prior partitions (parquet append into the
+    hive-partitioned layout adds files only under the touched
+    centroid_id directories, so search-side partition pruning is
+    unchanged).  This is the CDC-fed freshness path: similarity search
+    sees new vectors after one append, at assignment cost O(batch),
+    not O(corpus).
+
+    Returns the batch's staleness stats (see ``ivf_staleness``): the
+    batch's mean assigned-centroid distance is recorded in the stats
+    log, so a drifting corpus (new vectors systematically farther from
+    every centroid than the training distribution) surfaces as a
+    rising ratio and triggers the retrain recommendation.
+    """
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    k = len(cent)
+    cents = np.zeros((k, len(cent[0]["centroid"])))
+    for r in cent:
+        cents[int(r["centroid_id"])] = np.asarray(r["centroid"])
+    assigned = new_df.withColumn(
+        "centroid_id", _nearest_udf(cents)(F.col(vec_col).cast("array<double>"))
+    )
+    (
+        assigned.write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    batch = _append_stats(
+        spark, index_dir, "append",
+        assigned.select(
+            id_col, "centroid_id",
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        cents,
+    )
+    return ivf_staleness(spark, index_dir) | {"batch": batch}
+
+
+def ivf_staleness(
+    spark: SparkSession, index_dir: str, retrain_ratio: float = 1.5,
+    retrain_frac: float = 0.5,
+) -> dict:
+    """Staleness report from the index's stats log:
+
+    - ``ratio``: appended-mass mean assigned distance / build baseline
+      — quantization-quality drift (appends far from every centroid
+      mean the coarse quantizer no longer tiles the corpus).
+    - ``appended_frac``: appended rows / total — even drift-free
+      appends eventually unbalance the inverted lists.
+    - ``retrain``: True when either exceeds its threshold — the
+      caller's cue to rebuild (build_ivf_index on the full corpus).
+
+    Driver cost: one scan of the few-row stats log.
+    """
+    rows = spark.read.parquet(os.path.join(index_dir, "stats")).collect()
+    base_n = base_d = app_n = app_d = 0.0
+    for r in rows:
+        if r["kind"] == "build":
+            base_n += r["n"]
+            base_d += r["n"] * r["mean_dist"]
+        else:
+            app_n += r["n"]
+            app_d += r["n"] * r["mean_dist"]
+    baseline = (base_d / base_n) if base_n else 0.0
+    appended = (app_d / app_n) if app_n else 0.0
+    ratio = (appended / baseline) if (baseline > 0 and app_n) else 1.0
+    frac = app_n / (base_n + app_n) if (base_n + app_n) else 0.0
+    return {
+        "baseline_mean_dist": baseline,
+        "appended_mean_dist": appended,
+        "ratio": round(ratio, 6),
+        "appended_frac": round(frac, 6),
+        "retrain": bool(ratio > retrain_ratio or frac > retrain_frac),
+    }
 
 
 def ivf_search(
