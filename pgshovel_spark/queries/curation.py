@@ -346,12 +346,17 @@ def q_text_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(tri)).alias("tri"),
     )
     dt = dt.select("doc_id", "lang", F.xxhash64("lang", "tri").alias("th"))
-    # materialize: the (doc, trigram-hash) rows feed BOTH the
-    # doc-frequency aggregate and the join probe — without the cache
-    # the tokenize+trigram subtree executes once per branch.  (A
-    # window-count rewrite was measured WORSE here: a ~90k-distinct-key
-    # window sort costs more than the extra broadcast join.)
-    dt = materialize(dt)
+    # The (doc, trigram-hash) rows feed BOTH the doc-frequency
+    # aggregate and the join probe.  Recomputing the tokenize+trigram
+    # subtree per branch beats persisting it: the exploded table is
+    # corpus×trigrams wide, so cache population writes (and cold-run
+    # branch races re-execute) more bytes than the second xxhash pass
+    # costs — measured 7 jobs / 3.2 s cached vs 4 jobs / 2.2 s
+    # recomputed at sf0.1.  At 100 TB the doc-frequency table is the
+    # shared parquet artifact q_text_decontaminate already builds; a
+    # real pipeline computes it once and joins against storage.
+    # (A window-count rewrite was measured WORSE still: a ~90k-distinct-
+    # key window sort costs more than the extra broadcast join.)
     freq = dt.groupBy("th").agg(F.count(F.lit(1)).alias("tri_docs"))
     return (
         dt.join(freq, "th")

@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
-from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 
@@ -1078,7 +1077,12 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
-    per_part = materialize(
+    # per_part's top IS the l_partkey exchange, so AQE stage reuse
+    # already computes the lineitem join+aggregate once and feeds both
+    # consumers (the global total and the HAVING filter) from its map
+    # output — a persist here only added cache-population jobs
+    # (7 jobs cached vs 5 relying on exchange reuse at sf0.1).
+    per_part = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(exact_sum("l_extendedprice").alias("val"))

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
 from pgshovel_spark.functions.determinism import iratio
-from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 _WEEK_US = 7 * 86_400_000_000
@@ -305,32 +304,31 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     # The per-user profile is THE shared subtree (the bucket table, the
-    # candidate filter, and the final membership join all read it) —
-    # cache it once so the events scan + agg runs once, not once per
-    # branch.  Everything downstream of it is bucket- or
-    # frontier-sized, cheap to recompute from the cache, so nothing
-    # else needs pinning.
-    u = materialize(
+    # candidate filter, and the final membership join all read it), and
+    # its TOP is the user_id exchange — AQE's stage reuse computes that
+    # shuffle once and every branch reads its map output, so no cache
+    # is needed (a persist here was measured WORSE cold: the first run
+    # races cache population across the concurrently-materialized
+    # sibling stages, re-executing the subtree per branch — 13 jobs /
+    # 1.6 s cached vs 9 jobs / 1.2 s relying on exchange reuse).
+    u = (
         e.groupBy("user_id")
         .agg(
             (exact_sum("value") * 100).cast("long").alias("total_cents"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .withColumn("bk", F.expr(f"total_cents div {_SKY_BUCKET}")),
-        eager=True,
+        .withColumn("bk", F.expr(f"total_cents div {_SKY_BUCKET}"))
     )
     b = u.groupBy("bk").agg(F.max("n_events").alias("bmax"))
     wb = Window.orderBy(F.col("bk").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     bprev = b.select("bk", F.max("bmax").over(wb).alias("pmax"))
-    # cand is frontier-sized and feeds two branches (the exact sweep
-    # and the final membership join); caching it keeps the broadcast
-    # prune chain from re-executing per branch.
-    cand = materialize(
-        u.join(F.broadcast(bprev), "bk").filter(
-            F.col("pmax").isNull() | (F.col("n_events") > F.col("pmax"))
-        )
+    # cand (frontier-sized) feeds the exact sweep and the membership
+    # join; its own cost above the reused u-exchange is one broadcast
+    # join + filter — cheaper to recompute per branch than to persist.
+    cand = u.join(F.broadcast(bprev), "bk").filter(
+        F.col("pmax").isNull() | (F.col("n_events") > F.col("pmax"))
     )
     g = cand.groupBy("total_cents").agg(F.max("n_events").alias("mx"))
     wv = Window.orderBy(F.col("total_cents").desc()).rowsBetween(

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
-from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.queries.training import (
     _BUDGET_MILLI,
     _KNUTH,
@@ -77,12 +76,14 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dup_ratio <= _MAX_DUP_RATIO)
         .select("doc_id", "lang", "n_toks")
     )
-    # the survivor stream feeds THREE consumers (per-lang totals,
-    # the budget scalar, and the sampled stream itself); without
-    # materializing it the scan+tokenize+dedup-window subtree runs
-    # once per consumer (measured 2.4 -> ~1.1s at sf0.1).  Tiny:
-    # 3 longs + lang per surviving doc.
-    d = materialize(d)
+    # The survivor stream feeds THREE consumers (per-lang totals, the
+    # budget scalar, and the sampled stream itself), but its top sits
+    # just above the dedup window's h-exchange: AQE stage reuse feeds
+    # all three branches from that one shuffle, and the filters above
+    # it are row-local re-evaluation.  A persist here was measured
+    # WORSE cold (11 jobs / 2.1 s vs 8 jobs / 1.3 s at sf0.1): the
+    # first run races cache population across concurrently-
+    # materialized sibling stages and re-runs the subtree per branch.
 
     # 4. budget mixture sample over the SURVIVING corpus
     w = F.lit(None).cast("long")
