@@ -33,11 +33,21 @@ from pyspark.storagelevel import StorageLevel
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
-def sql_literal(v: object) -> str:
+def sql_literal(v: object, style: str = "ansi") -> str:
     """Render a watermark value as a safe SQL literal for the remote
     database (JDBC pushdown predicates can't use bind parameters from
     Spark's dbtable subquery, so literals must be escaped here — never
-    via bare ``repr`` interpolation)."""
+    via bare ``repr`` interpolation).
+
+    ``style`` selects the temporal-literal grammar — the one place the
+    engines we target genuinely disagree (found live by the dialect
+    conformance harness, tests/test_dialect.py): ANSI/Postgres accept
+    ``TIMESTAMP '...'`` typed literals, while Derby's parser rejects
+    them and requires the function form ``TIMESTAMP('...')``.  All
+    other literal classes render identically.
+    """
+    if style not in ("ansi", "derby"):
+        raise ValueError(f"unknown literal style {style!r}")
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, numbers.Integral):
@@ -52,8 +62,13 @@ def sql_literal(v: object) -> str:
             raise ValueError(f"non-finite watermark cannot be a SQL literal: {v!r}")
         return repr(f)
     if isinstance(v, datetime.datetime):
-        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        body = v.isoformat(sep=" ")
+        if style == "derby":
+            return f"TIMESTAMP('{body}')"
+        return f"TIMESTAMP '{body}'"
     if isinstance(v, datetime.date):
+        if style == "derby":
+            return f"DATE('{v.isoformat()}')"
         return f"DATE '{v.isoformat()}'"
     s = str(v).replace("'", "''")
     return f"'{s}'"
@@ -97,29 +112,44 @@ class ReplicationSet:
         return os.path.join(self.checkpoint_dir, f"{self.name}.{table}.watermark.json")
 
 
-def cursor_subquery(table: str, cursor_col: str, watermark: object) -> str:
+def cursor_subquery(
+    table: str, cursor_col: str, watermark: object, style: str = "ansi"
+) -> str:
     """The pushdown subquery a high-watermark pull sends to the remote
     database as the JDBC ``dbtable``.  Pure function so the generated
     SQL is unit-testable without a live database."""
     if not _IDENT.fullmatch(cursor_col):
         raise ValueError(f"cursor_col is not a plain identifier: {cursor_col!r}")
-    pred = "" if watermark is None else f" WHERE {cursor_col} > {sql_literal(watermark)}"
+    pred = (
+        ""
+        if watermark is None
+        else f" WHERE {cursor_col} > {sql_literal(watermark, style)}"
+    )
     return f"(SELECT * FROM {table}{pred}) AS src"
 
 
 def jdbc_snapshot_reader(
-    spark: SparkSession, url: str, table: str, options: dict | None = None
+    spark: SparkSession,
+    url: str,
+    table: str,
+    options: dict | None = None,
+    style: str | None = None,
 ) -> Callable[[object], DataFrame]:
     """Build a snapshot-read function over JDBC: given a watermark
     value, return rows with cursor beyond it.  The predicate is pushed
     into the database query (dbtable subquery), so each pull scans
-    only new rows server-side."""
+    only new rows server-side.  ``style`` picks the literal grammar
+    (sources/dialect.py); when omitted it is inferred from the URL
+    scheme so the Derby test rigs and Postgres production configs both
+    work unannotated."""
+    if style is None:
+        style = "derby" if url.startswith("jdbc:derby") else "ansi"
 
     def read(watermark, cursor_col: str = "id") -> DataFrame:
         reader = (
             spark.read.format("jdbc")
             .option("url", url)
-            .option("dbtable", cursor_subquery(table, cursor_col, watermark))
+            .option("dbtable", cursor_subquery(table, cursor_col, watermark, style))
         )
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
@@ -166,8 +196,26 @@ def incremental_pulls(
 
     The snapshot_read callable abstracts the source: JDBC in
     production (jdbc_snapshot_reader), a parquet-backed lambda in
-    tests — identical loop either way.
+    tests — identical loop either way.  Readers that accept a
+    ``cursor_col`` keyword (jdbc_snapshot_reader's do) receive THIS
+    loop's cursor column, so the server-side pushdown predicate and
+    the loop's max() always name the same column — the dialect
+    harness caught a non-integer cursor silently comparing against
+    the reader's default column otherwise.
     """
+
+    import inspect
+
+    try:
+        takes_cursor = "cursor_col" in inspect.signature(snapshot_read).parameters
+    except (TypeError, ValueError):  # builtins / C callables
+        takes_cursor = False
+
+    def _read(wm):
+        if takes_cursor:
+            return snapshot_read(wm, cursor_col=cursor_col)
+        return snapshot_read(wm)  # single-arg readers (file-backed rigs)
+
     watermark = None
     if watermark_file and os.path.exists(watermark_file):
         with open(watermark_file) as f:
@@ -181,7 +229,7 @@ def incremental_pulls(
         # duplicates).  persist() makes the max() action materialize the
         # snapshot the consumer will also read; rows that arrive later
         # simply surface in the next pull.
-        batch = snapshot_read(watermark).persist(StorageLevel.MEMORY_AND_DISK)
+        batch = _read(watermark).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             hi = batch.agg(F.max(cursor_col).alias("hi")).collect()[0].hi
             if hi is None:
