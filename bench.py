@@ -155,6 +155,17 @@ def main() -> None:
         timings[label] = round(time.time() - t0, 3)
         jobs[label] = len(tracker.getJobIdsForGroup(label))
 
+    # Touch every table's schema at the timed dir ONCE, outside any
+    # timed window: the first spark.read.parquet per (dir, table)
+    # launches a one-off footer/listing job that otherwise lands in
+    # whichever query's timed row touches that table first (observed
+    # as a stray single-stage "parquet at ..." job).  A production
+    # metastore serves this metadata; billing it to a random query
+    # only adds cross-run ranking noise.
+    from pgshovel_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir)
+
     for name in sorted(qs):
         _drop_stale_blocks(spark)
         sc.setJobGroup(name, name)

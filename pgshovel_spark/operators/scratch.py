@@ -253,7 +253,19 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     truncated-lineage state.  Lazy by default (the first consuming job
     populates the cache — concurrent branches dedup via block-level
     locking); ``eager=True`` forces population now at the cost of one
-    extra job."""
+    extra job.
+
+    Round-7 measurement note: an in-session lazy-vs-eager A/B showed
+    eager "winning" by wide margins, but FRESH-PROCESS reruns (the
+    conditions bench.py records) showed eager equal-or-worse across
+    the family (q_sim_jaccard 13->16 jobs, q_sim_jaccard_prefix ~5s ->
+    23s wall) — the in-session deltas were second-run artifacts of
+    CacheManager entries surviving unpersistRDD.  Per-query A/Bs must
+    run one configuration per process; see EXPERIMENTS.md round 7.
+    The real cold-run lever found the same session: do not cache at
+    all when the shared subtree's top is an exchange (AQE stage reuse
+    dedups it for free) — see q_skyline / q_pipeline_curate /
+    q_text_crossdup / q_important_stock."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     if eager:
         df.count()

@@ -218,6 +218,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges feeds three branches (degrees, orientation, the closing
     # edge set); deg feeds three (both orientation probes, the
     # edge/wedge statistics).  Both are corpus-reduced -> materialize.
+    # (Eager population was A/B'd in round 7: no improvement under
+    # fresh-process bench conditions — 18 jobs eager vs 17 lazy.)
     edges = materialize(
         bysup.filter(m >= 2)
         .select(F.explode(cpairs).alias("p"))

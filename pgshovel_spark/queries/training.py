@@ -387,7 +387,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == "src0").alias("is_eval"),
         F.explode(F.array_distinct(F.expr(_TRI_SPARK))).alias("s"),
     ).select("doc_id", "is_eval", F.xxhash64("s").alias("h"))
-    hashed = materialize(hashed, eager=False)
+    hashed = materialize(hashed)
     train = hashed.filter(~F.col("is_eval")).select("doc_id", "h")
     ev = (
         hashed.filter(F.col("is_eval"))
