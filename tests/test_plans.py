@@ -317,9 +317,12 @@ def test_partition_pruning_never_touches_unselected_dirs(spark, tmp_path):
 def test_registry_wide_plan_lint(spark):
     """No registered query's physical plan may contain a scale
     anti-pattern: CartesianProduct (non-broadcast cross join),
-    BatchEvalPython (row-at-a-time Python UDF), or a non-vectorized
-    parquet scan.  Analyzes plans only — nothing executes — so a new
-    query that regresses onto the slow path fails CI immediately."""
+    BatchEvalPython (row-at-a-time Python UDF), a non-vectorized
+    parquet scan, or a defeated-column-pruning wide read (a FileScan
+    covering >=75% of a >=6-column table outside the reviewed
+    allowlist — at 100 TB the scan is the query cost).  Analyzes plans
+    only — nothing executes — so a new query that regresses onto the
+    slow path fails CI immediately."""
     from tools.plan_lint import lint_all
 
     violations = lint_all(spark)
