@@ -87,7 +87,26 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
-    # round-6 second wave (newest first — never driver-checked):
+    # round-7 plan changes first: the cache-pin removals (skyline /
+    # curate / crossdup / important_stock now lean on AQE exchange
+    # reuse), the exchange-free prefix-sum rank rework (ntile /
+    # topk_global), the fused scalar broadcasts (token_budget /
+    # ngram_pmi / dq_checks), the size-gated PageRank broadcast, and
+    # the half-cadence CC probe consumers
+    "q_skyline",
+    "q_pipeline_curate",
+    "q_text_crossdup",
+    "q_important_stock",
+    "q_win_ntile",
+    "q_topk_global",
+    "q_sample_token_budget",
+    "q_text_ngram_pmi",
+    "q_dq_checks",
+    "q_graph_pagerank",
+    "q_graph_trade_components",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    # round-6 second wave (previously never driver-checked):
     # PageRank, the Q2/Q11/Q20 decision shapes, A-ES weighted
     # sampling, chunk dedup, the integer Gram matrix, snapshot diff,
     # drift PSI, and the job-fusion rewrites (profile_table,
