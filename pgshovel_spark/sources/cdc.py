@@ -158,6 +158,49 @@ def jdbc_snapshot_reader(
     return read
 
 
+def parallel_bootstrap_options(
+    partition_col: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+    snapshot_id: str | None = None,
+) -> dict[str, str]:
+    """JDBC reader options for the PARALLEL initial table copy — the
+    scale path of bootstrap: N partition readers, each its own
+    connection, splitting ``partition_col`` into ``num_partitions``
+    ranges.
+
+    ``snapshot_id`` wires the readers to ONE Postgres exported
+    snapshot (``pg_export_snapshot()`` on the coordinating
+    connection): Spark's JDBC ``sessionInitStatement`` executes on
+    EVERY partition's connection right after it opens, so each reader
+    issues ``SET TRANSACTION SNAPSHOT`` before its range scan and all
+    N ranges observe the same MVCC instant — without it, a row moving
+    between ranges mid-copy is read twice or lost.  The
+    per-connection execution guarantee (one init per partition
+    connection) is proven LIVE on Derby in
+    tests/test_dialect.py::test_parallel_bootstrap_session_init; the
+    Postgres-specific statement text needs a live server and is the
+    declared 'snapshot-export' quirk (sources/dialect.py).
+    """
+    if not _IDENT.fullmatch(partition_col):
+        raise ValueError(f"partition_col is not a plain identifier: {partition_col!r}")
+    opts = {
+        "partitionColumn": partition_col,
+        "lowerBound": str(int(lower)),
+        "upperBound": str(int(upper)),
+        "numPartitions": str(int(num_partitions)),
+    }
+    if snapshot_id is not None:
+        if "'" in snapshot_id:
+            raise ValueError(f"malformed snapshot id: {snapshot_id!r}")
+        opts["sessionInitStatement"] = (
+            "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
+            f"SET TRANSACTION SNAPSHOT '{snapshot_id}'"
+        )
+    return opts
+
+
 def _encode_watermark(v: object) -> dict:
     """JSON-safe watermark encoding with a type tag so a restart
     restores the exact Python type (datetime/date/Decimal cursors would

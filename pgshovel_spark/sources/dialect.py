@@ -247,11 +247,12 @@ POSTGRES = Dialect(
             "snapshot-export",
             "pg_export_snapshot() lets N parallel bootstrap readers "
             "share one REPEATABLE READ snapshot",
-            "bootstrap_consistent_state accepts a snapshot_id option "
-            "that each partition's connection applies via SET "
-            "TRANSACTION SNAPSHOT; untested without a server — the "
-            "single-connection fallback (the Derby-tested path) is "
-            "the default",
+            "cdc.parallel_bootstrap_options(snapshot_id=...) emits the "
+            "partitioned-read options whose sessionInitStatement runs "
+            "SET TRANSACTION SNAPSHOT on every partition connection; "
+            "the per-connection execution guarantee is proven live on "
+            "Derby (test_parallel_bootstrap_session_init), the "
+            "Postgres statement text itself needs a live server",
         ),
     ),
 )

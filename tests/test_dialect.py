@@ -187,3 +187,68 @@ def test_dialect_registry_and_derby_quirks():
     derby_cursors = {t.kind for t in DERBY.types if t.cursor}
     pg_cursors = {t.kind for t in POSTGRES.types if t.cursor}
     assert derby_cursors == pg_cursors
+
+
+def test_parallel_bootstrap_session_init(spark, tmp_path):
+    """The parallel-bootstrap seam, proven live: a partitioned JDBC
+    read opens one connection per partition, and Spark executes
+    ``sessionInitStatement`` on EVERY one of them — the exact hook
+    ``SET TRANSACTION SNAPSHOT`` needs so N Postgres range readers
+    share one exported snapshot.  Derby can't run the Postgres
+    statement, so the init here is an INSERT into a log table: the
+    row count after the read IS the number of connections that ran
+    the init (>= the partition count), and the partitioned read's
+    rows must equal the unpartitioned read's exactly."""
+    from pgshovel_spark.sources.cdc import parallel_bootstrap_options
+
+    url, con = _derby_conn(spark, tmp_path, "pboot")
+    st = con.createStatement()
+    st.executeUpdate("CREATE TABLE src (id INT PRIMARY KEY, v DOUBLE)")
+    st.executeUpdate("CREATE TABLE conn_log (marker INT)")
+    for i in range(1, 101):
+        st.executeUpdate(f"INSERT INTO src VALUES ({i}, {i * 0.5})")
+
+    opts = parallel_bootstrap_options("id", 1, 101, 4)
+    opts["sessionInitStatement"] = "INSERT INTO conn_log VALUES (1)"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", DERBY.driver)
+        .option("dbtable", "src")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    part = reader.load()
+    assert part.rdd.getNumPartitions() == 4
+    got = sorted(r.ID for r in part.collect())
+    assert got == list(range(1, 101))
+
+    rs = st.executeQuery("SELECT COUNT(*) FROM conn_log")
+    rs.next()
+    n_inits = rs.getInt(1)
+    assert n_inits >= 4, f"init ran on only {n_inits} connections"
+    st.close()
+    con.close()
+
+
+def test_parallel_bootstrap_snapshot_statement():
+    """The Postgres form: snapshot_id composes the REPEATABLE READ +
+    SET TRANSACTION SNAPSHOT init statement; malformed ids are
+    rejected (the id lands inside a SQL literal)."""
+    import pytest as _pytest
+
+    from pgshovel_spark.sources.cdc import parallel_bootstrap_options
+
+    opts = parallel_bootstrap_options(
+        "id", 0, 1000, 8, snapshot_id="00000003-0000001B-1"
+    )
+    assert opts["numPartitions"] == "8"
+    assert (
+        opts["sessionInitStatement"]
+        == "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; "
+        "SET TRANSACTION SNAPSHOT '00000003-0000001B-1'"
+    )
+    with _pytest.raises(ValueError):
+        parallel_bootstrap_options("id", 0, 1, 2, snapshot_id="x' --")
+    with _pytest.raises(ValueError):
+        parallel_bootstrap_options("id; DROP TABLE x", 0, 1, 2)
