@@ -116,6 +116,10 @@ PANEL = (
     "q_embed_gram",           # int64 Arrow Gram partials
     "q_cdc_snapshot_diff",    # one-pass dual-snapshot aggregate
     "q_drift_psi",            # conditional-agg histogram + fold
+    # round-7 uncached rewrites (exchange-reuse instead of persist —
+    # rehearse that the shared-subtree recompute stays amortized at 10x)
+    "q_skyline",
+    "q_pipeline_curate",
 )
 
 
