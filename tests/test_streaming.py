@@ -907,7 +907,6 @@ def test_weighted_reservoir_equals_batch_sample(spark, tmp_path):
     is exactly the batch sample (ids, weights, AND the rounded keys).
     Also pins the candidate-stream bound: each bucket emits at most
     (k + arrivals-that-entered) rows, so the sink stays tiny."""
-    from pgshovel_spark.queries.training import q_sample_weighted
     from pgshovel_spark.streaming.ops import weighted_reservoir
 
     docs = load_table(spark, SF, "documents").orderBy("doc_id")
@@ -1118,3 +1117,65 @@ def test_jdbc_merge_sink_streams_into_live_derby(spark, tmp_path, event_files):
     # full replay with a fresh checkpoint: idempotent (newer-guard bites)
     sink.run(stream(), checkpoint_dir=str(tmp_path / "ckpt2"))
     assert derby_state() == want
+
+
+def test_stateful_ops_on_rocksdb_state_store(spark, event_files, tmp_path):
+    """The production state backend: at 100 TB of stream state the
+    default HDFS-backed store holds every key on the executor heap —
+    RocksDB keeps state off-heap with incremental checkpoints.  Run
+    the SAME stateful operators (dropDuplicatesWithinWatermark dedup
+    and the applyInPandasWithState weighted reservoir) under
+    ``spark.sql.streaming.stateStore.providerClass = RocksDB...`` and
+    assert outputs identical to the default-provider runs — state
+    semantics must not depend on the backend, so the engine can flip
+    the provider per deployment without re-validating operators."""
+    from pgshovel_spark.streaming.ops import weighted_reservoir
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+
+    docs = load_table(spark, SF, "documents")
+    docs_path = str(tmp_path / "rocks_docs")
+    docs.coalesce(1).write.parquet(docs_path)
+
+    def dedup_keys(tag):
+        out = stream_dedup(
+            _events_stream(spark, event_files), ["user_id", "event_type"]
+        )
+        run_to_memory(out, f"rocks_dedup_{tag}")
+        return {
+            (r.user_id, r.event_type)
+            for r in spark.sql(
+                f"SELECT user_id, event_type FROM rocks_dedup_{tag}"
+            ).collect()
+        }
+
+    def reservoir_sample(tag):
+        stream = spark.readStream.schema(docs.schema).parquet(docs_path)
+        run_to_memory(weighted_reservoir(stream, k=50), f"rocks_res_{tag}")
+        # exact global sample = k-smallest over all emitted candidates
+        return {
+            (r.doc_id, r.priority)
+            for r in spark.sql(
+                f"SELECT * FROM rocks_res_{tag} ORDER BY priority, doc_id LIMIT 50"
+            ).collect()
+        }
+
+    try:
+        base_dedup = dedup_keys("default")
+        base_res = reservoir_sample("default")
+        spark.conf.set(provider_key, rocks)
+        rocks_dedup = dedup_keys("rocksdb")
+        rocks_res = reservoir_sample("rocksdb")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    assert rocks_dedup == base_dedup
+    assert rocks_res == base_res
