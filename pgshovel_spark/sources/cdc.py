@@ -261,9 +261,18 @@ def incremental_pulls(
 
     watermark = None
     if watermark_file and os.path.exists(watermark_file):
-        with open(watermark_file) as f:
-            raw = json.load(f)["watermark"]
-        watermark = _decode_watermark(raw) if isinstance(raw, dict) else raw
+        # A corrupt watermark file (crash mid-write of a NON-atomic
+        # writer, disk-full truncation) must degrade to a FULL re-pull
+        # (watermark None), never a wedged loop: the consumer contract
+        # is at-least-once, so re-delivery is safe and an idempotent
+        # sink absorbs it.  The writer below is atomic (tmp + rename),
+        # so this path only fires for files damaged by outside causes.
+        try:
+            with open(watermark_file) as f:
+                raw = json.load(f)["watermark"]
+            watermark = _decode_watermark(raw) if isinstance(raw, dict) else raw
+        except (ValueError, KeyError, OSError):
+            watermark = None
     pulls = 0
     while max_pulls is None or pulls < max_pulls:
         # Pin the batch before reading its max: the JDBC read is lazy,
@@ -282,9 +291,19 @@ def incremental_pulls(
             batch.unpersist()
         watermark = hi
         if watermark_file:
+            # Atomic commit: write-temp + rename, so a crash at ANY
+            # instant leaves either the previous watermark or the new
+            # one — never a torn file.  A torn watermark would crash
+            # every restart (json error) until manually deleted; with
+            # rename the worst case is re-pulling one batch
+            # (at-least-once, idempotent sink).
             os.makedirs(os.path.dirname(watermark_file) or ".", exist_ok=True)
-            with open(watermark_file, "w") as f:
+            tmp = watermark_file + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"watermark": _encode_watermark(watermark)}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, watermark_file)
         pulls += 1
 
 

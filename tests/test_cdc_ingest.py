@@ -250,3 +250,68 @@ def test_incremental_pulls_live_jdbc_embedded_derby(spark, tmp_path):
     assert again == []
     st.close()
     con.close()
+
+
+def test_watermark_corruption_degrades_to_full_repull(spark, tmp_path):
+    """A torn/corrupt watermark file (crash mid-write by an outside
+    writer, disk-full truncation) must degrade to watermark None —
+    a full re-pull under the at-least-once contract — not a wedged
+    loop that crashes every restart until someone deletes the file."""
+    from pgshovel_spark.sources.cdc import incremental_pulls
+
+    rows = [(i, i * 1.0) for i in range(1, 6)]
+
+    def read(wm, cursor_col="id"):
+        df = spark.createDataFrame(rows, "id int, v double")
+        return df if wm is None else df.filter(F.col("id") > wm)
+
+    wf = str(tmp_path / "wm.json")
+    for corrupt in ('{"waterm', "", '{"other": 1}', "\x00\x00"):
+        with open(wf, "w") as f:
+            f.write(corrupt)
+        batches = list(incremental_pulls(read, "id", watermark_file=wf, max_pulls=3))
+        assert len(batches) == 1 and batches[0].count() == 5, repr(corrupt)
+        # and the loop REPAIRED the file: a fresh loop resumes cleanly
+        assert list(incremental_pulls(read, "id", watermark_file=wf, max_pulls=3)) == []
+
+
+def test_watermark_write_is_atomic(spark, tmp_path, monkeypatch):
+    """The watermark commit goes through tmp + os.replace: if the
+    process dies between the tmp write and the rename, the previous
+    watermark file is intact (no torn state)."""
+    import os as _os
+
+    from pgshovel_spark.sources import cdc as cdc_mod
+
+    rows = [(i, i * 1.0) for i in range(1, 4)]
+
+    def read(wm, cursor_col="id"):
+        df = spark.createDataFrame(rows, "id int, v double")
+        return df if wm is None else df.filter(F.col("id") > wm)
+
+    wf = str(tmp_path / "wm.json")
+    # first loop commits wm=3 normally
+    list(cdc_mod.incremental_pulls(read, "id", watermark_file=wf, max_pulls=2))
+    before = open(wf).read()
+
+    # crash INSIDE the commit: os.replace raises after the tmp write
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        raise OSError("simulated crash before rename")
+
+    monkeypatch.setattr(cdc_mod.os, "replace", boom)
+    rows.append((4, 4.0))
+    it = cdc_mod.incremental_pulls(read, "id", watermark_file=wf, max_pulls=2)
+    b = next(it)
+    assert b.count() == 1  # the id=4 delta
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        next(it)  # commit of wm=4 crashes
+    monkeypatch.setattr(cdc_mod.os, "replace", real_replace)
+    # the visible watermark file is EXACTLY the pre-crash state
+    assert open(wf).read() == before
+    # restart re-pulls the uncommitted batch (at-least-once)
+    again = list(cdc_mod.incremental_pulls(read, "id", watermark_file=wf, max_pulls=3))
+    assert len(again) == 1 and again[0].count() == 1
