@@ -208,3 +208,83 @@ def test_cdc_pipeline_end_to_end_live_jdbc(spark, tmp_path):
     }
     st.close()
     con.close()
+
+
+def test_replication_set_multi_table_live_pull(spark, tmp_path):
+    """The reference's capture UNIT is the replication SET — several
+    tables advancing independent watermarks under one named config.
+    Live on Derby: a 2-table set with HETEROGENEOUS cursor types (an
+    integer sequence and a microsecond timestamp), one pull loop per
+    table driven off ReplicationSet.watermark_path, live inserts into
+    BOTH tables, then a process 'restart' (fresh loops) that resumes
+    each table from ITS OWN watermark file and sees exactly its own
+    delta — no cross-table bleed, no re-delivery."""
+    import datetime
+
+    from pgshovel_spark.sources.cdc import (
+        ReplicationSet,
+        incremental_pulls,
+        jdbc_snapshot_reader,
+    )
+
+    rset = ReplicationSet(
+        "shop",
+        {
+            "orders_src": {"cursor_col": "seq", "key_cols": ["okey"]},
+            "audit_src": {"cursor_col": "at_ts", "key_cols": ["aid"]},
+        },
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    url = f"jdbc:derby:{tmp_path}/shopdb;create=true"
+    jvm = spark._jvm
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.executeUpdate("CREATE TABLE orders_src (seq INT PRIMARY KEY, okey INT, amt DOUBLE)")
+    st.executeUpdate("CREATE TABLE audit_src (at_ts TIMESTAMP, aid INT, what VARCHAR(20))")
+    for seq, okey, amt in [(1, 10, 5.0), (2, 11, 6.0)]:
+        st.executeUpdate(f"INSERT INTO orders_src VALUES ({seq}, {okey}, {amt})")
+    base = datetime.datetime(2026, 4, 1, 9, 0, 0)
+    ps = con.prepareStatement("INSERT INTO audit_src VALUES (?, ?, ?)")
+    for i in range(3):
+        ps.setTimestamp(1, jvm.java.sql.Timestamp.valueOf(
+            (base + datetime.timedelta(microseconds=i)).isoformat(sep=" ")))
+        ps.setInt(2, i)
+        ps.setString(3, f"ev{i}")
+        ps.executeUpdate()
+
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    readers = {
+        t: jdbc_snapshot_reader(spark, url, t, opts) for t in rset.tables
+    }
+
+    def pull_all():
+        """One sweep over the set: {table: rows_delivered}."""
+        out = {}
+        for t, spec in rset.tables.items():
+            n = 0
+            for batch in incremental_pulls(
+                readers[t],
+                spec["cursor_col"].upper(),
+                watermark_file=rset.watermark_path(t),
+                max_pulls=4,
+            ):
+                n += batch.count()
+            out[t] = n
+        return out
+
+    assert pull_all() == {"orders_src": 2, "audit_src": 3}
+
+    # live mutations on both tables
+    st.executeUpdate("INSERT INTO orders_src VALUES (3, 12, 7.0)")
+    ps.setTimestamp(1, jvm.java.sql.Timestamp.valueOf(
+        (base + datetime.timedelta(microseconds=3)).isoformat(sep=" ")))
+    ps.setInt(2, 3)
+    ps.setString(3, "ev3")
+    ps.executeUpdate()
+
+    # 'restart': fresh loops resume per-table from their own files
+    assert pull_all() == {"orders_src": 1, "audit_src": 1}
+    # idempotent: nothing new -> nothing delivered
+    assert pull_all() == {"orders_src": 0, "audit_src": 0}
+    st.close()
+    con.close()
