@@ -394,3 +394,104 @@ def test_dedup_chunks_hashed_join(spark):
     shuffle rows), never on chunk strings."""
     plan = _plan(spark, "q_dedup_chunks")
     assert "xxhash64" in plan
+
+
+def test_cbo_join_reorder_with_table_stats(spark, tmp_path):
+    """Cost-based join reordering — the Catalyst lever a 100 TB
+    deployment buys with ANALYZE TABLE.  Without stats, the optimizer
+    keeps the user's join order (fact JOIN orders first: a fact-sized
+    intermediate); with row/column stats and CBO on, it reorders to
+    join the selectively-filtered customer dimension into orders FIRST,
+    so the fact table joins against an already-reduced right side.
+    Pinned on the optimized logical plan (broadcasts disabled so order
+    is the only lever); catalog tables land in the /tmp warehouse."""
+    import shutil
+
+    from pgshovel_spark.sources.tables import load_table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("w_lineitem", "w_orders", "w_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # an orphaned location (killed prior session) blocks managed-
+        # table creation even after DROP
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    load_table(spark, SF, "lineitem").write.mode("overwrite").saveAsTable(
+        "w_lineitem"
+    )
+    load_table(spark, SF, "orders").write.mode("overwrite").saveAsTable(
+        "w_orders"
+    )
+    load_table(spark, SF, "customer").write.mode("overwrite").saveAsTable(
+        "w_customer"
+    )
+    q = """
+        SELECT c.c_mktsegment, SUM(l.l_extendedprice) AS rev
+        FROM w_lineitem l
+        JOIN w_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN w_customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY c.c_mktsegment
+    """
+
+    def inner_join_tables(plan: str) -> set[str]:
+        """Tables under the INNERMOST join = whichever pair the
+        optimizer decided to join first.  Walks the indented tree:
+        the innermost join's subtree is the run of lines strictly
+        deeper-indented than the join line itself."""
+        import re as _re
+
+        lines = plan.splitlines()
+
+        def indent(ln: str) -> int:
+            return len(ln) - len(ln.lstrip(" :+-"))
+
+        join_idxs = [i for i, ln in enumerate(lines) if "Join Inner" in ln]
+        innermost = max(join_idxs, key=lambda i: indent(lines[i]))
+        d = indent(lines[innermost])
+        sub = []
+        for ln in lines[innermost + 1 :]:
+            if ln.strip() and indent(ln) <= d:
+                break
+            sub.append(ln)
+        return set(_re.findall(r"default\.(w_\w+)", "\n".join(sub)))
+
+    conf = spark.conf
+    old = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.cbo.enabled", "true")
+        conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        before = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        assert inner_join_tables(before) == {"w_lineitem", "w_orders"}
+
+        for t in ("w_lineitem", "w_orders", "w_customer"):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        after = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        assert inner_join_tables(after) == {"w_orders", "w_customer"}
+        # stats actually landed: rowCount visible on the catalog table
+        st = (
+            spark.table("w_orders")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+        assert "rowCount" in st
+        # and the reordered plan computes the same answer
+        got = {tuple(r) for r in spark.sql(q).collect()}
+        assert len(got) == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+        for t in ("w_lineitem", "w_orders", "w_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
