@@ -252,3 +252,71 @@ def test_parallel_bootstrap_snapshot_statement():
         parallel_bootstrap_options("id", 0, 1, 2, snapshot_id="x' --")
     with _pytest.raises(ValueError):
         parallel_bootstrap_options("id; DROP TABLE x", 0, 1, 2)
+
+
+def test_literal_grammar_property_live_derby(spark, tmp_path):
+    """Generative conformance for the literal grammar on a LIVE parser:
+    arbitrary microsecond timestamps, decimals, and adversarial strings
+    (quotes, backslashes, unicode) rendered by sql_literal(style=derby)
+    must parse AND select exactly the row the driver bound — across the
+    whole value space, not just the curated matrix samples."""
+    import datetime as _dt
+    import decimal as _dec
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    url, con = _derby_conn(spark, tmp_path, "prop")
+    jvm = spark._jvm
+    st_ = con.createStatement()
+    st_.executeUpdate(
+        "CREATE TABLE p_conf (id INT PRIMARY KEY, ts TIMESTAMP, "
+        "dc DECIMAL(20,6), tx VARCHAR(120))"
+    )
+    ps = con.prepareStatement("INSERT INTO p_conf VALUES (?, ?, ?, ?)")
+    counter = [0]
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ts=st.datetimes(
+            min_value=_dt.datetime(1753, 1, 1),
+            max_value=_dt.datetime(9999, 12, 30),
+        ),
+        dc=st.decimals(
+            min_value=_dec.Decimal("-99999999999999.999999"),
+            max_value=_dec.Decimal("99999999999999.999999"),
+            allow_nan=False,
+            allow_infinity=False,
+            places=6,
+        ),
+        tx=st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+    )
+    def check(ts, dc, tx):
+        counter[0] += 1
+        i = counter[0]
+        ps.setInt(1, i)
+        ps.setTimestamp(2, jvm.java.sql.Timestamp.valueOf(ts.isoformat(sep=" ")))
+        ps.setBigDecimal(3, jvm.java.math.BigDecimal(str(dc)))
+        ps.setString(4, tx)
+        ps.executeUpdate()
+        for col, val in (("ts", ts), ("dc", dc), ("tx", tx)):
+            lit = sql_literal(val, "derby")
+            rs = st_.executeQuery(
+                f"SELECT COUNT(*) FROM p_conf WHERE id = {i} AND {col} = {lit}"
+            )
+            rs.next()
+            assert rs.getInt(1) == 1, f"{col}={val!r} literal={lit}"
+
+    check()
+    st_.close()
+    con.close()
