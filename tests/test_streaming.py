@@ -907,6 +907,7 @@ def test_weighted_reservoir_equals_batch_sample(spark, tmp_path):
     is exactly the batch sample (ids, weights, AND the rounded keys).
     Also pins the candidate-stream bound: each bucket emits at most
     (k + arrivals-that-entered) rows, so the sink stays tiny."""
+    from pgshovel_spark.queries.training import q_sample_weighted
     from pgshovel_spark.streaming.ops import weighted_reservoir
 
     docs = load_table(spark, SF, "documents").orderBy("doc_id")
