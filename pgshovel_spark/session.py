@@ -63,6 +63,17 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan efficiency ---
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark's DEFAULT parquet timestamp encoding is legacy INT96,
+        # which carries NO column statistics: every timestamp-filtered
+        # scan over OUR OWN written tables (warehouse artifacts,
+        # bucketed tables, merge-sink output) decodes every row group —
+        # zero min/max skipping on the single most common fact-table
+        # filter column.  TIMESTAMP_MICROS is the modern INT64 logical
+        # type: stats are written, row-group pruning works (measured
+        # 60k -> 3.3k decoded rows on a month filter over a
+        # shipdate-sorted table, EXPERIMENTS.md round 7), and readers
+        # (Spark/DuckDB/Arrow) agree on semantics.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config(
             "spark.sql.codegen.wholeStage",
             os.environ.get("SPARK_GRAFT_WSCG", "true"),
