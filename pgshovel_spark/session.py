@@ -74,6 +74,11 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         # shipdate-sorted table, EXPERIMENTS.md round 7), and readers
         # (Spark/DuckDB/Arrow) agree on semantics.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # zstd over the snappy default: 2.4x smaller files at equal-or-
+        # faster scan time on this corpus (EXPERIMENTS.md round 7) —
+        # at 100 TB the write CPU premium repays itself in IO on the
+        # first full read.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config(
             "spark.sql.codegen.wholeStage",
             os.environ.get("SPARK_GRAFT_WSCG", "true"),

@@ -122,3 +122,72 @@ def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
     assert after_rows == before_rows
     assert not os.path.exists(path + ".compact")
     assert not os.path.exists(path + ".old")
+
+
+def test_partitioned_writer_bloom_and_cluster_levers(spark, tmp_path):
+    """The write_partitioned data-skipping levers, measured on decoded
+    rows (the scan node's numOutputRows = rows surviving row-group
+    skipping, before the exact Filter): clustering serves range
+    filters, blooms serve point lookups on a different column — both
+    below the partition level."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.sources.formats import with_date_partition, write_partitioned
+    from pgshovel_spark.sources.tables import load_table
+
+    li = with_date_partition(
+        load_table(spark, "/root/testdata/sf0.01", "lineitem"),
+        "l_shipdate",
+        "p_year",
+    ).withColumn("p_year", F.substring("p_year", 1, 4))
+    plain = str(tmp_path / "plain")
+    tuned = str(tmp_path / "tuned")
+    # small row groups on BOTH sides so skipping is possible at this SF
+    li.coalesce(1).write.mode("overwrite").option(
+        "parquet.block.size", 16384
+    ).partitionBy("p_year").parquet(plain)
+    write_partitioned(
+        li.coalesce(1),
+        tuned,
+        ["p_year"],
+        cluster_by=["l_orderkey"],
+        bloom_cols={"l_partkey": 2000},
+        **{"parquet.block.size": "16384"},
+    )
+
+    def decoded(path, pred):
+        df = spark.read.parquet(path).filter(pred)
+        n = len(df.collect())
+        out = []
+
+        def walk(node):
+            if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan())
+                return
+            m = node.metrics().iterator()
+            while m.hasNext():
+                kv = m.next()
+                if kv._1() == "numOutputRows" and "Scan" in node.nodeName():
+                    out.append(kv._2().value())
+            ch = node.children().iterator()
+            while ch.hasNext():
+                walk(ch.next())
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return n, sum(out)
+
+    # point lookup on the bloom column: same answer, fewer decoded rows
+    some_key = li.select("l_partkey").first()[0]
+    pred = F.col("l_partkey") == some_key
+    n_p, dec_p = decoded(plain, pred)
+    n_t, dec_t = decoded(tuned, pred)
+    assert n_p == n_t and n_p > 0
+    assert dec_t < dec_p, (dec_t, dec_p)
+
+    # range filter on the cluster column: fewer decoded rows too
+    lo, hi = 100, 400
+    pred = (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    n_p, dec_p = decoded(plain, pred)
+    n_t, dec_t = decoded(tuned, pred)
+    assert n_p == n_t and n_p > 0
+    assert dec_t < dec_p, (dec_t, dec_p)
