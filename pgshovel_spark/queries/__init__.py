@@ -87,6 +87,17 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
+    # round-8 plan changes first (the job-count collapse rewrites):
+    # single-row bitmask bloom filter, map-broadcast CMS + uncached
+    # token_counts scan (hll/zipf share it), struct-min Q2 winner,
+    # single-pk-shuffle Q20, padded-union DQ aggregate
+    "q_bloom_prune",
+    "q_sketch_cms",
+    "q_sketch_hll",
+    "q_text_zipf",
+    "q_min_cost_supplier",
+    "q_excess_inventory",
+    "q_dq_checks",
     # round-7 plan changes first: the cache-pin removals (skyline /
     # curate / crossdup / important_stock now lean on AQE exchange
     # reuse), the exchange-free prefix-sum rank rework (ntile /

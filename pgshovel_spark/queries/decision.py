@@ -970,19 +970,19 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     For every STANDARD-type part, find the EUROPE supplier offering
     the lowest derived unit cost; the correlated ``(SELECT MIN ...)``
-    decorrelates to a per-part aggregate joined back to the offer
-    table, and the winning supplier is resolved by an exact
-    (cost, suppkey) equi-join — the tie rule that makes the top-20 a
-    total order.
+    plus its (cost, suppkey) tie rule collapse to one lexicographic
+    ``min(struct(cost, suppkey))`` per part — the tie rule that makes
+    the top-20 a total order (the oracle keeps the naive decorrelated
+    aggregate-and-join-back form).
 
     Determinism: unit cost is ONE IEEE double division per line (bit
     identical on both engines), MIN of identical doubles is identical,
     and the final ordering ties on the integer part key.
 
-    Scale: offers are a lineitem-sized partial aggregate that combines
-    map-side; everything after it is part-table-sized, so AQE
-    broadcasts the dimension joins — the only big shuffle is the
-    (partkey, suppkey) aggregate.
+    Scale: the struct-min is a lineitem-sized partial aggregate that
+    combines map-side; everything after it is part-table-sized and the
+    dimension joins broadcast — the only big shuffle is the partkey
+    aggregate.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -995,33 +995,44 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     # per-part minima are independent across parts, so the part-type
-    # slice pushes below BOTH aggregates: semi-join the fact table down
-    # to the qualifying parts before any shuffle (the oracle leaves the
-    # filter in its natural outer position — same result, more work)
-    offers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
-        .join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    )
-    # the correlated MIN + tie rule is ONE ranked window over the
-    # offer table — (cost, suppkey) ASC, keep rank 1 — replacing the
-    # per-part MIN aggregate + equality join-back (2 exchanges fewer;
-    # the oracle keeps the naive decorrelated-join form)
-    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
-    winner = (
-        offers.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("l_partkey").alias("p_key"),
-            F.col("l_suppkey").alias("s_suppkey"),
-            "unit_cost",
-        )
-    )
+    # slice pushes below the aggregate: join the fact table down to the
+    # qualifying parts before any shuffle (an INNER join carrying
+    # p_name, not a semi — the identical projection+filter subtree then
+    # canonicalizes equal to nothing else, and p is scanned once; the
+    # oracle leaves the filter in its natural outer position).
+    #
+    # The correlated MIN + tie rule is ONE lexicographic struct-min per
+    # part: min(struct(cost, suppkey)) over ALL of a part's lines IS
+    # (min unit cost, lowest suppkey achieving it) — the per-(part,
+    # supplier) MIN, the per-part MIN-of-MINs, the (cost, suppkey)
+    # tie-break join-back, and the ranked window all collapse into a
+    # single map-side-combining aggregate with ONE exchange (the
+    # former plan paid the (partkey, suppkey) aggregate exchange PLUS
+    # a partkey window exchange).  s_name rides INSIDE the struct
+    # (compared only on a (cost, suppkey) tie, which the unique
+    # suppkey forecloses), so no join-back to eu_sup is needed at all
+    # — the former second broadcast build of eu_sup (not even
+    # reusable: its other site pruned s_name away) disappears.
     return (
-        winner.join(F.broadcast(p), F.col("p_key") == p.p_partkey)
-        .join(F.broadcast(eu_sup), "s_suppkey")
-        .select("p_partkey", "p_name", "s_name", "unit_cost")
+        li.join(F.broadcast(p.select("p_partkey", "p_name")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+                    F.col("l_suppkey").alias("sk"),
+                    F.col("s_name").alias("s_name"),
+                )
+            ).alias("win"),
+            F.first("p_name").alias("p_name"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("win.s_name").alias("s_name"),
+            F.col("win.unit_cost").alias("unit_cost"),
+        )
         .orderBy("unit_cost", "p_partkey")
         .limit(20)
     )
@@ -1129,9 +1140,18 @@ def q_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier.  All quantities are integers, so the 30% comparison is
     exact cross-engine in integer arithmetic (qty * 10 > tot * 3).
 
-    Scale: both aggregates are the SAME shuffle key family (partkey
-    prefix) — the per-part total re-aggregates the (part, supplier)
-    table, not lineitem; the dimension joins broadcast.
+    Scale: ONE shuffle of the filtered fact slice, keyed on partkey,
+    feeds the whole correlated pipeline — the (part, supplier)
+    aggregate runs exchange-free on it (hash(partkey) satisfies the
+    (partkey, suppkey) clustering: equal pairs share a partkey), the
+    per-part total is a window SUM over the same partitioning (no
+    re-shuffle, no join-back), and only the supplier-sized dominant
+    set re-keys.  The explicit pk-repartition trades the partial
+    aggregate away, but the (pk, sk) groups are near-unique per map
+    partition (~6 lines per pair spread across the cluster), so the
+    map-side combine it replaces removed almost nothing — while the
+    former plan's extra (pk, sk) exchange, partkey re-aggregate, and
+    equality join-back each shuffled the same table again.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
@@ -1143,12 +1163,14 @@ def q_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     ps_qty = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .repartition(spark.sparkContext.defaultParallelism, "l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").cast("long").alias("qty"))
     )
-    part_tot = ps_qty.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    tot = F.sum("qty").over(Window.partitionBy("l_partkey"))
     dominant = (
-        ps_qty.join(part_tot, "l_partkey")
+        ps_qty.withColumn("tot", tot)
         .filter(F.col("qty") * 10 > F.col("tot") * 3)
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_parts_dominated"))

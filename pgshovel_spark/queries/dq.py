@@ -24,99 +24,102 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fused plan: the referential checks ride the SAME scan as their
     fact table's row checks — orders' PK/date/FK-to-customer checks
-    are one aggregate over ``orders LEFT JOIN customer`` (the dim key
-    is a PK, so the join is 1:1 and preserves fact counts — the exact
-    assumption the oracle's own LEFT-JOIN counts embed), and both
-    lineitem range checks plus its FK-to-orders check are one
-    aggregate over ``lineitem LEFT JOIN orders(keys)``.  Each one-row
-    partial ``stack``s out to its constraint rows and the partials
-    UNION (no exchange).  vs the naive 8-branch union: orders drops
-    from three scans to two (fact + FK key side), lineitem from two
-    to one — at 100 TB the scans are the whole cost of a DQ gate, and
-    both dim sides broadcast (keys only), so the fused plan adds no
-    shuffle over the bare row checks."""
+    flow from ``orders LEFT JOIN customer`` (the dim key is a PK, so
+    the join is 1:1 and preserves fact counts — the exact assumption
+    the oracle's own LEFT-JOIN counts embed), and both lineitem range
+    checks plus its FK-to-orders check from ``lineitem LEFT JOIN
+    orders(keys)``.  All four table legs then union into ONE
+    padded-schema stream feeding ONE global aggregate: each leg tags
+    its rows and pads the others' flag columns with nulls, the
+    partial aggregate collapses every map partition to constant-size
+    state before any exchange (sums of flags; the PK check's COUNT
+    DISTINCT keeps only distinct order keys per partition), and the
+    single one-row result ``stack``s out to the 8 constraint rows.
+    vs the per-leg aggregates this fuses away three separate
+    final-aggregate exchange stages; vs the naive 8-branch union:
+    orders drops from three scans to two (fact + FK key side),
+    lineitem from two to one — at 100 TB the scans are the whole cost
+    of a DQ gate, and both dim sides broadcast (keys only)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
     ev = load_table(spark, sf_dir, "events")
 
-    viol = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
-    # orders row checks + FK-to-customer in ONE pass over the join.
-    o_agg = (
+    flag = lambda cond: cond.cast("long")  # noqa: E731
+    zero = F.lit(0).cast("long")
+    null_l = F.lit(None).cast("long")
+
+    o_leg = (
         o.select("o_orderkey", "o_orderdate", "o_custkey")
         .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left")
-        .agg(
-            F.count(F.lit(1)).alias("o_n"),
-            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("o_pk_viol"),
-            viol(
+        .select(
+            F.lit(0).alias("leg"),
+            F.col("o_orderkey").alias("dkey"),
+            flag(
                 ~F.col("o_orderdate").between(
                     F.lit("1990-01-01").cast("timestamp"),
                     F.lit("2030-01-01").cast("timestamp"),
                 )
-            ).alias("o_date_viol"),
-            viol(F.col("c_custkey").isNull()).alias("fkoc_viol"),
+            ).alias("f1"),
+            flag(F.col("c_custkey").isNull()).alias("f2"),
+            zero.alias("f3"),
         )
     )
-    # lineitem range checks + FK-to-orders in ONE pass over the join.
-    li_agg = (
+    li_leg = (
         li.select("l_orderkey", "l_quantity", "l_discount")
         .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left")
-        .agg(
-            F.count(F.lit(1)).alias("li_n"),
-            viol(~F.col("l_quantity").between(1, 50)).alias("li_qty_viol"),
-            viol(~F.col("l_discount").between(0.0, 0.5)).alias("li_disc_viol"),
-            viol(F.col("o_orderkey").isNull()).alias("fklo_viol"),
+        .select(
+            F.lit(1).alias("leg"),
+            null_l.alias("dkey"),
+            flag(~F.col("l_quantity").between(1, 50)).alias("f1"),
+            flag(~F.col("l_discount").between(0.0, 0.5)).alias("f2"),
+            flag(F.col("o_orderkey").isNull()).alias("f3"),
         )
     )
-    c_agg = c.agg(
-        F.count(F.lit(1)).alias("c_n"),
-        viol(F.col("c_name").isNull()).alias("c_name_viol"),
+    c_leg = c.select(
+        F.lit(2).alias("leg"),
+        null_l.alias("dkey"),
+        flag(F.col("c_name").isNull()).alias("f1"),
+        zero.alias("f2"),
+        zero.alias("f3"),
     )
-    ev_agg = ev.agg(
-        F.count(F.lit(1)).alias("ev_n"),
-        viol(F.col("value") < 0).alias("ev_val_viol"),
+    ev_leg = ev.select(
+        F.lit(3).alias("leg"),
+        null_l.alias("dkey"),
+        flag(F.col("value") < 0).alias("f1"),
+        zero.alias("f2"),
+        zero.alias("f3"),
     )
-    # Each one-row partial fans out to its own constraint rows with a
-    # local stack, and the four partials UNION together — a union is a
-    # no-exchange concatenation, where the previous crossJoin chain
-    # paid a broadcast-exchange build per joined partial (3 extra AQE
-    # stage jobs) to assemble the same 8 rows.
-    out = (
-        o_agg.select(
-            F.expr(
-                "stack(3,"
-                " 'orders_pk_unique', o_n, o_pk_viol,"
-                " 'orders_date_in_bounds', o_n, o_date_viol,"
-                " 'orders_fk_customer', o_n, fkoc_viol"
-                ") AS (check_name, n_checked, n_violations)"
-            )
-        )
-        .unionByName(
-            li_agg.select(
-                F.expr(
-                    "stack(3,"
-                    " 'lineitem_qty_in_range', li_n, li_qty_viol,"
-                    " 'lineitem_discount_in_range', li_n, li_disc_viol,"
-                    " 'lineitem_fk_orders', li_n, fklo_viol"
-                    ") AS (check_name, n_checked, n_violations)"
-                )
-            )
-        )
-        .unionByName(
-            c_agg.select(
-                F.expr(
-                    "stack(1, 'customer_name_not_null', c_n, c_name_viol)"
-                    " AS (check_name, n_checked, n_violations)"
-                )
-            )
-        )
-        .unionByName(
-            ev_agg.select(
-                F.expr(
-                    "stack(1, 'events_value_non_negative', ev_n, ev_val_viol)"
-                    " AS (check_name, n_checked, n_violations)"
-                )
-            )
+    legs = o_leg.unionByName(li_leg).unionByName(c_leg).unionByName(ev_leg)
+
+    n_of = lambda k: F.sum(flag(F.col("leg") == k))  # noqa: E731
+    s_of = lambda k, f: F.sum(F.when(F.col("leg") == k, F.col(f)).otherwise(zero))  # noqa: E731
+    one = legs.agg(
+        n_of(0).alias("o_n"),
+        (n_of(0) - F.countDistinct("dkey")).alias("o_pk_viol"),
+        s_of(0, "f1").alias("o_date_viol"),
+        s_of(0, "f2").alias("fkoc_viol"),
+        n_of(1).alias("li_n"),
+        s_of(1, "f1").alias("li_qty_viol"),
+        s_of(1, "f2").alias("li_disc_viol"),
+        s_of(1, "f3").alias("fklo_viol"),
+        n_of(2).alias("c_n"),
+        s_of(2, "f1").alias("c_name_viol"),
+        n_of(3).alias("ev_n"),
+        s_of(3, "f1").alias("ev_val_viol"),
+    )
+    out = one.select(
+        F.expr(
+            "stack(8,"
+            " 'orders_pk_unique', o_n, o_pk_viol,"
+            " 'orders_date_in_bounds', o_n, o_date_viol,"
+            " 'orders_fk_customer', o_n, fkoc_viol,"
+            " 'lineitem_qty_in_range', li_n, li_qty_viol,"
+            " 'lineitem_discount_in_range', li_n, li_disc_viol,"
+            " 'lineitem_fk_orders', li_n, fklo_viol,"
+            " 'customer_name_not_null', c_n, c_name_viol,"
+            " 'events_value_non_negative', ev_n, ev_val_viol"
+            ") AS (check_name, n_checked, n_violations)"
         )
     )
     return out.select(

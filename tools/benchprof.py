@@ -50,6 +50,12 @@ def main() -> None:
     for name, build in all_artifacts().items():
         build(spark, sf_dir)
 
+    # same untimed schema pre-touch as bench.py — without it the first
+    # query touching each table absorbs a one-off footer/listing job
+    from pgshovel_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir)
+
     for name in names:
         # codegen warm-up at the smallest fixture, like bench.py
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
