@@ -98,6 +98,11 @@ _PRIORITY = (
     "q_min_cost_supplier",
     "q_excess_inventory",
     "q_dq_checks",
+    "q_skyline",
+    "q_pipeline_curate",
+    "q_sample_token_budget",
+    "q_market_share",
+    "q_ann_recall",
     # round-7 plan changes first: the cache-pin removals (skyline /
     # curate / crossdup / important_stock now lean on AQE exchange
     # reuse), the exchange-free prefix-sum rank rework (ntile /

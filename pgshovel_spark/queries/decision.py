@@ -333,21 +333,33 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    # Pre-reduce each dimension path before broadcasting (same shape
-    # as q_nation_pairs: fewer broadcast builds, each build pipelines
-    # its internal lookups): the ASIA market membership collapses to a
-    # bare customer-key semi-join set, the supplier path to its
-    # (key, nation_name) payload — three broadcasts instead of five.
-    cust_nr = (
-        n.join(r, n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
-        .select(F.col("n_nationkey").alias("cn_key"))
+    # nation (25 rows) and region (5) are the fixed catalog tables of
+    # the schema — resolve the ASIA nation-key set and the NATION_2
+    # key on the driver from ONE bounded collect (a padded union of
+    # both scans — one action), exactly how Spark's own runtime
+    # filters / InSubqueryExec handle a dim-derived predicate.  The
+    # customer and supplier paths then carry LITERAL predicates (an
+    # isin that can push into the scan, a flag computed in the
+    # projection) instead of a four-level broadcast-join chain —
+    # three broadcast builds total, and two fewer than the pre-joined
+    # dimension shape this replaces.
+    cat = (
+        n.select(F.lit("n").alias("src"), "n_nationkey", F.col("n_name").alias("nm"), F.col("n_regionkey").alias("rk"))
+        .unionByName(
+            r.select(F.lit("r").alias("src"), F.col("r_regionkey").alias("n_nationkey"), F.col("r_name").alias("nm"), F.lit(None).cast("int").alias("rk"))
+        )
+        .collect()
     )
-    asia_cust = c.join(
-        cust_nr, c.c_nationkey == F.col("cn_key"), "semi"
-    ).select(F.col("c_custkey").alias("cd_custkey"))
-    s_dim = s.join(n, s.s_nationkey == n.n_nationkey).select(
-        F.col("s_suppkey").alias("sd_suppkey"), F.col("n_name").alias("supp_nation")
+    asia_rk = next(x.n_nationkey for x in cat if x.src == "r" and x.nm == "ASIA")
+    asia_nations = sorted(x.n_nationkey for x in cat if x.src == "n" and x.rk == asia_rk)
+    nat2_key = next(x.n_nationkey for x in cat if x.src == "n" and x.nm == "NATION_2")
+
+    asia_cust = c.filter(F.col("c_nationkey").isin(asia_nations)).select(
+        F.col("c_custkey").alias("cd_custkey")
+    )
+    s_dim = s.select(
+        F.col("s_suppkey").alias("sd_suppkey"),
+        (F.col("s_nationkey") == F.lit(nat2_key)).alias("is_nat2"),
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
@@ -359,7 +371,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s_dim), li.l_suppkey == F.col("sd_suppkey"))
     )
     agg = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
-        exact_sum(F.when(F.col("supp_nation") == "NATION_2", vol)).alias("nat_rev"),
+        exact_sum(F.when(F.col("is_nat2"), vol)).alias("nat_rev"),
         exact_sum(vol).alias("all_rev"),
     )
     return agg.select(

@@ -323,7 +323,13 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.orderBy(F.col("bk").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    bprev = b.select("bk", F.max("bmax").over(wb).alias("pmax"))
+    # coalesce(1) before each bounded-table sweep: the running max
+    # over the bucket table is a global window, and a bare
+    # Window.orderBy would insert a single-partition EXCHANGE of the
+    # same few rows (one more AQE stage job per sweep); coalesce is a
+    # narrow dependency into the one task that tiny table deserves
+    # (the operators/rank.py prefix-sum precedent).
+    bprev = b.coalesce(1).select("bk", F.max("bmax").over(wb).alias("pmax"))
     # cand (frontier-sized) feeds the exact sweep and the membership
     # join; its own cost above the reused u-exchange is one broadcast
     # join + filter — cheaper to recompute per branch than to persist.
@@ -335,7 +341,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, -1
     )
     sky_v = (
-        g.select("total_cents", "mx", F.max("mx").over(wv).alias("pm"))
+        g.coalesce(1).select("total_cents", "mx", F.max("mx").over(wv).alias("pm"))
         .filter(F.col("pm").isNull() | (F.col("mx") > F.col("pm")))
         .select("total_cents", F.col("mx").alias("n_events"))
     )

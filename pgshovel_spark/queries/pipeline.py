@@ -47,17 +47,23 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan of documents carrying both the token array and the
     # dedup key — computing h in the same select as the tokenize
     # removes the former doc_id self-join (a full corpus shuffle) that
-    # re-derived h from a second scan of the base table.
+    # re-derived h from a second scan of the base table.  The spread
+    # repartition (the fixture parquet is one sub-split-size file)
+    # keys on h, the dedup window's own partitioning — the window then
+    # runs exchange-free on it (hash(h) satisfies its clustering), so
+    # the spread and the dedup shuffle are the SAME exchange; the
+    # tokenize still lands after it, 32-way parallel.
     from pgshovel_spark.sources.tables import load_table
 
     d = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "lang", "text", F.xxhash64(norm_text("text")).alias("h"))
+        .repartition(spark.sparkContext.defaultParallelism, "h")
         .select(
             "doc_id",
             "lang",
             F.filter(tokens("text"), lambda t: t != "").alias("a"),
-            F.xxhash64(norm_text("text")).alias("h"),
+            "h",
         )
     )
 
@@ -90,9 +96,23 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, wt in sorted(_MIX_WEIGHTS.items()):
         w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
     d = d.withColumn("w_milli", w).filter(F.col("w_milli").isNotNull())
-    totals = d.groupBy("lang").agg(F.sum("n_toks").alias("lang_toks"))
-    budget = d.agg(F.sum("n_toks").alias("t")).select(
-        F.expr(f"(t * {_BUDGET_MILLI}) div 1000").alias("budget_toks")
+    # ONE broadcast carries both the per-lang mass and the global
+    # budget: the corpus total folds into the 5-row totals table as an
+    # unpartitioned window over coalesce(1) (narrow, one task, no
+    # single-partition exchange), instead of a separate 1-row
+    # aggregate + crossJoin, which paid its own shuffle + broadcast
+    # stage pair under AQE (the q_sample_token_budget shape).
+    totals = (
+        d.groupBy("lang")
+        .agg(F.sum("n_toks").alias("lang_toks"))
+        .coalesce(1)
+        .withColumn(
+            "budget_toks",
+            F.expr(
+                f"(sum(lang_toks) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                f" AND UNBOUNDED FOLLOWING) * {_BUDGET_MILLI}) div 1000"
+            ),
+        )
     )
     rate = F.least(
         F.lit(1000).cast("long"),
@@ -103,7 +123,6 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % F.lit(2**32) % F.lit(1000)
     d = (
         d.join(F.broadcast(totals), "lang")
-        .crossJoin(F.broadcast(budget))
         .filter(bucket.cast("long") < rate)
         .select("doc_id", "lang", "n_toks")
     )

@@ -1106,22 +1106,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(score, out_schema)
     )
     # label-partitioned IVF: the persisted centroid artifact routes
-    # each probe to its NPROBE nearest lists
-    cent = _label_centroids(spark, sf_dir)
-    wc = Window.partitionBy("probe_id").orderBy(
-        F.col("rcs").desc(), F.col("label").asc()
-    )
-    near = (
-        cent.crossJoin(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "label",
-            (F.round(cosine_sim("centroid", "probe_emb"), 3) + 0.0).alias("rcs"),
+    # each probe to its NPROBE nearest lists.  The routing itself is a
+    # k x |probe batch| problem over DRIVER-SIDE state — the centroid
+    # table is k-bounded and already collected by every IVF search
+    # (operators/ann.py precedent), so rank the lists in numpy and
+    # ship `near` back as a LOCAL relation: its broadcast builds with
+    # NO Spark job, where the former crossJoin + window + broadcast
+    # pipeline paid three AQE stage jobs for the same <= 40 rows.
+    # Same total order as the oracle: (round(cos, 3) DESC, label ASC),
+    # with NaN ranked first to mirror Spark's NaN-greatest ordering.
+    crows = _label_centroids(spark, sf_dir).select("label", "centroid").collect()
+    labs = np.array([r.label for r in crows], dtype=np.int64)
+    C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in crows])
+    cn = np.sqrt((C * C).sum(axis=1))
+    cden = np.outer(cn, pn)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        csims = np.where(cden != 0.0, (C @ P.T) / cden, np.nan)
+    csims = np.round(csims, 3) + 0.0
+    near_rows = []
+    for j, pid in enumerate(pids):
+        order = sorted(
+            range(len(labs)),
+            key=lambda i: (
+                0 if np.isnan(csims[i, j]) else 1,
+                -(csims[i, j] if not np.isnan(csims[i, j]) else 0.0),
+                labs[i],
+            ),
         )
-        .withColumn("rk", F.row_number().over(wc))
-        .filter(F.col("rk") <= _RECALL_NPROBE)
-        .select("probe_id", "label")
-    )
+        for i in order[:_RECALL_NPROBE]:
+            near_rows.append((int(pid), int(labs[i])))
+    near = spark.createDataFrame(near_rows, "probe_id long, label long")
     # SINGLE-PASS recall: instead of materializing two ranked sets and
     # joining them, flag each scored row with "is in a probed list"
     # (broadcast left join on the tiny near table), then rank TWICE in

@@ -473,8 +473,6 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang aggregate.  No sort, no window; overflow-safe for corpora
     to ~9e15 tokens (budget*weight < 2^63).
     """
-    from pgshovel_spark.operators.scratch import materialize
-
     d = _docs_toks(spark, sf_dir).select(
         "doc_id", "lang", F.size("a").cast("long").alias("n_toks")
     )
@@ -482,20 +480,25 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, wt in sorted(_MIX_WEIGHTS.items()):
         w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
     # (doc_id, lang, n_toks, w_milli) feeds the per-lang totals AND the
-    # membership stream — eager-cache the narrow projection so the
-    # tokenize pass runs once, not once per branch.
-    d = materialize(
-        d.withColumn("w_milli", w).filter(F.col("w_milli").isNotNull()),
-        eager=True,
-    )
+    # membership stream.  NO cache: both branches hang off _docs_toks'
+    # spread exchange, which AQE stage reuse computes once — each
+    # branch re-runs only the row-local tokenize above it, which is
+    # exactly what a 100 TB pipeline does too (recompute a projection,
+    # never pin a corpus-sized stream in executor memory).  The former
+    # eager materialize here paid its own population action plus the
+    # cache-over-exchange race on the cold run (round-7 rule).
+    d = d.withColumn("w_milli", w).filter(F.col("w_milli").isNotNull())
     # ONE broadcast carries both the per-lang mass and the global
     # budget: the corpus total folds into the 5-row totals table as an
-    # unpartitioned window (5 rows in one task — free), instead of a
-    # separate 1-row aggregate + crossJoin, which costs its own
-    # shuffle + broadcast stage pair under AQE.
+    # unpartitioned window over coalesce(1) — a NARROW dependency into
+    # the one task this tiny table deserves, where the bare global
+    # window inserted a single-partition EXCHANGE of the same 5 rows
+    # (one more AQE stage job); still no separate 1-row aggregate +
+    # crossJoin pair.
     totals = (
         d.groupBy("lang")
         .agg(F.sum("n_toks").alias("lang_toks"))
+        .coalesce(1)
         .withColumn(
             "budget_toks",
             F.expr(
