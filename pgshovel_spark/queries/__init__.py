@@ -103,6 +103,13 @@ _PRIORITY = (
     "q_sample_token_budget",
     "q_market_share",
     "q_ann_recall",
+    "q_local_volume",
+    "q_profit_by_nation",
+    "q_nation_pairs",
+    "q_waiting_orders",
+    "q_sub_top_supplier",
+    "q_text_ngram_pmi",
+    "q_text_unigram_ppl",
     # round-7 plan changes first: the cache-pin removals (skyline /
     # curate / crossdup / important_stock now lean on AQE exchange
     # reuse), the exchange-free prefix-sum rank rework (ntile /

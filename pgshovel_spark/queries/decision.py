@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
-from pgshovel_spark.sources.tables import load_table
+from pgshovel_spark.sources.tables import (
+    dim_catalog,
+    load_table,
+    nation_name_expr,
+    nations_in_region,
+)
 
 
 def q_sub_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +237,11 @@ def q_sub_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     )
-    top = rev.agg(F.max("rev").alias("max_rev"))
+    # the scalar max folds over coalesce(1) — a narrow dependency on
+    # rev's (reused) exchange instead of a single-partition exchange
+    # of the supplier-sized table (one fewer AQE stage job); the
+    # supplier count bounds the single task
+    top = rev.coalesce(1).agg(F.max("rev").alias("max_rev"))
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("rev") == F.col("max_rev"))
@@ -270,20 +279,22 @@ def q_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
     # Pre-reduce each dimension path to its (key, nation_name) payload
-    # BEFORE broadcasting: two broadcast builds instead of four, the
-    # nation lookup rides inside each build's pipeline, and the fact
-    # table touches only the two columns it actually needs from each
-    # path.  Measured at sf0.1: 11 jobs / 2.4 s (four flat broadcasts)
-    # -> 6 jobs / 1.1 s.  At 100 TB the same shape holds — the dim
-    # payload is the minimal (key, name) pair; if customer outgrows
-    # broadcast range, drop the hint and AQE shuffles this one join.
-    s_dim = s.join(n, s.s_nationkey == n.n_nationkey).select(
-        F.col("s_suppkey").alias("sd_suppkey"), F.col("n_name").alias("supp_nation")
+    # BEFORE broadcasting: two broadcast builds instead of four, and
+    # the nation name resolves from the driver-side dim catalog as a
+    # LITERAL map inside each build's projection (sources/tables.py
+    # dim_catalog) — no nation join at all.  Measured at sf0.1:
+    # 11 jobs / 2.4 s (four flat broadcasts) -> 5 jobs.  At 100 TB the
+    # same shape holds — the dim payload is the minimal (key, name)
+    # pair; if customer outgrows broadcast range, drop the hint and
+    # AQE shuffles this one join.
+    s_dim = s.select(
+        F.col("s_suppkey").alias("sd_suppkey"),
+        nation_name_expr(spark, sf_dir, F.col("s_nationkey")).alias("supp_nation"),
     )
-    c_dim = c.join(n, c.c_nationkey == n.n_nationkey).select(
-        F.col("c_custkey").alias("cd_custkey"), F.col("n_name").alias("cust_nation")
+    c_dim = c.select(
+        F.col("c_custkey").alias("cd_custkey"),
+        nation_name_expr(spark, sf_dir, F.col("c_nationkey")).alias("cust_nation"),
     )
     return (
         li.join(
@@ -335,24 +346,21 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     # nation (25 rows) and region (5) are the fixed catalog tables of
     # the schema — resolve the ASIA nation-key set and the NATION_2
-    # key on the driver from ONE bounded collect (a padded union of
-    # both scans — one action), exactly how Spark's own runtime
-    # filters / InSubqueryExec handle a dim-derived predicate.  The
-    # customer and supplier paths then carry LITERAL predicates (an
-    # isin that can push into the scan, a flag computed in the
-    # projection) instead of a four-level broadcast-join chain —
-    # three broadcast builds total, and two fewer than the pre-joined
-    # dimension shape this replaces.
-    cat = (
-        n.select(F.lit("n").alias("src"), "n_nationkey", F.col("n_name").alias("nm"), F.col("n_regionkey").alias("rk"))
-        .unionByName(
-            r.select(F.lit("r").alias("src"), F.col("r_regionkey").alias("n_nationkey"), F.col("r_name").alias("nm"), F.lit(None).cast("int").alias("rk"))
-        )
-        .collect()
+    # key from the memoized driver-side catalog (sources/tables.py
+    # dim_catalog: one padded-union collect per session, exactly how
+    # Spark's own runtime filters / InSubqueryExec handle a
+    # dim-derived predicate).  The customer and supplier paths then
+    # carry LITERAL predicates (an isin that can push into the scan,
+    # a flag computed in the projection) instead of a four-level
+    # broadcast-join chain — two broadcast builds total, five fewer
+    # than the pre-joined dimension shape this replaces.
+    del n, r
+    asia_nations = nations_in_region(spark, sf_dir, "ASIA")
+    nat2_key = next(
+        int(x.key)
+        for x in dim_catalog(spark, sf_dir)["nation"]
+        if x.name == "NATION_2"
     )
-    asia_rk = next(x.n_nationkey for x in cat if x.src == "r" and x.nm == "ASIA")
-    asia_nations = sorted(x.n_nationkey for x in cat if x.src == "n" and x.rk == asia_rk)
-    nat2_key = next(x.n_nationkey for x in cat if x.src == "n" and x.nm == "NATION_2")
 
     asia_cust = c.filter(F.col("c_nationkey").isin(asia_nations)).select(
         F.col("c_custkey").alias("cd_custkey")
@@ -506,13 +514,20 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s_dim), li.l_suppkey == F.col("sd_key"))
         .join(F.broadcast(c_dim), F.col("o_custkey") == F.col("cd_key"))
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
+        .groupBy("s_nationkey")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        # nation names resolve from the driver-side dim catalog as a
+        # literal map lookup on the 25-row result — one fewer
+        # broadcast build than the name join (sources/tables.py)
+        .select(
+            nation_name_expr(spark, sf_dir, F.col("s_nationkey")).alias("nation"),
+            "revenue",
+            "n_lineitems",
         )
     )
 
@@ -762,20 +777,25 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    s_dim = s.join(n, s.s_nationkey == n.n_nationkey).select(
-        F.col("s_suppkey").alias("sd_suppkey"), F.col("n_name").alias("nation")
-    )
+    s_dim = s.select(F.col("s_suppkey").alias("sd_suppkey"), "s_nationkey")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s_dim), li.l_suppkey == F.col("sd_suppkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .groupBy("s_nationkey", F.year("o_orderdate").alias("order_year"))
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "profit"
             ),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+        # nation names resolve from the driver-side dim catalog as a
+        # literal map on the aggregated rows (one fewer broadcast)
+        .select(
+            nation_name_expr(spark, sf_dir, F.col("s_nationkey")).alias("nation"),
+            "order_year",
+            "profit",
+            "n_lines",
         )
     )
 
@@ -926,17 +946,28 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # ONE orderkey-keyed shuffle feeds BOTH aggregation levels:
+    # hash(l_orderkey) satisfies the (orderkey, suppkey) clustering of
+    # the first groupBy AND the orderkey clustering of the second, so
+    # neither inserts an exchange (the q_excess_inventory shape).  The
+    # explicit repartition trades the first level's partial aggregate
+    # away, but the shuffled rows are a 3-column projection with ~1-2
+    # lines per (order, supplier) — the map-side combine it replaces
+    # removed almost nothing, while the former plan re-shuffled the
+    # per-(order, supplier) table a second time.
     per_os = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.max(
-                (
-                    F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-                ).cast("int")
-            ).alias("late")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int").alias("is_late"),
         )
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
     )
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_sup"),
@@ -998,14 +1029,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
-    eu_sup = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_name")
-    )
+    # the EUROPE membership resolves against the driver-side dim
+    # catalog (memoized one-action collect, sources/tables.py) to a
+    # literal isin over s_nationkey — pushable into the supplier scan,
+    # and two fewer broadcast builds than the nation⋈region chain
+    eu_sup = s.filter(
+        F.col("s_nationkey").isin(nations_in_region(spark, sf_dir, "EUROPE"))
+    ).select("s_suppkey", "s_name")
     # per-part minima are independent across parts, so the part-type
     # slice pushes below the aggregate: join the fact table down to the
     # qualifying parts before any shuffle (an INNER join carrying

@@ -190,24 +190,26 @@ def q_text_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast limit just drops the hint and AQE falls back to a
     shuffle join on runtime sizes).
     """
-    from pgshovel_spark.operators.scratch import materialize
     from pgshovel_spark.queries.sketches import _token_counts
 
     d = _docs_toks(spark, sf_dir)
-    # uni feeds THREE sibling branches (c1, c2, and the corpus total N)
-    # — persist it EAGERLY: with a lazy cache, AQE materializes the two
-    # broadcast stages concurrently and both race to populate it,
-    # re-running the artifact scan + groupBy per branch (measured 12
-    # cold jobs; eager population is one job and every consumer reads
-    # the cache).  N is a one-row re-aggregate of the cached vocabulary
-    # (sum of c == sum over words), not a second artifact scan.
-    uni = materialize(
+    # uni feeds THREE sibling branches (c1, c2, and the corpus total
+    # N), and its top is the t-keyed aggregate EXCHANGE — so by the
+    # round-7 rule it is NOT cached: AQE stage reuse computes that
+    # shuffle once and all three broadcast builds read its map output
+    # (the former eager persist paid a separate population action plus
+    # cache memory for a table the exchange already shares; the lazy
+    # persist before that raced population across the concurrently-
+    # materialized broadcast stages — measured 12 cold jobs).  N is a
+    # one-row re-aggregate over coalesce(1) of the same exchange.
+    uni = (
         _token_counts(spark, sf_dir)
         .groupBy(F.col("t").alias("w"))
-        .agg(F.sum("cnt").alias("c")),
-        eager=True,
+        .agg(F.sum("cnt").alias("c"))
     )
-    n_total = uni.agg(F.sum("c").cast("double").alias("__n"))
+    # scalar N folds over coalesce(1) — narrow on the cached vocab, no
+    # single-partition exchange stage (vocabulary-bounded single task)
+    n_total = uni.coalesce(1).agg(F.sum("c").cast("double").alias("__n"))
     bigrams = (
         d.filter(F.size("a") >= 2)
         .select(

@@ -52,9 +52,10 @@ def main() -> None:
 
     # same untimed schema pre-touch as bench.py — without it the first
     # query touching each table absorbs a one-off footer/listing job
-    from pgshovel_spark.sources.tables import load_tables
+    from pgshovel_spark.sources.tables import dim_catalog, load_tables
 
     load_tables(spark, sf_dir)
+    dim_catalog(spark, sf_dir)
 
     for name in names:
         # codegen warm-up at the smallest fixture, like bench.py
