@@ -87,7 +87,10 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
-    # round-8 plan changes first (the job-count collapse rewrites):
+    # round-8 NEW query first: dynamic partition pruning over the
+    # warehouse artifact (dim-derived month window, DPP plan-asserted)
+    "q_scan_dpp",
+    # round-8 plan changes (the job-count collapse rewrites):
     # single-row bitmask bloom filter, map-broadcast CMS + uncached
     # token_counts scan (hll/zipf share it), struct-min Q2 winner,
     # single-pk-shuffle Q20, padded-union DQ aggregate

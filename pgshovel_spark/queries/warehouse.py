@@ -84,6 +84,65 @@ GROUP BY ship_month
 """
 
 
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning over the warehouse layout: the month
+    window lives on a JOINED dimension (the distinct order-months of
+    H1-1997 URGENT orders), not on the fact scan — so the partition
+    filter is only known at RUNTIME, after the dim side is built.
+    Spark injects a ``dynamicpruningexpression`` into the partitioned
+    scan's PartitionFilters (asserted in tests/test_plans.py): the
+    broadcast that feeds the join is REUSED as a pruning subquery, the
+    fact scan plans over only the dim's ~6 month directories of ~84 on
+    disk, and no fact row group outside them is ever opened.  This is
+    the star-join pruning lever the date-partitioned 100 TB layout
+    depends on — a static IN-list (q_scan_partition_pruned) covers
+    literal windows, DPP covers windows derived from another table.
+
+    The dim is DISTINCT months, so the join is a pure month filter
+    (no fact-row duplication) and the oracle is the same join over
+    the canonical single-file tables.
+    """
+    li = _lineitem_by_month(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    months = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_orderdate").between(
+                F.lit("1997-01-01").cast("timestamp"),
+                F.lit("1997-06-30").cast("timestamp"),
+            )
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .distinct()
+    )
+    return (
+        li.join(F.broadcast(months), li.ship_month == F.col("order_month"))
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_SCAN_DPP_SQL = """
+WITH months AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-06-30'
+)
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN months ON strftime(l_shipdate, '%Y-%m') = order_month
+GROUP BY ship_month
+"""
+
+
 def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Register (building if needed) the bucketed customer/orders pair
     for ``sf_dir``: both hash-clustered on custkey into the same
@@ -166,9 +225,11 @@ GROUP BY c_mktsegment
 
 QUERIES = {
     "q_scan_partition_pruned": q_scan_partition_pruned,
+    "q_scan_dpp": q_scan_dpp,
     "q_join_bucketed": q_join_bucketed,
 }
 ORACLES = {
     "q_scan_partition_pruned": _SCAN_PARTITION_PRUNED_SQL,
+    "q_scan_dpp": _SCAN_DPP_SQL,
     "q_join_bucketed": _JOIN_BUCKETED_SQL,
 }

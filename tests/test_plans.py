@@ -173,11 +173,20 @@ def test_multiway_join_broadcasts_filtered_dim(spark):
 
 
 def test_bloom_prune_probe_side_never_shuffles(spark):
-    """The membership probes are broadcast joins; customer must not be
-    exchanged for them (the whole point of the runtime-filter shape)."""
+    """The filter state is ONE broadcast row (the 64-word bitmask map)
+    cross-joined onto the probe side, plus one broadcast membership
+    join for the exact audit; customer must never be exchanged before
+    its aggregate (the whole point of the runtime-filter shape)."""
     plan = _plan(spark, "q_bloom_prune")
-    assert plan.count("BroadcastHashJoin") >= 3  # two bit probes + exact audit
+    assert "BroadcastNestedLoopJoin" in plan  # single-row mask attach
+    assert plan.count("BroadcastHashJoin") >= 1  # exact audit join
     assert "CartesianProduct" not in plan
+    # no exchange below the probe-side partial aggregate: the only
+    # hash exchanges are the mask/audit builds and the final nationkey
+    # aggregate, never customer itself
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "c_custkey" not in ln
 
 
 def test_gap_islands_single_user_shuffle(spark):
@@ -260,6 +269,24 @@ def test_dynamic_partition_pruning_from_join(spark):
     assert "dynamicpruningexpression" in pf
     got = {r.ship_month for r in q.collect()}
     assert got == {"1997-01", "1997-02"}
+
+
+def test_dpp_registered_query_prunes_at_runtime(spark):
+    """q_scan_dpp (the REGISTERED warehouse query, oracle-checked by
+    the driver) must inject dynamicpruningexpression into the
+    partitioned fact scan: its month window comes from the orders
+    dim at runtime, and the broadcast feeding the join doubles as the
+    pruning subquery (SubqueryAdaptiveBroadcast — no second dim
+    scan).  Executing it must touch only the dim's months."""
+    df = all_queries()["q_scan_dpp"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "dynamicpruningexpression" in pf
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan
+    months = {r.ship_month for r in df.collect()}
+    # H1-1997 order months exactly (URGENT orders exist every month
+    # at every fixture scale)
+    assert months == {f"1997-0{i}" for i in range(1, 7)}
 
 
 def test_partition_pruning_never_touches_unselected_dirs(spark, tmp_path):
