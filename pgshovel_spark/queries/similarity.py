@@ -544,6 +544,16 @@ def q_sim_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(a1, "id1")
         .join(a2, "id2")
+        # spread the verification WORK UNITS uniformly before the
+        # array_intersect evaluates: the join output is clustered by
+        # doc id, so a clique member appearing in many candidate
+        # pairs concentrates its long intersects into one task (the
+        # measured 5 -> 26 s worst-draw tail — few stragglers, plans
+        # identical).  One pair-keyed exchange caps any task at
+        # pairs/N intersects regardless of per-doc candidate fan-out.
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("id1"), F.col("id2")
+        )
         .select(
             "id1",
             "id2",
