@@ -182,3 +182,113 @@ def test_alter_table_between_pulls_live_derby(spark, tmp_path):
     ]
     st.close()
     con.close()
+
+
+def test_drift_widen_flows_into_jdbc_merge_e2e(spark, tmp_path):
+    """The COMPOSED pipeline across a mid-stream migration: JDBC
+    incremental capture -> per-pull drift gate (widen policy) ->
+    executed ANSI MERGE on a live Derby target, continuously.
+
+    Pull 1 bootstraps and merges; ALTER TABLE ADD COLUMN lands
+    upstream; pull 2 emits the drift row, CAS-publishes the widened
+    config, the TARGET evolves from the drift changes, and the merge
+    continues under the new column; pull 3 proves the loop keeps
+    running post-migration.  A replay of the widened batch leaves the
+    target unchanged (the newer-guard half of exactly-once)."""
+    from pgshovel_spark.streaming.sinks import JdbcMergeSink
+
+    jvm = spark._jvm
+    url = f"jdbc:derby:{tmp_path}/e2edb;create=true"
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.executeUpdate("CREATE TABLE items (id INT PRIMARY KEY, v DOUBLE)")
+    st.executeUpdate("CREATE TABLE items_tgt (id INT PRIMARY KEY, v DOUBLE)")
+    for i in range(1, 4):
+        st.executeUpdate(f"INSERT INTO items VALUES ({i}, {i * 1.5})")
+
+    store = str(tmp_path / "admin")
+    create_set(
+        store,
+        SetConfig(name="items_set", tables={"items": TableConfig("id", ["id"])}),
+    )
+    reader = jdbc_snapshot_reader(
+        spark, url, "items", {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    )
+    pulls = pulls_with_drift_check(
+        incremental_pulls(reader, "ID"),
+        SchemaDriftMonitor(store, "items_set", policy="widen"),
+        "items",
+    )
+
+    def mk_sink(cols):
+        return JdbcMergeSink(
+            url,
+            "items_tgt",
+            keys=["ID"],
+            order_cols=["ID"],
+            columns=cols,
+            connection_factory=lambda: jvm.java.sql.DriverManager.getConnection(url),
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+            staging_table="drift_stage",
+        )
+
+    def target_rows():
+        c = jvm.java.sql.DriverManager.getConnection(url)
+        s = c.createStatement()
+        cols = "id, v" + (", tag" if target_rows.widened else "")
+        rs = s.executeQuery(f"SELECT {cols} FROM items_tgt ORDER BY id")
+        out = []
+        while rs.next():
+            row = [rs.getInt(1), rs.getDouble(2)]
+            if target_rows.widened:
+                row.append(rs.getString(3))
+            out.append(tuple(row))
+        rs.close(); s.close(); c.close()
+        return out
+
+    target_rows.widened = False
+
+    sink = mk_sink(["ID", "V"])
+    batch1, drift1 = next(pulls)
+    assert drift1 == []
+    sink.apply(batch1.select("ID", "V"), 0)
+    assert target_rows() == [(1, 1.5), (2, 3.0), (3, 4.5)]
+
+    # mid-stream upstream migration
+    st.executeUpdate("ALTER TABLE items ADD COLUMN tag VARCHAR(10)")
+    st.executeUpdate("INSERT INTO items VALUES (4, 6.0, 'd4')")
+
+    batch2, drift2 = next(pulls)
+    assert [(c.change_kind, c.column) for c in drift2] == [("added", "tag")]
+    # widened config was published BEFORE the batch reached us
+    cfg = get_set(store, "items_set")
+    assert cfg.tables["items"].column_types["tag"] == "string"
+    # the pipeline reacts: evolve the target from the drift rows and
+    # widen the sink's column list, then keep merging
+    for c in drift2:
+        assert c.change_kind == "added"
+        st.executeUpdate(f"ALTER TABLE items_tgt ADD COLUMN {c.column} VARCHAR(10)")
+    target_rows.widened = True
+    sink = mk_sink(["ID", "V", "TAG"])
+    sink.apply(batch2.select("ID", "V", "TAG"), 1)
+
+    # the loop keeps running under the new schema
+    st.executeUpdate("INSERT INTO items VALUES (5, 7.5, 'd5')")
+    batch3, drift3 = next(pulls)
+    assert drift3 == []
+    sink.apply(batch3.select("ID", "V", "TAG"), 2)
+
+    want = [
+        (1, 1.5, None),
+        (2, 3.0, None),
+        (3, 4.5, None),
+        (4, 6.0, "d4"),
+        (5, 7.5, "d5"),
+    ]
+    assert target_rows() == want
+
+    # replaying the widened batch is a no-op (newer-guard idempotence)
+    sink.apply(batch2.select("ID", "V", "TAG"), 99)
+    assert target_rows() == want
+    st.close()
+    con.close()
