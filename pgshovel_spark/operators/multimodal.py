@@ -199,13 +199,105 @@ def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
     return w, h, rows
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode a REAL compressed PNG (8-bit grayscale or truecolor,
+    non-interlaced — the common cases) into a row-major grayscale
+    grid, stdlib-only: chunk walk, zlib inflate of the concatenated
+    IDAT stream, full scanline unfiltering (None/Sub/Up/Average/
+    Paeth), then the same integer luma as the BMP path.  Raises
+    ValueError on anything else (module codec policy)."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or color not in (0, 2):
+        raise ValueError("only 8-bit gray/truecolor non-interlaced PNG supported")
+    nch = 1 if color == 0 else 3
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows: list[list[int]] = []
+    prev = bytearray(stride)
+    off = 0
+    for _y in range(h):
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 255
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 255
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 255
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prev = line
+        if nch == 1:
+            rows.append(list(line))
+        else:
+            rows.append(
+                [
+                    (77 * line[3 * x] + 150 * line[3 * x + 1] + 29 * line[3 * x + 2])
+                    >> 8
+                    for x in range(w)
+                ]
+            )
+    return w, h, rows
+
+
+def decode_image_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Magic-dispatched grayscale decode: BMP or PNG (both real
+    decoders, stdlib-only); ValueError on anything else."""
+    if payload[:2] == b"BM":
+        return decode_bmp_gray(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png_gray(payload)
+    raise ValueError("unsupported image format (BMP and PNG supported)")
+
+
 def average_hash(payload: bytes, grid: int = 8) -> tuple[int, int, int]:
-    """64-bit perceptual average-hash over real decoded BMP pixels:
-    block-mean downsample to ``grid`` x ``grid`` grayscale, threshold
-    each cell at the global mean (bit=1 when >= mean), MSB-first
-    row-major.  All-integer arithmetic, so the hash is deterministic
-    across platforms.  Returns (width, height, hash)."""
-    w, h, rows = decode_bmp_gray(payload)
+    """64-bit perceptual average-hash over real decoded pixels (BMP or
+    PNG, magic-dispatched): block-mean downsample to ``grid`` x
+    ``grid`` grayscale, threshold each cell at the global mean (bit=1
+    when >= mean), MSB-first row-major.  All-integer arithmetic, so
+    the hash is deterministic across platforms — and codec-invariant:
+    the same pixels hash identically through either decoder.  Returns
+    (width, height, hash)."""
+    w, h, rows = decode_image_gray(payload)
     if w < 1 or h < 1:
         raise ValueError("empty image")
     cells = []
