@@ -320,3 +320,146 @@ def test_literal_grammar_property_live_derby(spark, tmp_path):
     check()
     st_.close()
     con.close()
+
+
+# ---------------------------------------------------------------- postgres
+# Pure-Python validator of the ANSI/Postgres literal grammar (ISO 9075
+# lexical rules as Postgres applies them with the default
+# standard_conforming_strings=on: the ONLY escape inside a string
+# literal is the doubled quote — backslashes are ordinary characters).
+# This machine-checks the declared Postgres deltas without a server:
+# every literal sql_literal(style="ansi") emits must tokenize as ONE
+# complete literal (nothing can leak past the closing quote) and must
+# decode back to the exact value rendered.
+
+import re as _re
+
+_PG_NUM = _re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_PG_TS_BODY = _re.compile(
+    r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d{1,6})?$"
+)
+_PG_DATE_BODY = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _pg_scan_string(sql: str) -> tuple[str, int]:
+    """Scan one standard-conforming string literal from sql[0:].
+    Returns (decoded value, chars consumed); raises on malformed."""
+    assert sql[0] == "'", f"not a string literal: {sql[:20]!r}"
+    out, i = [], 1
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            if i + 1 < len(sql) and sql[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            return "".join(out), i + 1
+        out.append(ch)
+        i += 1
+    raise AssertionError(f"unterminated string literal: {sql[:40]!r}")
+
+
+def pg_parse_literal(sql: str):
+    """Parse EXACTLY one Postgres literal (no trailing text allowed);
+    returns the decoded Python value."""
+    import datetime as _dt
+    import decimal as _dec
+
+    up = sql.upper()
+    if up in ("TRUE", "FALSE"):
+        return up == "TRUE"
+    for kw, body_re, conv in (
+        ("TIMESTAMP ", _PG_TS_BODY, lambda b: _dt.datetime.fromisoformat(b)),
+        ("DATE ", _PG_DATE_BODY, lambda b: _dt.date.fromisoformat(b)),
+    ):
+        if up.startswith(kw):
+            rest = sql[len(kw):]
+            body, used = _pg_scan_string(rest)
+            assert used == len(rest), f"trailing text after typed literal: {sql!r}"
+            assert body_re.match(body), f"body not ISO for {kw.strip()}: {body!r}"
+            return conv(body)
+    if sql.startswith("'"):
+        val, used = _pg_scan_string(sql)
+        assert used == len(sql), f"text leaks past closing quote: {sql!r}"
+        assert "\\'" not in sql[1:-1].replace("''", ""), "backslash-escape reliance"
+        return val
+    assert _PG_NUM.match(sql), f"not a Postgres numeric literal: {sql!r}"
+    return _dec.Decimal(sql)
+
+
+def test_postgres_literal_grammar_over_type_matrix():
+    """Every cursor sample in the Postgres TypeCase matrix renders to a
+    literal the pure-Python ISO/Postgres parser accepts and decodes
+    back to the same value, and every generated pushdown subquery
+    embeds it with balanced quoting."""
+    import datetime as _dt
+    import decimal as _dec
+
+    pg = DIALECTS["postgres"]
+    assert pg.literal_style == "ansi"
+    for t, subqueries in conformance_cases(pg):
+        for v in t.samples:
+            lit = sql_literal(v, pg.literal_style)
+            got = pg_parse_literal(lit)
+            if isinstance(v, bool):
+                assert got is v
+            elif isinstance(v, _dt.datetime):
+                assert got == v
+            elif isinstance(v, _dt.date):
+                assert got == v
+            elif isinstance(v, str):
+                assert got == v
+            elif isinstance(v, float):
+                assert float(got) == v
+            else:
+                assert _dec.Decimal(got) == _dec.Decimal(v)
+        for sq in subqueries:
+            # the subquery's quote characters must balance: an odd
+            # count would mean a sample escaped its literal
+            assert sq.count("'") % 2 == 0
+
+
+def test_postgres_literal_grammar_property():
+    """Generative version over the full value space (the Derby live
+    property test's twin, machine-checked against the grammar table
+    instead of a live parser): adversarial strings with quotes,
+    backslashes and unicode; arbitrary microsecond timestamps;
+    wide decimals."""
+    import datetime as _dt
+    import decimal as _dec
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        v=st.one_of(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+                max_size=60,
+            ),
+            st.datetimes(
+                min_value=_dt.datetime(1, 1, 1),
+                max_value=_dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+            ),
+            st.dates(),
+            st.decimals(allow_nan=False, allow_infinity=False, places=6),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.booleans(),
+        )
+    )
+    def check(v):
+        lit = sql_literal(v, "ansi")
+        got = pg_parse_literal(lit)
+        if isinstance(v, bool):
+            assert got is v
+        elif isinstance(v, _dt.datetime):
+            assert got == v
+        elif isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            assert got == v
+        elif isinstance(v, str):
+            assert got == v
+        else:
+            assert _dec.Decimal(got) == _dec.Decimal(v)
+
+    check()
