@@ -155,6 +155,11 @@ def jdbc_snapshot_reader(
             reader = reader.option(k, v)
         return reader.load()
 
+    # explicit protocol marker: the pull loop passes ITS cursor column
+    # to readers that declare this, without signature sniffing (which
+    # goes blind through functools.partial / **kwargs wrappers and
+    # would silently re-split the pushdown column from the loop's max)
+    read.accepts_cursor_col = True
     return read
 
 
@@ -239,20 +244,29 @@ def incremental_pulls(
 
     The snapshot_read callable abstracts the source: JDBC in
     production (jdbc_snapshot_reader), a parquet-backed lambda in
-    tests — identical loop either way.  Readers that accept a
-    ``cursor_col`` keyword (jdbc_snapshot_reader's do) receive THIS
-    loop's cursor column, so the server-side pushdown predicate and
-    the loop's max() always name the same column — the dialect
-    harness caught a non-integer cursor silently comparing against
-    the reader's default column otherwise.
+    tests — identical loop either way.  Cursor-aware readers OPT IN by
+    setting ``accepts_cursor_col = True`` on the callable
+    (jdbc_snapshot_reader's do): they then receive THIS loop's cursor
+    column, so the server-side pushdown predicate and the loop's
+    max() always name the same column — the dialect harness caught a
+    non-integer cursor silently comparing against the reader's
+    default column otherwise.  A signature sniff backstops legacy
+    readers that declare the keyword without the marker, but the
+    marker is authoritative because ``inspect.signature`` goes blind
+    through functools.partial / **kwargs wrappers — exactly the
+    mismatch the explicit protocol exists to prevent.
     """
 
     import inspect
 
-    try:
-        takes_cursor = "cursor_col" in inspect.signature(snapshot_read).parameters
-    except (TypeError, ValueError):  # builtins / C callables
-        takes_cursor = False
+    takes_cursor = getattr(snapshot_read, "accepts_cursor_col", None)
+    if takes_cursor is None:
+        try:
+            takes_cursor = (
+                "cursor_col" in inspect.signature(snapshot_read).parameters
+            )
+        except (TypeError, ValueError):  # builtins / C callables
+            takes_cursor = False
 
     def _read(wm):
         if takes_cursor:
@@ -267,11 +281,16 @@ def incremental_pulls(
         # is at-least-once, so re-delivery is safe and an idempotent
         # sink absorbs it.  The writer below is atomic (tmp + rename),
         # so this path only fires for files damaged by outside causes.
+        # Only CORRUPTION (bad json/shape) and a vanished file degrade;
+        # any other OSError (EACCES, NFS blip) re-raises — a transient
+        # read failure is a config/infra error, and silently resetting
+        # to None would trigger a full source re-pull that masks it
+        # (very expensive at scale).
         try:
             with open(watermark_file) as f:
                 raw = json.load(f)["watermark"]
             watermark = _decode_watermark(raw) if isinstance(raw, dict) else raw
-        except (ValueError, KeyError, OSError):
+        except (ValueError, KeyError, FileNotFoundError):
             watermark = None
     pulls = 0
     while max_pulls is None or pulls < max_pulls:

@@ -87,6 +87,13 @@ def lint_all(spark=None) -> dict[str, list[str]]:
     from tools.scan_audit import table_widths
 
     spark = spark or get_session("plan-lint")
+    # Spark truncates the FileScan attribute list at
+    # spark.sql.debug.maxToStringFields (default 25) to "... N more
+    # fields" — on any table wider than ~25 columns the wide-scan
+    # count would undercount and the defeated-pruning lint would
+    # silently never fire.  Raise it for the lint session so the
+    # bracketed list is complete on every table width.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
     widths = table_widths(spark, SF)
     violations: dict[str, list[str]] = {}
     for name, fn in all_queries().items():

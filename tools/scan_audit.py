@@ -60,6 +60,9 @@ def audit(spark=None, sf_dir: str = SF):
     from pgshovel_spark.session import get_session
 
     spark = spark or get_session("scan-audit")
+    # complete FileScan attribute lists on any table width (default 25
+    # truncates to "... N more fields" and undercounts wide reads)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
     widths = table_widths(spark, sf_dir)
     rows = []  # (query, table, n_read, n_total, cols)
     for name, fn in all_queries().items():
