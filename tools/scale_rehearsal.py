@@ -228,10 +228,35 @@ def _artifact_builders():
     }
 
 
+def _auto_panel() -> tuple:
+    """Every engine row >1.5 s in the committed BENCH_DETAIL.json —
+    the round-8 gate: anything expensive enough to matter gets a 10x
+    factor each round, not just the hand-picked panel."""
+    import json
+
+    detail = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    with open(detail) as f:
+        walls = json.load(f)["spark"]
+    names = [
+        n
+        for n, w in sorted(walls.items(), key=lambda kv: -kv[1])
+        if w > 1.5 and not n.startswith("artifact:")
+    ]
+    return tuple(names)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--only", nargs="*", help="subset of PANEL/ARTIFACTS to run")
+    ap.add_argument(
+        "--auto",
+        action="store_true",
+        help="panel = every BENCH_DETAIL engine row >1.5s (+ all artifacts)",
+    )
     args = ap.parse_args()
 
     from pgshovel_spark.operators.scratch import clear_scratch
@@ -269,9 +294,10 @@ def main() -> None:
         print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |")
 
     # 2. query panel, artifact-warm (the production steady state)
+    panel = _auto_panel() if args.auto else PANEL
     print("| Query | sf0.1 (s) | 10x (s) | factor |")
     print("|---|---|---|---|")
-    for name in PANEL:
+    for name in panel:
         if args.only and name not in args.only:
             continue
         sf10 = SF1P if name == "q_sim_jaccard_prefix" else SF1
