@@ -113,6 +113,8 @@ _PRIORITY = (
     "q_sub_top_supplier",
     "q_text_ngram_pmi",
     "q_text_unigram_ppl",
+    "q_dedup_keep_best",
+    "q_text_decontaminate",
     # round-7 plan changes first: the cache-pin removals (skyline /
     # curate / crossdup / important_stock now lean on AQE exchange
     # reuse), the exchange-free prefix-sum rank rework (ntile /

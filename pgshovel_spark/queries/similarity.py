@@ -1378,21 +1378,27 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "unique_ratio"
     )
     j = cc.join(quality, "doc_id")
+    # n_members rides the SAME cluster_id window exchange as the rank
+    # (a full-frame count over the identical partitioning) — the
+    # former separate groupBy + broadcast join-back re-read the
+    # cluster table and paid two more AQE stage jobs for a count the
+    # window already has in hand.  Inner join keeps every cc row
+    # (quality covers all documents), so the count is the cluster
+    # size exactly.
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("unique_ratio").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
     )
-    best = (
+    wc = Window.partitionBy("cluster_id")
+    return (
         j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
         .filter(F.col("rn") == 1)
         .select(
             "cluster_id",
             F.col("doc_id").alias("keeper_doc_id"),
+            "n_members",
             F.col("unique_ratio").alias("keeper_unique_ratio"),
         )
-    )
-    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
-    return best.join(sizes, "cluster_id").select(
-        "cluster_id", "keeper_doc_id", "n_members", "keeper_unique_ratio"
     )
 
 

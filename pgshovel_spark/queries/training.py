@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
-from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 #: context length for q_pack_sequences (tokens per training sequence)
@@ -381,15 +380,18 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins raw shingles.
     """
     d = _docs_toks(spark, sf_dir).filter(F.size("a") >= 3)
-    # tokenize ONCE: both branches (train probe + eval set) read the
-    # checkpointed 16-byte (doc_id, source-flag, h) rows, not the raw
-    # text — without this the corpus is tokenized twice
+    # NO shared-subtree cache: the two branches consume DISJOINT
+    # source slices (train = everything but src0, eval = src0 only),
+    # so pushing the source filter below each branch's tokenize means
+    # the corpus is shingled exactly once IN TOTAL — the former cached
+    # all-sources shingle table paid a population pass plus cache
+    # memory to prevent a double-tokenize that slice-disjointness
+    # prevents for free (and the source predicate reaches the scan).
     hashed = d.select(
         "doc_id",
         (F.col("source") == "src0").alias("is_eval"),
         F.explode(F.array_distinct(F.expr(_TRI_SPARK))).alias("s"),
     ).select("doc_id", "is_eval", F.xxhash64("s").alias("h"))
-    hashed = materialize(hashed)
     train = hashed.filter(~F.col("is_eval")).select("doc_id", "h")
     ev = (
         hashed.filter(F.col("is_eval"))
