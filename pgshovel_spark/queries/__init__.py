@@ -87,8 +87,11 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
-    # round-8 NEW query first: dynamic partition pruning over the
-    # warehouse artifact (dim-derived month window, DPP plan-asserted)
+    # round-8 NEW queries first: the MinHash estimator-accuracy audit
+    # (payload-through-banding plan) and dynamic partition pruning over
+    # the warehouse artifact (dim-derived month window, DPP
+    # plan-asserted)
+    "q_sim_minhash_est",
     "q_scan_dpp",
     # round-8 plan changes (the job-count collapse rewrites):
     # single-row bitmask bloom filter, map-broadcast CMS + uncached

@@ -353,3 +353,22 @@ def test_ivf_knn_join_matches_per_probe_search(spark, tmp_path):
     # each probe must find itself first (it's in the corpus)
     for pid, pairs in got.items():
         assert sorted(pairs)[0][1] == pid
+
+
+def test_minhash_est_invariants(spark):
+    """Every LSH candidate pair shares >=1 band => >=4 of 8 hashes
+    match => est_milli >= 500; the signed error is exactly
+    est - exact; and a full-match signature (n_match=8) on identical
+    token sets reports zero error."""
+    from pgshovel_spark.queries.similarity import q_sim_minhash_est
+
+    rows = q_sim_minhash_est(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "sf0.001 fixture should produce at least one candidate pair"
+    for r in rows:
+        assert 1 <= r.n_bands <= 2
+        assert 4 * r.n_bands <= r.n_match <= 8
+        assert r.est_milli == r.n_match * 125
+        assert 0 <= r.exact_milli <= 1000
+        assert r.err_milli == r.est_milli - r.exact_milli
+        if r.exact_milli == 1000:  # identical token sets
+            assert r.n_match == 8 and r.err_milli == 0
