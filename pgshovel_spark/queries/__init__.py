@@ -93,6 +93,14 @@ _PRIORITY = (
     # plan-asserted)
     "q_sim_minhash_est",
     "q_scan_dpp",
+    # round-8 wave-4 plan changes: df-broadcast + catalog-N TF-IDF,
+    # single-broadcast PMI, dim-catalog star join, one-pass degree
+    # histogram, single-scan bloom positions
+    "q_text_tfidf",
+    "q_text_ngram_pmi",
+    "q_join_star",
+    "q_graph_degrees",
+    "q_bloom_prune",
     # round-8 plan changes (the job-count collapse rewrites):
     # single-row bitmask bloom filter, map-broadcast CMS + uncached
     # token_counts scan (hll/zipf share it), struct-min Q2 winner,

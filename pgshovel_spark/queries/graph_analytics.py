@@ -148,17 +148,23 @@ _TRADE_EDGES_SQL = f"""
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the bipartite trade graph, per side:
     (side, degree, n_nodes) — the non-iterative companion to the CC
-    query (exact integer oracle, no recursive CTE).  Two aggregations:
-    degree per node, then the histogram; both shuffle 8-byte keys."""
+    query (exact integer oracle, no recursive CTE).  One explode turns
+    each edge into its two (side, node) incidences, so BOTH sides'
+    degrees come from a single aggregation chain (two 10-byte-key
+    exchanges total) instead of a per-side groupBy pair whose union
+    re-shuffled each branch separately (round 8: 6 -> 4 jobs)."""
     e = _trade_edges(spark, sf_dir)
-    cdeg = e.groupBy(F.col("cn").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    ).withColumn("side", F.lit("customer"))
-    sdeg = e.groupBy(F.col("sn").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    ).withColumn("side", F.lit("supplier"))
+    inc = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("customer").alias("side"), F.col("cn").alias("node")),
+                F.struct(F.lit("supplier").alias("side"), F.col("sn").alias("node")),
+            )
+        ).alias("i")
+    ).select("i.side", "i.node")
     return (
-        cdeg.unionByName(sdeg)
+        inc.groupBy("side", "node")
+        .agg(F.count(F.lit(1)).alias("degree"))
         .groupBy("side", "degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )

@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from pgshovel_spark.functions.determinism import dec, dsum, epoch_s, exact_sum
 from pgshovel_spark.operators.asof import asof_join
 from pgshovel_spark.operators.topk import topk_global
-from pgshovel_spark.sources.tables import load_table
+from pgshovel_spark.sources.tables import (
+    load_table,
+    nation_name_expr,
+    nations_in_region,
+)
 
 
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,26 +45,29 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 
 def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (TPC-H Q5 analog): revenue per nation for
-    ASIA-region customers, orders in 1996-1998."""
+    ASIA-region customers, orders in 1996-1998.
+
+    The two catalog dims resolve driver-side (dim_catalog — the
+    InSubqueryExec/metastore pattern): the ASIA filter becomes an
+    ``isin`` PUSHED INTO the customer scan and the nation name a
+    literal-map projection, replacing two broadcast-join builds whose
+    rows never change.  The two fact joins stay Catalyst-planned
+    (AQE picks broadcast for customer locally; shuffle at 100 TB)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
     revenue = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    asia = nations_in_region(spark, sf_dir, "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(c.filter(F.col("c_nationkey").isin(asia)), o.o_custkey == c.c_custkey)
         .filter(
-            (F.col("r_name") == "ASIA")
-            & F.col("o_orderdate").between(
+            F.col("o_orderdate").between(
                 F.lit("1996-01-01").cast("timestamp"),
                 F.lit("1998-12-31").cast("timestamp"),
             )
         )
-        .groupBy("n_name")
+        .groupBy(nation_name_expr(spark, sf_dir, F.col("c_nationkey")).alias("n_name"))
         .agg(
             F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),

@@ -371,11 +371,16 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idempotent, and its partial aggregate combines each map
     # partition down to <= 64 words before the shuffle — strictly less
     # traffic than a distinct-keys exchange, and it unchains the mask
-    # build from the audit side's distinct.
-    pos = None
-    for a, b in _BLOOM_COEFS:
-        p = orders.select(_bloom_pos(F.col("o_custkey"), a, b).alias("pos"))
-        pos = p if pos is None else pos.unionAll(p)
+    # build from the audit side's distinct.  Both hash positions
+    # explode out of ONE scan (a unionAll of per-position selects read
+    # orders once per coefficient).
+    pos = orders.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("o_custkey"), a, b) for a, b in _BLOOM_COEFS]
+            )
+        ).alias("pos")
+    )
     # pack: word = pos div 64, bit = pos % 64; coalesce(1) makes the
     # final 64-row fold + map assembly a narrow single task (no
     # single-partition exchange — the operators/rank.py precedent).

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
 from pgshovel_spark.operators.scratch import materialize
-from pgshovel_spark.sources.tables import load_table
+from pgshovel_spark.sources.tables import load_table, table_rowcount
 
 
 def _docs_parallel(spark, sf_dir):
@@ -126,34 +126,39 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = term_count / doc_len (exact integer division in double),
     idf = ln(N / df); winner per doc by (tfidf DESC, term ASC).
-    Plan shape: one explode -> two aggregations -> broadcast-joined
-    document-frequency table -> per-doc window.
+
+    Plan shape (round 8, 7 -> 5 jobs): term_counts aggregates on the
+    doc_id clustering _docs_parallel already provides (groupBy on a
+    SUPERSET of the partition keys needs no exchange), the
+    document-frequency table is a vocabulary-bounded BROADCAST
+    aggregate joined back onto the still-doc_id-clustered counts (the
+    q_sim_jaccard_prefix dfreq precedent — replaces the old window-
+    over-term, which round-tripped the posting table term -> doc_id
+    through two exchanges), and both doc_id windows (doc length, top-1
+    rank) then run exchange-free.  N comes from catalog statistics
+    (table_rowcount — parquet footer, constant-folded literal), not a
+    broadcast 1-row aggregate.  A web-scale vocabulary that outgrows
+    the broadcast limit drops the hint and AQE falls back to a shuffle
+    join on runtime sizes.
     """
     d = _docs_parallel(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     ).filter(F.col("term") != "")
     term_counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
-    # N computed INSIDE the same job via a broadcast 1-row aggregate —
-    # a separate d.count() action would rescan the whole corpus.
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
-    # Document frequency as a WINDOW over term, not a groupBy+self-join:
-    # (doc_id, term) is already distinct, so count-over-partition IS df,
-    # and the single term-shuffle replaces the old aggregate + join pair
-    # that re-shuffled the posting table (round 5: 1.7 -> 0.9 s, 11 -> 6
-    # jobs at sf0.1).  doc_len likewise folds into the SAME doc_id
-    # window partitioning the top-1 rank needs anyway.
-    w_term = Window.partitionBy("term")
+    n_docs = float(table_rowcount(sf_dir, "documents"))
+    df_tab = term_counts.groupBy(F.col("term").alias("dft")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
     w_doc = Window.partitionBy("doc_id")
     scored = (
-        term_counts.withColumn("df", F.count(F.lit(1)).over(w_term))
-        .crossJoin(F.broadcast(n_docs))
+        term_counts.join(F.broadcast(df_tab), F.col("term") == F.col("dft"))
         .select(
             "doc_id",
             "term",
             (
                 (F.col("tc").cast("double") / F.sum("tc").over(w_doc))
-                * F.log(F.col("__n_docs") / F.col("df"))
+                * F.log(F.lit(n_docs) / F.col("df"))
             ).alias("tfidf_raw"),
         )
     )

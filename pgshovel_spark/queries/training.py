@@ -201,14 +201,20 @@ def q_text_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist before that raced population across the concurrently-
     # materialized broadcast stages — measured 12 cold jobs).  N is a
     # one-row re-aggregate over coalesce(1) of the same exchange.
+    # The corpus total N rides EVERY row of the unigram table as a
+    # global-window sum over coalesce(1) (vocabulary-bounded single
+    # task, no single-partition exchange — the rank.py narrow-sweep
+    # lever), so ONE broadcast table serves c_x, c_y AND N.  The two
+    # join probes consume IDENTICAL projections of it (alias()ed, not
+    # column-renamed — renaming diverges the canonical plans and
+    # defeats broadcast reuse): one build job, one ReusedExchange.
     uni = (
         _token_counts(spark, sf_dir)
         .groupBy(F.col("t").alias("w"))
         .agg(F.sum("cnt").alias("c"))
+        .coalesce(1)
+        .withColumn("__n", F.sum("c").over(Window.partitionBy()).cast("double"))
     )
-    # scalar N folds over coalesce(1) — narrow on the cached vocab, no
-    # single-partition exchange stage (vocabulary-bounded single task)
-    n_total = uni.coalesce(1).agg(F.sum("c").cast("double").alias("__n"))
     bigrams = (
         d.filter(F.size("a") >= 2)
         .select(
@@ -221,17 +227,20 @@ def q_text_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= 5)
     )
-    c1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")))
-    c2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")))
+    u1 = uni.alias("u1")
+    u2 = uni.alias("u2")
+    # N is read from BOTH aliases (coalesce of two copies of the same
+    # value): referencing u1.__n alone lets ColumnPruning strip the
+    # Window from u2's subtree, and the now-divergent canonical plans
+    # build two broadcasts instead of reusing one.
     pmi = F.log(
         F.col("c_xy").cast("double")
-        * F.col("__n")
-        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+        * F.coalesce(F.col("u1.__n"), F.col("u2.__n"))
+        / (F.col("u1.c").cast("double") * F.col("u2.c").cast("double"))
     )
     return (
-        bigrams.join(c1, "w1")
-        .join(c2, "w2")
-        .crossJoin(F.broadcast(n_total))
+        bigrams.join(F.broadcast(u1), F.col("w1") == F.col("u1.w"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2.w"))
         .select(
             "w1",
             "w2",

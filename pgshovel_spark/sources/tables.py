@@ -146,6 +146,36 @@ def dim_catalog(spark: SparkSession, sf_dir: str) -> dict[str, list]:
     return got
 
 
+#: (sf_dir, table) -> exact footer row count (content-addressed by
+#: path, not session: the fixture files are immutable per corpus dir).
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact table row count from the parquet footer metadata — zero
+    Spark jobs, driver-side, memoized per (corpus dir, table).
+
+    This is catalog-statistics access, not a scan: every warehouse
+    keeps exact row counts in table metadata (parquet footers carry
+    them natively; a metastore serves ANALYZE stats the same way), and
+    Spark's own count(*)-over-parquet answers from the identical
+    footer field when aggregate pushdown is on.  Queries needing a
+    corpus-size scalar (TF-IDF's N) fold it as a LITERAL so Catalyst
+    constant-folds the expression — replacing a broadcast 1-row
+    aggregate subquery (2 jobs locally, one full metadata pass at
+    100 TB) with a catalog lookup."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (sf_dir, name)
+    got = _ROWCOUNT_CACHE.get(key)
+    if got is None:
+        import pyarrow.parquet as pq
+
+        got = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+        _ROWCOUNT_CACHE[key] = got
+    return got
+
+
 def nations_in_region(spark: SparkSession, sf_dir: str, region_name: str) -> list[int]:
     """Nation keys belonging to ``region_name``, as plain ints."""
     cat = dim_catalog(spark, sf_dir)
