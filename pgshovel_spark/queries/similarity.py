@@ -822,16 +822,26 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band_idx", "key")
     )
     long_ = long_.join(F.broadcast(big), ["band_idx", "key"], "anti")
-    a = long_.select(F.col("doc_id").alias("id1"), "band_idx", "key")
-    b = long_.select(F.col("doc_id").alias("id2"), F.col("band_idx").alias("bi2"), F.col("key").alias("key2"))
+    # TRUE self-join (alias, not column-renamed sides): the children
+    # are canonically identical (sameResult), so when the incidence
+    # table outgrows the broadcast threshold and this plans as a
+    # shuffle join, the static ReuseExchange rule feeds both sides
+    # from ONE shuffle (plan-verified with AQE off; AQE's stage-level
+    # dedup currently misses the pattern — see EXPERIMENTS.md round 8
+    # — but locally AQE broadcasts the small side anyway).  The old
+    # column-renamed sides could never reuse under either planner.
+    a = long_.alias("a")
+    b = long_.alias("b")
     return (
         a.join(
             b,
-            (F.col("band_idx") == F.col("bi2"))
-            & (F.col("key") == F.col("key2"))
-            & (F.col("id1") < F.col("id2")),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy("id1", "id2")
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
@@ -919,34 +929,30 @@ def q_sim_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     long_full = _bands_long_payload(full, ["mhs", "toks"])
     long_full = long_full.join(F.broadcast(big), ["band_idx", "key"], "anti")
-    a = long_full.select(
-        F.col("doc_id").alias("id1"), "band_idx", "key",
-        F.col("mhs").alias("mh1"), F.col("toks").alias("t1"),
-    )
-    b = long_full.select(
-        F.col("doc_id").alias("id2"),
-        F.col("band_idx").alias("bi2"),
-        F.col("key").alias("key2"),
-        F.col("mhs").alias("mh2"),
-        F.col("toks").alias("t2"),
-    )
+    # TRUE self-join (alias, not column-renamed sides): both children
+    # are canonically identical, so under the static planner the
+    # second side is a ReusedExchange of the first — the incidence
+    # table (with its verify payload) crosses the wire once, not
+    # twice.  See q_dedup_minhash_pairs for the AQE caveat.
+    a = long_full.alias("a")
+    b = long_full.alias("b")
     n_match = F.expr(
-        "aggregate(zip_with(mh1, mh2, (x, y) -> CAST(x = y AS BIGINT)),"
+        "aggregate(zip_with(a.mhs, b.mhs, (x, y) -> CAST(x = y AS BIGINT)),"
         " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     joined = (
         a.join(
             b,
-            (F.col("band_idx") == F.col("bi2"))
-            & (F.col("key") == F.col("key2"))
-            & (F.col("id1") < F.col("id2")),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            "id1",
-            "id2",
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
             n_match.alias("n_match"),
-            F.size(F.array_intersect("t1", "t2")).alias("shared"),
-            (F.size("t1") + F.size("t2")).alias("szsum"),
+            F.size(F.array_intersect("a.toks", "b.toks")).alias("shared"),
+            (F.size("a.toks") + F.size("b.toks")).alias("szsum"),
         )
         .groupBy("id1", "id2")
         .agg(
