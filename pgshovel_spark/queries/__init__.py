@@ -101,6 +101,8 @@ _PRIORITY = (
     "q_join_star",
     "q_graph_degrees",
     "q_bloom_prune",
+    "q_skyline",
+    "q_dedup_minhash_pairs",
     # round-8 plan changes (the job-count collapse rewrites):
     # single-row bitmask bloom filter, map-broadcast CMS + uncached
     # token_counts scan (hll/zipf share it), struct-min Q2 winner,

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
 from pgshovel_spark.functions.determinism import iratio
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table
 
 _WEEK_US = 7 * 86_400_000_000
@@ -303,15 +304,19 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS definition — same set by construction.
     """
     e = load_table(spark, sf_dir, "events")
-    # The per-user profile is THE shared subtree (the bucket table, the
-    # candidate filter, and the final membership join all read it), and
-    # its TOP is the user_id exchange — AQE's stage reuse computes that
-    # shuffle once and every branch reads its map output, so no cache
-    # is needed (a persist here was measured WORSE cold: the first run
-    # races cache population across the concurrently-materialized
-    # sibling stages, re-executing the subtree per branch — 13 jobs /
-    # 1.6 s cached vs 9 jobs / 1.2 s relying on exchange reuse).
-    u = (
+    # The per-user profile is a SELF-REFERENCED subtree: the plan joins
+    # u to a broadcast DERIVED FROM u (bprev), so DeduplicateRelations
+    # re-aliases one occurrence and AQE's stage dedup then misses the
+    # canonically-equal exchanges — both sides re-shuffle (measured:
+    # two user_id ShuffleQueryStages; same miss as the LSH banding
+    # self-join, EXPERIMENTS.md round 8).  For self-join shapes the
+    # round-7 "exchange reuse is free, never cache" rule's premise
+    # fails, so u IS cached — LAZILY, because the two consumers are
+    # strictly sequential (the probe can't start before bprev's
+    # broadcast is built), so the build populates the cache with no
+    # race and no separate population action; the corpus is scanned
+    # once.  User-count rows, far below the corpus.
+    u = materialize(
         e.groupBy("user_id")
         .agg(
             (exact_sum("value") * 100).cast("long").alias("total_cents"),
@@ -333,20 +338,42 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cand (frontier-sized) feeds the exact sweep and the membership
     # join; its own cost above the reused u-exchange is one broadcast
     # join + filter — cheaper to recompute per branch than to persist.
+    # cand is the pruned NEAR-FRONTIER set — tiny at any scale by the
+    # operator's own phase-1 design — so the ENTIRE exact sweep runs
+    # per-row in ONE narrow coalesce(1) task with two range-frame
+    # windows: pm = best count among strictly-richer candidates
+    # (integer cents, so RANGE ... -1 PRECEDING under DESC means
+    # cents' >= cents+1), gm = best count among equal-cents peers; a
+    # row is on the frontier iff it HOLDS its cents group's max and
+    # beats every richer group.  This replaces the old group-sweep +
+    # broadcast + membership join pair, so cand has ONE consumer and
+    # u exactly two (the bprev build and the probe) — the shape whose
+    # exchange reuse is measured (a third u consumer re-materialized
+    # the user shuffle under AQE's dedup miss; see EXPERIMENTS.md
+    # round 8).
     cand = u.join(F.broadcast(bprev), "bk").filter(
         F.col("pmax").isNull() | (F.col("n_events") > F.col("pmax"))
     )
-    g = cand.groupBy("total_cents").agg(F.max("n_events").alias("mx"))
-    wv = Window.orderBy(F.col("total_cents").desc()).rowsBetween(
+    w_richer = Window.orderBy(F.col("total_cents").desc()).rangeBetween(
         Window.unboundedPreceding, -1
     )
-    sky_v = (
-        g.coalesce(1).select("total_cents", "mx", F.max("mx").over(wv).alias("pm"))
-        .filter(F.col("pm").isNull() | (F.col("mx") > F.col("pm")))
-        .select("total_cents", F.col("mx").alias("n_events"))
+    w_peers = Window.orderBy(F.col("total_cents").desc()).rangeBetween(
+        Window.currentRow, Window.currentRow
     )
-    return cand.join(F.broadcast(sky_v), ["total_cents", "n_events"]).select(
-        "user_id", "total_cents", "n_events"
+    return (
+        cand.coalesce(1)
+        .select(
+            "user_id",
+            "total_cents",
+            "n_events",
+            F.max("n_events").over(w_richer).alias("pm"),
+            F.max("n_events").over(w_peers).alias("gm"),
+        )
+        .filter(
+            (F.col("n_events") == F.col("gm"))
+            & (F.col("pm").isNull() | (F.col("n_events") > F.col("pm")))
+        )
+        .select("user_id", "total_cents", "n_events")
     )
 
 
