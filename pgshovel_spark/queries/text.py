@@ -145,7 +145,17 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     ).filter(F.col("term") != "")
-    term_counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    # term_counts is SELF-REFERENCED (the df broadcast derives from it
+    # and joins back), which AQE re-plans as two whole subtrees after
+    # DeduplicateRelations — two corpus scans, two tokenize passes
+    # (plan-measured; EXPERIMENTS.md round 8).  Lazily cached: the
+    # consumers are strictly sequential (the probe waits on the df
+    # broadcast), so the build populates with no race and the corpus
+    # is tokenized once.  Posting-table-sized with disk spill — the
+    # same bound as the jaccard family's kept cache.
+    term_counts = materialize(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    )
     n_docs = float(table_rowcount(sf_dir, "documents"))
     df_tab = term_counts.groupBy(F.col("term").alias("dft")).agg(
         F.count(F.lit(1)).alias("df")
