@@ -25,8 +25,19 @@ placement yields the same output (the sort keys must form a TOTAL order,
 i.e. include a unique tiebreaker; the id projection sits above the sort
 in the same whole-stage pipeline, so it numbers rows in sorted order).
 
-The per-partition count branch reuses the range-shuffle exchange at
-runtime (AQE ReusedExchange), so the input is shuffled exactly once.
+The ranged stream is SELF-REFERENCED (the offset broadcast derives
+from it and joins back), and AQE's stage dedup misses the re-aliased
+copy — the range shuffle and the base scan PLAN TWICE
+(tools/selfref_audit.py, round 8).  This is accepted here by
+measurement: a lazy MEMORY_AND_DISK persist of the ranged stream
+(full-width corpus rows) doubled the wall at sf0.1 (0.9 -> 2.3 s,
+5 -> 7 jobs) because the cache write/read of wide rows costs more
+than the second column-pruned scan+shuffle; at 100 TB the two
+options move comparable bytes (cache write+read vs re-scan +
+re-shuffle), so the un-cached form is kept for its strictly better
+local profile.  Contrast the SLIM self-references (q_skyline's
+per-user profile, q_important_stock's per-part aggregate), where the
+cached rows are corpus-REDUCED and the cache wins outright.
 """
 
 from __future__ import annotations

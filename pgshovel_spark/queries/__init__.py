@@ -103,6 +103,17 @@ _PRIORITY = (
     "q_bloom_prune",
     "q_skyline",
     "q_dedup_minhash_pairs",
+    # round-8 self-reference fixes (tools/selfref_audit.py): one-pass /
+    # literal-map / cached rewrites of queries whose duplicated
+    # subtrees re-scanned a base table
+    "q_agg_mad_outliers",
+    "q_dedup_incremental",
+    "q_dedup_chunks",
+    "q_pipeline_curate",
+    "q_important_stock",
+    "q_drift_psi",
+    "q_sketch_cms",
+    "q_sim_ann_ivf",
     # round-8 plan changes (the job-count collapse rewrites):
     # single-row bitmask bloom filter, map-broadcast CMS + uncached
     # token_counts scan (hll/zipf share it), struct-min Q2 winner,

@@ -736,9 +736,14 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two aggregation passes by construction (the deviation median needs
     the median first); each is a map-side-combining per-type
-    percentile over a 3-column projection, and both tiny per-type
-    stats tables broadcast back — at 100 TB that is two pruned scans
-    and zero corpus shuffles, strictly better than caching a
+    percentile over a 3-column projection.  The per-type stats COLLECT
+    to the driver (event_type is an enum-like bounded domain — the
+    dim-catalog pattern) and re-enter as LITERAL maps: no broadcast
+    builds, no self-referencing join for DeduplicateRelations to
+    re-plan (the broadcast form measured FOUR events scans — the med
+    broadcast was rebuilt under the duplicated dev subtree; see
+    tools/selfref_audit.py).  At 100 TB: exactly three pruned corpus
+    scans, zero corpus shuffles, strictly better than caching a
     corpus-sized deviation table between the passes.
 
     Determinism: the median and the MAD are ROUNDED (4 dp) before any
@@ -750,19 +755,33 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    med = e.groupBy("event_type").agg(
-        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.5)), 4).alias(
-            "med"
+
+    def lit_map(rows, col):
+        pairs = []
+        for r in sorted(rows, key=lambda r: r["event_type"]):
+            pairs.append(F.lit(r["event_type"]))
+            pairs.append(F.lit(float(r[col])))
+        return F.element_at(F.create_map(*pairs), F.col("event_type"))
+
+    med_rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.col("value").cast("double"), F.lit(0.5)), 4
+            ).alias("med")
         )
+        .collect()
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
+    dev = e.withColumn("med", lit_map(med_rows, "med")).withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.percentile(F.col("adev"), F.lit(0.5)), 4).alias("mad")
+    mad_rows = (
+        dev.groupBy("event_type")
+        .agg(F.round(F.percentile(F.col("adev"), F.lit(0.5)), 4).alias("mad"))
+        .collect()
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.withColumn("mad", lit_map(mad_rows, "mad"))
         .filter(F.col("adev") > F.lit(4.4478) * F.col("mad"))
         .select(
             "event_id",

@@ -272,19 +272,27 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision trade as q_dedup_exact; the oracle joins raw normalized
     strings).
     """
+    # ONE pass, ONE shuffle: both lookup tables of the old formulation
+    # (corpus fingerprint state, batch keeper) are conditional MINs
+    # within the same h-group, so they fold into two window aggregates
+    # over a single hash-partitioned fingerprint stream — no joins, no
+    # repeated normalize scan (the join form planned the normalize+
+    # hash scan THREE times under DeduplicateRelations + the AQE
+    # stage-dedup miss; tools/selfref_audit.py).  The shuffle carries
+    # 16-byte fingerprint rows, never text.
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.xxhash64(norm_text("text")).alias("h")
     )
-    batch = d.filter(F.col("doc_id") % 5 == 0)
-    corpus = (
-        d.filter(F.col("doc_id") % 5 != 0)
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("dup_of"))
-    )
-    keeper = batch.groupBy("h").agg(F.min("doc_id").alias("batch_keeper"))
+    is_batch = F.col("doc_id") % 5 == 0
+    wh = Window.partitionBy("h")
     return (
-        batch.join(corpus, "h", "left")
-        .join(keeper, "h", "inner")
+        d.select(
+            "doc_id",
+            is_batch.alias("in_batch"),
+            F.min(F.when(~is_batch, F.col("doc_id"))).over(wh).alias("dup_of"),
+            F.min(F.when(is_batch, F.col("doc_id"))).over(wh).alias("batch_keeper"),
+        )
+        .filter(F.col("in_batch"))
         .select(
             "doc_id",
             F.col("dup_of").isNotNull().cast("int").alias("is_corpus_dup"),

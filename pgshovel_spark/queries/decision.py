@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import (
     dim_catalog,
     load_table,
@@ -1131,12 +1132,16 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
-    # per_part's top IS the l_partkey exchange, so AQE stage reuse
-    # already computes the lineitem join+aggregate once and feeds both
-    # consumers (the global total and the HAVING filter) from its map
-    # output — a persist here only added cache-population jobs
-    # (7 jobs cached vs 5 relying on exchange reuse at sf0.1).
-    per_part = (
+    # per_part is SELF-REFERENCED (the global-total broadcast derives
+    # from it and cross-joins back), and AQE's stage dedup misses the
+    # re-aliased copy: the lineitem join+aggregate planned and ran
+    # TWICE (tools/selfref_audit.py — two lineitem and two supplier
+    # scans).  The consumers are strictly sequential (the HAVING probe
+    # waits on the total broadcast), so a LAZY cache of the part-sized
+    # aggregate populates race-free and the fact table is scanned
+    # once.  (The round-7 "persist only added jobs" note measured the
+    # eager form.)
+    per_part = materialize(
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(exact_sum("l_extendedprice").alias("val"))

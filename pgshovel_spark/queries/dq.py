@@ -12,7 +12,7 @@ key side when eligible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.sources.tables import load_table
@@ -206,12 +206,22 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("is_a")).cast("long")).alias("cb"),
         )
     )
-    tot = counts.groupBy("event_type").agg(
-        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    # Per-type totals as WINDOW sums over the (type, bucket)-sized
+    # counts table — the former groupBy + join-back self-reference
+    # planned the corpus scan twice under DeduplicateRelations + the
+    # AQE stage-dedup miss (tools/selfref_audit.py); the window costs
+    # one exchange of ~10 rows per type instead.
+    wt = Window.partitionBy("event_type")
+    counts = counts.select(
+        "event_type",
+        "b",
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("ta"),
+        F.sum("cb").over(wt).alias("tb"),
     )
     folded = (
-        counts.join(tot, "event_type")
-        .groupBy("event_type", "ta", "tb")
+        counts.groupBy("event_type", "ta", "tb")
         .agg(
             F.array_sort(F.collect_list(F.struct("b", "ca", "cb"))).alias("arr")
         )

@@ -238,15 +238,20 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     ).select("doc_id", F.xxhash64("chunk").alias("h"))
-    freq = chunks.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    # "occurs in at least one OTHER doc" needs only min != max of
+    # doc_id within the chunk-hash group, so the frequency table folds
+    # into two window aggregates over ONE h-partitioned shuffle — no
+    # groupBy + join-back (which planned the tokenize+chunk scan twice
+    # under DeduplicateRelations + the AQE stage-dedup miss;
+    # tools/selfref_audit.py), and no windowed COUNT DISTINCT needed.
+    wh = Window.partitionBy("h")
+    dup = F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
     return (
-        chunks.join(freq, "h")
+        chunks.select("doc_id", dup.alias("is_dup"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_chunks"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
         )
         .select(
             "doc_id",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
+from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.queries.training import (
     _BUDGET_MILLI,
     _KNUTH,
@@ -82,14 +83,17 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dup_ratio <= _MAX_DUP_RATIO)
         .select("doc_id", "lang", "n_toks")
     )
-    # The survivor stream feeds THREE consumers (per-lang totals, the
-    # budget scalar, and the sampled stream itself), but its top sits
-    # just above the dedup window's h-exchange: AQE stage reuse feeds
-    # all three branches from that one shuffle, and the filters above
-    # it are row-local re-evaluation.  A persist here was measured
-    # WORSE cold (11 jobs / 2.1 s vs 8 jobs / 1.3 s at sf0.1): the
-    # first run races cache population across concurrently-
-    # materialized sibling stages and re-runs the subtree per branch.
+    # The survivor stream is SELF-REFERENCED (the totals broadcast
+    # derives from it and joins back), so AQE's stage dedup re-plans
+    # the whole scan+tokenize+window subtree per occurrence after
+    # DeduplicateRelations re-aliases it (two documents scans,
+    # tools/selfref_audit.py; same miss as q_skyline).  The consumers
+    # are strictly sequential — the probe cannot start before the
+    # totals broadcast exists — so a LAZY cache of the slim survivor
+    # rows (24 B/doc) populates race-free and the corpus is scanned
+    # and tokenized once.  (The round-7 persist that measured worse
+    # was the EAGER form racing concurrent population.)
+    d = materialize(d)
 
     # 4. budget mixture sample over the SURVIVING corpus
     w = F.lit(None).cast("long")

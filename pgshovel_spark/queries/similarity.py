@@ -1170,12 +1170,21 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # coarse quantizer: the persisted label-centroid artifact
     cent = _label_centroids(spark, sf_dir)
-    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
+    # The single probe vector COLLECTS to the driver (one pushed
+    # vec_id=0 point read — bounded, the ANN-centroid-collect
+    # precedent) and re-enters both rankings as a LITERAL double
+    # array: the former broadcast probe subtree was planned twice
+    # (once per crossJoin) under DeduplicateRelations + the AQE
+    # stage-dedup miss (tools/selfref_audit.py).  float()-widening a
+    # FLOAT element equals the engines' FLOAT->DOUBLE cast exactly.
+    probe_row = (
+        e.filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe_row[0]])
     near_clusters = (
-        cent.crossJoin(F.broadcast(probe))
-        .select(
+        cent.select(
             "label",
-            (F.round(cosine_sim("centroid", "probe_emb"), 3) + 0.0).alias("csim"),
+            (F.round(cosine_sim("centroid", probe_lit), 3) + 0.0).alias("csim"),
         )
         .orderBy(F.col("csim").desc(), F.col("label").asc())
         .limit(2)
@@ -1183,11 +1192,10 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = e.join(F.broadcast(near_clusters), "label").filter(F.col("vec_id") != 0)
     return (
-        candidates.crossJoin(F.broadcast(probe))
-        .select(
+        candidates.select(
             "vec_id",
             "label",
-            (F.round(cosine_sim("embedding", "probe_emb"), 3) + 0.0).alias("sim"),
+            (F.round(cosine_sim("embedding", probe_lit), 3) + 0.0).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(5)

@@ -246,15 +246,23 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cnt = _token_counts(spark, sf_dir).withColumnRenamed("cnt", "true_cnt")
     h = _token_hash(F.col("t"))
-    cells = None
-    for row, (a, b) in enumerate(_CMS_COEFS):
-        part = cnt.select(
-            "lang",
-            F.lit(row).alias("hrow"),
-            _cms_col(h, a, b).alias("col"),
-            "true_cnt",
-        )
-        cells = part if cells is None else cells.unionAll(part)
+    # both d=2 counter rows explode out of ONE artifact scan (the
+    # former unionAll of per-row selects re-read the artifact once per
+    # hash row; same fix as q_bloom_prune's position build)
+    cells = cnt.select(
+        "lang",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(row).alias("hrow"), _cms_col(h, a, b).alias("col")
+                    )
+                    for row, (a, b) in enumerate(_CMS_COEFS)
+                ]
+            )
+        ).alias("rc"),
+    ).select("lang", F.col("rc.hrow").alias("hrow"), F.col("rc.col").alias("col"), "true_cnt")
     sketch = cells.groupBy("lang", "hrow", "col").agg(F.sum("true_cnt").alias("cell"))
     smap = (
         sketch.coalesce(1)
