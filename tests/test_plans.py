@@ -151,14 +151,22 @@ def test_simhash_pairs_banded_join(spark):
 
 
 def test_dedup_incremental_fingerprint_join(spark):
-    """Both dedup joins key on the 8-byte hash column, and the corpus
-    side aggregates to (hash, min-id) fingerprints before joining —
-    no join on raw document text."""
+    """The round-8 one-pass form: BOTH lookup tables fold into window
+    aggregates over a single hash-partitioned fingerprint shuffle — no
+    joins at all, ONE documents scan, and the shuffle keys on the
+    8-byte hash (never raw document text)."""
     plan = _plan(spark, "q_dedup_incremental")
     assert "CartesianProduct" not in plan
-    # the text column is read once per scan but never a join key
-    joins = [ln for ln in plan.splitlines() if "HashJoin" in ln]
-    assert joins and all("text" not in ln for ln in joins)
+    assert "Join" not in plan  # window-only formulation
+    # formatted output names each physical node once in the tree and
+    # once in the detail section -> one scan node == two mentions
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1  # one corpus scan
+    # the exchange keys on the fingerprint hash column, not text
+    # (formatted output puts the partitioning on an Arguments: line)
+    exchanges = [ln for ln in plan.splitlines() if "hashpartitioning(" in ln]
+    assert exchanges and all("text" not in ln for ln in exchanges)
 
 
 def test_multiway_join_broadcasts_filtered_dim(spark):
