@@ -898,6 +898,8 @@ def q_sim_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(_MINHASH_COEFS)
     ]
     aggs.append(F.sort_array(F.collect_set(F.xxhash64("t"))).alias("toks"))
+    # eager: the banding join's two sides materialize CONCURRENTLY, so
+    # a lazy population races (measured 12 jobs lazy vs 10 eager)
     per_doc = materialize(tok.groupBy("doc_id").agg(*aggs), eager=True)
 
     def band(i):
