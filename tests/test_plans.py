@@ -604,3 +604,35 @@ def test_timestamp_stats_enable_rowgroup_skipping(spark, tmp_path):
     assert n_u == n_s and n_u > 0  # same answer
     # the sorted layout decodes a small fraction of the table
     assert dec_s < 0.5 * dec_u, (dec_s, dec_u)
+
+
+def test_no_duplicate_scan_work_on_swept_queries(spark):
+    """Regression guard for the round-8 self-reference sweep: none of
+    the fixed queries may again plan IDENTICAL scan work (same
+    PushedFilters + ReadSchema on the same location) more than once —
+    the DeduplicateRelations + AQE-stage-dedup miss that hid a second
+    corpus pass (tools/selfref_audit.py)."""
+    from tools.selfref_audit import scan_sets
+
+    fixed = [
+        "q_dedup_incremental",
+        "q_dedup_chunks",
+        "q_agg_mad_outliers",
+        "q_drift_psi",
+        "q_pipeline_curate",
+        "q_important_stock",
+        "q_sim_ann_ivf",
+        "q_text_tfidf",
+        "q_skyline",
+    ]
+    qs = all_queries()
+    for name in fixed:
+        df = qs[name](spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        waste = {
+            loc: (n_ids, n_work)
+            for loc, (n_ids, n_work) in scan_sets(plan).items()
+            if n_ids > n_work
+        }
+        assert not waste, f"{name} re-plans identical scan work: {waste}"
