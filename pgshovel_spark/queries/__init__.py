@@ -92,6 +92,7 @@ _PRIORITY = (
     # the warehouse artifact (dim-derived month window, DPP
     # plan-asserted)
     "q_sim_minhash_est",
+    "q_dedup_semantic",
     "q_scan_dpp",
     # round-8 wave-4 plan changes: df-broadcast + catalog-N TF-IDF,
     # single-broadcast PMI, dim-catalog star join, one-pass degree

@@ -1129,6 +1129,112 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+#: SemDeDup near-duplicate threshold — same operating point (and the
+#: same fixture-driven reasoning) as q_dedup_embedding's pair cut.
+_SEMDEDUP_THETA = 0.35
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023, public): the
+    PRUNING DECISION layer above q_dedup_embedding's pair list.  Within
+    each cluster (label = the coarse bucket, as in the IVF family), a
+    vector is pruned when a near-duplicate (cos >= 0.35) with
+    higher keep-priority exists; priority keeps the vector FARTHEST
+    from the cluster centroid (SemDeDup's diversity rule: lowest
+    centroid cosine wins, tie by lower vec_id).  Emits one row per
+    vector: centroid similarity, near-dup neighbor count, and the
+    prune flag — the corpus-reduction manifest a curation pipeline
+    applies before training.
+
+    Engine plan: centroid similarity is a cluster-count broadcast join
+    + the IVF family's rounded JVM-side cosine; the within-cluster
+    pair scan is ONE blocked numpy gram matrix per label inside
+    applyInPandas (the q_dedup_embedding scale path — never a global
+    all-pairs).  Determinism: every similarity is rounded to 3 dp
+    before ANY comparison (threshold, dominance, output), so both
+    engines cut and rank identically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = _label_centroids(spark, sf_dir)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            (F.round(cosine_sim("embedding", "centroid"), 3) + 0.0).alias("csim"),
+        )
+    )
+
+    out_schema = "vec_id long, label long, csim double, n_neighbors long, is_pruned int"
+
+    def block_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        cs = pdf["csim"].to_numpy()
+        lab = pdf["label"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy())  # n x d float64
+        norms = np.sqrt((m * m).sum(axis=1))
+        safe = np.where(norms == 0, 1.0, norms)
+        sims = np.round((m @ m.T) / np.outer(safe, safe), 3) + 0.0
+        np.fill_diagonal(sims, -2.0)
+        sims[norms == 0, :] = -2.0
+        sims[:, norms == 0] = -2.0
+        neigh = sims >= _SEMDEDUP_THETA
+        # j dominates i: j is CLOSER-kept — lower centroid-sim wins
+        # (diversity), ties to the lower id
+        dom = (cs[None, :] < cs[:, None]) | (
+            (cs[None, :] == cs[:, None]) & (ids[None, :] < ids[:, None])
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "label": lab.astype("int64"),
+                "csim": cs,
+                "n_neighbors": neigh.sum(axis=1).astype("int64"),
+                "is_pruned": (neigh & dom).any(axis=1).astype("int32"),
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(block_prune, out_schema)
+
+
+_DEDUP_SEMANTIC_SQL = f"""
+WITH cent AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, AVG(v) AS cv FROM (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings)
+    GROUP BY label, pos)
+  GROUP BY label
+), v AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 3)
+           + 0.0 AS csim
+  FROM embeddings e JOIN cent c USING (label)
+), p AS (
+  SELECT a.vec_id,
+         COUNT(*) AS n_neighbors,
+         CAST(MAX(CASE WHEN b.csim < a.csim
+                         OR (b.csim = a.csim AND b.vec_id < a.vec_id)
+                  THEN 1 ELSE 0 END) AS INT) AS is_pruned
+  FROM v a JOIN v b
+    ON a.label = b.label AND a.vec_id != b.vec_id
+   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 3)
+       >= {_SEMDEDUP_THETA}
+  GROUP BY a.vec_id
+)
+SELECT v.vec_id, v.label, v.csim,
+       COALESCE(p.n_neighbors, 0) AS n_neighbors,
+       COALESCE(p.is_pruned, 0) AS is_pruned
+FROM v LEFT JOIN p USING (vec_id)
+"""
+
+
 def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared parquet artifact: (label, centroid array<double>) — the
     coarse-quantizer table of the label-partitioned IVF, consumed by
@@ -1651,6 +1757,7 @@ QUERIES = {
     "q_sim_minhash_est": q_sim_minhash_est,
     "q_sim_simhash": q_sim_simhash,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_semantic": q_dedup_semantic,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_ann_recall": q_ann_recall,
     "q_multimodal_join": q_multimodal_join,
@@ -1670,6 +1777,7 @@ ORACLES = {
     "q_sim_minhash_est": _SIM_MINHASH_EST_SQL,
     "q_sim_simhash": _SIM_SIMHASH_SQL,
     "q_dedup_embedding": _DEDUP_EMBEDDING_SQL,
+    "q_dedup_semantic": _DEDUP_SEMANTIC_SQL,
     "q_sim_ann_ivf": _SIM_ANN_IVF_SQL,
     "q_ann_recall": _ANN_RECALL_SQL,
     "q_multimodal_join": _MULTIMODAL_JOIN_SQL,

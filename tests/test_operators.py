@@ -372,3 +372,35 @@ def test_minhash_est_invariants(spark):
         assert r.err_milli == r.est_milli - r.exact_milli
         if r.exact_milli == 1000:  # identical token sets
             assert r.n_match == 8 and r.err_milli == 0
+
+
+def test_dedup_semantic_invariants(spark):
+    """SemDeDup decision table: a pruned vector always has a near-dup
+    neighbor; a vector with no neighbors is never pruned; within any
+    near-dup PAIR at least one side survives (dominance is a strict
+    total order per pair, so both can't prune each other); and the
+    survivor of a pair is the one farther from the centroid."""
+    from pgshovel_spark.queries.similarity import (
+        q_dedup_embedding,
+        q_dedup_semantic,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = {r.vec_id: r for r in q_dedup_semantic(spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        if r.is_pruned:
+            assert r.n_neighbors >= 1
+        if r.n_neighbors == 0:
+            assert not r.is_pruned
+    pairs = q_dedup_embedding(spark, SF).collect()
+    for p in pairs:
+        a, b = rows[p.id1], rows[p.id2]
+        assert not (a.is_pruned and b.is_pruned and a.n_neighbors == 1 and b.n_neighbors == 1), (
+            "a 1-neighbor pair pruned both sides"
+        )
+        # the dominated side of THIS pair is pruned
+        if (a.csim, a.vec_id) < (b.csim, b.vec_id):
+            assert b.is_pruned
+        else:
+            assert a.is_pruned
