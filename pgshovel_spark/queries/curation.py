@@ -354,24 +354,24 @@ def q_text_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(tri)).alias("tri"),
     )
     dt = dt.select("doc_id", "lang", F.xxhash64("lang", "tri").alias("th"))
-    # The (doc, trigram-hash) rows feed BOTH the doc-frequency
-    # aggregate and the join probe.  Recomputing the tokenize+trigram
-    # subtree per branch beats persisting it: the exploded table is
-    # corpus×trigrams wide, so cache population writes (and cold-run
-    # branch races re-execute) more bytes than the second xxhash pass
-    # costs — measured 7 jobs / 3.2 s cached vs 4 jobs / 2.2 s
-    # recomputed at sf0.1.  At 100 TB the doc-frequency table is the
-    # shared parquet artifact q_text_decontaminate already builds; a
-    # real pipeline computes it once and joins against storage.
-    # (A window-count rewrite was measured WORSE still: a ~90k-distinct-
-    # key window sort costs more than the extra broadcast join.)
-    freq = dt.groupBy("th").agg(F.count(F.lit(1)).alias("tri_docs"))
+    # "shared with at least one OTHER doc" needs only min != max of
+    # doc_id within the trigram-hash group (trigram rows are DISTINCT
+    # per doc), so the doc-frequency table folds into two window
+    # aggregates over ONE th-shuffle — no groupBy + join-back, no
+    # second tokenize scan (the join form planned the whole subtree
+    # twice under the AQE stage-dedup miss; tools/selfref_audit.py).
+    # Re-measured round 8: 4 jobs / 1.5 s at sf0.1 vs the join form's
+    # 4 jobs / 1.9-2.2 s AND two corpus scans — the r7 note rejecting
+    # a window rewrite measured a windowed COUNT stacked on top of
+    # the join, not this replacement.
+    wh = Window.partitionBy("th")
+    shared = F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
     return (
-        dt.join(freq, "th")
+        dt.select("doc_id", "lang", shared.alias("is_shared"))
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_tri"),
-            F.sum((F.col("tri_docs") >= 2).cast("long")).alias("n_shared"),
+            F.sum(F.col("is_shared").cast("long")).alias("n_shared"),
         )
         .select(
             "doc_id",
