@@ -115,6 +115,7 @@ _PRIORITY = (
     "q_drift_psi",
     "q_sketch_cms",
     "q_sim_ann_ivf",
+    "q_text_crossdup",
     # round-8 plan changes (the job-count collapse rewrites):
     # single-row bitmask bloom filter, map-broadcast CMS + uncached
     # token_counts scan (hll/zipf share it), struct-min Q2 winner,
