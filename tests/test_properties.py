@@ -454,3 +454,55 @@ def test_dedup_chunks_invariants(spark):
         if len(ids) >= 2:
             for i in ids:
                 assert rows[i].dup_ratio == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-8 window-form rewrites vs brute force (the self-reference sweep
+# replaced groupBy+join-back with window aggregates; these pin the
+# equivalence on arbitrary inputs, not just the fixtures)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 6)),  # (doc_id, text-class)
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_dedup_incremental_window_form_matches_brute_force(spark, rows):
+    """The one-pass window formulation == the literal spec: batch docs
+    (id%5==0) flagged against the corpus (min other-partition id per
+    text) and the batch itself (an earlier batch doc with same text)."""
+    from pgshovel_spark.queries.similarity import _tok_distinct  # noqa: F401 (import parity)
+
+    df = spark.createDataFrame(
+        [(i, f"text {c}") for i, c in rows], "doc_id long, text string"
+    )
+    import pgshovel_spark.queries.curation as cur
+    from pgshovel_spark.sources import tables as tbl
+
+    # route load_table to the synthetic frame for this one query
+    orig = tbl._DF_CACHE.copy()
+    key = (spark.sparkContext.applicationId, "__prop__", "documents")
+    tbl._DF_CACHE[key] = df
+    try:
+        got = {
+            r.doc_id: (r.is_corpus_dup, r.dup_of, r.is_batch_dup)
+            for r in cur.q_dedup_incremental(spark, "__prop__").collect()
+        }
+    finally:
+        tbl._DF_CACHE.clear()
+        tbl._DF_CACHE.update(orig)
+
+    texts = {i: f"text {c}" for i, c in rows}
+    batch = [i for i in texts if i % 5 == 0]
+    corpus = {i: t for i, t in texts.items() if i % 5 != 0}
+    want = {}
+    for i in batch:
+        dups = [j for j, t in corpus.items() if t == texts[i]]
+        dup_of = min(dups) if dups else None
+        earlier = [j for j in batch if texts[j] == texts[i] and j < i]
+        want[i] = (1 if dup_of is not None else 0, dup_of, 1 if earlier else 0)
+    assert got == want
