@@ -221,6 +221,8 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("truncated PNG IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"IDAT":
             idat += data
@@ -233,7 +235,12 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or color not in (0, 2):
         raise ValueError("only 8-bit gray/truecolor non-interlaced PNG supported")
     nch = 1 if color == 0 else 3
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG missing IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = w * nch
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")

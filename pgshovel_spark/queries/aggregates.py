@@ -757,11 +757,23 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def lit_map(rows, col):
+        # NULL event_type can't be a map key and a NULL med/mad (all-NULL
+        # value group) can't be a literal: skip those rows, matching the
+        # NULL-dropping semantics of the broadcast-join form this replaced
+        # (try_element_at returns NULL on the missing key — in ANSI mode
+        # too — and the downstream filter drops the row).
+        rows = [
+            r
+            for r in rows
+            if r["event_type"] is not None and r[col] is not None
+        ]
         pairs = []
         for r in sorted(rows, key=lambda r: r["event_type"]):
             pairs.append(F.lit(r["event_type"]))
             pairs.append(F.lit(float(r[col])))
-        return F.element_at(F.create_map(*pairs), F.col("event_type"))
+        if not pairs:
+            return F.lit(None).cast("double")
+        return F.try_element_at(F.create_map(*pairs), F.col("event_type"))
 
     med_rows = (
         e.groupBy("event_type")

@@ -358,10 +358,15 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     del n, r
     asia_nations = nations_in_region(spark, sf_dir, "ASIA")
     nat2_key = next(
-        int(x.key)
-        for x in dim_catalog(spark, sf_dir)["nation"]
-        if x.name == "NATION_2"
+        (
+            int(x.key)
+            for x in dim_catalog(spark, sf_dir)["nation"]
+            if x.name == "NATION_2"
+        ),
+        None,
     )
+    if nat2_key is None:
+        raise ValueError("nation 'NATION_2' not found in the dim catalog")
 
     asia_cust = c.filter(F.col("c_nationkey").isin(asia_nations)).select(
         F.col("c_custkey").alias("cd_custkey")

@@ -419,7 +419,7 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bit_test(p: str):
         return (
             F.expr(
-                f"shiftrightunsigned(coalesce(element_at(bmap, {p} div 64),"
+                f"shiftrightunsigned(coalesce(try_element_at(bmap, {p} div 64),"
                 f" CAST(0 AS BIGINT)), CAST({p} % 64 AS INT)) & 1"
             )
             == 1

@@ -166,12 +166,30 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     100 TB) with a catalog lookup."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Key the cache on the target's mtime/size so an in-place regenerated
+    # fixture is re-read, and support the documented directory-tree table
+    # layout (a parquet dataset dir of part files) by summing footers.
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    key = (sf_dir, name, stamp)
     got = _ROWCOUNT_CACHE.get(key)
     if got is None:
         import pyarrow.parquet as pq
 
-        got = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+        if os.path.isdir(path):
+            got = 0
+            for root, _dirs, files in os.walk(path):
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        got += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+        else:
+            got = pq.ParquetFile(path).metadata.num_rows
         _ROWCOUNT_CACHE[key] = got
     return got
 
@@ -179,7 +197,12 @@ def table_rowcount(sf_dir: str, name: str) -> int:
 def nations_in_region(spark: SparkSession, sf_dir: str, region_name: str) -> list[int]:
     """Nation keys belonging to ``region_name``, as plain ints."""
     cat = dim_catalog(spark, sf_dir)
-    rk = next(x.key for x in cat["region"] if x.name == region_name)
+    rk = next((x.key for x in cat["region"] if x.name == region_name), None)
+    if rk is None:
+        raise ValueError(
+            f"region {region_name!r} not found in the dim catalog "
+            f"(known: {[x.name for x in cat['region']]})"
+        )
     return [int(x.key) for x in cat["nation"] if x.regionkey == rk]
 
 
