@@ -87,6 +87,13 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
+    # round-9 NEW query + round-9 plan-touched fixes first: the
+    # exact-substring dedup scan (never driver-checked), then the two
+    # queries whose probe expressions changed this round (NULL-safe /
+    # ANSI-safe literal-map lookups via try_element_at)
+    "q_dedup_substring",
+    "q_agg_mad_outliers",
+    "q_bloom_prune",
     # round-8 NEW queries first: the MinHash estimator-accuracy audit
     # (payload-through-banding plan) and dynamic partition pruning over
     # the warehouse artifact (dim-derived month window, DPP
@@ -101,13 +108,11 @@ _PRIORITY = (
     "q_text_ngram_pmi",
     "q_join_star",
     "q_graph_degrees",
-    "q_bloom_prune",
     "q_skyline",
     "q_dedup_minhash_pairs",
     # round-8 self-reference fixes (tools/selfref_audit.py): one-pass /
     # literal-map / cached rewrites of queries whose duplicated
     # subtrees re-scanned a base table
-    "q_agg_mad_outliers",
     "q_dedup_incremental",
     "q_dedup_chunks",
     "q_pipeline_curate",

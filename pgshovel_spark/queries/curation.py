@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pgshovel_spark.functions.textfns import norm_text, tokens
 from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.queries.similarity import _DF_CAP as _SIM_DF_CAP
+from pgshovel_spark.queries.training import _TOKS as _CUR_TOKS
 from pgshovel_spark.functions.determinism import iratio
 from pgshovel_spark.sources.tables import load_table
 
@@ -406,6 +407,145 @@ SELECT dt.doc_id, dt.lang,
        CAST((SUM(CASE WHEN f.tri_docs >= 2 THEN 1 ELSE 0 END) * 20000 + COUNT(*)) // (COUNT(*) * 2) AS DOUBLE) / 10000.0 AS shared_ratio
 FROM dt JOIN freq f ON dt.lang = f.lang AND dt.tri = f.tri
 GROUP BY dt.doc_id, dt.lang
+"""
+
+
+# ------------------------------------------------ exact-substring dedup
+
+#: exact-substring window width (tokens): a pair is reported iff the
+#: docs share a VERBATIM run of at least this many tokens (Lee et al.
+#: 2021, "Deduplicating Training Data Makes Language Models Better",
+#: uses 50 BPE tokens ~ this order of magnitude; 25 matches the
+#: repo's paragraph unit _DCHUNK_W so the chunk-dedup triage and this
+#: scan agree on what "a duplicated passage" means).
+_SUBSTR_K = 25
+
+#: grams occurring more than this many times corpus-wide are dropped
+#: from pairing on BOTH engines: a ubiquitous K-token boilerplate line
+#: (license header, nav bar) would otherwise emit O(df^2) pair rows.
+#: Zipf-head-small by construction (fixture max df = 2 — the cap is
+#: pure 100 TB insurance, same contract as _DF_CAP/_BUCKET_CAP).
+_SUBSTR_CAP = 1000
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the suffix-array-family scan the
+    crossdup triage feeds): for every same-language document pair
+    sharing a verbatim token run of >= {_SUBSTR_K} tokens, report the
+    LONGEST shared run (in tokens) and the number of matching
+    {_SUBSTR_K}-token windows — integer-exact, banded by gram hash,
+    never all-pairs (Lee et al. 2021 semantics, distributed as
+    overlapping window-hash matching instead of a single-node suffix
+    array).
+
+    Exactness: a shared run of L >= K tokens is exactly L-K+1
+    CONSECUTIVE matching K-token windows on the same alignment
+    diagonal (ia - ib); conversely m consecutive diagonal matches
+    reconstruct a run of m+K-1 tokens.  So max_run = K-1 + the longest
+    consecutive-ia island per (pair, diagonal) — a gap-islands window
+    (ia - row_number) over the pair shuffle, no string re-comparison.
+
+    Plan shape — TWO shuffles, no joins: ONE tokenize scan emits
+    (8-byte gram hash, doc_id, pos) window rows map-side (the oracle
+    joins raw gram strings — the documented ~2^-64 collision trade of
+    q_dedup_exact); a single groupBy on the hash collects each gram's
+    sorted occurrence list (cap-bounded) and expands cross-doc
+    occurrence pairs MAP-SIDE with a nested transform — no self-join,
+    so there is no dual plan branch for the AQE stage-dedup miss to
+    re-execute (tools/selfref_audit.py) and no over-cap broadcast
+    build (the size filter on the collected list IS the cap).  The
+    pair stream then takes one explicit repartition on (doc_a, doc_b),
+    which satisfies the diagonal window AND both island aggregates
+    (hash partitioning on a key subset satisfies the finer
+    clustering).  At 100 TB: shuffle 1 is corpus-token-linear 20-byte
+    rows; a gram's pair expansion is bounded by _SUBSTR_CAP^2/2 rows
+    in one task (same Σdf² output bound as the shingle family);
+    shuffle 2 carries true-duplicate pairs only.
+    """
+    d = _docs_parallel(spark, sf_dir).select(
+        "doc_id", "lang", F.filter(tokens("text"), lambda t: t != "").alias("a")
+    )
+    k = _SUBSTR_K
+    wins = d.filter(F.size("a") >= k).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(a) - {k}), i -> "
+                f"struct(i AS pos, xxhash64(lang, "
+                f"concat_ws(' ', slice(a, i + 1, {k}))) AS h))"
+            )
+        ).alias("w"),
+    )
+    occ = (
+        wins.groupBy("w.h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", F.col("w.pos").alias("pos")))
+            ).alias("occ")
+        )
+        # cap + cheap >=2-docs prefilter (occ sorted by doc_id: ends differ)
+        .filter(
+            (F.size("occ") <= _SUBSTR_CAP)
+            & (
+                F.element_at("occ", 1)["doc_id"]
+                != F.element_at("occ", -1)["doc_id"]
+            )
+        )
+    )
+    pairs = occ.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(occ, (x, i) -> filter("
+                "transform(slice(occ, i + 2, size(occ)), y -> "
+                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.pos AS ia, x.pos - y.pos AS d)), "
+                "p -> p.doc_a < p.doc_b)))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.ia", "p.d")
+    wd = Window.partitionBy("doc_a", "doc_b", "d").orderBy("ia")
+    return (
+        pairs.repartition("doc_a", "doc_b")
+        .withColumn("grp", F.col("ia") - F.row_number().over(wd))
+        .groupBy("doc_a", "doc_b", "d", "grp")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("m") + F.lit(k - 1)).cast("long").alias("max_run"),
+            F.sum("m").cast("long").alias("n_windows"),
+        )
+    )
+
+
+_DEDUP_SUBSTRING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_CUR_TOKS} AS a FROM documents
+), g AS (
+  SELECT doc_id, lang, gi AS pos,
+         array_to_string(a[gi + 1 : gi + {_SUBSTR_K}], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(0, len(a) - {_SUBSTR_K})) AS gi)
+  WHERE len(a) >= {_SUBSTR_K}
+), small AS (
+  SELECT lang, gram FROM g
+  GROUP BY lang, gram HAVING COUNT(*) <= {_SUBSTR_CAP}
+), ok AS (
+  SELECT g.* FROM g JOIN small USING (lang, gram)
+), pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS ia, x.pos - y.pos AS d
+  FROM ok x JOIN ok y
+    ON x.lang = y.lang AND x.gram = y.gram AND x.doc_id < y.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, d, ia,
+         ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d ORDER BY ia) AS grp
+  FROM pairs
+), runs AS (
+  SELECT doc_a, doc_b, d, grp, COUNT(*) AS m
+  FROM isl GROUP BY doc_a, doc_b, d, grp
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(m) + {_SUBSTR_K} - 1 AS BIGINT) AS max_run,
+       CAST(SUM(m) AS BIGINT) AS n_windows
+FROM runs GROUP BY doc_a, doc_b
 """
 
 
@@ -1091,6 +1231,7 @@ QUERIES = {
     "q_embed_gram": q_embed_gram,
     "q_dedup_incremental": q_dedup_incremental,
     "q_text_crossdup": q_text_crossdup,
+    "q_dedup_substring": q_dedup_substring,
     "q_simhash_pairs": q_simhash_pairs,
     "q_embed_centroids": q_embed_centroids,
     "q_text_winnowing": q_text_winnowing,
@@ -1106,6 +1247,7 @@ ORACLES = {
     "q_embed_gram": _EMBED_GRAM_SQL,
     "q_dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "q_text_crossdup": _TEXT_CROSSDUP_SQL,
+    "q_dedup_substring": _DEDUP_SUBSTRING_SQL,
     "q_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "q_embed_centroids": _EMBED_CENTROIDS_SQL,
     "q_text_winnowing": _TEXT_WINNOWING_SQL,

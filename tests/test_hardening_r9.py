@@ -109,3 +109,105 @@ class TestMadOutliersNulls:
         got = {r["event_id"] for r in out}
         assert 1000 not in got  # sanity: ids are small
         assert got == {11}  # the 1000.0 outlier; NULL rows dropped
+
+
+class TestDedupSubstring:
+    """q_dedup_substring construction checks: the window-hash +
+    diagonal-islands form must equal the literal longest-shared-token-
+    run definition (O(n*m) DP) on synthetic corpora."""
+
+    @staticmethod
+    def _run(spark, docs):
+        """docs: list of (doc_id, lang, text)."""
+        import pgshovel_spark.queries.curation as cur
+        from pgshovel_spark.sources import tables as tbl
+
+        df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        orig = tbl._DF_CACHE.copy()
+        key = (spark.sparkContext.applicationId, "__substr__", "documents")
+        tbl._DF_CACHE[key] = df
+        try:
+            return {
+                (r.doc_a, r.doc_b): (r.max_run, r.n_windows)
+                for r in cur.q_dedup_substring(spark, "__substr__").collect()
+            }
+        finally:
+            tbl._DF_CACHE.clear()
+            tbl._DF_CACHE.update(orig)
+
+    @staticmethod
+    def _brute(docs, k=25):
+        toks = {i: t.lower().split() for i, _l, t in docs}
+        lang = {i: l for i, l, _t in docs}
+        out = {}
+        ids = sorted(toks)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                if lang[a] != lang[b]:
+                    continue
+                ta, tb = toks[a], toks[b]
+                # longest common token run (DP) + count of matching k-windows
+                best, nw = 0, 0
+                dp = [[0] * (len(tb) + 1) for _ in range(len(ta) + 1)]
+                for i in range(1, len(ta) + 1):
+                    for j in range(1, len(tb) + 1):
+                        if ta[i - 1] == tb[j - 1]:
+                            dp[i][j] = dp[i - 1][j - 1] + 1
+                            best = max(best, dp[i][j])
+                for i in range(len(ta) - k + 1):
+                    for j in range(len(tb) - k + 1):
+                        if ta[i : i + k] == tb[j : j + k]:
+                            nw += 1
+                if best >= k:
+                    out[(a, b)] = (best, nw)
+        return out
+
+    def test_planted_run(self, spark):
+        import random
+
+        rng = random.Random(7)
+        filler = lambda n: " ".join(f"w{rng.randrange(10**6)}" for _ in range(n))
+        shared40 = " ".join(f"s{j}" for j in range(40))
+        shared24 = " ".join(f"t{j}" for j in range(24))
+        docs = [
+            (1, "en", filler(30) + " " + shared40 + " " + filler(20)),
+            (2, "en", shared40 + " " + filler(50)),
+            (3, "en", filler(25) + " " + shared24),   # below K: no pair
+            (4, "en", shared24 + " " + filler(25)),
+            (5, "de", filler(10) + " " + shared40),   # other lang: no pair
+        ]
+        got = self._run(spark, docs)
+        assert got == {(1, 2): (40, 16)}  # 40-24+1 = 16 windows
+
+    def test_random_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(42)
+        vocab = [f"v{j}" for j in range(12)]  # tiny vocab -> chance runs
+        base = [rng.choice(vocab) for _ in range(60)]
+        docs = []
+        for i in range(8):
+            t = list(base)
+            # mutate: splice in noise + a copied slab from base
+            for _ in range(rng.randrange(6)):
+                t[rng.randrange(len(t))] = rng.choice(vocab)
+            off = rng.randrange(20)
+            docs.append((i, "en", " ".join(t[off : off + 45])))
+        got = self._run(spark, docs)
+        want = self._brute(docs)
+        assert got == want
+
+    def test_repeated_gram_within_doc(self, spark):
+        """A gram repeated inside one doc must pair at every position
+        (two diagonals, no intra-doc pair)."""
+        blk = " ".join(f"r{j}" for j in range(25))
+        pad1 = " ".join(f"x{j}" for j in range(5))
+        docs = [
+            (1, "en", blk + " " + pad1 + " " + blk),  # block twice
+            (2, "en", blk),
+        ]
+        got = self._run(spark, docs)
+        want = self._brute(docs)
+        assert got == want
+        assert got[(1, 2)] == (25, 2)
