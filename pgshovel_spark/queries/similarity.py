@@ -1133,6 +1133,15 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 #: same fixture-driven reasoning) as q_dedup_embedding's pair cut.
 _SEMDEDUP_THETA = 0.35
 
+#: per-gram block edge for the within-cluster pair scan: the numpy
+#: gram is computed in _CLUSTER_CAP x _CLUSTER_CAP tiles (32 MB of
+#: float64 at 2048), so a hot cluster's PEAK memory is O(n x d + cap^2)
+#: instead of O(n^2) — one pathological label can no longer OOM a
+#: worker.  Results are bit-identical to the single-gram form (same
+#: rounded-3dp comparisons, accumulated per tile); the fixture's
+#: largest label (~70 vectors) runs as exactly one tile.
+_CLUSTER_CAP = 2048
+
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, SemDeDup-style (Abbas et al. 2023, public): the
@@ -1148,11 +1157,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine plan: centroid similarity is a cluster-count broadcast join
     + the IVF family's rounded JVM-side cosine; the within-cluster
-    pair scan is ONE blocked numpy gram matrix per label inside
-    applyInPandas (the q_dedup_embedding scale path — never a global
-    all-pairs).  Determinism: every similarity is rounded to 3 dp
-    before ANY comparison (threshold, dominance, output), so both
-    engines cut and rank identically.
+    pair scan is a TILED numpy gram per label inside applyInPandas
+    (the q_dedup_embedding scale path — never a global all-pairs),
+    computed in _CLUSTER_CAP x _CLUSTER_CAP blocks with O(n) row
+    accumulators, so peak memory per label is O(n x d + cap^2) — the
+    quadratic term is bounded by the cap regardless of cluster size
+    (the Arrow input batch itself stays linear in the label, the
+    inherent cost of the grouping API).  Determinism: every similarity
+    is rounded to 3 dp before ANY comparison (threshold, dominance,
+    output), so both engines cut and rank identically — the tiling
+    changes evaluation ORDER only, never a compared value.
     """
     import numpy as np
     import pandas as pd
@@ -1176,25 +1190,45 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs = pdf["csim"].to_numpy()
         lab = pdf["label"].to_numpy()
         m = np.stack(pdf["emb"].to_numpy())  # n x d float64
+        n = len(ids)
         norms = np.sqrt((m * m).sum(axis=1))
         safe = np.where(norms == 0, 1.0, norms)
-        sims = np.round((m @ m.T) / np.outer(safe, safe), 3) + 0.0
-        np.fill_diagonal(sims, -2.0)
-        sims[norms == 0, :] = -2.0
-        sims[:, norms == 0] = -2.0
-        neigh = sims >= _SEMDEDUP_THETA
-        # j dominates i: j is CLOSER-kept — lower centroid-sim wins
-        # (diversity), ties to the lower id
-        dom = (cs[None, :] < cs[:, None]) | (
-            (cs[None, :] == cs[:, None]) & (ids[None, :] < ids[:, None])
-        )
+        zero = norms == 0
+        cap = _CLUSTER_CAP
+        n_neighbors = np.zeros(n, dtype=np.int64)
+        pruned = np.zeros(n, dtype=bool)
+        for r0 in range(0, n, cap):
+            r1 = min(r0 + cap, n)
+            for c0 in range(0, n, cap):
+                c1 = min(c0 + cap, n)
+                sims = (
+                    np.round(
+                        (m[r0:r1] @ m[c0:c1].T)
+                        / np.outer(safe[r0:r1], safe[c0:c1]),
+                        3,
+                    )
+                    + 0.0
+                )
+                if r0 == c0:  # tiles share the aligned grid: the
+                    np.fill_diagonal(sims, -2.0)  # self-pairs sit here
+                sims[zero[r0:r1], :] = -2.0
+                sims[:, zero[c0:c1]] = -2.0
+                neigh = sims >= _SEMDEDUP_THETA
+                # j dominates i: j is CLOSER-kept — lower centroid-sim
+                # wins (diversity), ties to the lower id
+                dom = (cs[None, c0:c1] < cs[r0:r1][:, None]) | (
+                    (cs[None, c0:c1] == cs[r0:r1][:, None])
+                    & (ids[None, c0:c1] < ids[r0:r1][:, None])
+                )
+                n_neighbors[r0:r1] += neigh.sum(axis=1)
+                pruned[r0:r1] |= (neigh & dom).any(axis=1)
         return pd.DataFrame(
             {
                 "vec_id": ids.astype("int64"),
                 "label": lab.astype("int64"),
                 "csim": cs,
-                "n_neighbors": neigh.sum(axis=1).astype("int64"),
-                "is_pruned": (neigh & dom).any(axis=1).astype("int32"),
+                "n_neighbors": n_neighbors,
+                "is_pruned": pruned.astype("int32"),
             }
         )
 

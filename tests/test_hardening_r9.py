@@ -211,3 +211,80 @@ class TestDedupSubstring:
         want = self._brute(docs)
         assert got == want
         assert got[(1, 2)] == (25, 2)
+
+
+class TestSemanticClusterCap:
+    """q_dedup_semantic's tiled gram: a label larger than _CLUSTER_CAP
+    must produce bit-identical output to the single-gram brute force —
+    the cap bounds memory, never changes a compared value."""
+
+    def test_over_cap_label_matches_brute_force(self, spark, monkeypatch):
+        import uuid
+
+        import numpy as np
+
+        import pgshovel_spark.queries.similarity as sim
+        from pgshovel_spark.sources import tables as tbl
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for label in (0, 1):
+            for i in range(10):  # 10 >> cap of 3: forces 4x4 tiling
+                emb = rng.normal(size=8)
+                if i % 3 == 0:  # plant near-dups: shared direction
+                    emb = emb * 0.05 + np.arange(8) * (1 + label)
+                rows.append((label, label * 100 + i, [float(x) for x in emb]))
+        # one all-zero vector: the zero-norm guard must hold per tile
+        rows.append((0, 99, [0.0] * 8))
+        df = spark.createDataFrame(
+            rows, "label long, vec_id long, embedding array<double>"
+        )
+        fake = f"__semcap_{uuid.uuid4().hex[:8]}__"
+        key = (spark.sparkContext.applicationId, fake, "embeddings")
+        orig = tbl._DF_CACHE.copy()
+        tbl._DF_CACHE[key] = df
+        monkeypatch.setattr(sim, "_CLUSTER_CAP", 3)
+        try:
+            got = {
+                r.vec_id: (r.csim, r.n_neighbors, r.is_pruned)
+                for r in sim.q_dedup_semantic(spark, fake).collect()
+            }
+        finally:
+            tbl._DF_CACHE.clear()
+            tbl._DF_CACHE.update(orig)
+
+        # brute force: full gram per label, same rounded-3dp rule
+        by_label = {}
+        for label, vid, emb in rows:
+            by_label.setdefault(label, []).append((vid, np.array(emb)))
+        want = {}
+        for label, members in by_label.items():
+            ids = np.array([v for v, _ in members])
+            m = np.stack([e for _, e in members])
+            cent = m.mean(axis=0)
+            norms = np.sqrt((m * m).sum(axis=1))
+            safe = np.where(norms == 0, 1.0, norms)
+            cn = np.sqrt((cent * cent).sum()) or 1.0
+            cs = np.round((m @ cent) / (safe * cn), 3) + 0.0
+            cs[norms == 0] = np.round(0.0, 3)
+            sims = np.round((m @ m.T) / np.outer(safe, safe), 3) + 0.0
+            np.fill_diagonal(sims, -2.0)
+            sims[norms == 0, :] = -2.0
+            sims[:, norms == 0] = -2.0
+            neigh = sims >= sim._SEMDEDUP_THETA
+            dom = (cs[None, :] < cs[:, None]) | (
+                (cs[None, :] == cs[:, None]) & (ids[None, :] < ids[:, None])
+            )
+            for i, vid in enumerate(ids):
+                want[int(vid)] = (
+                    float(cs[i]),
+                    int(neigh[i].sum()),
+                    int((neigh[i] & dom[i]).any()),
+                )
+        assert set(got) == set(want)
+        for vid in want:
+            # csim comes through the JVM cosine path; compare the
+            # neighbor/prune decisions exactly and csim to 3dp
+            assert got[vid][1:] == want[vid][1:], (vid, got[vid], want[vid])
+        # sanity: the tiling actually ran multi-tile and pruned something
+        assert any(v[2] for v in got.values())
