@@ -316,6 +316,7 @@ def all_artifacts() -> dict[str, QueryFn]:
     return {
         "tok_distinct": similarity._tok_distinct,
         "bigram_shingles": similarity._bigram_shingles,
+        "trigram_postings": training._trigram_postings,
         "shingle_pair_stats": similarity._shingle_pair_stats,
         "token_counts": sketches._token_counts,
         "trade_edges": graph_analytics._trade_edges,

@@ -335,37 +335,28 @@ def q_text_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with fewer than 3 tokens have no trigrams and are excluded
     (both engines drop them in the explode/unnest).
 
-    Scale shape: trigram enumeration + array_distinct are map-side;
-    the shuffle carries (lang, trigram-hash, doc_id) distinct rows into
-    a doc-frequency agg, then one equi-join on the 8-byte hash brings
-    the frequency back to each (doc, trigram) row (the oracle joins raw
-    strings — same collision trade as q_dedup_exact).  At 100 TB the
-    doc-frequency table is the shared artifact q_text_decontaminate
-    already builds; a real pipeline computes it once.
+    Scale shape: the per-doc distinct-trigram rows come from the
+    SHARED _trigram_postings parquet artifact (built once per corpus —
+    the doc-frequency substrate q_text_decontaminate probes too), so
+    this query adds NO tokenize pass of its own; the one shuffle
+    carries (lang, 8-byte trigram hash, doc_id) rows into the window
+    aggregates (the oracle joins raw strings — same collision trade
+    as q_dedup_exact).
     """
-    d = _docs_parallel(spark, sf_dir).select(
-        "doc_id", "lang", F.filter(tokens("text"), lambda t: t != "").alias("a")
-    )
-    tri = F.expr(
-        "transform(sequence(0, size(a)-3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
-    )
-    dt = d.filter(F.size("a") >= 3).select(
-        "doc_id",
-        "lang",
-        F.explode(F.array_distinct(tri)).alias("tri"),
-    )
-    dt = dt.select("doc_id", "lang", F.xxhash64("lang", "tri").alias("th"))
+    from pgshovel_spark.queries.training import _trigram_postings
+
+    dt = _trigram_postings(spark, sf_dir).select("doc_id", "lang", "h")
     # "shared with at least one OTHER doc" needs only min != max of
-    # doc_id within the trigram-hash group (trigram rows are DISTINCT
-    # per doc), so the doc-frequency table folds into two window
-    # aggregates over ONE th-shuffle — no groupBy + join-back, no
+    # doc_id within the (lang, trigram-hash) group (trigram rows are
+    # DISTINCT per doc), so the doc-frequency table folds into two
+    # window aggregates over ONE shuffle — no groupBy + join-back, no
     # second tokenize scan (the join form planned the whole subtree
     # twice under the AQE stage-dedup miss; tools/selfref_audit.py).
     # Re-measured round 8: 4 jobs / 1.5 s at sf0.1 vs the join form's
     # 4 jobs / 1.9-2.2 s AND two corpus scans — the r7 note rejecting
     # a window rewrite measured a windowed COUNT stacked on top of
     # the join, not this replacement.
-    wh = Window.partitionBy("th")
+    wh = Window.partitionBy("lang", "h")
     shared = F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
     return (
         dt.select("doc_id", "lang", shared.alias("is_shared"))

@@ -119,6 +119,34 @@ _TRI_SPARK = "transform(sequence(0, size(a)-3), i -> concat_ws(' ', a[i], a[i+1]
 _TRI_DUCK = "list_transform(generate_series(1, len(a)-2), i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])"
 
 
+def _trigram_postings(spark, sf_dir):
+    """Shared DISTINCT-trigram posting table (doc_id, lang, source, h)
+    with h = xxhash64 of the raw trigram string — the doc-frequency
+    substrate BOTH cross-corpus duplication passes aggregate
+    (q_text_crossdup's shared-with-another-doc windows,
+    q_text_decontaminate's eval-membership probe).  Built once per
+    corpus as a parquet scratch artifact (operators/scratch.py): at
+    100 TB the tokenize + explode + array_distinct pass is the
+    dominant cost of each consumer, and this IS the "shared
+    doc-frequency artifact" their docstrings promise — persisted to
+    object storage once, every consumer a column-pruned parquet scan.
+    (TF-IDF does NOT consume it: its idf is over single TOKENS, a
+    different feature space — it shares the tok_distinct artifact's
+    lineage instead.)"""
+    from pgshovel_spark.operators.scratch import scratch_table
+
+    def build(spark, sf_dir):
+        d = _docs_toks(spark, sf_dir).filter(F.size("a") >= 3)
+        return d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.array_distinct(F.expr(_TRI_SPARK))).alias("s"),
+        ).select("doc_id", "lang", "source", F.xxhash64("s").alias("h"))
+
+    return scratch_table(spark, "trigram_postings", sf_dir, build)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition filter (the Gopher/C4-style
     duplicated-n-gram heuristic): fraction of a doc's word trigrams
@@ -386,24 +414,17 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe; only the per-doc count aggregation shuffles.  Shingles join
     on xxhash64, not raw strings (8-byte keys, not ~30-byte text) —
     same documented ~1e-8 collision trade as q_sim_ngram; the oracle
-    joins raw shingles.
+    joins raw shingles.  Both slices are column-pruned scans of the
+    shared _trigram_postings artifact (the doc-frequency substrate
+    q_text_crossdup aggregates too), so the tokenize+shingle pass is
+    paid once per CORPUS, not once per consumer — the source filters
+    push into the artifact scan the same way they pushed into the
+    inline tokenize this replaces.
     """
-    d = _docs_toks(spark, sf_dir).filter(F.size("a") >= 3)
-    # NO shared-subtree cache: the two branches consume DISJOINT
-    # source slices (train = everything but src0, eval = src0 only),
-    # so pushing the source filter below each branch's tokenize means
-    # the corpus is shingled exactly once IN TOTAL — the former cached
-    # all-sources shingle table paid a population pass plus cache
-    # memory to prevent a double-tokenize that slice-disjointness
-    # prevents for free (and the source predicate reaches the scan).
-    hashed = d.select(
-        "doc_id",
-        (F.col("source") == "src0").alias("is_eval"),
-        F.explode(F.array_distinct(F.expr(_TRI_SPARK))).alias("s"),
-    ).select("doc_id", "is_eval", F.xxhash64("s").alias("h"))
-    train = hashed.filter(~F.col("is_eval")).select("doc_id", "h")
+    p = _trigram_postings(spark, sf_dir)
+    train = p.filter(F.col("source") != "src0").select("doc_id", "h")
     ev = (
-        hashed.filter(F.col("is_eval"))
+        p.filter(F.col("source") == "src0")
         .select("h", F.lit(1).alias("hit"))
         .distinct()
     )
