@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dsum, exact_sum
-from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import (
     dim_catalog,
     load_table,
@@ -1139,17 +1138,22 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
     # per_part is SELF-REFERENCED (the global-total broadcast derives
     # from it and cross-joins back), and AQE's stage dedup misses the
-    # re-aliased copy: the lineitem join+aggregate planned and ran
-    # TWICE (tools/selfref_audit.py — two lineitem and two supplier
-    # scans).  The consumers are strictly sequential (the HAVING probe
-    # waits on the total broadcast), so a LAZY cache of the part-sized
-    # aggregate populates race-free and the fact table is scanned
-    # once.  (The round-7 "persist only added jobs" note measured the
-    # eager form.)
-    per_part = materialize(
+    # re-aliased copy of a HashAggregate-topped subtree — but NOT an
+    # exchange-topped one.  Topping the part-sized aggregate with an
+    # explicit l_partkey repartition makes the shared subtree an
+    # exchange, so AQE stage reuse feeds BOTH consumers (the total
+    # broadcast and the HAVING probe) from one map output: one
+    # lineitem scan, no cache, no cache-population job.  Round-9 A/B
+    # (fresh process per config, sf0.1 AND 10x, hash-identical at
+    # sf0.01): repartition 5 jobs vs lazy-cache 7 vs rollup-pyramid 6;
+    # walls equal at 10x (2.37 vs 2.38 s).  The extra exchange moves
+    # only part-sized 16-byte rows — cheaper than cache churn at any
+    # scale (EXPERIMENTS.md round 9).
+    per_part = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(exact_sum("l_extendedprice").alias("val"))
+        .repartition(spark.sparkContext.defaultParallelism, "l_partkey")
     )
     total = per_part.agg(
         F.sum("val").alias("tot"), F.count(F.lit(1)).alias("np")

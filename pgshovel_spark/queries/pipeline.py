@@ -92,7 +92,13 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals broadcast exists — so a LAZY cache of the slim survivor
     # rows (24 B/doc) populates race-free and the corpus is scanned
     # and tokenized once.  (The round-7 persist that measured worse
-    # was the EAGER form racing concurrent population.)
+    # was the EAGER form racing concurrent population.)  Round-9 A/B
+    # closed the book on the alternative: a doc_id repartition top
+    # (the q_important_stock trick) holds the same 7-job count at
+    # sf0.1 but LOSES at 10x (3.14 vs 2.35 s run-1; 2.29 vs 0.70
+    # run-2) — re-shuffling the full survivor stream costs more than
+    # caching its 24 B/doc rows.  DOCUMENTED-FINAL (EXPERIMENTS.md
+    # round 9).
     d = materialize(d)
 
     # 4. budget mixture sample over the SURVIVING corpus

@@ -46,6 +46,13 @@ def scan_sets(plan: str) -> dict[str, list]:
     means IDENTICAL scan work was planned more than once (true
     duplication); id_sets == work_sigs > 1 means the scans do
     different work (intentional self-join / different slices)."""
+    # Parse only the FINAL adaptive plan: AdaptiveSparkPlan.toString
+    # appends an "== Initial Plan ==" section that still shows the
+    # pre-reuse duplicate subtree — a stage AQE actually fed from a
+    # ReusedExchange would be double-counted from that section (seen
+    # on q_important_stock's exchange-topped per-part aggregate, whose
+    # runtime metrics show the lineitem scan executing exactly once).
+    plan = plan.split("== Initial Plan ==")[0]
     ids_by_loc: dict[str, set[str]] = defaultdict(set)
     work_by_loc: dict[str, set[str]] = defaultdict(set)
     for cols, loc, filt, schema in _SCAN.findall(plan):
