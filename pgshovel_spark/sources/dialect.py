@@ -173,10 +173,13 @@ DERBY = Dialect(
 )
 
 #: Postgres: the reference's actual capture target.  Same logical
-#: matrix; the DDL and the two live-only deltas differ.  The harness
-#: asserts the generated SQL is well-formed and the literal rendering
-#: is valid Postgres; executing it requires a server the sandbox
-#: does not have (documented in SCALE.md "Postgres deltas").
+#: matrix; the DDL and the two live-only deltas differ.  Since round
+#: 9 this matrix EXECUTES on a live PostgreSQL 15 through the engine's
+#: own wire-protocol client (sources/pgwire.py, no driver jar needed):
+#: tests/test_pg_live.py round-trips every TypeCase sample through the
+#: server's own parser and runs the cursor-pushdown text live.  The
+#: one surface that still needs a JDBC jar is Spark's format("jdbc")
+#: read path itself (the Derby matrix covers that code live).
 POSTGRES = Dialect(
     name="postgres",
     driver="org.postgresql.Driver",
@@ -251,8 +254,10 @@ POSTGRES = Dialect(
             "partitioned-read options whose sessionInitStatement runs "
             "SET TRANSACTION SNAPSHOT on every partition connection; "
             "the per-connection execution guarantee is proven live on "
-            "Derby (test_parallel_bootstrap_session_init), the "
-            "Postgres statement text itself needs a live server",
+            "Derby (test_parallel_bootstrap_session_init), and the "
+            "snapshot adoption itself runs LIVE on Postgres via the "
+            "wire client (pglogical.snapshot_parallel_read; "
+            "tests/test_pg_live.py MVCC bootstrap test)",
         ),
     ),
 )

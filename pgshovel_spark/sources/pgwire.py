@@ -1,0 +1,396 @@
+"""Pure-Python PostgreSQL wire-protocol v3 client + scratch-server
+manager — the engine's native path to a LIVE Postgres.
+
+pgshovel is Postgres-native: capture, snapshot bootstrap, and
+administration all speak to a live cluster (reconstructed from public
+knowledge; SURVEY.md §2.A).  This container ships a full PostgreSQL 15
+server but neither psycopg2 nor a JDBC driver jar, so the engine
+carries its own minimal client: the v3 message flow over a UNIX
+socket — startup + trust auth, the simple-query protocol, text-format
+results — is a few hundred lines of public-spec framing (PostgreSQL
+documentation, "Frontend/Backend Protocol"; the format has been wire
+stable since 7.4).
+
+Design constraints that matter at scale:
+
+- picklable connection PARAMS (``PgParams``: socket dir, database,
+  user), never a live socket: executors open their own connection per
+  partition (``snapshot_parallel_read`` in pglogical.py), exactly how
+  a partitioned JDBC read behaves on a cluster.
+- text format everywhere, decoded by type OID into Python values that
+  Arrow infers losslessly (int, float, Decimal, datetime, date, bool,
+  bytes).  Binary format would save parse cost but puts endianness
+  and per-type format variance on the hot path for no win at the row
+  volumes a control plane moves; bulk data belongs to the parallel
+  snapshot path, which amortizes text parsing across executors.
+- the SIMPLE query protocol (one round trip, multiple statements and
+  result sets per call) rather than the extended protocol: no
+  prepared-statement state to leak across uses, and every
+  capture/admin statement the engine issues is one-shot SQL rendered
+  through sql_literal (sources/cdc.py) anyway.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+import shutil
+import socket
+import struct
+import subprocess
+import time
+import uuid
+from dataclasses import dataclass, field
+
+__all__ = [
+    "PgError",
+    "PgUnavailable",
+    "PgParams",
+    "PgConnection",
+    "PgResult",
+    "ScratchPostgres",
+]
+
+
+class PgError(Exception):
+    """Server ErrorResponse, surfaced with severity/SQLSTATE/message."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        self.sqlstate = fields.get("C", "")
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {self.sqlstate}: "
+            f"{fields.get('M', '(no message)')}"
+        )
+
+
+class PgUnavailable(RuntimeError):
+    """A live server cannot be provisioned in this environment
+    (binaries missing, cannot drop privileges, ...) — callers and
+    tests treat this as a skip, like the Kafka-broker gate."""
+
+
+# ---------------------------------------------------------------------------
+# text-format decoding, keyed by type OID (pg_type.dat is public)
+# ---------------------------------------------------------------------------
+
+def _dec_bool(s: str) -> bool:
+    return s == "t"
+
+
+def _dec_bytea(s: str) -> bytes:
+    if s.startswith("\\x"):
+        return bytes.fromhex(s[2:])
+    return s.encode("latin-1")  # legacy escape format, not produced by 15
+
+
+def _dec_ts(s: str) -> datetime.datetime:
+    fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
+    return datetime.datetime.strptime(s, fmt)
+
+
+def _dec_tstz(s: str) -> datetime.datetime:
+    # 15 renders e.g. '2026-08-16 01:23:45.123456+00'; normalize the
+    # offset to +HHMM for %z
+    body, sign, off = s.rpartition("+") if "+" in s[10:] else s.rpartition("-")
+    if ":" not in off:
+        off = off + "00"
+    off = off.replace(":", "")
+    fmt = "%Y-%m-%d %H:%M:%S.%f%z" if "." in body else "%Y-%m-%d %H:%M:%S%z"
+    return datetime.datetime.strptime(body + sign + off, fmt)
+
+
+_DECODERS = {
+    16: _dec_bool,
+    17: _dec_bytea,
+    20: int,
+    21: int,
+    23: int,
+    26: int,  # oid
+    700: float,
+    701: float,
+    1700: decimal.Decimal,
+    1082: datetime.date.fromisoformat,
+    1114: _dec_ts,
+    1184: _dec_tstz,
+    # 25 text / 1043 varchar / 18 char / 19 name / 2950 uuid / 3220
+    # pg_lsn and everything else stay str
+}
+
+
+def decode_value(oid: int, text: str | None):
+    if text is None:
+        return None
+    dec = _DECODERS.get(oid)
+    return dec(text) if dec is not None else text
+
+
+@dataclass(frozen=True)
+class PgParams:
+    """Picklable connection coordinates (UNIX socket, trust auth)."""
+
+    sockdir: str
+    database: str = "postgres"
+    user: str = "postgres"
+    port: int = 5432
+
+    @property
+    def sockpath(self) -> str:
+        return os.path.join(self.sockdir, f".s.PGSQL.{self.port}")
+
+    def connect(self) -> "PgConnection":
+        return PgConnection(self)
+
+
+@dataclass
+class PgResult:
+    """One result set: column names, type OIDs, decoded rows, tag."""
+
+    columns: list[str] = field(default_factory=list)
+    type_oids: list[int] = field(default_factory=list)
+    rows: list[tuple] = field(default_factory=list)
+    tag: str = ""
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("server closed the connection")
+        buf += chunk
+    return bytes(buf)
+
+
+def _cstrings(payload: bytes) -> list[str]:
+    return [p.decode("utf-8") for p in payload.split(b"\x00")[:-1]]
+
+
+class PgConnection:
+    """Blocking v3 protocol connection; one session, simple queries.
+
+    A connection left inside an open transaction (``BEGIN`` issued,
+    no ``COMMIT``) holds its snapshot — ``pglogical.exported_snapshot``
+    relies on exactly that to anchor parallel bootstrap reads.
+    """
+
+    def __init__(self, params: PgParams):
+        self.params = params
+        self.notices: list[dict[str, str]] = []
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.connect(params.sockpath)
+        body = b"".join(
+            [
+                struct.pack("!i", 196608),  # protocol 3.0
+                b"user\x00", params.user.encode(), b"\x00",
+                b"database\x00", params.database.encode(), b"\x00",
+                b"\x00",
+            ]
+        )
+        self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
+        self._drain_until_ready(startup=True)
+
+    # -- framing ------------------------------------------------------------
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        head = _read_exact(self._sock, 5)
+        kind = head[:1]
+        (length,) = struct.unpack("!i", head[1:])
+        payload = _read_exact(self._sock, length - 4) if length > 4 else b""
+        return kind, payload
+
+    @staticmethod
+    def _error_fields(payload: bytes) -> dict[str, str]:
+        fields: dict[str, str] = {}
+        for part in payload.split(b"\x00"):
+            if part:
+                fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
+        return fields
+
+    def _drain_until_ready(self, startup: bool = False) -> None:
+        err: dict[str, str] | None = None
+        while True:
+            kind, payload = self._recv_msg()
+            if kind == b"R":
+                (code,) = struct.unpack("!i", payload[:4])
+                if code != 0:
+                    raise PgError(
+                        {"S": "FATAL", "C": "28000",
+                         "M": f"unsupported auth method {code} "
+                              f"(scratch servers use trust)"}
+                    )
+            elif kind in (b"S", b"K"):  # ParameterStatus / BackendKeyData
+                pass
+            elif kind == b"N":
+                self.notices.append(self._error_fields(payload))
+            elif kind == b"E":
+                err = self._error_fields(payload)
+                if startup:
+                    raise PgError(err)
+            elif kind == b"Z":
+                if err is not None:
+                    raise PgError(err)
+                return
+
+    # -- public API ----------------------------------------------------------
+
+    def query(self, sql: str) -> list[PgResult]:
+        """Run one simple-query message (may hold several statements);
+        return one PgResult per result-set-producing statement."""
+        body = sql.encode("utf-8") + b"\x00"
+        self._sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
+        results: list[PgResult] = []
+        current: PgResult | None = None
+        err: dict[str, str] | None = None
+        while True:
+            kind, payload = self._recv_msg()
+            if kind == b"T":
+                current = PgResult()
+                (nfields,) = struct.unpack("!h", payload[:2])
+                off = 2
+                for _ in range(nfields):
+                    end = payload.index(b"\x00", off)
+                    current.columns.append(payload[off:end].decode("utf-8"))
+                    off = end + 1
+                    (_tbl, _att, typoid, _len, _mod, _fmt) = struct.unpack(
+                        "!ihihih", payload[off : off + 18]
+                    )
+                    current.type_oids.append(typoid)
+                    off += 18
+                results.append(current)
+            elif kind == b"D":
+                assert current is not None, "DataRow before RowDescription"
+                (ncols,) = struct.unpack("!h", payload[:2])
+                off = 2
+                row = []
+                for i in range(ncols):
+                    (vlen,) = struct.unpack("!i", payload[off : off + 4])
+                    off += 4
+                    if vlen == -1:
+                        row.append(None)
+                    else:
+                        text = payload[off : off + vlen].decode("utf-8")
+                        off += vlen
+                        row.append(decode_value(current.type_oids[i], text))
+                current.rows.append(tuple(row))
+            elif kind == b"C":
+                tag = payload[:-1].decode("utf-8")
+                if current is None:
+                    results.append(PgResult(tag=tag))
+                else:
+                    current.tag = tag
+                current = None
+            elif kind in (b"I", b"s"):  # EmptyQuery / PortalSuspended
+                current = None
+            elif kind == b"N":
+                self.notices.append(self._error_fields(payload))
+            elif kind == b"E":
+                err = self._error_fields(payload)
+                current = None
+            elif kind == b"Z":
+                if err is not None:
+                    raise PgError(err)
+                return results
+
+    def one(self, sql: str):
+        """First column of the first row of the only result set."""
+        res = [r for r in self.query(sql) if r.columns]
+        return res[0].rows[0][0]
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(b"X" + struct.pack("!i", 4))
+        except OSError:
+            pass
+        self._sock.close()
+
+    def __enter__(self) -> "PgConnection":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# scratch server lifecycle (tests / tools)
+# ---------------------------------------------------------------------------
+
+def _pg_bin(name: str) -> str:
+    p = shutil.which(name)
+    if p is None:
+        raise PgUnavailable(f"{name} not on PATH")
+    return p
+
+
+class ScratchPostgres:
+    """A throwaway PostgreSQL instance under /tmp with
+    ``wal_level=logical``, trust auth on a private UNIX socket, no TCP.
+
+    PostgreSQL refuses to run as root, and this container runs as
+    root, so initdb/pg_ctl execute via ``runuser -u postgres`` (the OS
+    user Debian's packaging creates).  If neither the binaries nor the
+    privilege drop are available the constructor raises
+    ``PgUnavailable`` — the same honest env-gate the Kafka seam uses.
+    """
+
+    def __init__(self, root: str | None = None):
+        initdb = _pg_bin("initdb")
+        self._pg_ctl = _pg_bin("pg_ctl")
+        self.root = root or f"/tmp/pgshovel_live/{uuid.uuid4().hex[:12]}"
+        self.data = os.path.join(self.root, "data")
+        self.params = PgParams(sockdir=self.root)
+        os.makedirs(self.root, exist_ok=True)
+        self._wrap: list[str] = []
+        if os.geteuid() == 0:
+            runuser = shutil.which("runuser")
+            if runuser is None:
+                raise PgUnavailable("running as root and runuser is absent")
+            self._wrap = [runuser, "-u", "postgres", "--"]
+            subprocess.run(
+                ["chown", "postgres:postgres", self.root], check=True
+            )
+        r = self._run([initdb, "-D", self.data, "-E", "UTF8", "--no-sync"])
+        if r.returncode != 0:
+            raise PgUnavailable(f"initdb failed: {r.stderr[-400:]}")
+
+    def _run(self, cmd: list[str]) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            self._wrap + cmd, capture_output=True, text=True, cwd="/tmp"
+        )
+
+    def start(self) -> PgParams:
+        opts = (
+            "-c wal_level=logical -c listen_addresses='' "
+            f"-c unix_socket_directories={self.root} "
+            # fsync=off keeps the scratch instance fast; synchronous_commit
+            # must stay ON — logical decoding only streams up to the
+            # FLUSHED lsn, so async commits make an immediate slot peek
+            # race its own transaction (observed: empty decode).
+            "-c fsync=off"
+        )
+        r = self._run(
+            [self._pg_ctl, "-D", self.data, "-o", opts,
+             "-l", os.path.join(self.root, "log"), "-w", "start"]
+        )
+        if r.returncode != 0:
+            raise PgUnavailable(f"pg_ctl start failed: {r.stderr[-400:]}")
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            try:
+                with self.params.connect() as c:
+                    c.query("select 1")
+                return self.params
+            except (OSError, ConnectionError):
+                time.sleep(0.2)
+        raise PgUnavailable("server did not accept connections in 15s")
+
+    def stop(self) -> None:
+        self._run([self._pg_ctl, "-D", self.data, "-m", "immediate", "stop"])
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    def __enter__(self) -> PgParams:
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
