@@ -288,6 +288,75 @@ class JdbcBackend(CoordinatorBackend):
             ps.close()
 
 
+class PgWireBackend(CoordinatorBackend):
+    """Fourth executable backend, on the reference's ACTUAL database:
+    versioned configs in live PostgreSQL through the engine's own
+    wire-protocol client (sources/pgwire.py — no psycopg2/JDBC jar).
+    The exactly-one-winner claim is the same dialect-free INSERT
+    against the (name, version) PRIMARY KEY; the server's constraint
+    enforcement coordinates ANY number of claimant processes.
+
+    One instance holds ONE wire session (single-threaded by design,
+    like a raw libpq conn) — concurrent claimants each construct
+    their own backend over the shared picklable ``PgParams``, which is
+    exactly how multiple pgshovel drivers share an admin database.
+    """
+
+    def __init__(self, params):
+        from pgshovel_spark.sources.pgwire import PgError
+
+        self._PgError = PgError
+        self._con = params.connect()
+        try:
+            self._con.query(
+                "CREATE TABLE set_config ("
+                " name VARCHAR(128) NOT NULL, version INT NOT NULL,"
+                " payload VARCHAR(4096) NOT NULL,"
+                " PRIMARY KEY (name, version))"
+            )
+        except PgError as e:
+            if e.sqlstate != "42P07":  # duplicate_table: another driver won
+                raise
+
+    @staticmethod
+    def _s(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    def latest_version(self, name: str) -> int:
+        return int(
+            self._con.one(
+                "SELECT COALESCE(MAX(version), 0) FROM set_config"
+                f" WHERE name = {self._s(name)}"
+            )
+        )
+
+    def claim(self, name: str, version: int, payload: dict) -> None:
+        body = json.dumps(payload, sort_keys=True)
+        try:
+            self._con.query(
+                "INSERT INTO set_config (name, version, payload) VALUES "
+                f"({self._s(name)}, {int(version)}, {self._s(body)})"
+            )
+        except self._PgError as e:
+            if e.sqlstate == "23505":  # unique_violation
+                raise ConfigError(
+                    f"version conflict: {name} v{version} was created concurrently"
+                ) from None
+            raise
+
+    def read(self, name: str, version: int) -> dict:
+        res = self._con.query(
+            "SELECT payload FROM set_config WHERE name = "
+            f"{self._s(name)} AND version = {int(version)}"
+        )[0]
+        if not res.rows:
+            raise FileNotFoundError(f"{name} v{version} not found")
+        return json.loads(res.rows[0][0])
+
+    def close(self) -> None:
+        self._con.close()
+
+
 class ZooKeeperBackend(CoordinatorBackend):
     """Multi-driver-safe production backend: a ZNode ``create()`` is
     totally ordered by the ZooKeeper ensemble, so it IS the atomic

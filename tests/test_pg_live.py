@@ -363,3 +363,72 @@ def test_capture_under_concurrent_writers(spark, pg):
                 seen_done.add(last)
             last = r.txid
     pgl.drop_slot(pg, "cc_slot")
+
+
+# ---------------------------------------------------------------------------
+# administration: 4th executable CAS backend, on the reference's database
+# ---------------------------------------------------------------------------
+
+
+def test_pgwire_backend_lifecycle(pg):
+    from pgshovel_spark.sources.administration import (
+        PgWireBackend,
+        SetConfig,
+        TableConfig,
+        bump_epoch,
+        create_set,
+        get_set,
+    )
+
+    be = PgWireBackend(pg)
+    cfg = SetConfig(
+        name="orders_set_pg",
+        tables={
+            "orders": TableConfig(cursor_col="o_orderkey", key_cols=["o_orderkey"])
+        },
+    )
+    create_set(be, cfg)
+    assert get_set(be, "orders_set_pg").version == 1
+    bump_epoch(be, "orders_set_pg")
+    got = get_set(be, "orders_set_pg")
+    assert (got.version, got.epoch) == (2, 1)
+    assert be.latest_version("orders_set_pg") == 2
+    assert be.latest_version("missing_set") == 0
+    be.close()
+
+
+def test_pgwire_backend_exactly_one_winner(pg):
+    """Eight claimants, each over its OWN wire connection (the
+    multi-driver shape), race one (name, version): the server's
+    PRIMARY KEY picks exactly one winner."""
+    from pgshovel_spark.sources.administration import ConfigError, PgWireBackend
+
+    results: list[str] = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(8)
+    PgWireBackend(pg).close()  # ensure the table exists before the race
+
+    def racer(i: int) -> None:
+        be = PgWireBackend(pg)
+        barrier.wait()
+        try:
+            be.claim("raced_set_pg", 1, {"winner": i})
+            with lock:
+                results.append(f"win:{i}")
+        except ConfigError:
+            with lock:
+                results.append("lose")
+        finally:
+            be.close()
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [r for r in results if r.startswith("win:")]
+    assert len(wins) == 1 and results.count("lose") == 7
+    winner = int(wins[0].split(":")[1])
+    be = PgWireBackend(pg)
+    assert be.read("raced_set_pg", 1) == {"winner": winner}
+    be.close()
