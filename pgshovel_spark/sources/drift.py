@@ -136,11 +136,20 @@ class SchemaDriftMonitor:
         restart — the same freshness rule the reference's consumers
         get from watching the config ZNode [recalled].
         """
+        return self.check_schema(table, observed_schema(batch))
+
+    def check_schema(
+        self, table: str, obs: dict[str, str]
+    ) -> list[DriftChange]:
+        """Same gate over an already-observed {column: type} map — the
+        entry point for sources that probe schema without a Spark
+        read (the live-Postgres wire probe,
+        pglogical.pg_observed_schema)."""
+        obs = {k.lower(): v for k, v in obs.items()}
         cfg = get_set(self.store, self.set_name)
         tc = cfg.tables.get(table)
         if tc is None:
             raise ConfigError(f"table {table!r} not in set {self.set_name!r}")
-        obs = observed_schema(batch)
         if tc.column_types is None:
             # bootstrap: adopt the first observed schema under CAS
             self._publish(cfg, table, obs)

@@ -54,6 +54,8 @@ __all__ = [
     "create_slot",
     "drop_slot",
     "pull_changes",
+    "change_batches",
+    "pg_observed_schema",
     "advance",
     "parse_test_decoding",
     "exported_snapshot",
@@ -260,6 +262,52 @@ def _pg_ts(s: str | None):
     from pgshovel_spark.sources.pgwire import _dec_tstz
 
     return _dec_tstz(s)
+
+
+def change_batches(
+    spark: SparkSession,
+    params: PgParams,
+    slot: str,
+    key_cols: dict[str, list[str]] | None = None,
+    max_pulls: int | None = None,
+):
+    """Micro-batch loop over the slot — the logical-decoding analog of
+    ``cdc.incremental_pulls``, with the SAME deferred-commit contract:
+    each yielded envelope DataFrame was PEEKED, and its LSN watermark
+    is advanced only when the consumer asks for the NEXT batch — a
+    crash mid-batch replays it (at-least-once; the MERGE sinks are
+    replay-idempotent).  Stops when a pull decodes nothing (or after
+    ``max_pulls``)."""
+    pulls = 0
+    pending: str | None = None
+    while max_pulls is None or pulls < max_pulls:
+        if pending is not None:
+            advance(params, slot, pending)
+            pending = None
+        df, max_lsn = pull_changes(spark, params, slot, key_cols, peek=True)
+        if max_lsn is None:
+            return
+        pulls += 1
+        pending = max_lsn
+        yield df
+    # consumer exhausted the allowance: the LAST batch stays
+    # unacknowledged by design (same as incremental_pulls)
+
+
+def pg_observed_schema(params: PgParams, table: str) -> dict[str, str]:
+    """Live schema observation over the wire — a LIMIT 0 probe's
+    RowDescription OIDs mapped to Spark simpleStrings, feeding
+    ``SchemaDriftMonitor.check_schema`` without a Spark read (the
+    JDBC path observes from the DataFrame schema instead; same
+    lower-cased {column: type} contract)."""
+    if not re.match(r"[A-Za-z_][A-Za-z0-9_.]*\Z", table):
+        raise ValueError(f"invalid table name: {table!r}")
+    with params.connect() as c:
+        probe = c.query(f"select * from {table} limit 0")[0]
+    return {
+        name.lower(): _OID_SPARK.get(oid, T.StringType()).simpleString()
+        for name, oid in zip(probe.columns, probe.type_oids)
+    }
 
 
 # ---------------------------------------------------------------------------

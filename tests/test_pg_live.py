@@ -432,3 +432,77 @@ def test_pgwire_backend_exactly_one_winner(pg):
     be = PgWireBackend(pg)
     assert be.read("raced_set_pg", 1) == {"winner": winner}
     be.close()
+
+
+# ---------------------------------------------------------------------------
+# micro-batch loop + live schema drift
+# ---------------------------------------------------------------------------
+
+
+def test_change_batches_deferred_commit(spark, pg):
+    """The generator advances a batch's LSN watermark only when the
+    consumer asks for the NEXT batch — abandoning it mid-batch
+    replays the batch (the incremental_pulls contract, on the slot)."""
+    with pg.connect() as c:
+        c.query("create table mb_t(id int primary key, v int)")
+        pgl.create_slot(pg, "mb_slot")
+        c.query("insert into mb_t values (1, 10)")
+    gen = pgl.change_batches(spark, pg, "mb_slot")
+    first = next(gen).collect()
+    assert [r.after["id"] for r in first] == ["1"]
+    gen.close()  # crash before the next pull: watermark NOT advanced
+    with pg.connect() as c:
+        c.query("insert into mb_t values (2, 20)")
+    seen = []
+    for df in pgl.change_batches(spark, pg, "mb_slot"):
+        seen.extend(r.after["id"] for r in df.collect())
+    # the abandoned batch replayed (id 1 again), then id 2, then drained
+    assert seen == ["1", "2"]
+    # a fresh loop after full consumption starts empty
+    assert list(pgl.change_batches(spark, pg, "mb_slot")) == []
+    pgl.drop_slot(pg, "mb_slot")
+
+
+def test_live_drift_widen_on_postgres(pg):
+    """The schema-drift lifecycle with BOTH ends live on Postgres: the
+    wire probe observes the schema, the DBA runs ALTER TABLE on the
+    real server, and the widened config version CAS-publishes through
+    the PgWireBackend admin store."""
+    from pgshovel_spark.sources.administration import (
+        PgWireBackend,
+        SetConfig,
+        TableConfig,
+        create_set,
+        get_set,
+    )
+    from pgshovel_spark.sources.drift import SchemaDriftError, SchemaDriftMonitor
+
+    be = PgWireBackend(pg)
+    with pg.connect() as c:
+        c.query("create table drift_t(id bigint primary key, v text)")
+    create_set(
+        be,
+        SetConfig(
+            name="drift_set_pg",
+            tables={"drift_t": TableConfig(cursor_col="id", key_cols=["id"])},
+        ),
+    )
+    mon = SchemaDriftMonitor(be, "drift_set_pg", policy="widen")
+    obs0 = pgl.pg_observed_schema(pg, "drift_t")
+    assert obs0 == {"id": "bigint", "v": "string"}
+    assert mon.check_schema("drift_t", obs0) == []  # bootstrap-adopt
+    assert get_set(be, "drift_set_pg").tables["drift_t"].column_types == obs0
+
+    with pg.connect() as c:  # the DBA migrates mid-stream
+        c.query("alter table drift_t add column score float8")
+    changes = mon.check_schema("drift_t", pgl.pg_observed_schema(pg, "drift_t"))
+    assert [(c.change_kind, c.column) for c in changes] == [("added", "score")]
+    widened = get_set(be, "drift_set_pg")
+    assert widened.tables["drift_t"].column_types["score"] == "double"
+    assert widened.version == 3  # create=1, bootstrap=2, widen=3
+
+    with pg.connect() as c:  # destructive change must HALT, not widen
+        c.query("alter table drift_t drop column v")
+    with pytest.raises(SchemaDriftError):
+        mon.check_schema("drift_t", pgl.pg_observed_schema(pg, "drift_t"))
+    be.close()
