@@ -87,10 +87,15 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
-    # round-9 NEW query + round-9 plan-touched fixes first: the
-    # exact-substring dedup scan (never driver-checked), then the two
-    # queries whose probe expressions changed this round (NULL-safe /
-    # ANSI-safe literal-map lookups via try_element_at)
+    # round-9 NEW queries first (never driver-checked): the batched
+    # kNN join, the key-skew diagnostics (rollup + exchange-top), the
+    # multi-epoch mixture schedule, then the exact-substring dedup
+    # scan; then the round-9 plan-touched fixes (NULL-safe / ANSI-safe
+    # literal-map lookups via try_element_at, and the exchange-topped
+    # q_important_stock)
+    "q_sim_knn_join",
+    "q_skew_keys",
+    "q_sample_epochs",
     "q_dedup_substring",
     "q_agg_mad_outliers",
     "q_bloom_prune",

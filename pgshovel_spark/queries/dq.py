@@ -280,5 +280,78 @@ FROM arrs
 """
 
 
-QUERIES = {"q_dq_checks": q_dq_checks, "q_drift_psi": q_drift_psi}
-ORACLES = {"q_dq_checks": _DQ_CHECKS_SQL, "q_drift_psi": _DRIFT_PSI_SQL}
+#: heavy-hitter report depth (the salting family's sizing input)
+_SKEW_TOP = 20
+
+
+def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics: the top-{_SKEW_TOP} heaviest ``user_id``
+    keys in events with their absolute and cumulative load share (in
+    basis points, exact integer arithmetic) — the measurement that
+    sizes the salting/AQE-skew levers (q_join_salted, q_agg_salted):
+    a key's share_bp IS its worst-case single-task fraction under
+    plain hash partitioning.
+
+    Plan shape: ONE fact shuffle (per-key groupBy count) topped with
+    an explicit user_id repartition, so AQE stage reuse feeds BOTH
+    consumers — the grand-total aggregate (sum of per-key counts ==
+    COUNT(*), so the total never touches the fact table again) and
+    the top-k sort — from one map output: the q_important_stock trick
+    (EXPERIMENTS.md round 9; runtime metrics show ONE events scan).
+    The measured alternatives: rollup-with-GROUPING costs 2 more jobs
+    (expand doubles the shuffle), and dropping the repartition
+    re-scans the fact table (the AQE stage-dedup miss).  Everything
+    after the aggregate is key-cardinality-sized; the final window
+    runs over {_SKEW_TOP} rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+    )
+    total = per.agg(F.sum("n").alias("tot"))
+    top = per.orderBy(F.col("n").desc(), F.col("user_id")).limit(_SKEW_TOP)
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("cum", F.sum("n").over(w))
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("rk").cast("long").alias("rk"),
+            F.expr("n * 10000 div tot").alias("share_bp"),
+            F.expr("cum * 10000 div tot").alias("cum_bp"),
+        )
+    )
+
+
+_SKEW_KEYS_SQL = f"""
+WITH g AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g
+), top AS (
+  SELECT user_id, n FROM g
+  ORDER BY n DESC, user_id LIMIT {_SKEW_TOP}
+)
+SELECT user_id, n AS n_events,
+       row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+       n * 10000 // tot AS share_bp,
+       CAST(SUM(n) OVER (ORDER BY n DESC, user_id) * 10000 // tot AS BIGINT)
+         AS cum_bp
+FROM top, t
+"""
+
+
+QUERIES = {
+    "q_dq_checks": q_dq_checks,
+    "q_drift_psi": q_drift_psi,
+    "q_skew_keys": q_skew_keys,
+}
+ORACLES = {
+    "q_dq_checks": _DQ_CHECKS_SQL,
+    "q_drift_psi": _DRIFT_PSI_SQL,
+    "q_skew_keys": _SKEW_KEYS_SQL,
+}

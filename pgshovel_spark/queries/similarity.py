@@ -1779,10 +1779,79 @@ WHERE r.rn = 1
 """
 
 
+#: kNN-join batch bounds: probes are the first _KNNJ_PROBES vectors,
+#: k = _KNNJ_K neighbors each.
+_KNNJ_PROBES = 20
+_KNNJ_K = 3
+
+
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN JOIN — top-{_KNNJ_K} cosine neighbors for EVERY
+    probe in a {_KNNJ_PROBES}-vector batch at once (the retrieval
+    shape RAG/embedding-dedup pipelines actually run; q_sim_knn is the
+    single-probe special case).  Brute-force exact baseline; the IVF
+    path (operators/ann.py ivf_knn_join) is the approximate scale
+    variant this query's output grades (the q_ann_recall pattern).
+
+    Hash-stable by the family's integer-safe total order:
+    (round(cos, 3) DESC, vec_id ASC) per probe, the rounded value
+    emitted.
+
+    Scale shape: the probe batch broadcasts (k x dim floats), scoring
+    is one map-side pass over the candidate corpus (no shuffle grows
+    with the batch), and ONE window shuffle keyed by probe_id ranks
+    candidates.  Parallelism is bounded by the batch size — a
+    production batch is thousands of probes wide, and the per-probe
+    candidate stream is corpus-sized, which is exactly the regime
+    where the IVF variant's partition pruning takes over.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= _KNNJ_PROBES)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            (F.round(cosine_sim("embedding", "probe_emb"), 3) + 0.0).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNNJ_K)
+        .select("probe_id", F.col("rk").cast("long").alias("rk"), "vec_id", "sim")
+    )
+
+
+_SIM_KNN_JOIN_SQL = f"""
+SELECT probe_id, rk, vec_id, sim FROM (
+  SELECT p.vec_id AS probe_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      p.embedding::DOUBLE[]), 3) + 0.0 AS sim,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 p.embedding::DOUBLE[]), 3) DESC,
+                    e.vec_id ASC) AS rk
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {_KNNJ_PROBES}) p
+  WHERE e.vec_id >= {_KNNJ_PROBES}
+)
+WHERE rk <= {_KNNJ_K}
+"""
+
+
 QUERIES = {
     "q_sim_cosine": q_sim_cosine,
     "q_sim_editdist": q_sim_editdist,
     "q_sim_knn": q_sim_knn,
+    "q_sim_knn_join": q_sim_knn_join,
     "q_sim_jaccard": q_sim_jaccard,
     "q_sim_jaccard_prefix": q_sim_jaccard_prefix,
     "q_sim_ngram": q_sim_ngram,
@@ -1803,6 +1872,7 @@ ORACLES = {
     "q_sim_cosine": _SIM_COSINE_SQL,
     "q_sim_editdist": _SIM_EDITDIST_SQL,
     "q_sim_knn": _SIM_KNN_SQL,
+    "q_sim_knn_join": _SIM_KNN_JOIN_SQL,
     "q_sim_jaccard": _SIM_JACCARD_SQL,
     "q_sim_jaccard_prefix": _SIM_JACCARD_PREFIX_SQL,
     "q_sim_ngram": _SIM_NGRAM_SQL,

@@ -592,6 +592,112 @@ GROUP BY lang
 """
 
 
+#: multi-epoch schedule: total training budget as milli-multiples of
+#: the (weighted-lang) corpus token mass — 2000 = "train on 2x the
+#: corpus", so under-weighted-vs-supply languages repeat epochs.
+_EPOCH_BUDGET_MILLI = 2000
+
+#: repetition ceiling: published practice caps data reuse around ~4
+#: epochs before marginal value collapses (Muennighoff et al. 2023,
+#: "Scaling Data-Constrained Language Models" — public); sources
+#: needing more than this are CAPPED and flagged.
+_MAX_EPOCHS_MILLI = 4000
+
+
+def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture schedule — the step AFTER q_sample_token_
+    budget's single-pass mix: given target language weights and a
+    total budget of {_EPOCH_BUDGET_MILLI}/1000 x the corpus, compute
+    each language's epoch count (how many times its data is repeated
+    to hit its target share), in exact milli-epoch integers, capping
+    at {_MAX_EPOCHS_MILLI}/1000 epochs and flagging capped languages
+    (their share is genuinely unfillable without quality loss) with
+    the token deficit the cap leaves.
+
+    Scale shape: one tokenize pass -> 5-row per-lang aggregate; the
+    corpus total folds in as an unpartitioned window over coalesce(1)
+    on the 5-row table (the q_pipeline_curate trick — no crossJoin
+    stage pair, no second scan).  Everything after the aggregate is
+    O(#languages).
+    """
+    d = _docs_toks(spark, sf_dir).select(
+        "lang", F.size("a").cast("long").alias("n_toks")
+    )
+    w = F.lit(None).cast("long")
+    for lang, wt in sorted(_MIX_WEIGHTS.items()):
+        w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
+    per = (
+        d.withColumn("w_milli", w)
+        .filter(F.col("w_milli").isNotNull())
+        .groupBy("lang")
+        .agg(F.min("w_milli").alias("w_milli"), F.sum("n_toks").alias("lang_toks"))
+        .coalesce(1)
+        .withColumn(
+            "budget_toks",
+            F.expr(
+                f"(sum(lang_toks) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+                f" AND UNBOUNDED FOLLOWING) * {_EPOCH_BUDGET_MILLI}) div 1000"
+            ),
+        )
+    )
+    target = F.expr("(budget_toks * w_milli) div 1000")
+    epochs = F.expr("(target_toks * 1000) div lang_toks")
+    return (
+        per.withColumn("target_toks", target)
+        .withColumn("epochs_milli", epochs)
+        .select(
+            "lang",
+            "w_milli",
+            "lang_toks",
+            "target_toks",
+            "epochs_milli",
+            F.least(F.col("epochs_milli"), F.lit(_MAX_EPOCHS_MILLI))
+            .cast("long")
+            .alias("epochs_eff_milli"),
+            (F.col("epochs_milli") > _MAX_EPOCHS_MILLI).alias("capped"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.expr(
+                    f"target_toks - (lang_toks * {_MAX_EPOCHS_MILLI}) div 1000"
+                ),
+            ).alias("deficit_toks"),
+        )
+    )
+
+
+_SAMPLE_EPOCHS_SQL = f"""
+WITH d AS (
+  SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+         CAST(CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 200
+                        WHEN 'fr' THEN 200 WHEN 'es' THEN 100
+                        WHEN 'zh' THEN 100 END AS BIGINT) AS w_milli
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+), per AS (
+  SELECT lang, MIN(w_milli) AS w_milli,
+         CAST(SUM(n_toks) AS BIGINT) AS lang_toks
+  FROM d GROUP BY lang
+), b AS (
+  SELECT CAST(SUM(lang_toks) * {_EPOCH_BUDGET_MILLI} // 1000 AS BIGINT)
+         AS budget_toks
+  FROM per
+), x AS (
+  SELECT lang, w_milli, lang_toks,
+         (budget_toks * w_milli) // 1000 AS target_toks
+  FROM per CROSS JOIN b
+)
+SELECT lang, w_milli, lang_toks, target_toks,
+       (target_toks * 1000) // lang_toks AS epochs_milli,
+       LEAST((target_toks * 1000) // lang_toks,
+             CAST({_MAX_EPOCHS_MILLI} AS BIGINT)) AS epochs_eff_milli,
+       (target_toks * 1000) // lang_toks > {_MAX_EPOCHS_MILLI} AS capped,
+       GREATEST(CAST(0 AS BIGINT),
+                target_toks - (lang_toks * {_MAX_EPOCHS_MILLI}) // 1000)
+         AS deficit_toks
+FROM x
+"""
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
     exponential race, the A-ES scheme): every doc draws a priority
@@ -750,6 +856,7 @@ QUERIES = {
     "q_dedup_rhp": q_dedup_rhp,
     "q_text_decontaminate": q_text_decontaminate,
     "q_sample_token_budget": q_sample_token_budget,
+    "q_sample_epochs": q_sample_epochs,
     "q_sample_weighted": q_sample_weighted,
 }
 
@@ -761,5 +868,6 @@ ORACLES = {
     "q_dedup_rhp": _DEDUP_RHP_SQL,
     "q_text_decontaminate": _TEXT_DECONTAMINATE_SQL,
     "q_sample_token_budget": _SAMPLE_TOKEN_BUDGET_SQL,
+    "q_sample_epochs": _SAMPLE_EPOCHS_SQL,
     "q_sample_weighted": _SAMPLE_WEIGHTED_SQL,
 }
