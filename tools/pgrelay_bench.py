@@ -1,0 +1,126 @@
+"""Live-Postgres relay throughput — how fast the capture path moves
+committed mutations from a real server into the envelope DataFrame.
+
+The reference relay's published operating class is 10^3-10^4 events/s
+per shard (BASELINE.md).  This bench commits N single-row mutations
+(plus a bulk wave) to a scratch PostgreSQL, then times the full
+capture hop: ``pg_logical_slot_peek_changes`` over the wire client +
+test_decoding parse + envelope DataFrame materialization + advance.
+
+What it measures (and what it deliberately doesn't): the DECODE+PARSE
+path is a serial driver-side control-plane read — WAL is commit-
+ordered, so a slot cannot fan out; per-database sharding is the scale
+lever, same as the reference.  Executor fan-out starts after the
+parse, which this bench bills too (createDataFrame + count).
+
+Usage: python tools/pgrelay_bench.py [n_rows]
+Prints a markdown row set for EXPERIMENTS.md and one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pgshovel_spark.session import get_session  # noqa: E402
+from pgshovel_spark.sources import pglogical as pgl  # noqa: E402
+from pgshovel_spark.sources.pgwire import ScratchPostgres  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    spark = get_session("pgrelay_bench")
+    results = {}
+    with ScratchPostgres() as p:
+        with p.connect() as c:
+            c.query(
+                "create table relay_bench(id bigint primary key,"
+                " v text, score float8)"
+            )
+            pgl.create_slot(p, "bench_slot")
+
+            # wave 1: one bulk transaction of n rows (bootstrap-style)
+            t0 = time.time()
+            c.query(
+                f"insert into relay_bench select g, 'payload_' || g, g / 7.0"
+                f" from generate_series(1, {n}) g"
+            )
+            commit_s = time.time() - t0
+
+            t0 = time.time()
+            df, lsn = pgl.pull_changes(
+                spark, p, "bench_slot", key_cols={"relay_bench": ["id"]}
+            )
+            rows = df.count()
+            pull_s = time.time() - t0
+            pgl.advance(p, "bench_slot", lsn)
+            assert rows == n, (rows, n)
+            results["bulk_txn"] = {
+                "rows": n,
+                "commit_sec": round(commit_s, 2),
+                "capture_sec": round(pull_s, 2),
+                "capture_rows_per_sec": int(n / pull_s),
+            }
+
+            # wave 2: update storm (before+after images, replica identity full)
+            c.query("alter table relay_bench replica identity full")
+            t0 = time.time()
+            c.query(f"update relay_bench set score = score + 1 where id <= {n}")
+            commit_s = time.time() - t0
+            t0 = time.time()
+            df, lsn = pgl.pull_changes(
+                spark, p, "bench_slot", key_cols={"relay_bench": ["id"]}
+            )
+            rows = df.count()
+            pull_s = time.time() - t0
+            pgl.advance(p, "bench_slot", lsn)
+            assert rows == n, (rows, n)
+            results["update_full_images"] = {
+                "rows": n,
+                "commit_sec": round(commit_s, 2),
+                "capture_sec": round(pull_s, 2),
+                "capture_rows_per_sec": int(n / pull_s),
+            }
+
+            # wave 3: many small transactions (OLTP shape, 2k txns)
+            n_txn = 2000
+            t0 = time.time()
+            for i in range(n_txn):
+                c.query(
+                    f"insert into relay_bench values"
+                    f" ({n + 1 + i}, 'oltp_{i}', {i}.5)"
+                )
+            commit_s = time.time() - t0
+            t0 = time.time()
+            df, lsn = pgl.pull_changes(
+                spark, p, "bench_slot", key_cols={"relay_bench": ["id"]}
+            )
+            rows = df.count()
+            pull_s = time.time() - t0
+            pgl.advance(p, "bench_slot", lsn)
+            assert rows == n_txn, (rows, n_txn)
+            results["small_txns"] = {
+                "rows": n_txn,
+                "commit_sec": round(commit_s, 2),
+                "capture_sec": round(pull_s, 2),
+                "capture_rows_per_sec": int(n_txn / pull_s),
+                "txns_per_sec_committed": int(n_txn / commit_s),
+            }
+            pgl.drop_slot(p, "bench_slot")
+
+    print("| wave | rows | commit s | capture s | capture rows/s |")
+    print("|---|---|---|---|---|")
+    for k, r in results.items():
+        print(
+            f"| {k} | {r['rows']} | {r['commit_sec']} |"
+            f" {r['capture_sec']} | {r['capture_rows_per_sec']} |"
+        )
+    print(json.dumps({"pgrelay": results}))
+
+
+if __name__ == "__main__":
+    main()
