@@ -106,7 +106,10 @@ def advance(params: PgParams, slot: str, upto_lsn: str) -> None:
 # test_decoding parser (output format is public contrib/test_decoding)
 # ---------------------------------------------------------------------------
 
-_CHANGE_RE = re.compile(r"\Atable ([^:]+): (INSERT|UPDATE|DELETE):( .*)?\Z")
+# re.S: a quoted value may contain literal newlines — without DOTALL
+# the change line fails the match and would be silently skipped
+# (caught by tests/test_pg_live.py::test_decoder_adversarial_values)
+_CHANGE_RE = re.compile(r"\Atable ([^:]+): (INSERT|UPDATE|DELETE):( .*)?\Z", re.S)
 _COMMIT_RE = re.compile(r"\ACOMMIT \d+(?: \(at ([^)]+)\))?\Z")
 
 

@@ -506,3 +506,70 @@ def test_live_drift_widen_on_postgres(pg):
     with pytest.raises(SchemaDriftError):
         mon.check_schema("drift_t", pgl.pg_observed_schema(pg, "drift_t"))
     be.close()
+
+
+def test_decoder_adversarial_values(spark, pg):
+    """Values designed to break a naive test_decoding parser — quotes,
+    doubled quotes, spaces, newlines, brackets, the literal words
+    'null' and 'old-key:', unicode, empty strings, arrays — round-trip
+    decode -> envelope == live table state."""
+    nasty = [
+        "it's",
+        "double''quoted",
+        "spa ces and\ttabs",
+        "line\nbreak",
+        "brackets[integer]:fake",
+        "null",
+        "old-key: new-tuple:",
+        "emoji éü中文",
+        "",
+        "{1,2,3}",
+        "trailing space ",
+    ]
+    with pg.connect() as c:
+        c.query("create table adv_t(id int primary key, v text, arr int[])")
+        pgl.create_slot(pg, "adv_slot")
+        for i, v in enumerate(nasty):
+            esc = v.replace("'", "''")
+            c.query(
+                f"insert into adv_t values ({i}, '{esc}', ARRAY[{i}, {i + 1}])"
+            )
+        live = {r[0]: r[1] for r in c.query("select id, v from adv_t")[0].rows}
+    df, _ = pgl.pull_changes(spark, pg, "adv_slot", key_cols={"adv_t": ["id"]})
+    rows = df.collect()
+    assert len(rows) == len(nasty)
+    got = {int(r.after["id"]): r.after["v"] for r in rows}
+    assert got == live == dict(enumerate(nasty))
+    # arrays pass through as their text rendering
+    assert rows[0].after["arr"] == "{0,1}"
+    pgl.drop_slot(pg, "adv_slot")
+
+
+def test_parse_tuple_property():
+    """Pure-parser property test: random column values rendered the
+    way test_decoding renders them parse back exactly."""
+    import random
+    import string
+
+    rng = random.Random(20260816)
+    alphabet = string.ascii_letters + string.digits + " '\"[]{}:,.\n\té"
+    for _ in range(300):
+        cols = {}
+        rendered = []
+        for ci in range(rng.randint(1, 6)):
+            name = f"c{ci}"
+            if rng.random() < 0.15:
+                cols[name] = None
+                rendered.append(f"{name}[integer]:null")
+            elif rng.random() < 0.4:
+                v = str(rng.randint(-10**9, 10**9))
+                cols[name] = v
+                rendered.append(f"{name}[bigint]:{v}")
+            else:
+                v = "".join(
+                    rng.choice(alphabet) for _ in range(rng.randint(0, 12))
+                )
+                cols[name] = v
+                rendered.append(f"{name}[text]:'" + v.replace("'", "''") + "'")
+        parsed, _ = pgl._parse_tuple(" ".join(rendered), 0)
+        assert parsed == cols, (rendered, parsed, cols)
