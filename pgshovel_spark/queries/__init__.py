@@ -96,6 +96,8 @@ _PRIORITY = (
     "q_sim_knn_join",
     "q_skew_keys",
     "q_sample_epochs",
+    "q_orders_rfm",
+    "q_join_asof_tolerance",
     "q_dedup_substring",
     "q_agg_mad_outliers",
     "q_bloom_prune",

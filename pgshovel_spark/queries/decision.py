@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgshovel_spark.functions.determinism import dsum, exact_sum
+from pgshovel_spark.functions.determinism import dsum, epoch_s, exact_sum
 from pgshovel_spark.sources.tables import (
     dim_catalog,
     load_table,
@@ -1262,7 +1262,112 @@ LIMIT 25
 """
 
 
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quartile scores per purchasing customer, the standard warehouse
+    segmentation pass (score 4 = best quartile).
+
+    Quartile CUTS, not ntile ranks: each metric's q25/q50/q75 come
+    from ONE exact-percentile aggregate over the per-customer table
+    and score = 1 + Σ(metric > cut).  That is (a) tie-stable — equal
+    metrics always score equally, where ntile splits ties by rank —
+    and (b) ulp-robust across engines: an interpolated cut lies
+    strictly BETWEEN two consecutive order statistics (or exactly ON
+    one when the rank position is integral), and no data value exists
+    strictly between consecutive order statistics, so a last-ulp
+    interpolation difference between Spark's percentile and DuckDB's
+    percentile_cont can never flip a ``>`` comparison.  Monetary
+    compares the DOUBLE cast of the exact-decimal sum (identical on
+    both engines by construction).
+
+    Scale shape: one orders scan -> per-customer aggregate, topped
+    with a custkey repartition so AQE stage reuse feeds BOTH consumers
+    (the 1-row cuts aggregate and the scoring probe) from one map
+    output — the q_important_stock / q_skew_keys trick.  The 9 cut
+    values ride ONE broadcast row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(epoch_s("o_orderdate")).alias("last_s"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("m_dec"),
+        )
+        .select(
+            "c_custkey",
+            "last_s",
+            "n_orders",
+            F.col("m_dec").cast("double").alias("monetary"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "c_custkey")
+    )
+    fracs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = per.agg(
+        F.percentile(F.col("last_s").cast("double"), fracs).alias("rq"),
+        F.percentile(F.col("n_orders").cast("double"), fracs).alias("fq"),
+        F.percentile(F.col("monetary"), fracs).alias("mq"),
+    )
+
+    def score(col, q):
+        v = F.col(col).cast("double")
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + F.when(v > F.element_at(q, i), 1).otherwise(0)
+        return s.cast("long")
+
+    return (
+        per.crossJoin(F.broadcast(cuts))
+        .select(
+            "c_custkey",
+            "last_s",
+            "n_orders",
+            F.round("monetary", 2).alias("monetary"),
+            score("last_s", F.col("rq")).alias("r_score"),
+            score("n_orders", F.col("fq")).alias("f_score"),
+            score("monetary", F.col("mq")).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")),
+        )
+    )
+
+
+_ORDERS_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(FLOOR(epoch(MAX(o_orderdate))) AS BIGINT) AS last_s,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT
+    percentile_cont([0.25, 0.5, 0.75]) WITHIN GROUP
+      (ORDER BY CAST(last_s AS DOUBLE)) AS rq,
+    percentile_cont([0.25, 0.5, 0.75]) WITHIN GROUP
+      (ORDER BY CAST(n_orders AS DOUBLE)) AS fq,
+    percentile_cont([0.25, 0.5, 0.75]) WITHIN GROUP
+      (ORDER BY monetary) AS mq
+  FROM per
+), scored AS (
+  SELECT c_custkey, last_s, n_orders, ROUND(monetary, 2) AS monetary,
+    CAST(1 + (CAST(last_s AS DOUBLE) > rq[1])::INT
+           + (CAST(last_s AS DOUBLE) > rq[2])::INT
+           + (CAST(last_s AS DOUBLE) > rq[3])::INT AS BIGINT) AS r_score,
+    CAST(1 + (CAST(n_orders AS DOUBLE) > fq[1])::INT
+           + (CAST(n_orders AS DOUBLE) > fq[2])::INT
+           + (CAST(n_orders AS DOUBLE) > fq[3])::INT AS BIGINT) AS f_score,
+    CAST(1 + (per.monetary > mq[1])::INT + (per.monetary > mq[2])::INT
+           + (per.monetary > mq[3])::INT AS BIGINT) AS m_score
+  FROM per CROSS JOIN cuts
+)
+SELECT *, r_score * 100 + f_score * 10 + m_score AS segment FROM scored
+"""
+
+
 QUERIES = {
+    "q_orders_rfm": q_orders_rfm,
     "q_profit_by_nation": q_profit_by_nation,
     "q_priority_shipping": q_priority_shipping,
     "q_parts_supplier_count": q_parts_supplier_count,
@@ -1307,5 +1412,6 @@ ORACLES = {
     "q_basket_revenue": _BASKET_REVENUE_SQL,
     "q_min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
     "q_important_stock": _IMPORTANT_STOCK_SQL,
+    "q_orders_rfm": _ORDERS_RFM_SQL,
     "q_excess_inventory": _EXCESS_INVENTORY_SQL,
 }

@@ -321,6 +321,73 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+#: as-of staleness bound (seconds): a feature older than this is stale
+_ASOF_TOL_S = 1800
+
+
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND — the feature-store
+    point-in-time lookup: each error event takes the latest same-user
+    purchase at-or-before it, but only if that purchase is at most
+    {_ASOF_TOL_S} s old; older matches surface as NULLs (the row
+    survives — a missing feature, not a missing event).
+
+    Semantics note: "latest within the window" == "latest overall,
+    filtered by the window" (the as-of match IS the maximum — if it
+    is too stale, nothing in the window can match), so the tolerance
+    composes as a post-join mask over operators/asof.py with zero
+    extra data movement; the oracle composes DuckDB's native ASOF
+    LEFT JOIN the same way.  All arithmetic in integer epoch seconds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        order_col="ts",
+        right_tiebreak="purchase_id",
+        right_value_cols=["purchase_id", "purchase_ts"],
+        how="left",
+    )
+    stale = epoch_s("ts") - epoch_s("purchase_ts")
+    fresh = stale <= _ASOF_TOL_S
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_s("ts").alias("error_s"),
+        F.when(fresh, F.col("purchase_id")).alias("purchase_id"),
+        F.when(fresh, epoch_s("purchase_ts")).alias("purchase_s"),
+        F.when(fresh, stale).cast("long").alias("staleness_s"),
+    )
+
+
+_JOIN_ASOF_TOLERANCE_SQL = f"""
+SELECT
+  e.event_id,
+  e.user_id,
+  CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS error_s,
+  CASE WHEN FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) <= {_ASOF_TOL_S}
+       THEN p.event_id END AS purchase_id,
+  CASE WHEN FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) <= {_ASOF_TOL_S}
+       THEN CAST(FLOOR(epoch(p.ts)) AS BIGINT) END AS purchase_s,
+  CASE WHEN FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) <= {_ASOF_TOL_S}
+       THEN CAST(FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) AS BIGINT)
+       END AS staleness_s
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross join (bounded enumeration: 5 regions x 25 nations)."""
     r = load_table(spark, sf_dir, "region")
@@ -494,6 +561,7 @@ GROUP BY e.event_type
 QUERIES = {
     "q_join_salted": q_join_salted,
     "q_join_asof": q_join_asof,
+    "q_join_asof_tolerance": q_join_asof_tolerance,
     "q_join_multiway": q_join_multiway,
     "q_join_inner": q_join_inner,
     "q_join_star": q_join_star,
@@ -510,6 +578,7 @@ QUERIES = {
 
 ORACLES = {
     "q_join_salted": _JOIN_SALTED_SQL,
+    "q_join_asof_tolerance": _JOIN_ASOF_TOLERANCE_SQL,
     "q_join_inner": _JOIN_INNER_SQL,
     "q_join_star": _JOIN_STAR_SQL,
     "q_join_broadcast": _JOIN_BROADCAST_SQL,
