@@ -99,6 +99,40 @@ def write_orc(
     w.orc(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", **options: str
+) -> DataFrame:
+    """XML reader (Spark 4 native ``format("xml")`` — the donated
+    spark-xml module, no external jar).  ``rowTag`` selects the
+    repeating element; nested elements land as structs/arrays, and
+    attributes surface as ``_attr`` columns.  Schema inference scans
+    the files once — pass an explicit ``schema`` via options-free
+    ``spark.read.schema(...).format("xml")`` upstream for the
+    production two-pass-avoiding shape; at 100 TB use a fixed schema
+    and directory partitioning exactly like the JSON path."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML writer (one element per row under ``rootTag``)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def read_evolving(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """Parquet reader for tables whose schema has WIDENED over time
     (columns added by newer writers): ``mergeSchema`` unions the file

@@ -191,3 +191,24 @@ def test_partitioned_writer_bloom_and_cluster_levers(spark, tmp_path):
     n_t, dec_t = decoded(tuned, pred)
     assert n_p == n_t and n_p > 0
     assert dec_t < dec_p, (dec_t, dec_p)
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """Spark 4 native XML (no external jar): typed round-trip incl. a
+    nested struct, special characters escaped, rowTag honored."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.sources.formats import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a < b & 'c'", 1.5), (2, "plain", -2.25)],
+        "id long, note string, score double",
+    ).withColumn("meta", F.struct(F.lit("v1").alias("tag"), F.col("id").alias("src")))
+    path = str(tmp_path / "xml_rt")
+    write_xml(df, path, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, path, row_tag="rec")
+    got = {
+        (r.id, r.note, r.score, r.meta.tag, r.meta.src)
+        for r in back.collect()
+    }
+    assert got == {(1, "a < b & 'c'", 1.5, "v1", 1), (2, "plain", -2.25, "v1", 2)}
