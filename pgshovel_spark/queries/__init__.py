@@ -98,6 +98,7 @@ _PRIORITY = (
     "q_sample_epochs",
     "q_orders_rfm",
     "q_join_asof_tolerance",
+    "q_agg_mode",
     "q_dedup_substring",
     "q_agg_mad_outliers",
     "q_bloom_prune",

@@ -10,7 +10,7 @@ results (see functions.determinism).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.determinism import dec, dsum, exact_avg, exact_sum
@@ -376,6 +376,58 @@ SELECT
   COUNT(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) of order priority per order status,
+    with an explicit deterministic tie-break — engine-native ``mode()``
+    leaves ties implementation-defined (Spark picks arbitrary, DuckDB
+    picks first-seen), so the portable form is count + rank over
+    (count DESC, value ASC), which both engines compute identically.
+    Emits the modal value, its count, and its exact share in basis
+    points.
+
+    Scale: one fact aggregate to (status x priority) partials
+    (map-side combined), then everything is group-cardinality-sized;
+    the window runs over ≤ 5 rows per status."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    tot = Window.partitionBy("o_orderstatus")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("cnt").over(tot))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("n_modal"),
+            F.expr("cnt * 10000 div tot").alias("share_bp"),
+        )
+    )
+
+
+_AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus,
+       o_orderpriority AS modal_priority,
+       cnt AS n_modal,
+       CAST(cnt * 10000 // tot AS BIGINT) AS share_bp
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY cnt DESC, o_orderpriority ASC) AS rn,
+         SUM(cnt) OVER (PARTITION BY o_orderstatus) AS tot
+  FROM counts
+)
+WHERE rn = 1
 """
 
 
@@ -846,6 +898,7 @@ QUERIES = {
     "q_agg_minmax_by": q_agg_minmax_by,
     "q_agg_collect": q_agg_collect,
     "q_agg_median": q_agg_median,
+    "q_agg_mode": q_agg_mode,
     "q_agg_approx": q_agg_approx,
     "q_pivot": q_pivot,
 }
@@ -868,5 +921,6 @@ ORACLES = {
     "q_agg_minmax_by": _AGG_MINMAX_BY_SQL,
     "q_agg_collect": _AGG_COLLECT_SQL,
     "q_agg_median": _AGG_MEDIAN_SQL,
+    "q_agg_mode": _AGG_MODE_SQL,
     "q_pivot": _PIVOT_SQL,
 }
