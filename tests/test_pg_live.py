@@ -573,3 +573,36 @@ def test_parse_tuple_property():
                 rendered.append(f"{name}[text]:'" + v.replace("'", "''") + "'")
         parsed, _ = pgl._parse_tuple(" ".join(rendered), 0)
         assert parsed == cols, (rendered, parsed, cols)
+
+
+def test_buffered_sock_chunk_boundaries():
+    """_BufferedSock.read_exact across adversarial recv chunkings —
+    no server needed (fake socket).  Covers: read within buffer, read
+    spanning leftover + several short chunks, read satisfied exactly
+    at a chunk edge, and oversized chunks carrying the next message."""
+    from pgshovel_spark.sources.pgwire import _BufferedSock
+
+    class FakeSock:
+        def __init__(self, data, sizes):
+            self.data = data
+            self.sizes = list(sizes)
+
+        def recv(self, n):
+            take = min(n, self.sizes.pop(0) if self.sizes else n, len(self.data))
+            out, self.data = self.data[:take], self.data[take:]
+            return out
+
+    payload = bytes(range(256)) * 40  # 10240 bytes
+    for sizes in ([1] * 64, [3, 7, 1, 100], [10240], [5, 10235], [64, 64, 64]):
+        rd = _BufferedSock(FakeSock(payload, sizes))
+        got = b"".join(
+            rd.read_exact(k) for k in (1, 2, 255, 256, 1000, 3, 8723)
+        )
+        assert got == payload[: 1 + 2 + 255 + 256 + 1000 + 3 + 8723]
+    # closed-connection surfaces as ConnectionError
+    rd = _BufferedSock(FakeSock(b"abc", [3]))
+    assert rd.read_exact(3) == b"abc"
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        rd.read_exact(1)
