@@ -12,7 +12,11 @@ with the database's own public machinery:
   the decoded stream into the engine's CHANGE_SCHEMA envelope
   (streaming/change_stream.py), so every existing consumer — latest
   state, stateful dedup, txn assembly, the executed-MERGE sinks —
-  runs on live-captured changes unchanged.
+  runs on live-captured changes unchanged.  (Plugin choice:
+  ``test_decoding`` is reachable through the SQL-level slot functions
+  the simple-query protocol already speaks; the binary ``pgoutput``
+  protocol requires a walsender START_REPLICATION stream — the
+  production upgrade path for this module, same envelope either way.)
 - ``exported_snapshot`` + ``snapshot_parallel_read``: consistent
   parallel bootstrap.  One driver transaction exports its snapshot
   (``pg_export_snapshot()``); every Spark partition opens its own
