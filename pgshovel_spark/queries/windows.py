@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgshovel_spark.functions.determinism import dec, epoch_s
+from pgshovel_spark.functions.determinism import dec, epoch_s, exact_sum
 from pgshovel_spark.operators.rank import global_ntile
 from pgshovel_spark.operators.topk import topk_per_group
 from pgshovel_spark.sources.tables import load_table
@@ -103,6 +103,56 @@ SELECT
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling EXACT median of daily revenue — the robust
+    (outlier-insensitive) companion to q_win_moving's rolling mean;
+    the frame median is an ordered-set aggregate over the window,
+    which neither a running sum nor a rank can express.
+
+    Parity: the daily revenue is the DOUBLE cast of an exact-decimal
+    sum (identical both engines), and percentile/quantile_cont over
+    the ≤7-row frame interpolates on DOUBLE — the q_agg_median
+    argument, with the 4-dp rounding absorbing formula-ulp.
+
+    Scale: the global ORDER BY day window is CALENDAR-BOUNDED (one row
+    per day — thousands of rows at any corpus size), the documented
+    exception to the no-global-window rule (q_skyline precedent); the
+    fact table collapses to the daily table in one map-side-combined
+    aggregate before any window runs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(exact_sum("l_extendedprice").alias("rev_dec"))
+        .select("day", F.col("rev_dec").cast("double").alias("rev"))
+    )
+    return daily.select(
+        epoch_s("day").alias("day_s"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(
+            F.expr(
+                "percentile(rev, 0.5) OVER (ORDER BY day"
+                " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+            ),
+            4,
+        ).alias("med7"),
+    )
+
+
+_WIN_MEDIAN_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(FLOOR(epoch(day)) AS BIGINT) AS day_s,
+       ROUND(rev, 2) AS revenue,
+       ROUND(quantile_cont(rev, 0.5) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+FROM daily
 """
 
 
@@ -271,6 +321,7 @@ FROM ranked WHERE rn = 1
 
 QUERIES = {
     # changed/new-this-round first (harness checks in registration order)
+    "q_win_median": q_win_median,
     "q_win_first_last": q_win_first_last,
     "q_win_ntile": q_win_ntile,
     "q_win_percent": q_win_percent,
@@ -282,6 +333,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_win_median": _WIN_MEDIAN_SQL,
     "q_win_first_last": _WIN_FIRST_LAST_SQL,
     "q_win_rank": _WIN_RANK_SQL,
     "q_win_running": _WIN_RUNNING_SQL,
