@@ -100,6 +100,7 @@ _PRIORITY = (
     "q_join_asof_tolerance",
     "q_agg_mode",
     "q_win_median",
+    "q_ts_ewma",
     "q_dedup_substring",
     "q_agg_mad_outliers",
     "q_bloom_prune",

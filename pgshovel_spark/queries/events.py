@@ -394,7 +394,86 @@ WHERE NOT EXISTS (
 """
 
 
+#: EWMA smoothing factor: 1/4 is exactly representable in binary, so
+#: the fold's products stay reproducible float ops on both engines
+_EWMA_ALPHA = 0.25
+
+#: truncation depth: weights beyond 12 steps are < (3/4)^12 ~ 3% —
+#: the bounded-frame form of the (inherently recursive) EWMA
+_EWMA_W = 12
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA of hourly event volume per event type — the
+    exponentially-weighted smoother a metrics pipeline runs next to
+    the moving average.  The true EWMA is RECURSIVE (state_t =
+    a*x_t + (1-a)*state_{t-1}) and inexpressible as a plain window
+    aggregate; the standard bounded form folds the last {_EWMA_W}
+    frame values left-to-right with the same recurrence, which both
+    engines express as an ORDERED frame collect + deterministic left
+    fold (Spark ``aggregate`` over a windowed ``collect_list``,
+    DuckDB ``list_reduce`` over a windowed ``list`` — verified
+    same-direction folds, round-6 cross-engine notes).  alpha = 1/4
+    keeps every product an exact binary float op; output rounded 4dp.
+
+    Scale: one (type, hour) aggregate collapses the fact table to the
+    calendar-bounded hourly series; the window and its ≤{_EWMA_W}-row
+    frames run per event type over that tiny table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            (F.expr(f"unix_micros(ts) div {_HOUR_US}") * 3600)
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    frame = F.expr(
+        f"collect_list(x) OVER (PARTITION BY event_type ORDER BY bucket_s"
+        f" ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW)"
+    )
+    ewma = F.aggregate(
+        F.expr("slice(frame, 2, size(frame))"),
+        F.element_at(F.col("frame"), 1),
+        lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
+    )
+    return (
+        hourly.withColumn("frame", frame)
+        .select(
+            "event_type",
+            "bucket_s",
+            F.col("x").cast("long").alias("n_events"),
+            F.round(ewma, 4).alias("ewma"),
+        )
+    )
+
+
+_TS_EWMA_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST((epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US}) * 3600
+              AS BIGINT) AS bucket_s,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), framed AS (
+  SELECT event_type, bucket_s, x,
+         list(x) OVER (PARTITION BY event_type ORDER BY bucket_s
+                       ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW)
+           AS frame
+  FROM hourly
+)
+SELECT event_type, bucket_s, CAST(x AS BIGINT) AS n_events,
+       ROUND(list_reduce(frame,
+             (acc, v) -> acc * {1 - _EWMA_ALPHA} + v * {_EWMA_ALPHA}), 4)
+         AS ewma
+FROM framed
+"""
+
+
 QUERIES = {
+    "q_ts_ewma": q_ts_ewma,
     "q_ts_resample": q_ts_resample,
     "q_skyline": q_skyline,
     "q_event_attribution": q_event_attribution,
@@ -403,6 +482,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ts_ewma": _TS_EWMA_SQL,
     "q_ts_resample": _TS_RESAMPLE_SQL,
     "q_skyline": _SKYLINE_SQL,
     "q_event_attribution": _EVENT_ATTRIBUTION_SQL,
