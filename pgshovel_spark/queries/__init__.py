@@ -101,6 +101,7 @@ _PRIORITY = (
     "q_agg_mode",
     "q_win_median",
     "q_ts_ewma",
+    "q_text_hapax",
     "q_dedup_substring",
     "q_agg_mad_outliers",
     "q_bloom_prune",

@@ -582,7 +582,68 @@ FROM per_doc
 """
 
 
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary-richness report: type count, token
+    mass, hapax legomena (types occurring exactly once), hapax share
+    of the vocabulary, and type-token ratio — the corpus-linguistics
+    health panel (a bot-flooded or template-heavy crawl collapses TTR
+    and hapax share; natural text holds them up).  Complements
+    q_text_zipf's corpus-wide octave spectrum with the per-language
+    split quality dashboards segment by.
+
+    Scale: one (lang, token) aggregate (map-side combined — shuffle is
+    vocabulary-sized, not token-sized) then a #langs-row aggregate;
+    ratios in exact integer arithmetic (iratio).
+    """
+    from pgshovel_spark.functions.determinism import iratio
+
+    d = _docs_parallel(spark, sf_dir)
+    tok = d.select(
+        "lang", F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("t")
+    )
+    vocab = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_types",
+            "n_tokens",
+            "n_hapax",
+            iratio("n_hapax", "n_types", 4).alias("hapax_share"),
+            iratio("n_types", "n_tokens", 4).alias("type_token_ratio"),
+        )
+    )
+
+
+_TEXT_HAPAX_SQL = r"""
+WITH tok AS (
+  SELECT lang, unnest(list_filter(
+           string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+           x -> x <> '')) AS t
+  FROM documents
+), vocab AS (
+  SELECT lang, t, COUNT(*) AS cnt FROM tok GROUP BY lang, t
+)
+SELECT lang,
+       COUNT(*) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+            // (COUNT(*) * 2) AS DOUBLE) / 10000.0 AS hapax_share,
+       CAST((COUNT(*) * 20000 + SUM(cnt)) // (SUM(cnt) * 2) AS DOUBLE)
+         / 10000.0 AS type_token_ratio
+FROM vocab
+GROUP BY lang
+"""
+
+
 QUERIES = {
+    "q_text_hapax": q_text_hapax,
     "q_dedup_exact": q_dedup_exact,
     "q_text_entropy": q_text_entropy,
     "q_text_wordcount": q_text_wordcount,
@@ -597,6 +658,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_hapax": _TEXT_HAPAX_SQL,
     "q_dedup_exact": _DEDUP_EXACT_SQL,
     "q_text_entropy": _TEXT_ENTROPY_SQL,
     "q_text_wordcount": _TEXT_WORDCOUNT_SQL,
