@@ -93,6 +93,95 @@ def fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return (first % 64 + 1) * 16, (n % 64 + 1) * 16
 
 
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL sample decode for 16-bit PCM RIFF/WAV: returns
+    (sample_rate, n_channels, first-channel samples as ints).  The
+    codec seam's audio analog of ``decode_png_gray`` — stdlib-only
+    (``wave`` + ``array``), raises ValueError on non-WAV or non-16-bit
+    payloads (the module codec policy)."""
+    import array
+    import io
+    import sys
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"unsupported sample width: {w.getsampwidth() * 8}-bit"
+                )
+            nch = w.getnchannels()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"unsupported audio format: {e}") from e
+    samples = array.array("h")
+    samples.frombytes(raw[: len(raw) - (len(raw) % 2)])
+    if sys.byteorder == "big":  # WAV PCM is little-endian
+        samples.byteswap()
+    return rate, nch, list(samples[::nch])
+
+
+#: schema of extract_audio_features (all-integer: deterministic)
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, n_samples long,"
+    " duration_ms long, peak long, rms long, zero_crossings long"
+)
+
+
+def extract_audio_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched audio feature extraction over WAV payloads:
+    per-row sample rate, channel count, duration, peak amplitude,
+    integer RMS (isqrt of the exact mean square) and zero-crossing
+    count — ALL integer arithmetic on the decoded PCM, so the output
+    is deterministic across engines/platforms (no float DSP in the
+    contract).  Same mapInPandas scale posture as
+    ``extract_media_features``."""
+    import math
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+
+    def one(p: bytes) -> tuple:
+        rate, nch, s = decode_wav_pcm(p)
+        n = len(s)
+        peak = max((abs(v) for v in s), default=0)
+        sumsq = sum(v * v for v in s)
+        rms = math.isqrt(sumsq // n) if n else 0
+        zc = sum(
+            1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)
+        )
+        return (
+            rate,
+            nch,
+            n,
+            (n * 1000) // rate if rate else 0,
+            peak,
+            rms,
+            zc,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [one(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f[0] for f in feats],
+                    "n_channels": [f[1] for f in feats],
+                    "n_samples": [f[2] for f in feats],
+                    "duration_ms": [f[3] for f in feats],
+                    "peak": [f[4] for f in feats],
+                    "rms": [f[5] for f in feats],
+                    "zero_crossings": [f[6] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def extract_media_features(
     df: DataFrame, id_col: str, payload_col: str, decoder=fake_decode_dims
 ) -> DataFrame:

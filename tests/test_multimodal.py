@@ -295,3 +295,61 @@ def test_image_hash_features_png_distributed(spark):
     }
     assert got[0] == got[1]  # same pixels, different codec, same hash
     assert got[2] == average_hash(make_rgb_png(8, 5))
+
+
+def _wav_bytes(samples, rate=8000, nch=1):
+    import array
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def test_decode_wav_pcm_and_audio_features(spark):
+    """Real 16-bit PCM decode + integer DSP features, verified
+    analytically: silence (rms 0, zcr 0), a +/-A square wave at f Hz
+    (peak A, rms A, zcr ~ 2f/s), and stereo first-channel selection."""
+    import math
+
+    from pgshovel_spark.operators.multimodal import (
+        decode_wav_pcm,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    silence = [0] * rate                      # 1 s of silence
+    a = 1000
+    period = 8                                # 1 kHz square at 8 kHz
+    square = [a if (i // (period // 2)) % 2 == 0 else -a for i in range(rate)]
+    # stereo: left = constant 5, right = constant -7 (first channel wins)
+    stereo = []
+    for _ in range(100):
+        stereo += [5, -7]
+
+    r, nch, s = decode_wav_pcm(_wav_bytes(square, rate))
+    assert (r, nch, len(s)) == (rate, 1, rate) and s[:2] == [a, a]
+    r, nch, s = decode_wav_pcm(_wav_bytes(stereo, rate, nch=2))
+    assert (nch, s[:3]) == (2, [5, 5, 5])
+
+    rows = [(1, _wav_bytes(silence, rate)),
+            (2, _wav_bytes(square, rate)),
+            (3, _wav_bytes(stereo, rate, nch=2))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_audio_features(df, "doc_id", "payload").collect()}
+    sil, sq, st = got[1], got[2], got[3]
+    assert (sil.rms, sil.zero_crossings, sil.duration_ms) == (0, 0, 1000)
+    assert (sq.peak, sq.rms) == (a, a)                 # square: rms == amplitude
+    # 1 kHz square -> 2000 sign flips/s (+/- edge effects)
+    assert abs(sq.zero_crossings - 2000) <= 2
+    assert (st.n_channels, st.n_samples, st.peak) == (2, 100, 5)
+    # non-WAV and non-16-bit payloads stay inside the ValueError contract
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        decode_wav_pcm(b"RIFFgarbage")
