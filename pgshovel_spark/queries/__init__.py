@@ -102,6 +102,7 @@ _PRIORITY = (
     "q_win_median",
     "q_ts_ewma",
     "q_text_hapax",
+    "q_mm_audio",
     "q_dedup_substring",
     "q_agg_mad_outliers",
     "q_bloom_prune",

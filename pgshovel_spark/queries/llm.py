@@ -58,12 +58,83 @@ WHERE length(text) >= 100
 """
 
 
+#: synthetic waveform parameters (pure functions of doc_id, so the
+#: oracle can state the ANALYTIC ground truth in closed form)
+_AUD_N = 800        # samples per clip
+_AUD_RATE = 8000    # Hz -> every clip is exactly 100 ms
+
+
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP through the full codec path, analytically
+    oracled: per document, synthesize a ±amp square wave (amp and
+    half-period are pure functions of doc_id), ENCODE it as an actual
+    16-bit PCM RIFF/WAV container, decode it back
+    (operators/multimodal.decode_wav_pcm) and compute the integer DSP
+    features — while the oracle states the closed form a square wave
+    must satisfy (peak = rms = amp; zero crossings = (n-1) div h;
+    duration = n/rate).  A codec or DSP regression breaks the hash;
+    nothing is faked on the engine side.
+
+    Scale: one mapInPandas synth stage + one feature stage, both
+    Arrow-batched and row-local — zero shuffles.
+    """
+    import array
+    import io
+    import wave
+
+    import pandas as pd
+
+    from pgshovel_spark.operators.multimodal import extract_audio_features
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                amp = 100 + doc_id % 900
+                h = 1 + doc_id % 9
+                s = [
+                    amp if (i // h) % 2 == 0 else -amp for i in range(_AUD_N)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_AUD_RATE)
+                    w.writeframes(array.array("h", s).tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = src.mapInPandas(synth, "doc_id long, payload binary")
+    return extract_audio_features(clips, "doc_id", "payload").select(
+        "doc_id", "sample_rate", "duration_ms", "peak", "rms", "zero_crossings"
+    )
+
+
+_MM_AUDIO_SQL = f"""
+SELECT doc_id,
+       CAST({_AUD_RATE} AS BIGINT) AS sample_rate,
+       CAST({_AUD_N} * 1000 // {_AUD_RATE} AS BIGINT) AS duration_ms,
+       CAST(100 + doc_id % 900 AS BIGINT) AS peak,
+       CAST(100 + doc_id % 900 AS BIGINT) AS rms,
+       CAST(({_AUD_N} - 1) // (1 + doc_id % 9) AS BIGINT) AS zero_crossings
+FROM documents
+"""
+
+
 QUERIES = {
     "q_mm_features": q_mm_features,
     "q_mm_frame_sample": q_mm_frame_sample,
+    "q_mm_audio": q_mm_audio,
 }
 
 ORACLES = {
     "q_mm_features": _MM_FEATURES_SQL,
     "q_mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
+    "q_mm_audio": _MM_AUDIO_SQL,
 }
