@@ -103,6 +103,7 @@ _PRIORITY = (
     "q_ts_ewma",
     "q_text_hapax",
     "q_mm_audio",
+    "q_user_periodicity",
     "q_dedup_substring",
     "q_agg_mad_outliers",
     "q_bloom_prune",

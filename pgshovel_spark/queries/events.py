@@ -472,7 +472,72 @@ FROM framed
 """
 
 
+def q_user_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival regularity — the bot-vs-human behavioral
+    signal (a scripted client fires on a timer: coefficient of
+    variation of its gaps collapses toward 0; organic activity is
+    bursty).  Emits gap count, mean gap, cv² in basis points, and the
+    periodic flag — ALL in exact integer arithmetic on whole-second
+    gaps (cv² = population-variance/mean² = (n·Σg² − (Σg)²)/(Σg)², so
+    the flag is the integer comparison 100·(nΣg²−(Σg)²) < (Σg)² —
+    no float ever decides a row).
+
+    Scale: one user-key window (lag) + one per-user aggregate on the
+    SAME key — the second hash requirement is satisfied by the
+    window's exchange, so one shuffle total.  Σg² stays < 2^63 for
+    gaps to ~10^6 s over ~10^4 events/user; beyond that the sums move
+    to DECIMAL, same contract as exact_sum.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from pgshovel_spark.functions.determinism import epoch_s
+
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("gap", epoch_s("ts") - F.lag(epoch_s("ts")).over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    ).filter(F.col("n_gaps") >= 3)
+    varnum = F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        iratio("s1", "n_gaps", 2).alias("mean_gap_s"),
+        F.expr("(n_gaps * s2 - s1 * s1) * 10000 div (s1 * s1)").alias("cv2_bp"),
+        (varnum * 100 < F.col("s1") * F.col("s1")).alias("is_periodic"),
+    )
+
+
+_USER_PERIODICITY_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS gap
+  FROM events
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS s1,
+         CAST(SUM(gap * gap) AS BIGINT) AS s2
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 3
+)
+SELECT user_id, n_gaps,
+       CAST((s1 * 200 + n_gaps) // (n_gaps * 2) AS DOUBLE) / 100.0
+         AS mean_gap_s,
+       (n_gaps * s2 - s1 * s1) * 10000 // (s1 * s1) AS cv2_bp,
+       (n_gaps * s2 - s1 * s1) * 100 < s1 * s1 AS is_periodic
+FROM agg
+"""
+
+
 QUERIES = {
+    "q_user_periodicity": q_user_periodicity,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_resample": q_ts_resample,
     "q_skyline": q_skyline,
@@ -482,6 +547,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_user_periodicity": _USER_PERIODICITY_SQL,
     "q_ts_ewma": _TS_EWMA_SQL,
     "q_ts_resample": _TS_RESAMPLE_SQL,
     "q_skyline": _SKYLINE_SQL,
