@@ -501,7 +501,11 @@ def q_user_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.sum("gap").alias("s1"),
         F.sum(F.col("gap") * F.col("gap")).alias("s2"),
-    ).filter(F.col("n_gaps") >= 3)
+    ).filter((F.col("n_gaps") >= 3) & (F.col("s1") > 0))
+    # s1 > 0 guards the cv² division: a user whose >=4 events all land
+    # inside one epoch second has every whole-second gap = 0, so s1 = 0
+    # and x div 0 errors under ANSI mode (and in the oracle).  Zero-span
+    # users carry no periodicity signal — excluded, mirrored in the SQL.
     varnum = F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")
     return agg.select(
         "user_id",
@@ -532,7 +536,7 @@ SELECT user_id, n_gaps,
          AS mean_gap_s,
        (n_gaps * s2 - s1 * s1) * 10000 // (s1 * s1) AS cv2_bp,
        (n_gaps * s2 - s1 * s1) * 100 < s1 * s1 AS is_periodic
-FROM agg
+FROM agg WHERE s1 > 0
 """
 
 

@@ -370,21 +370,35 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle is an explicit windowed latest-row subquery, NOT DuckDB's
+# native ASOF LEFT JOIN: ASOF has no tie-break among equal-timestamp
+# purchases, so two same-user purchases at one ts would make the
+# oracle's purchase_id nondeterministic; ROW_NUMBER ordered by
+# (ts DESC, event_id DESC) pins the same winner the Spark side's
+# right_tiebreak=purchase_id picks (ADVICE r9).
 _JOIN_ASOF_TOLERANCE_SQL = f"""
+WITH m AS (
+  SELECT e.event_id, e.user_id, e.ts AS error_ts,
+         p.event_id AS p_id, p.ts AS p_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'error') e
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON e.user_id = p.user_id AND p.ts <= e.ts
+)
 SELECT
-  e.event_id,
-  e.user_id,
-  CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS error_s,
-  CASE WHEN FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) <= {_ASOF_TOL_S}
-       THEN p.event_id END AS purchase_id,
-  CASE WHEN FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) <= {_ASOF_TOL_S}
-       THEN CAST(FLOOR(epoch(p.ts)) AS BIGINT) END AS purchase_s,
-  CASE WHEN FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) <= {_ASOF_TOL_S}
-       THEN CAST(FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) AS BIGINT)
+  event_id,
+  user_id,
+  CAST(FLOOR(epoch(error_ts)) AS BIGINT) AS error_s,
+  CASE WHEN FLOOR(epoch(error_ts)) - FLOOR(epoch(p_ts)) <= {_ASOF_TOL_S}
+       THEN p_id END AS purchase_id,
+  CASE WHEN FLOOR(epoch(error_ts)) - FLOOR(epoch(p_ts)) <= {_ASOF_TOL_S}
+       THEN CAST(FLOOR(epoch(p_ts)) AS BIGINT) END AS purchase_s,
+  CASE WHEN FLOOR(epoch(error_ts)) - FLOOR(epoch(p_ts)) <= {_ASOF_TOL_S}
+       THEN CAST(FLOOR(epoch(error_ts)) - FLOOR(epoch(p_ts)) AS BIGINT)
        END AS staleness_s
-FROM (SELECT * FROM events WHERE event_type = 'error') e
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-  ON e.user_id = p.user_id AND e.ts >= p.ts
+FROM m WHERE rn = 1
 """
 
 

@@ -309,13 +309,17 @@ class PgWireBackend(CoordinatorBackend):
         self._con = params.connect()
         try:
             self._con.query(
-                "CREATE TABLE set_config ("
+                "CREATE TABLE IF NOT EXISTS set_config ("
                 " name VARCHAR(128) NOT NULL, version INT NOT NULL,"
                 " payload VARCHAR(4096) NOT NULL,"
                 " PRIMARY KEY (name, version))"
             )
         except PgError as e:
-            if e.sqlstate != "42P07":  # duplicate_table: another driver won
+            # IF NOT EXISTS still races on the catalog's unique index:
+            # two claimants creating the very first table can surface
+            # 42P07 (duplicate_table) OR 23505 (duplicate key on
+            # pg_class/pg_type) — either means the other driver won.
+            if e.sqlstate not in ("42P07", "23505"):
                 raise
 
     @staticmethod

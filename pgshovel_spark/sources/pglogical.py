@@ -112,8 +112,13 @@ def advance(params: PgParams, slot: str, upto_lsn: str) -> None:
 
 # re.S: a quoted value may contain literal newlines — without DOTALL
 # the change line fails the match and would be silently skipped
-# (caught by tests/test_pg_live.py::test_decoder_adversarial_values)
-_CHANGE_RE = re.compile(r"\Atable ([^:]+): (INSERT|UPDATE|DELETE):( .*)?\Z", re.S)
+# (caught by tests/test_pg_live.py::test_decoder_adversarial_values).
+# The table capture is NON-GREEDY (.+?) anchored on the first
+# ": <OP>:" delimiter, not [^:]+ — a quoted relation name containing
+# ':' (public."a:b") parses instead of silently mismatching; only a
+# table whose own name embeds ': INSERT:' would still confuse it,
+# which the pathological-identifier test accepts as out of contract.
+_CHANGE_RE = re.compile(r"\Atable (.+?): (INSERT|UPDATE|DELETE):( .*)?\Z", re.S)
 _COMMIT_RE = re.compile(r"\ACOMMIT \d+(?: \(at ([^)]+)\))?\Z")
 
 
@@ -130,15 +135,29 @@ def _parse_tuple(s: str, pos: int) -> tuple[dict[str, str | None], int]:
             pos += 1
         if pos >= n or s.startswith(("old-key:", "new-tuple:"), pos):
             break
-        lb = s.index("[", pos)
-        col = s[pos:lb]
-        rb = s.index("]:", lb)
+        try:
+            lb = s.index("[", pos)
+            col = s[pos:lb]
+            rb = s.index("]:", lb)
+        except ValueError:
+            raise ValueError(
+                f"truncated test_decoding tuple at offset {pos}: {s[pos:pos+80]!r}"
+            ) from None
         pos = rb + 2
+        if pos >= n:
+            raise ValueError(
+                f"test_decoding tuple ends after column header {col!r}: {s[-80:]!r}"
+            )
         if s[pos] == "'":  # quoted value, '' escapes a quote
             pos += 1
             buf = []
             while True:
-                q = s.index("'", pos)
+                try:
+                    q = s.index("'", pos)
+                except ValueError:
+                    raise ValueError(
+                        f"unterminated quoted value for column {col!r}: {s[-80:]!r}"
+                    ) from None
                 if q + 1 < n and s[q + 1] == "'":
                     buf.append(s[pos : q + 1])
                     pos = q + 2
@@ -186,8 +205,14 @@ def parse_test_decoding(
             txn = []
             continue
         m = _CHANGE_RE.match(data)
-        if m is None:  # messages from other plugins/options: skip
-            continue
+        if m is None:
+            # Only logical-message frames are legitimately non-change
+            # lines on this plugin; anything else is a parse failure
+            # and MUST surface — silently dropping a change line is
+            # data loss, not tolerance (ADVICE r9).
+            if data.startswith("message:"):
+                continue
+            raise ValueError(f"unparseable test_decoding line: {data[:200]!r}")
         table, op, rest = m.group(1), m.group(2), m.group(3) or ""
         before: dict[str, str | None] | None = None
         after: dict[str, str | None] | None = None
@@ -400,10 +425,12 @@ def snapshot_parallel_read(
     pinned to the SAME exported snapshot — concurrent writers are
     invisible to all of them uniformly.
 
-    Slicing is ``mod(key_col, n_parts)`` (non-negative integer keys —
-    range slicing plugs in the same way); each Spark partition opens
-    its own wire connection, adopts the snapshot, reads its slice, and
-    commits.  numeric columns decode to Decimal and are emitted as
+    Slicing is non-negative ``mod``: ``mod(mod(key, n) + n, n)`` so
+    negative keys land in a real slice (Postgres ``mod`` preserves
+    sign), and NULL keys are routed to slice 0 explicitly — the union
+    of slices is the whole table by construction, never a silent
+    subset (ADVICE r9).  Each Spark partition opens its own wire
+    connection, adopts the snapshot, reads its slice, and commits.  numeric columns decode to Decimal and are emitted as
     DOUBLE (documented lossy; exact-decimal reads go through the
     envelope path which keeps text).
     """
@@ -437,9 +464,14 @@ def snapshot_parallel_read(
                 try:
                     conn.query("begin isolation level repeatable read")
                     conn.query(f"set transaction snapshot '{snapshot_id}'")
+                    pred = (
+                        f"mod(mod({key_col}, {n_parts}) + {n_parts},"
+                        f" {n_parts}) = {i}"
+                    )
+                    if i == 0:
+                        pred = f"({pred} or {key_col} is null)"
                     res = conn.query(
-                        f"select {col_sql} from {table} "
-                        f"where mod({key_col}, {n_parts}) = {i}"
+                        f"select {col_sql} from {table} where {pred}"
                     )[0]
                     conn.query("commit")
                 finally:
