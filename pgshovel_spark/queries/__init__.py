@@ -87,6 +87,13 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
+    # round-10 NEW queries first (never driver-checked): the explicit
+    # 64-register HLL audit twin of q_agg_approx, then the image-codec
+    # promotion; then the round-10 oracle/guard fixes (asof tie-break
+    # oracle rewrite, periodicity zero-span guard)
+    "q_agg_approx_audit",
+    "q_user_periodicity",
+    "q_join_asof_tolerance",
     # round-9 NEW queries first (never driver-checked): the batched
     # kNN join, the key-skew diagnostics (rollup + exchange-top), the
     # multi-epoch mixture schedule, then the exact-substring dedup

@@ -710,7 +710,101 @@ GROUP BY q_milli
 """
 
 
+def q_agg_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable twin of ``q_agg_approx`` (aggregates.py):
+    approx-distinct users per event_type, but through the repo's OWN
+    explicit 64-register HyperLogLog (the q_sketch_hll machinery) so
+    estimate AND exact sit side-by-side in one deterministic,
+    oracle-verified result — closing the registry's single rows-only
+    gap (q_agg_approx keeps Spark's native engine-specific HLL; this
+    query audits the same question with reproducible registers).
+
+    Same scale posture as q_sketch_hll: per (event_type, bucket)
+    max(rho) partial-aggregates to <=64 registers per group per
+    partition before the shuffle; the exact column pays the usual
+    distinct shuffle and exists only as the audit baseline.  The
+    float estimate is deterministic for the q_sketch_hll reasons
+    (exact power-of-two partial sums; ln over an exact small-integer
+    ratio in the small-range branch; 2dp round).
+    """
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    hv = _spread(F.col("user_id"))
+    b = du.select(
+        "event_type",
+        (hv % _HLL_M).alias("bucket"),
+        F.floor(hv / F.lit(_HLL_M)).cast("long").alias("w"),
+    )
+    regs = b.groupBy("event_type", "bucket").agg(
+        F.max(_rho_spark(F.col("w"))).alias("register")
+    )
+    summary = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("buckets_nonzero"),
+        F.sum("register").alias("sum_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("z_nz"),
+    )
+    exact = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_users"))
+    raw = F.lit(0.709) * F.lit(float(_HLL_M * _HLL_M)) / (
+        F.col("z_nz") + (F.lit(_HLL_M) - F.col("buckets_nonzero"))
+    )
+    v_empty = F.lit(_HLL_M) - F.col("buckets_nonzero")
+    est = F.when(
+        (raw < F.lit(2.5 * _HLL_M)) & (v_empty > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty),
+    ).otherwise(raw)
+    return summary.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "buckets_nonzero",
+        "sum_registers",
+        F.round(est, 2).alias("hll_estimate"),
+    )
+
+
+_HV_USER_SQL = _SPREAD_SQL.format(h="user_id")
+
+_AGG_APPROX_AUDIT_SQL = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+b AS (
+  SELECT event_type,
+         {_HV_USER_SQL} % {_HLL_M} AS bucket,
+         {_HV_USER_SQL} // {_HLL_M} AS w
+  FROM du
+),
+regs AS (
+  SELECT event_type, bucket, MAX({_rho_sql("w")}) AS register
+  FROM b GROUP BY event_type, bucket
+),
+summary AS (
+  SELECT event_type,
+         COUNT(*) AS buckets_nonzero,
+         SUM(register) AS sum_registers,
+         SUM(power(2.0, -register)) AS z_nz
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(*) AS exact_users FROM du GROUP BY event_type
+),
+raw AS (
+  SELECT event_type, buckets_nonzero, sum_registers,
+         0.709 * {float(_HLL_M * _HLL_M)}
+           / (z_nz + ({_HLL_M} - buckets_nonzero)) AS raw_est,
+         {_HLL_M} - buckets_nonzero AS v_empty
+  FROM summary
+)
+SELECT r.event_type,
+       e.exact_users,
+       r.buckets_nonzero,
+       CAST(r.sum_registers AS BIGINT) AS sum_registers,
+       ROUND(CASE WHEN r.raw_est < {2.5 * _HLL_M} AND r.v_empty > 0
+                  THEN {float(_HLL_M)} * ln({float(_HLL_M)} / r.v_empty)
+                  ELSE r.raw_est END, 2) AS hll_estimate
+FROM raw r JOIN exact e USING (event_type)
+"""
+
+
 QUERIES = {
+    "q_agg_approx_audit": q_agg_approx_audit,
     "q_sketch_quantile": q_sketch_quantile,
     "q_sketch_hll": q_sketch_hll,
     "q_sketch_cms": q_sketch_cms,
@@ -720,6 +814,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_agg_approx_audit": _AGG_APPROX_AUDIT_SQL,
     "q_sketch_quantile": _SKETCH_QUANTILE_SQL,
     "q_sketch_hll": _SKETCH_HLL_SQL,
     "q_sketch_cms": _SKETCH_CMS_SQL,
