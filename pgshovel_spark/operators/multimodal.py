@@ -394,6 +394,13 @@ def average_hash(payload: bytes, grid: int = 8) -> tuple[int, int, int]:
     the same pixels hash identically through either decoder.  Returns
     (width, height, hash)."""
     w, h, rows = decode_image_gray(payload)
+    return w, h, grid_average_hash(w, h, rows, grid)
+
+
+def grid_average_hash(w: int, h: int, rows: list[list[int]], grid: int = 8) -> int:
+    """The block-mean/threshold half of ``average_hash`` over an
+    already-decoded grayscale grid (shared by the image-feature
+    extractor so one decode serves hash AND checksum)."""
     if w < 1 or h < 1:
         raise ValueError("empty image")
     cells = []
@@ -414,7 +421,103 @@ def average_hash(payload: bytes, grid: int = 8) -> tuple[int, int, int]:
     # interpret as signed 64-bit so it fits Spark's LongType
     if bits >= 1 << 63:
         bits -= 1 << 64
-    return w, h, bits
+    return bits
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rows: list[list[int]], color: bool = False) -> bytes:
+    """REAL PNG encode of a row-major 8-bit grid, stdlib-only (zlib
+    IDAT, filter 0 scanlines): grayscale (color=False) or truecolor
+    with r=g=b (color=True — the decoder's BT.601 luma of an equal-
+    channel pixel is exactly the input value, so both color types
+    round-trip losslessly).  The encode/decode pair is the image
+    analog of the WAV codec seam."""
+    import zlib
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    if not (w and h):
+        raise ValueError("empty image")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if color else 0, 0, 0, 0)
+    raw = bytearray()
+    for r in rows:
+        raw.append(0)  # filter type None
+        if color:
+            for v in r:
+                raw += bytes((v, v, v))
+        else:
+            raw += bytes(r)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_bmp(rows: list[list[int]]) -> bytes:
+    """REAL uncompressed 24-bit BMP encode of a row-major 8-bit grid
+    (r=g=b pixels; bottom-up rows, 4-byte stride padding — the layout
+    decode_bmp_gray reverses)."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    if not (w and h):
+        raise ValueError("empty image")
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in reversed(rows):  # positive height => bottom-up storage
+        line = bytearray()
+        for v in r:
+            line += bytes((v, v, v))  # b, g, r all equal
+        line += b"\x00" * (stride - len(line))
+        body += line
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+#: schema of extract_image_features (all-integer: deterministic)
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, ahash long, pixel_sum long"
+)
+
+
+def extract_image_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched image feature extraction through the REAL
+    stdlib codecs (BMP / PNG, magic-dispatched): per row, width,
+    height, 64-bit perceptual average-hash, and the exact grayscale
+    pixel checksum — one decode serves both (grid_average_hash over
+    the decoded grid).  All-integer, so deterministic across engines.
+    Same mapInPandas scale posture as extract_media_features: row-
+    local, zero shuffles."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "ahash": [], "pixel_sum": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = decode_image_gray(p if p is not None else b"")
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(grid_average_hash(w, h, rows))
+                out["pixel_sum"].append(sum(sum(r) for r in rows))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
 def image_hash_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:

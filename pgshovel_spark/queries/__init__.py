@@ -92,6 +92,7 @@ _PRIORITY = (
     # promotion; then the round-10 oracle/guard fixes (asof tie-break
     # oracle rewrite, periodicity zero-span guard)
     "q_agg_approx_audit",
+    "q_mm_image",
     "q_user_periodicity",
     "q_join_asof_tolerance",
     # round-9 NEW queries first (never driver-checked): the batched

@@ -127,14 +127,94 @@ FROM documents
 """
 
 
+#: checkerboard ahash constants: a phase-p 8x8 checkerboard thresholds
+#: to alternating 0xAA/0x55 row bytes (hi cells where (gx+gy+p) even),
+#: read as SIGNED 64-bit for Spark LongType
+_AHASH_PHASE0 = 0xAA55AA55AA55AA55 - (1 << 64)  # top bit set -> negative
+_AHASH_PHASE1 = 0x55AA55AA55AA55AA
+
+
+def q_mm_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image analysis through the full codec path, analytically
+    oracled — the image twin of ``q_mm_audio``: per document,
+    synthesize an 8sx8s checkerboard (cell size s, intensities hi/lo,
+    phase, and CONTAINER FORMAT all pure functions of doc_id), encode
+    it as an actual BMP or PNG (grayscale and truecolor variants —
+    doc_id % 3 picks among the three real encoders), decode it back
+    through the magic-dispatched stdlib codecs
+    (operators/multimodal.decode_image_gray: BMP bottom-up rows, PNG
+    zlib inflate + unfilter) and compute integer features — while the
+    oracle states the closed form a checkerboard must satisfy:
+    average-hash = the phase's alternating 0xAA/0x55 byte pattern
+    (every grid cell is uniform, the global mean separates hi from lo
+    exactly), pixel_sum = 32*s^2*(hi+lo).  A codec, filter, or hash
+    regression breaks the hash; nothing is faked on the engine side.
+
+    Scale: one mapInPandas synth stage + one feature stage, both
+    Arrow-batched and row-local — zero shuffles.
+    """
+    import pandas as pd
+
+    from pgshovel_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        extract_image_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = 1 + doc_id % 5
+                hi = 128 + doc_id % 128
+                lo = doc_id % 120
+                phase = doc_id % 2
+                rows = [
+                    [
+                        hi if (x // s + y // s + phase) % 2 == 0 else lo
+                        for x in range(8 * s)
+                    ]
+                    for y in range(8 * s)
+                ]
+                fmt = doc_id % 3
+                if fmt == 0:
+                    payloads.append(encode_bmp(rows))
+                else:
+                    payloads.append(encode_png(rows, color=(fmt == 2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = src.mapInPandas(synth, "doc_id long, payload binary")
+    return extract_image_features(imgs, "doc_id", "payload")
+
+
+_MM_IMAGE_SQL = f"""
+SELECT doc_id,
+       CAST(8 * (1 + doc_id % 5) AS BIGINT) AS width,
+       CAST(8 * (1 + doc_id % 5) AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {_AHASH_PHASE0}
+                 ELSE {_AHASH_PHASE1} END AS BIGINT) AS ahash,
+       CAST(32 * (1 + doc_id % 5) * (1 + doc_id % 5)
+            * ((128 + doc_id % 128) + (doc_id % 120)) AS BIGINT) AS pixel_sum
+FROM documents
+"""
+
+
 QUERIES = {
     "q_mm_features": q_mm_features,
     "q_mm_frame_sample": q_mm_frame_sample,
     "q_mm_audio": q_mm_audio,
+    "q_mm_image": q_mm_image,
 }
 
 ORACLES = {
     "q_mm_features": _MM_FEATURES_SQL,
     "q_mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
     "q_mm_audio": _MM_AUDIO_SQL,
+    "q_mm_image": _MM_IMAGE_SQL,
 }
