@@ -15,8 +15,10 @@ with the database's own public machinery:
   runs on live-captured changes unchanged.  (Plugin choice:
   ``test_decoding`` is reachable through the SQL-level slot functions
   the simple-query protocol already speaks; the binary ``pgoutput``
-  protocol requires a walsender START_REPLICATION stream — the
-  production upgrade path for this module, same envelope either way.)
+  path — the plugin every production deployment runs — is implemented
+  in sources/pgoutput.py since round 10, over BOTH transports
+  (binary slot functions and a real walsender START_REPLICATION
+  stream), emitting the same CHANGE_SCHEMA envelope.)
 - ``exported_snapshot`` + ``snapshot_parallel_read``: consistent
   parallel bootstrap.  One driver transaction exports its snapshot
   (``pg_export_snapshot()``); every Spark partition opens its own
@@ -270,8 +272,17 @@ def pull_changes(
     raw = [(lsn, int(xid), data) for lsn, xid, data in res.rows]
     parsed = parse_test_decoding(raw, key_cols)
     max_lsn = raw[-1][0] if raw else None
+    return _envelope_df(spark, parsed, publisher or slot, epoch), max_lsn
+
+
+def _envelope_df(
+    spark: SparkSession, parsed: list[dict], pub: str, epoch: int
+) -> DataFrame:
+    """Parsed change dicts -> CHANGE_SCHEMA DataFrame — shared by the
+    test_decoding and pgoutput capture paths (``ts`` may arrive as the
+    server's text rendering or an already-decoded datetime)."""
     if not parsed:
-        return spark.createDataFrame([], CHANGE_SCHEMA), max_lsn
+        return spark.createDataFrame([], CHANGE_SCHEMA)
     # Ship the maps as JSON TEXT through the Arrow fast path and
     # rebuild them JVM-side: createDataFrame over Python dict rows
     # falls off Arrow onto per-row pickling, which measured 4.4 s for
@@ -286,8 +297,8 @@ def pull_changes(
     ts_memo: dict[str, object] = {}
 
     def ts_of(s):
-        if s is None:
-            return None
+        if s is None or not isinstance(s, str):
+            return s  # already a datetime (pgoutput) or absent
         if s not in ts_memo:  # one distinct commit ts per transaction
             ts_memo[s] = _dec_tstz(s)
         return ts_memo[s]
@@ -295,7 +306,6 @@ def pull_changes(
     def j(m):
         return None if m is None else json.dumps(m)
 
-    pub = publisher or slot
     pdf = pd.DataFrame(
         {
             "op": [ch["op"] for ch in parsed],
@@ -325,7 +335,7 @@ def pull_changes(
         F.col("epoch").cast("long"),
         F.col("seq").cast("long"),
     )
-    return df, max_lsn
+    return df
 
 
 def change_batches(

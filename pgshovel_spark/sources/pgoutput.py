@@ -1,0 +1,522 @@
+"""Binary ``pgoutput`` logical decoding — the production Postgres CDC
+path, live.
+
+pglogical.py captures through the in-core ``test_decoding`` TEXT
+plugin; every real Postgres deployment (built-in logical replication,
+Debezium, AWS DMS) instead speaks ``pgoutput``: the binary message set
+(Begin / Relation / Insert / Update / Delete / Commit ...) defined by
+the public "Logical Streaming Replication Protocol" chapter of the
+PostgreSQL documentation, scoped by a PUBLICATION.  This module
+implements that decoder and BOTH transports:
+
+- ``pull_changes_pgoutput``: the SQL-level transport
+  (``pg_logical_slot_peek_binary_changes`` + the peek/advance
+  two-phase watermark) — same micro-batch contract as
+  ``pglogical.pull_changes``, same CHANGE_SCHEMA envelope out, so
+  every existing consumer (latest state, stateful dedup, executed
+  MERGE sinks) runs on pgoutput changes unchanged.
+- ``PgReplicationConnection`` + ``ReplicationStream``: the real
+  walsender transport — a ``replication=database`` startup, ``START_
+  REPLICATION SLOT ... LOGICAL`` into CopyBoth mode, XLogData /
+  keepalive framing, and Standby Status Update feedback (the
+  flush-LSN confirmation a production consumer sends).  This is what
+  pointing the engine at an actual RDS/production instance exercises.
+
+Decoder semantics vs test_decoding, deliberately aligned:
+
+- values travel as their TEXT renderings (proto_version 1 tuples are
+  text-format; typed projection stays the consumer's job),
+- the ``key`` map is populated from the Relation message's own
+  key-column flags — pgoutput ships the replica identity, so no
+  caller-provided key_cols map is needed,
+- unchanged TOAST columns render as ``unchanged-toast-datum`` exactly
+  like test_decoding, so consumers see one sentinel either way.
+
+Scale posture: identical to pglogical.py — a slot is SERIAL by
+design (WAL commit order IS the contract), so decode is a
+control-plane driver read; executor fan-out happens after parse via
+the envelope DataFrame.  Relation metadata is a tiny per-stream dict
+(pgoutput re-sends a Relation message whenever the schema changes,
+which is also how live drift surfaces mid-stream).
+"""
+
+from __future__ import annotations
+
+import datetime
+import struct
+
+from pgshovel_spark.sources.pgwire import PgConnection, PgParams
+
+__all__ = [
+    "parse_pgoutput",
+    "create_slot_pgoutput",
+    "create_publication",
+    "pull_changes_pgoutput",
+    "PgReplicationConnection",
+    "ReplicationStream",
+    "lsn_to_int",
+    "lsn_to_str",
+]
+
+#: PostgreSQL timestamps count microseconds from 2000-01-01 UTC.
+_PG_EPOCH = datetime.datetime(2000, 1, 1, tzinfo=datetime.timezone.utc)
+
+#: test_decoding's rendering of an unchanged TOAST datum — reused so
+#: consumers see ONE sentinel whichever plugin captured the change.
+_TOAST_SENTINEL = "unchanged-toast-datum"
+
+
+def lsn_to_int(lsn: str) -> int:
+    hi, lo = lsn.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def lsn_to_str(lsn: int) -> str:
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+def _pg_ts(micros: int) -> datetime.datetime:
+    return _PG_EPOCH + datetime.timedelta(microseconds=micros)
+
+
+class _Reader:
+    """Cursor over one pgoutput message body with declared-length
+    checks — a truncated or oversized field raises a descriptive
+    ValueError instead of a bare struct/IndexError."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.b):
+            raise ValueError(
+                f"truncated pgoutput message: need {n} bytes at offset "
+                f"{self.pos}, have {len(self.b) - self.pos}"
+            )
+        out = self.b[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def u8(self) -> int:
+        return self.take(1)[0]
+
+    def i16(self) -> int:
+        return struct.unpack("!h", self.take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack("!i", self.take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack("!q", self.take(8))[0]
+
+    def cstr(self) -> str:
+        end = self.b.find(b"\x00", self.pos)
+        if end == -1:
+            raise ValueError(
+                f"unterminated string in pgoutput message at offset {self.pos}"
+            )
+        out = self.b[self.pos : end].decode("utf-8")
+        self.pos = end + 1
+        return out
+
+
+class _Relation:
+    """Schema snapshot from one Relation ('R') message."""
+
+    __slots__ = ("name", "columns", "key_columns")
+
+    def __init__(self, name: str, columns: list[str], key_columns: list[str]):
+        self.name = name
+        self.columns = columns
+        self.key_columns = key_columns
+
+
+def _read_tuple(r: _Reader, rel: _Relation) -> dict[str, str | None]:
+    """TupleData -> {column: text|None}; proto v1 is text-format only
+    ('t'), plus 'n' NULL and 'u' unchanged-TOAST markers."""
+    ncols = r.i16()
+    if ncols != len(rel.columns):
+        raise ValueError(
+            f"pgoutput tuple for {rel.name} has {ncols} columns, relation "
+            f"message declared {len(rel.columns)}"
+        )
+    out: dict[str, str | None] = {}
+    for name in rel.columns:
+        kind = r.take(1)
+        if kind == b"n":
+            out[name] = None
+        elif kind == b"u":
+            out[name] = _TOAST_SENTINEL
+        elif kind in (b"t", b"b"):
+            ln = r.i32()
+            data = r.take(ln)
+            out[name] = (
+                data.decode("utf-8") if kind == b"t" else "\\x" + data.hex()
+            )
+        else:
+            raise ValueError(f"unknown pgoutput tuple column kind {kind!r}")
+    return out
+
+
+def parse_pgoutput(
+    messages: list[tuple[str, int, bytes]],
+    relations: dict[int, _Relation] | None = None,
+) -> list[dict]:
+    """Decode raw ``(lsn, xid, payload)`` pgoutput messages (from the
+    binary slot functions or walsender XLogData) into CHANGE_SCHEMA
+    dicts — the same shape ``pglogical.parse_test_decoding`` emits.
+
+    ``relations`` carries Relation metadata across calls for a
+    LONG-LIVED stream (walsender); pass a dict to persist it.  The
+    SQL-function transport re-decodes from the slot's restart point,
+    so each batch is self-contained and the default fresh dict works.
+    """
+    rels = relations if relations is not None else {}
+    changes: list[dict] = []
+    txn: list[dict] = []
+    commit_ts: datetime.datetime | None = None
+    for lsn, xid, payload in messages:
+        if not payload:
+            raise ValueError("empty pgoutput message")
+        r = _Reader(payload)
+        kind = chr(r.u8())
+        if kind == "B":  # Begin: final_lsn, commit_ts, xid
+            r.i64()
+            commit_ts = _pg_ts(r.i64())
+            r.i32()
+            txn = []
+        elif kind == "C":  # Commit: flags, commit_lsn, end_lsn, ts
+            changes.extend(txn)
+            txn = []
+            commit_ts = None
+        elif kind == "R":  # Relation
+            oid = r.i32()
+            ns = r.cstr()
+            name = r.cstr()
+            r.u8()  # replica identity setting
+            ncols = r.i16()
+            cols: list[str] = []
+            keys: list[str] = []
+            for _ in range(ncols):
+                flags = r.u8()
+                cname = r.cstr()
+                r.i32()  # type oid
+                r.i32()  # typmod
+                cols.append(cname)
+                if flags & 1:
+                    keys.append(cname)
+            full = f"{ns}.{name}" if ns not in ("", "pg_catalog") else name
+            rels[oid] = _Relation(full, cols, keys)
+        elif kind == "Y":  # Type metadata: oid, namespace, name
+            pass
+        elif kind == "O":  # Origin: lsn, name
+            pass
+        elif kind == "M":  # logical Message: flags, lsn, prefix, body
+            pass
+        elif kind in ("I", "U", "D"):
+            oid = r.i32()
+            if oid not in rels:
+                raise ValueError(
+                    f"pgoutput {kind} for relation {oid} before its "
+                    "Relation message (stale relations dict?)"
+                )
+            rel = rels[oid]
+            before: dict[str, str | None] | None = None
+            after: dict[str, str | None] | None = None
+            # A 'K' old tuple is KEY-ONLY: non-key columns arrive as
+            # placeholder NULLs (the values were not sent), so keeping
+            # them would misreport "column was NULL" — restrict to the
+            # key columns, which also matches test_decoding's old-key
+            # rendering.  'O' (REPLICA IDENTITY FULL) keeps everything.
+            if kind == "I":
+                tag = r.take(1)
+                if tag != b"N":
+                    raise ValueError(f"INSERT tuple tag {tag!r}, expected b'N'")
+                after = _read_tuple(r, rel)
+            elif kind == "U":
+                tag = r.take(1)
+                if tag in (b"K", b"O"):
+                    before = _read_tuple(r, rel)
+                    if tag == b"K":
+                        before = {
+                            k: v for k, v in before.items() if k in rel.key_columns
+                        }
+                    tag = r.take(1)
+                if tag != b"N":
+                    raise ValueError(f"UPDATE new-tuple tag {tag!r}, expected b'N'")
+                after = _read_tuple(r, rel)
+            else:  # D
+                tag = r.take(1)
+                if tag not in (b"K", b"O"):
+                    raise ValueError(f"DELETE tuple tag {tag!r}, expected K/O")
+                before = _read_tuple(r, rel)
+                if tag == b"K":
+                    before = {
+                        k: v for k, v in before.items() if k in rel.key_columns
+                    }
+            src = after if after is not None else (before or {})
+            key = {k: src.get(k) for k in rel.key_columns if k in src}
+            txn.append(
+                {
+                    "op": {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[kind],
+                    "table": rel.name,
+                    "key": key or None,
+                    "before": before,
+                    "after": after,
+                    "txid": xid,
+                    "ts": commit_ts,
+                    "lsn": lsn,
+                }
+            )
+        elif kind == "T":  # Truncate: nrels, options, oids
+            nrels = r.i32()
+            r.u8()
+            for _ in range(nrels):
+                oid = r.i32()
+                rel = rels.get(oid)
+                txn.append(
+                    {
+                        "op": "TRUNCATE",
+                        "table": rel.name if rel else f"oid:{oid}",
+                        "key": None,
+                        "before": None,
+                        "after": None,
+                        "txid": xid,
+                        "ts": commit_ts,
+                        "lsn": lsn,
+                    }
+                )
+        else:
+            raise ValueError(f"unknown pgoutput message kind {kind!r}")
+    return changes
+
+
+# ---------------------------------------------------------------------------
+# SQL-function transport (peek/advance micro-batches)
+# ---------------------------------------------------------------------------
+
+
+def create_slot_pgoutput(params: PgParams, slot: str) -> str:
+    """Create a logical slot on the ``pgoutput`` plugin; returns the
+    consistent-point LSN."""
+    from pgshovel_spark.sources.pglogical import _check_slot
+
+    with params.connect() as c:
+        row = c.query(
+            "select lsn from pg_create_logical_replication_slot"
+            f"('{_check_slot(slot)}', 'pgoutput')"
+        )[0]
+        return row.rows[0][0]
+
+
+def create_publication(params: PgParams, name: str, tables: list[str]) -> None:
+    """CREATE PUBLICATION scoped to ``tables`` — pgoutput only decodes
+    changes for published relations (the reference relay's per-set
+    table scoping, expressed in the database's own catalog)."""
+    import re
+
+    if not re.match(r"[a-z0-9_]+\Z", name):
+        raise ValueError(f"invalid publication name: {name!r}")
+    for t in tables:
+        if not re.match(r"[A-Za-z_][A-Za-z0-9_.]*\Z", t):
+            raise ValueError(f"invalid table name: {t!r}")
+    with params.connect() as c:
+        c.query(f"create publication {name} for table {', '.join(tables)}")
+
+
+def pull_changes_pgoutput(
+    spark,
+    params: PgParams,
+    slot: str,
+    publication: str,
+    peek: bool = True,
+    publisher: str | None = None,
+    epoch: int = 0,
+):
+    """Drain (peek=False) or peek (default) the pgoutput slot through
+    ``pg_logical_slot_*_binary_changes`` and return
+    ``(envelope DataFrame, max_lsn)`` — the exact contract of
+    ``pglogical.pull_changes``, same two-phase watermark discipline
+    (advance() after the batch commits downstream)."""
+    import re
+
+    from pgshovel_spark.sources.pglogical import _check_slot, _envelope_df
+
+    if not re.match(r"[a-z0-9_]+\Z", publication):
+        raise ValueError(f"invalid publication name: {publication!r}")
+    fn = (
+        "pg_logical_slot_peek_binary_changes"
+        if peek
+        else "pg_logical_slot_get_binary_changes"
+    )
+    with params.connect() as c:
+        res = c.query(
+            f"select lsn::text, xid::text, data from {fn}"
+            f"('{_check_slot(slot)}', null, null,"
+            f" 'proto_version', '1', 'publication_names', '{publication}')"
+        )[0]
+    raw = [(lsn, int(xid), data) for lsn, xid, data in res.rows]
+    parsed = parse_pgoutput(raw)
+    max_lsn = raw[-1][0] if raw else None
+    return _envelope_df(spark, parsed, publisher or slot, epoch), max_lsn
+
+
+# ---------------------------------------------------------------------------
+# walsender transport (START_REPLICATION / CopyBoth)
+# ---------------------------------------------------------------------------
+
+
+class PgReplicationConnection(PgConnection):
+    """A wire connection in ``replication=database`` mode — the
+    walsender accepts the replication grammar (IDENTIFY_SYSTEM,
+    CREATE_REPLICATION_SLOT, START_REPLICATION) over the simple-query
+    protocol, then switches to CopyBoth streaming."""
+
+    def __init__(self, params: PgParams):
+        super().__init__(params, extra_startup=(("replication", "database"),))
+
+    def identify_system(self):
+        """(systemid, timeline, xlogpos, dbname) from the walsender."""
+        res = self.query("IDENTIFY_SYSTEM")[0]
+        return res.rows[0]
+
+    def start_replication(
+        self,
+        slot: str,
+        publication: str,
+        start_lsn: str = "0/0",
+        proto_version: int = 1,
+    ) -> "ReplicationStream":
+        """Enter CopyBoth mode streaming ``slot`` through pgoutput."""
+        import re
+
+        from pgshovel_spark.sources.pglogical import _check_slot
+
+        if not re.match(r"[a-z0-9_]+\Z", publication):
+            raise ValueError(f"invalid publication name: {publication!r}")
+        if not re.match(r"[0-9A-Fa-f]+/[0-9A-Fa-f]+\Z", start_lsn):
+            raise ValueError(f"invalid LSN: {start_lsn!r}")
+        sql = (
+            f"START_REPLICATION SLOT {_check_slot(slot)} LOGICAL {start_lsn}"
+            f" (proto_version '{int(proto_version)}',"
+            f" publication_names '{publication}')"
+        )
+        body = sql.encode() + b"\x00"
+        self._sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
+        # expect CopyBothResponse (errors surface before the switch)
+        while True:
+            kind, payload = self._recv_msg()
+            if kind == b"W":
+                return ReplicationStream(self)
+            if kind == b"E":
+                err = self._error_fields(payload)
+                self._drain_until_ready()
+                from pgshovel_spark.sources.pgwire import PgError
+
+                raise PgError(err)
+            if kind in (b"N", b"S", b"K"):
+                continue
+            raise ValueError(
+                f"unexpected message {kind!r} awaiting CopyBothResponse"
+            )
+
+
+class ReplicationStream:
+    """The CopyBoth half of a walsender session: XLogData framing in,
+    Standby Status Update feedback out.
+
+    ``read(...)`` accumulates raw pgoutput payloads until the end of a
+    transaction (Commit seen) or the deadline; keepalives are answered
+    inline when the server requests a reply, and the caller confirms
+    durably-applied progress with ``send_status(flush_lsn)`` — the
+    walsender analog of ``pglogical.advance`` (crash before the status
+    update replays the batch: the same at-least-once contract)."""
+
+    def __init__(self, conn: PgReplicationConnection):
+        self._conn = conn
+        self._done = False
+        self.wal_end = 0  # highest server-reported end LSN
+
+    def read(self, max_seconds: float = 5.0, relations=None) -> list[dict]:
+        """Read until a Commit message closes a transaction (returning
+        its changes) or the deadline passes (returning [])."""
+        import time
+
+        conn = self._conn
+        deadline = time.time() + max_seconds
+        batch: list[tuple[str, int, bytes]] = []
+        rels = relations if relations is not None else {}
+        while time.time() < deadline:
+            conn._sock.settimeout(max(0.05, deadline - time.time()))
+            try:
+                kind, payload = conn._recv_msg()
+            except (TimeoutError, OSError):
+                break
+            finally:
+                conn._sock.settimeout(None)
+            if kind == b"d":  # CopyData
+                tag = payload[:1]
+                if tag == b"w":  # XLogData: start, end, clock, body
+                    start, end, _clock = struct.unpack("!qqq", payload[1:25])
+                    self.wal_end = max(self.wal_end, end)
+                    batch.append((lsn_to_str(start), 0, payload[25:]))
+                    if payload[25:26] == b"C":  # Commit closes the txn
+                        return parse_pgoutput(batch, rels)
+                elif tag == b"k":  # keepalive: end, clock, reply?
+                    end, _clock, reply = struct.unpack("!qqB", payload[1:18])
+                    self.wal_end = max(self.wal_end, end)
+                    if reply:
+                        self.send_status(self.wal_end)
+            elif kind == b"E":
+                from pgshovel_spark.sources.pgwire import PgError
+
+                raise PgError(conn._error_fields(payload))
+            elif kind in (b"N", b"S"):
+                continue
+            elif kind == b"c":  # server CopyDone
+                self._done = True
+                break
+        if batch:
+            # deadline hit mid-transaction: decode what closed; an
+            # open tail (no Commit) yields nothing by design —
+            # transactions are atomic in the envelope contract
+            return parse_pgoutput(batch, rels)
+        return []
+
+    def send_status(self, flush_lsn: int) -> None:
+        """Standby Status Update: confirm written/flushed/applied up
+        to ``flush_lsn`` (an int LSN) — moves confirmed_flush_lsn on
+        the server, the durable watermark."""
+        now = int(
+            (datetime.datetime.now(datetime.timezone.utc) - _PG_EPOCH)
+            / datetime.timedelta(microseconds=1)
+        )
+        body = b"r" + struct.pack(
+            "!qqqqB", flush_lsn, flush_lsn, flush_lsn, now, 0
+        )
+        self._conn._sock.sendall(
+            b"d" + struct.pack("!i", len(body) + 4) + body
+        )
+
+    def stop(self) -> None:
+        """Leave CopyBoth mode: send CopyDone, drain to ReadyForQuery
+        so the connection is reusable for further replication
+        commands."""
+        if self._done:
+            return
+        conn = self._conn
+        conn._sock.sendall(b"c" + struct.pack("!i", 4))
+        conn._sock.settimeout(10.0)
+        try:
+            while True:
+                kind, _payload = conn._recv_msg()
+                if kind == b"Z":
+                    break
+        except (TimeoutError, OSError):
+            pass
+        finally:
+            conn._sock.settimeout(None)
+            self._done = True

@@ -201,17 +201,25 @@ class PgConnection:
     relies on exactly that to anchor parallel bootstrap reads.
     """
 
-    def __init__(self, params: PgParams):
+    def __init__(
+        self,
+        params: PgParams,
+        extra_startup: tuple[tuple[str, str], ...] = (),
+    ):
         self.params = params
         self.notices: list[dict[str, str]] = []
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.connect(params.sockpath)
         self._rd = _BufferedSock(self._sock)
+        extras = b"".join(
+            k.encode() + b"\x00" + v.encode() + b"\x00" for k, v in extra_startup
+        )
         body = b"".join(
             [
                 struct.pack("!i", 196608),  # protocol 3.0
                 b"user\x00", params.user.encode(), b"\x00",
                 b"database\x00", params.database.encode(), b"\x00",
+                extras,
                 b"\x00",
             ]
         )

@@ -606,3 +606,308 @@ def test_buffered_sock_chunk_boundaries():
 
     with _pytest.raises(ConnectionError):
         rd.read_exact(1)
+
+
+# ---------------------------------------------------------------------------
+# binary pgoutput decoding (round 10) — unit half, no server needed
+# ---------------------------------------------------------------------------
+
+
+def _msg_relation(oid, ns, name, cols, keys, replident=b"d"):
+    """Hand-built pgoutput Relation message (public wire layout)."""
+    import struct as st
+
+    out = b"R" + st.pack("!i", oid) + ns.encode() + b"\x00" + name.encode() + b"\x00"
+    out += replident + st.pack("!h", len(cols))
+    for c in cols:
+        flags = 1 if c in keys else 0
+        out += bytes([flags]) + c.encode() + b"\x00" + st.pack("!ii", 25, -1)
+    return out
+
+
+def _tuple_data(vals):
+    import struct as st
+
+    out = st.pack("!h", len(vals))
+    for v in vals:
+        if v is None:
+            out += b"n"
+        elif v is Ellipsis:  # unchanged TOAST
+            out += b"u"
+        else:
+            b = str(v).encode()
+            out += b"t" + st.pack("!i", len(b)) + b
+    return out
+
+
+def _msg_begin(ts_us=820540800000000, xid=700):
+    import struct as st
+
+    return b"B" + st.pack("!qqi", 0, ts_us, xid)
+
+
+def test_pgoutput_decoder_unit():
+    """Decoder conformance on hand-built bytes: Begin/Relation/Insert/
+    Update(K and O)/Delete/Commit framing, NULLs, unchanged-TOAST
+    sentinel, Truncate, and key extraction from Relation flags."""
+    import struct as st
+
+    from pgshovel_spark.sources import pgoutput as po
+
+    rel = _msg_relation(99, "public", "t", ["id", "v"], ["id"])
+    ins = b"I" + st.pack("!i", 99) + b"N" + _tuple_data([7, "x"])
+    upd_k = (
+        b"U" + st.pack("!i", 99) + b"K" + _tuple_data([7, None])
+        + b"N" + _tuple_data([7, "y"])
+    )
+    upd_o = (
+        b"U" + st.pack("!i", 99) + b"O" + _tuple_data([7, "y"])
+        + b"N" + _tuple_data([7, Ellipsis])
+    )
+    dele = b"D" + st.pack("!i", 99) + b"K" + _tuple_data([7, None])
+    trunc = b"T" + st.pack("!i", 1) + b"\x00" + st.pack("!i", 99)
+    commit = b"C" + b"\x00" + st.pack("!qqq", 0, 0, 820540800000000)
+    msgs = [
+        ("0/10", 700, _msg_begin()),
+        ("0/11", 700, rel),
+        ("0/12", 700, ins),
+        ("0/13", 700, upd_k),
+        ("0/14", 700, upd_o),
+        ("0/15", 700, dele),
+        ("0/16", 700, trunc),
+        ("0/17", 700, commit),
+    ]
+    out = po.parse_pgoutput(msgs)
+    assert [c["op"] for c in out] == [
+        "INSERT", "UPDATE", "UPDATE", "DELETE", "TRUNCATE"
+    ]
+    assert out[0]["after"] == {"id": "7", "v": "x"} and out[0]["key"] == {"id": "7"}
+    # 'K' old tuples are key-only: placeholder NULLs stripped
+    assert out[1]["before"] == {"id": "7"}
+    assert out[2]["after"]["v"] == "unchanged-toast-datum"
+    assert out[3]["before"] == {"id": "7"} and out[3]["after"] is None
+    assert out[4]["table"] == "public.t"
+    # every change carries the Begin's commit timestamp (2026-01-01)
+    assert all(c["ts"].year == 2026 for c in out)
+    # uncommitted transactions yield nothing (atomic envelope)
+    assert po.parse_pgoutput(msgs[:-1]) == []
+
+
+def test_pgoutput_decoder_malformed():
+    """Adversarial bytes surface DESCRIPTIVE errors, never silent
+    drops or bare struct/IndexError (the wire-fuzz contract)."""
+    import struct as st
+
+    import pytest as _p
+
+    from pgshovel_spark.sources import pgoutput as po
+
+    rel = _msg_relation(99, "public", "t", ["id", "v"], ["id"])
+    base = [("0/10", 1, _msg_begin()), ("0/11", 1, rel)]
+
+    def bad(payload, match):
+        with _p.raises(ValueError, match=match):
+            po.parse_pgoutput(base + [("0/12", 1, payload)])
+
+    bad(b"", "empty")
+    bad(b"?", "unknown pgoutput message kind")
+    bad(b"I" + st.pack("!i", 99), "truncated")                       # no tuple
+    bad(b"I" + st.pack("!i", 98) + b"N" + _tuple_data([1, 2]),
+        "before its Relation")                                       # stale oid
+    bad(b"I" + st.pack("!i", 99) + b"X", "expected b'N'")            # bad tag
+    bad(b"I" + st.pack("!i", 99) + b"N" + _tuple_data([1]),
+        "declared 2")                                                # col count
+    # oversized declared length word
+    bad(b"I" + st.pack("!i", 99) + b"N" + st.pack("!h", 2)
+        + b"t" + st.pack("!i", 1 << 20) + b"xx", "truncated")
+    # NUL-less string in a Relation message
+    bad(b"R" + st.pack("!i", 5) + b"nons-terminated", "unterminated")
+    # tuple column kind outside n/u/t/b
+    bad(b"I" + st.pack("!i", 99) + b"N" + st.pack("!h", 2) + b"zz",
+        "unknown pgoutput tuple column kind")
+
+
+def test_lsn_roundtrip():
+    from pgshovel_spark.sources.pgoutput import lsn_to_int, lsn_to_str
+
+    for s in ("0/0", "0/1528618", "A7/FFFFFFFF", "FFFFFFFF/0"):
+        assert lsn_to_str(lsn_to_int(s)) == s
+
+
+# ---------------------------------------------------------------------------
+# binary pgoutput decoding — LIVE twins of the test_decoding tests
+# ---------------------------------------------------------------------------
+
+
+def test_pgoutput_capture_envelope(spark, pg):
+    """Twin of test_logical_capture_envelope on the pgoutput plugin:
+    same workload, same envelope — keys now come from the Relation
+    message's replica-identity flags (no caller key_cols), so after
+    REPLICA IDENTITY FULL the key widens to all columns (the identity
+    IS the key in pgoutput semantics)."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query(
+            "create table pocap_t(id int primary key, name text, bal numeric(10,2))"
+        )
+    po.create_publication(pg, "pocap_pub", ["pocap_t"])
+    po.create_slot_pgoutput(pg, "pocap_slot")
+    with pg.connect() as c:
+        c.query("insert into pocap_t values (1,'ann',10.00),(2,'bob',20.00)")
+        c.query("update pocap_t set bal = 15.50 where id = 1")
+        c.query("alter table pocap_t replica identity full")
+        c.query("delete from pocap_t where id = 2")
+    df, max_lsn = po.pull_changes_pgoutput(spark, pg, "pocap_slot", "pocap_pub")
+    rows = df.orderBy("seq").collect()
+    assert [r.op for r in rows] == ["INSERT", "INSERT", "UPDATE", "DELETE"]
+    assert rows[0].after == {"id": "1", "name": "ann", "bal": "10.00"}
+    assert rows[0].key == {"id": "1"}
+    assert rows[2].after["bal"] == "15.50"
+    assert rows[3].before == {"id": "2", "name": "bob", "bal": "20.00"}
+    assert rows[3].after is None
+    assert rows[3].key == {"id": "2", "name": "bob", "bal": "20.00"}
+    assert all(r.ts is not None for r in rows)
+    assert [r.seq for r in rows] == [0, 1, 2, 3]
+    assert max_lsn is not None
+    pgl.drop_slot(pg, "pocap_slot")
+
+
+def test_pgoutput_peek_advance_watermark(spark, pg):
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table powm_t(id int primary key, v int)")
+    po.create_publication(pg, "powm_pub", ["powm_t"])
+    po.create_slot_pgoutput(pg, "powm_slot")
+    with pg.connect() as c:
+        c.query("insert into powm_t values (1, 100)")
+    d1, lsn1 = po.pull_changes_pgoutput(spark, pg, "powm_slot", "powm_pub")
+    d2, lsn2 = po.pull_changes_pgoutput(spark, pg, "powm_slot", "powm_pub")
+    assert d1.count() == d2.count() == 1 and lsn1 == lsn2
+    pgl.advance(pg, "powm_slot", lsn1)
+    d3, lsn3 = po.pull_changes_pgoutput(spark, pg, "powm_slot", "powm_pub")
+    assert d3.count() == 0 and lsn3 is None
+    with pg.connect() as c:
+        c.query("insert into powm_t values (2, 200)")
+    d4, _ = po.pull_changes_pgoutput(spark, pg, "powm_slot", "powm_pub")
+    assert [r.after["id"] for r in d4.collect()] == ["2"]
+    pgl.drop_slot(pg, "powm_slot")
+
+
+def test_pgoutput_matches_test_decoding(spark, pg):
+    """BOTH plugins over one workload produce the same envelope
+    (op/table/before/after sequences identical; pgoutput's key comes
+    from replica identity where test_decoding's comes from the
+    caller's key_cols — same values for a pkey table)."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table potwin_t(id int primary key, v text)")
+    po.create_publication(pg, "potwin_pub", ["potwin_t"])
+    pgl.create_slot(pg, "potwin_td")
+    po.create_slot_pgoutput(pg, "potwin_po")
+    with pg.connect() as c:
+        c.query(
+            "insert into potwin_t select g, 'v' || g from generate_series(1, 25) g"
+        )
+        c.query("update potwin_t set v = 'patched' where id % 5 = 0")
+        c.query("delete from potwin_t where id % 7 = 0")
+    td, _ = pgl.pull_changes(
+        spark, pg, "potwin_td", key_cols={"public.potwin_t": ["id"]}
+    )
+    pod, _ = po.pull_changes_pgoutput(spark, pg, "potwin_po", "potwin_pub")
+    cols = ["op", "table", "key", "before", "after"]
+    a = [tuple(str(r[c]) for c in cols) for r in td.orderBy("seq").collect()]
+    b = [tuple(str(r[c]) for c in cols) for r in pod.orderBy("seq").collect()]
+    assert a == b and len(a) == 33
+    pgl.drop_slot(pg, "potwin_td")
+    pgl.drop_slot(pg, "potwin_po")
+
+
+def test_pgoutput_schema_drift_mid_stream(spark, pg):
+    """Live drift at the decode layer: ALTER TABLE ADD COLUMN between
+    transactions re-sends the Relation message, and the after-image
+    gains the new column with no consumer changes."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table podrift_t(id int primary key, v text)")
+    po.create_publication(pg, "podrift_pub", ["podrift_t"])
+    po.create_slot_pgoutput(pg, "podrift_slot")
+    with pg.connect() as c:
+        c.query("insert into podrift_t values (1, 'before')")
+        c.query("alter table podrift_t add column extra int default 5")
+        c.query("insert into podrift_t values (2, 'after', 9)")
+    df, _ = po.pull_changes_pgoutput(spark, pg, "podrift_slot", "podrift_pub")
+    rows = df.orderBy("seq").collect()
+    assert rows[0].after == {"id": "1", "v": "before"}
+    assert rows[1].after == {"id": "2", "v": "after", "extra": "9"}
+    pgl.drop_slot(pg, "podrift_slot")
+
+
+def test_pgoutput_walsender_stream(pg):
+    """The REAL transport: replication=database startup,
+    START_REPLICATION into CopyBoth, XLogData framing, Standby Status
+    Update moving confirmed_flush_lsn, CopyDone handshake leaving the
+    connection reusable."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table pows_t(id int primary key, v text)")
+    po.create_publication(pg, "pows_pub", ["pows_t"])
+    po.create_slot_pgoutput(pg, "pows_slot")
+    rc = po.PgReplicationConnection(pg)
+    try:
+        sysid, timeline, xlogpos, dbname = rc.identify_system()
+        assert dbname == "postgres" and "/" in xlogpos
+        stream = rc.start_replication("pows_slot", "pows_pub")
+        with pg.connect() as c:
+            c.query("insert into pows_t values (1, 'streamed'), (2, 'live')")
+        changes = stream.read(max_seconds=10.0)
+        assert [c_["op"] for c_ in changes] == ["INSERT", "INSERT"]
+        assert changes[0]["after"] == {"id": "1", "v": "streamed"}
+        assert changes[0]["key"] == {"id": "1"}
+        # confirm the watermark: status update moves confirmed_flush_lsn
+        stream.send_status(stream.wal_end)
+        stream.stop()
+        with pg.connect() as c:
+            flushed = c.one(
+                "select confirmed_flush_lsn::text from pg_replication_slots"
+                " where slot_name = 'pows_slot'"
+            )
+        assert po.lsn_to_int(flushed) >= po.lsn_to_int(changes[-1]["lsn"])
+        # the connection survives CopyBoth exit (replication grammar
+        # still served)
+        assert rc.identify_system()[3] == "postgres"
+    finally:
+        rc.close()
+    pgl.drop_slot(pg, "pows_slot")
+
+
+def test_pgoutput_walsender_multi_txn_and_relations(pg):
+    """A persistent relations dict carries Relation metadata across
+    read() calls — the long-lived-stream contract (pgoutput only
+    re-sends Relation when the schema version changes)."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table pomt_t(id int primary key, v text)")
+    po.create_publication(pg, "pomt_pub", ["pomt_t"])
+    po.create_slot_pgoutput(pg, "pomt_slot")
+    rc = po.PgReplicationConnection(pg)
+    try:
+        stream = rc.start_replication("pomt_slot", "pomt_pub")
+        rels = {}
+        with pg.connect() as c:
+            c.query("insert into pomt_t values (1, 'a')")
+        first = stream.read(max_seconds=10.0, relations=rels)
+        with pg.connect() as c:
+            c.query("insert into pomt_t values (2, 'b')")
+        second = stream.read(max_seconds=10.0, relations=rels)
+        assert [c_["after"]["id"] for c_ in first] == ["1"]
+        assert [c_["after"]["id"] for c_ in second] == ["2"]
+        stream.stop()
+    finally:
+        rc.close()
+    pgl.drop_slot(pg, "pomt_slot")

@@ -125,11 +125,65 @@ def main() -> None:
             }
             pgl.drop_slot(p, "bench_slot")
 
+            # wave 4: the SAME bulk-txn shape through binary pgoutput
+            # (SQL-function transport) — the production plugin's decode
+            # cost vs test_decoding's text parse
+            from pgshovel_spark.sources import pgoutput as po
+
+            po.create_publication(p, "bench_pub", ["relay_bench"])
+            po.create_slot_pgoutput(p, "bench_po")
+            t0 = time.time()
+            c.query(
+                f"insert into relay_bench select g + 10000000,"
+                f" 'pgout_' || g, g / 7.0 from generate_series(1, {n}) g"
+            )
+            commit_s = time.time() - t0
+            t0 = time.time()
+            df, lsn = po.pull_changes_pgoutput(
+                spark, p, "bench_po", "bench_pub"
+            )
+            rows = df.count()
+            pull_s = time.time() - t0
+            pgl.advance(p, "bench_po", lsn)
+            assert rows == n, (rows, n)
+            results["pgoutput_bulk_txn"] = {
+                "rows": n,
+                "commit_sec": round(commit_s, 2),
+                "capture_sec": round(pull_s, 2),
+                "capture_rows_per_sec": int(n / pull_s),
+            }
+            pgl.drop_slot(p, "bench_po")
+
+            # wave 5: pgoutput over the REAL walsender transport
+            # (START_REPLICATION CopyBoth stream + status update)
+            po.create_slot_pgoutput(p, "bench_ws")
+            rc = po.PgReplicationConnection(p)
+            try:
+                stream = rc.start_replication("bench_ws", "bench_pub")
+                c.query(
+                    f"insert into relay_bench select g + 20000000,"
+                    f" 'walsnd_' || g, g / 7.0 from generate_series(1, {n}) g"
+                )
+                t0 = time.time()
+                changes = stream.read(max_seconds=120.0)
+                pull_s = time.time() - t0
+                stream.send_status(stream.wal_end)
+                stream.stop()
+            finally:
+                rc.close()
+            assert len(changes) == n, (len(changes), n)
+            results["pgoutput_walsender"] = {
+                "rows": n,
+                "capture_sec": round(pull_s, 2),
+                "capture_rows_per_sec": int(n / pull_s),
+            }
+            pgl.drop_slot(p, "bench_ws")
+
     print("| wave | rows | commit s | capture s | capture rows/s |")
     print("|---|---|---|---|---|")
     for k, r in results.items():
         print(
-            f"| {k} | {r['rows']} | {r['commit_sec']} |"
+            f"| {k} | {r['rows']} | {r.get('commit_sec', '-')} |"
             f" {r['capture_sec']} | {r['capture_rows_per_sec']} |"
         )
     print(json.dumps({"pgrelay": results}))
