@@ -232,6 +232,14 @@ class PgConnection:
         head = self._rd.read_exact(5)
         kind = head[:1]
         (length,) = struct.unpack("!i", head[1:])
+        # A corrupt length word would silently desync the framing
+        # (length < 4 would rewind the buffer) or allocate absurdly
+        # (the field is a signed int32; the server never sends
+        # gigabyte messages on this control-plane path) — fail loudly.
+        if length < 4 or length > (1 << 30):
+            raise ConnectionError(
+                f"corrupt protocol frame: kind={kind!r} length={length}"
+            )
         payload = self._rd.read_exact(length - 4) if length > 4 else b""
         return kind, payload
 

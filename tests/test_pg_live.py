@@ -911,3 +911,164 @@ def test_pgoutput_walsender_multi_txn_and_relations(pg):
     finally:
         rc.close()
     pgl.drop_slot(pg, "pomt_slot")
+
+
+# ---------------------------------------------------------------------------
+# wire-client protocol fuzz (round 10) — decoder half, no server
+# ---------------------------------------------------------------------------
+
+
+class _ScriptedSock:
+    """A socket double replaying a scripted server byte stream in
+    adversarial chunk sizes; records everything the client sends."""
+
+    def __init__(self, stream: bytes, chunk: int = 0):
+        self._stream = stream
+        self._pos = 0
+        self._chunk = chunk  # 0 = everything at once
+        self.sent = b""
+
+    def recv(self, n: int) -> bytes:
+        if self._pos >= len(self._stream):
+            return b""  # server closed
+        take = min(n, self._chunk or n, len(self._stream) - self._pos)
+        out = self._stream[self._pos : self._pos + take]
+        self._pos += take
+        return out
+
+    def sendall(self, b: bytes) -> None:
+        self.sent += b
+
+    def close(self) -> None:
+        pass
+
+    def settimeout(self, t) -> None:
+        pass
+
+
+def _wire_msg(kind: bytes, payload: bytes) -> bytes:
+    import struct as st
+
+    return kind + st.pack("!i", len(payload) + 4) + payload
+
+
+def _scripted_conn(stream: bytes, chunk: int = 0):
+    """A PgConnection wired to a scripted byte stream (startup skipped)."""
+    from pgshovel_spark.sources.pgwire import PgConnection, _BufferedSock
+
+    conn = PgConnection.__new__(PgConnection)
+    conn.notices = []
+    conn._sock = _ScriptedSock(stream, chunk)
+    conn._rd = _BufferedSock(conn._sock)
+    return conn
+
+
+def _row_desc(cols: list[str], oid: int = 25) -> bytes:
+    import struct as st
+
+    out = st.pack("!h", len(cols))
+    for c in cols:
+        out += c.encode() + b"\x00" + st.pack("!ihihih", 0, 0, oid, -1, -1, 0)
+    return out
+
+
+def _data_row(vals: list[bytes | None]) -> bytes:
+    import struct as st
+
+    out = st.pack("!h", len(vals))
+    for v in vals:
+        out += st.pack("!i", -1) if v is None else st.pack("!i", len(v)) + v
+    return out
+
+
+def test_wire_fuzz_malformed_frames():
+    """Table-driven adversarial server behavior: every malformed
+    stream surfaces a DECLARED exception (ConnectionError / PgError),
+    never a hang, silent desync, or bare struct error."""
+    import pytest as _p
+
+    ready = _wire_msg(b"Z", b"I")
+    ok = (
+        _wire_msg(b"T", _row_desc(["a"]))
+        + _wire_msg(b"D", _data_row([b"1"]))
+        + _wire_msg(b"C", b"SELECT 1\x00")
+        + ready
+    )
+
+    # 1. truncated message header (connection dies mid-frame)
+    conn = _scripted_conn(ok[:3])
+    with _p.raises(ConnectionError, match="closed"):
+        conn.query("select 1")
+
+    # 2. truncated payload (header promises more bytes than arrive)
+    conn = _scripted_conn(_wire_msg(b"T", _row_desc(["a"]))[:-5])
+    with _p.raises(ConnectionError, match="closed"):
+        conn.query("select 1")
+
+    # 3. corrupt length word: below the 4-byte minimum
+    import struct as st
+
+    conn = _scripted_conn(b"D" + st.pack("!i", 3) + b"junk" + ready)
+    with _p.raises(ConnectionError, match="corrupt protocol frame"):
+        conn.query("select 1")
+
+    # 4. absurd (oversized) length word fails loudly, no allocation
+    conn = _scripted_conn(b"D" + st.pack("!i", 1 << 30 | 5))
+    with _p.raises(ConnectionError, match="corrupt protocol frame"):
+        conn.query("select 1")
+
+    # 5. ErrorResponse MID-STREAM between DataRows: PgError carries
+    #    the fields; the ReadyForQuery is consumed so the session
+    #    survives for the next scripted exchange
+    err_fields = b"SERROR\x00C57014\x00Mquery canceled\x00\x00"
+    stream = (
+        _wire_msg(b"T", _row_desc(["a"]))
+        + _wire_msg(b"D", _data_row([b"1"]))
+        + _wire_msg(b"E", err_fields)
+        + ready
+        + ok
+    )
+    conn = _scripted_conn(stream)
+    from pgshovel_spark.sources.pgwire import PgError
+
+    with _p.raises(PgError) as ei:
+        conn.query("select 1")
+    assert ei.value.sqlstate == "57014"
+    rs = conn.query("select 1")  # framing intact after the error
+    assert rs[0].rows == [("1",)]
+
+
+def test_wire_fuzz_adversarial_values_and_chunking():
+    """Valid-but-nasty frames decode correctly at every recv chunk
+    size: NULL columns, empty strings, quotes/newlines, and multibyte
+    UTF-8 split across chunk boundaries."""
+    nasty = "O'Brien\n\ttab -- ; DROPé中文"
+    stream = (
+        _wire_msg(b"T", _row_desc(["a", "b", "c"]))
+        + _wire_msg(b"D", _data_row([nasty.encode(), None, b""]))
+        + _wire_msg(b"C", b"SELECT 1\x00")
+        + _wire_msg(b"Z", b"I")
+    )
+    for chunk in (0, 1, 2, 3, 7):
+        conn = _scripted_conn(stream, chunk)
+        rs = conn.query("select 1")
+        assert rs[0].rows == [(nasty, None, "")]
+        assert rs[0].columns == ["a", "b", "c"]
+
+
+def test_wire_fuzz_notice_and_parameter_status_midstream():
+    """NoticeResponse and ParameterStatus interleaved with rows are
+    absorbed (notices recorded), never corrupting the result."""
+    notice = b"SNOTICE\x00C00000\x00Mheads up\x00\x00"
+    stream = (
+        _wire_msg(b"T", _row_desc(["a"]))
+        + _wire_msg(b"N", notice)
+        + _wire_msg(b"D", _data_row([b"7"]))
+        + _wire_msg(b"S", b"TimeZone\x00UTC\x00")
+        + _wire_msg(b"C", b"SELECT 1\x00")
+        + _wire_msg(b"Z", b"I")
+    )
+    conn = _scripted_conn(stream)
+    rs = conn.query("select 1")
+    assert rs[0].rows == [("7",)]
+    assert conn.notices and conn.notices[0]["M"] == "heads up"
