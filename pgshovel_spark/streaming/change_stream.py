@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
     LongType,
     MapType,
     StringType,
@@ -125,6 +127,72 @@ def stream_source(spark: SparkSession, conf: dict) -> DataFrame:
     raise ValueError(f"unknown stream source format {fmt!r}")
 
 
+#: to_json truncates timestamps to millis unless pinned — the envelope
+#: wire contract keeps FULL microsecond precision both directions.
+_WIRE_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+#: The exact column set ``format("kafka").load()`` presents (public
+#: Structured Streaming Kafka integration guide) — the record layout
+#: ``to_kafka_records`` emits, so recorded batches are schema-identical
+#: to what a live broker source would deliver.
+KAFKA_RECORD_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
+def to_kafka_records(
+    changes: DataFrame, topic: str = "pgshovel.changes", n_partitions: int = 8
+) -> DataFrame:
+    """The PRODUCER half of the Kafka seam: serialize CHANGE_SCHEMA
+    change records into the exact record layout ``format("kafka")``
+    presents on the consumer side (key/value binary, topic, partition,
+    offset, timestamp, timestampType) — pgshovel's relay publishes
+    mutation batches to a bus in this shape.
+
+    Contract choices a real deployment cares about:
+    - record KEY = ``table|<json key map>`` so a partitioner keyed on
+      it preserves per-entity ordering (the same guarantee the
+      reference relay gets from PgQ batch order per table),
+    - partition = pmod(hash(key), n) — deterministic, entity-sticky,
+    - offset = the envelope's dense per-publisher ``seq``,
+    - value = full-precision JSON (microsecond timestamps pinned by
+      ``_WIRE_TS_FMT``; the default to_json would truncate to millis
+      and break decode/re-encode byte parity).
+
+    With a broker + spark-sql-kafka jar this frame writes out via
+    ``.write.format("kafka")`` unchanged; without one it records to
+    parquet, and ``parse_change_envelope`` over the recording is
+    byte-identical to the kafka branch's post-``load()`` plan — the
+    strongest parity evidence the sandbox allows.
+    """
+    key = F.concat(
+        F.col("table"), F.lit("|"), F.coalesce(F.to_json("key"), F.lit("{}"))
+    )
+    return changes.select(
+        F.encode(key, "UTF-8").alias("key"),
+        F.encode(
+            F.to_json(
+                F.struct(*[F.col(f.name) for f in CHANGE_SCHEMA.fields]),
+                {"timestampFormat": _WIRE_TS_FMT},
+            ),
+            "UTF-8",
+        ).alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.hash(key), F.lit(n_partitions)).cast("int").alias("partition"),
+        F.col("seq").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+
+
 def parse_change_envelope(
     raw: DataFrame, schema: StructType | None = None
 ) -> DataFrame:
@@ -145,7 +213,9 @@ def parse_change_envelope(
     Works on both batch and streaming DataFrames."""
     return raw.select(
         F.from_json(
-            F.col("value").cast("string"), schema or CHANGE_SCHEMA
+            F.col("value").cast("string"),
+            schema or CHANGE_SCHEMA,
+            {"timestampFormat": _WIRE_TS_FMT},
         ).alias("c")
     ).select("c.*")
 
