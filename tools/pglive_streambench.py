@@ -1,0 +1,281 @@
+"""Sustained live-Postgres CDC pipeline bench (round 10).
+
+pgrelay_bench.py measures single-shot capture hops; this tool runs the
+WHOLE pipeline continuously under load — the architecture a production
+deployment of the pgoutput path runs:
+
+  concurrent writers -> live PostgreSQL (pgoutput slot + publication)
+    -> capture loop (peek -> landing parquet -> advance, the two-phase
+       watermark) -> Structured Streaming file source over the landing
+    -> foreachBatch executed ANSI MERGE into live embedded Derby
+
+and reports STEADY-STATE numbers: writer commit rate, capture rate,
+merge-pipeline processedRowsPerSecond, p95 micro-batch latency from
+``StreamingQuery.recentProgress``, end-of-run drain lag, and — the
+part a throughput number can't fake — an exactly-once verification
+that the Derby state equals the live Postgres state row-for-row when
+the dust settles.
+
+Envelope ``seq`` restarts per pull, so the capture loop rebases it
+onto a global monotone offset before landing — the cross-batch total
+order the MERGE newer-guard requires (a real bus gives this via
+per-partition offsets; the landing files stand in for the bus).
+
+Usage: python tools/pglive_streambench.py [--run-secs 30]
+Prints a markdown table and one JSON line; merge results into
+PGRELAY.json under "pglive_stream".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from pgshovel_spark.session import get_session  # noqa: E402
+from pgshovel_spark.sources import pglogical as pgl  # noqa: E402
+from pgshovel_spark.sources import pgoutput as po  # noqa: E402
+from pgshovel_spark.sources.pgwire import ScratchPostgres  # noqa: E402
+from pgshovel_spark.streaming.change_stream import CHANGE_SCHEMA  # noqa: E402
+
+TXN_ROWS = 500
+N_HOT_IDS = 20_000  # update pressure concentrates here
+
+
+def writer_loop(params, stop: threading.Event, stats: dict, rate: int) -> None:
+    """Commit mixed INSERT-new / UPDATE-hot transactions, PACED to
+    ``rate`` rows/s — the reference relay's published operating class
+    is 10^3-10^4 events/s per shard; an unthrottled bulk writer
+    (~120k rows/s measured) only benchmarks the backlog case, which
+    the drain metrics cover separately."""
+    rows = 0
+    next_id = N_HOT_IDS
+    t0 = time.time()
+    with params.connect() as c:
+        i = 0
+        while not stop.is_set():
+            if i % 2 == 0:
+                c.query(
+                    f"insert into pgstream_t select g, 'w' || g, g/7.0"
+                    f" from generate_series({next_id}, {next_id + TXN_ROWS - 1}) g"
+                )
+                next_id += TXN_ROWS
+            else:
+                lo = (i * 37) % (N_HOT_IDS - TXN_ROWS)
+                c.query(
+                    f"insert into pgstream_t select g, 'u{i}_' || g, {i}/3.0"
+                    f" from generate_series({lo}, {lo + TXN_ROWS - 1}) g"
+                    f" on conflict (id) do update set v = excluded.v,"
+                    f" score = excluded.score"
+                )
+            rows += TXN_ROWS
+            i += 1
+            # pace: row i*TXN_ROWS should not land before its slot
+            ahead = rows / rate - (time.time() - t0)
+            if ahead > 0:
+                stop.wait(ahead)
+    stats["committed_rows"] = rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-secs", type=int, default=30)
+    ap.add_argument("--writer-rate", type=int, default=15_000)
+    args = ap.parse_args()
+    spark = get_session("pglive_streambench")
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    derby_dir = tempfile.mkdtemp(prefix="pgls_derby_")
+    url = f"jdbc:derby:{derby_dir}/db;create=true"
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    con.createStatement().executeUpdate(
+        "CREATE TABLE STATE (ID BIGINT PRIMARY KEY, V VARCHAR(64),"
+        " SCORE DOUBLE, SEQ BIGINT)"
+    )
+    landing = tempfile.mkdtemp(prefix="pgls_landing_")
+    ckpt = tempfile.mkdtemp(prefix="pgls_ckpt_")
+
+    from pgshovel_spark.streaming.sinks import JdbcMergeSink
+
+    sink = JdbcMergeSink(
+        url=url,
+        table="STATE",
+        keys=["ID"],
+        order_cols=["SEQ"],
+        columns=["ID", "V", "SCORE", "SEQ"],
+        connection_factory=lambda: jvm.java.sql.DriverManager.getConnection(url),
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        create_types="V VARCHAR(64)",
+    )
+
+    merged = [0]  # foreachBatch runs on the driver: plain counter
+
+    def apply_batch(batch_df, batch_id):
+        flat = batch_df.select(
+            F.col("after")["id"].cast("long").alias("ID"),
+            F.col("after")["v"].alias("V"),
+            F.col("after")["score"].cast("double").alias("SCORE"),
+            F.col("seq").alias("SEQ"),
+        ).filter(F.col("ID").isNotNull())
+        flat = flat.localCheckpoint(eager=True)  # one compute, two uses
+        n = flat.count()
+        sink.apply(flat, batch_id)
+        merged[0] += n  # AFTER the merge commits — the catch-up
+        # watcher must never see this batch as done mid-MERGE
+
+    results: dict = {}
+    with ScratchPostgres() as p:
+        with p.connect() as c:
+            c.query(
+                "create table pgstream_t(id bigint primary key,"
+                " v text, score float8)"
+            )
+        po.create_publication(p, "pgls_pub", ["pgstream_t"])
+        po.create_slot_pgoutput(p, "pgls_slot")
+
+        # warm the Spark/Arrow/JDBC path outside the timed window
+        with p.connect() as c:
+            c.query("insert into pgstream_t values (-1, 'warm', 0.0)")
+        df, lsn = po.pull_changes_pgoutput(spark, p, "pgls_slot", "pgls_pub")
+        df.write.parquet(os.path.join(landing, "b_warm"))
+        pgl.advance(p, "pgls_slot", lsn)
+
+        q = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            # each capture pull lands one DIRECTORY; the file stream
+            # source does not recurse, so glob one level down
+            .parquet(os.path.join(landing, "*"))
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+        stop = threading.Event()
+        wstats: dict = {}
+        wt = threading.Thread(
+            target=writer_loop, args=(p, stop, wstats, args.writer_rate)
+        )
+        t_start = time.time()
+        wt.start()
+
+        captured = 0
+        seq_base = 0
+        pulls = []
+        bi = 0
+        while time.time() - t_start < args.run_secs:
+            t0 = time.time()
+            df, lsn = po.pull_changes_pgoutput(spark, p, "pgls_slot", "pgls_pub")
+            if lsn is None:
+                time.sleep(0.1)
+                continue
+            n = df.count()
+            if n:
+                df.withColumn(
+                    "seq", F.col("seq") + F.lit(seq_base)
+                ).coalesce(1).write.parquet(os.path.join(landing, f"b_{bi:05d}"))
+                seq_base += n
+                bi += 1
+            pgl.advance(p, "pgls_slot", lsn)
+            captured += n
+            pulls.append((n, time.time() - t0))
+            time.sleep(max(0.0, 0.25 - (time.time() - t0)))  # rate limit
+        stop.set()
+        wt.join()
+        write_wall = time.time() - t_start
+
+        # drain: capture everything committed, then let the stream
+        # catch up to the landed total
+        t_drain = time.time()
+        while True:
+            df, lsn = po.pull_changes_pgoutput(spark, p, "pgls_slot", "pgls_pub")
+            if lsn is None:
+                break
+            n = df.count()
+            if n:
+                df.withColumn(
+                    "seq", F.col("seq") + F.lit(seq_base)
+                ).coalesce(1).write.parquet(os.path.join(landing, f"b_{bi:05d}"))
+                seq_base += n
+                bi += 1
+                captured += n
+            pgl.advance(p, "pgls_slot", lsn)
+            if n == 0:
+                break
+        capture_drain_s = time.time() - t_drain
+
+        landed_total = seq_base + 1  # + the warm-up row
+        deadline = time.time() + 180
+        while merged[0] < landed_total and time.time() < deadline:
+            time.sleep(0.5)
+        merge_drain_s = time.time() - t_drain - capture_drain_s
+
+        progress = [
+            pr for pr in (q.recentProgress or []) if pr["numInputRows"] > 0
+        ]
+        q.stop()
+
+        # exactly-once verification: Derby == live Postgres
+        rs = con.createStatement().executeQuery(
+            "SELECT COUNT(*), COALESCE(SUM(ID), 0) FROM STATE"
+        )
+        rs.next()
+        derby_n, derby_sum = rs.getLong(1), rs.getLong(2)
+        with p.connect() as c:
+            pg_n, pg_sum = c.query(
+                "select count(*), coalesce(sum(id), 0) from pgstream_t"
+            )[0].rows[0]
+            # spot-check value equality on the hot (updated) range
+            pg_hot = c.query(
+                "select id, v from pgstream_t where id < 200 order by id"
+            )[0].rows
+        rs = con.createStatement().executeQuery(
+            "SELECT ID, V FROM STATE WHERE ID < 200 ORDER BY ID"
+        )
+        derby_hot = []
+        while rs.next():
+            derby_hot.append((rs.getLong(1), rs.getString(2)))
+        exact = (derby_n == pg_n) and (derby_sum == pg_sum) and (
+            derby_hot == [(int(a), b) for a, b in pg_hot]
+        )
+
+        lat_ms = sorted(
+            pr["durationMs"]["triggerExecution"] for pr in progress
+        )
+        p95 = lat_ms[int(0.95 * (len(lat_ms) - 1))] if lat_ms else None
+        results = {
+            "run_secs": args.run_secs,
+            "writer_rows_per_sec": int(wstats["committed_rows"] / write_wall),
+            "captured_rows": captured,
+            "capture_rows_per_sec": int(captured / write_wall),
+            "capture_pulls": len(pulls),
+            "merge_batches": len(progress),
+            "merge_rows_per_sec_mean": int(
+                sum(pr["processedRowsPerSecond"] for pr in progress)
+                / max(len(progress), 1)
+            ),
+            "batch_latency_ms_p95": p95,
+            "capture_drain_sec": round(capture_drain_s, 2),
+            "merge_drain_sec": round(merge_drain_s, 2),
+            "exactly_once_state_match": bool(exact),
+        }
+        pgl.drop_slot(p, "pgls_slot")
+    con.close()
+
+    print("| metric | value |")
+    print("|---|---|")
+    for k, v in results.items():
+        print(f"| {k} | {v} |")
+    print(json.dumps({"pglive_stream": results}))
+
+
+if __name__ == "__main__":
+    main()
