@@ -93,6 +93,8 @@ _PRIORITY = (
     # oracle rewrite, periodicity zero-span guard)
     "q_agg_approx_audit",
     "q_mm_image",
+    "q_source_mix",
+    "q_embed_health",
     "q_user_periodicity",
     "q_join_asof_tolerance",
     # round-9 NEW queries first (never driver-checked): the batched

@@ -1216,7 +1216,71 @@ FROM (
 """
 
 
+def q_embed_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA panel per label — the health check a vector
+    corpus gets before an ANN index build or a semantic-dedup pass
+    (collapsed or zero vectors poison cosine math; dimension drift
+    breaks the index): vector count, dimension min/max (uniformity
+    audit), zero-norm count, and min/max/sum of the vector norm in
+    exact integer MILLI units.
+
+    Determinism: the squared-norm fold runs in array (index) order
+    with a 0.0 init on both engines (Spark ``aggregate`` vs DuckDB
+    ``list_reduce`` — the round-5 verified same-direction fold), each
+    element cast to DOUBLE first; the only float→int crossing is
+    ``floor(sqrt(ss)·1000 + 0.5)``, explicit half-up in exact floor
+    arithmetic on both sides (the q_sim_cosine 3dp-round precedent,
+    one digit tighter).
+
+    Scale: one scan, map-side fold per row, one |labels|-sized hash
+    aggregate — the shuffle carries a few integers per label.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ss = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm_milli = F.floor(F.sqrt(ss) * 1000 + F.lit(0.5)).cast("long")
+    per = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm_milli.alias("nm"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum((F.col("nm") == 0).cast("long")).alias("n_zero"),
+        F.min("nm").alias("norm_milli_min"),
+        F.max("nm").alias("norm_milli_max"),
+        F.sum("nm").alias("norm_milli_sum"),
+    )
+
+
+_EMBED_HEALTH_SQL = """
+WITH per AS (
+  SELECT label,
+         len(embedding) AS dim,
+         CAST(FLOOR(sqrt(list_reduce(
+                list_transform(embedding::DOUBLE[], x -> x * x),
+                (a, b) -> a + b)) * 1000 + 0.5) AS BIGINT) AS nm
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       MIN(dim) AS dim_min,
+       MAX(dim) AS dim_max,
+       CAST(SUM(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       MIN(nm) AS norm_milli_min,
+       MAX(nm) AS norm_milli_max,
+       CAST(SUM(nm) AS BIGINT) AS norm_milli_sum
+FROM per GROUP BY label
+"""
+
+
 QUERIES = {
+    "q_embed_health": q_embed_health,
     "q_text_bpe_pretokenize": q_text_bpe_pretokenize,
     "q_embed_quantize": q_embed_quantize,
     "q_embed_gram": q_embed_gram,
@@ -1233,6 +1297,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_embed_health": _EMBED_HEALTH_SQL,
     "q_text_bpe_pretokenize": _BPE_PRETOKENIZE_SQL,
     "q_embed_quantize": _EMBED_QUANTIZE_SQL,
     "q_embed_gram": _EMBED_GRAM_SQL,

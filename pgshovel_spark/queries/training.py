@@ -848,7 +848,66 @@ FROM folded f JOIN totals ON f.lang = totals.lang
 """
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report per (source, lang) — the table a
+    data-mixture decision starts from (what share of documents and of
+    TOKEN MASS each source/language cell contributes): doc count,
+    token mass, char mass, and both shares in exact basis points
+    (n·10000 div total — no float ever decides a row).
+
+    Scale: ONE tokenize pass collapses the corpus to a
+    |sources|×|langs| grouped table (bounded: ~100 rows); the two
+    corpus totals ride a broadcast cross join of the 1-row re-
+    aggregate, so the plan is scan → partial agg → tiny exchange →
+    broadcast — no second corpus pass, no single-partition window.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.filter(tokens("text"), lambda t: t != "")).alias("ntok"),
+        "n_chars",
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("tok_mass"),
+        F.sum("n_chars").alias("char_mass"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("tok_mass").alias("t_toks")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "tok_mass",
+        "char_mass",
+        # integer div, not float-divide-then-cast: the float quotient
+        # of an exact ratio can land at x.999... and truncate to x-1
+        F.expr("n_docs * 10000 div t_docs").alias("doc_share_bp"),
+        F.expr("tok_mass * 10000 div t_toks").alias("tok_share_bp"),
+    )
+
+
+_SOURCE_MIX_SQL = f"""
+WITH per_doc AS (
+  SELECT source, lang, len({_TOKS}) AS n_toks, n_chars FROM documents
+),
+g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS tok_mass,
+         CAST(SUM(n_chars) AS BIGINT) AS char_mass
+  FROM per_doc GROUP BY source, lang
+),
+tot AS (SELECT SUM(n_docs) AS t_docs, SUM(tok_mass) AS t_toks FROM g)
+SELECT source, lang, n_docs, tok_mass, char_mass,
+       CAST(n_docs * 10000 // t_docs AS BIGINT) AS doc_share_bp,
+       CAST(tok_mass * 10000 // t_toks AS BIGINT) AS tok_share_bp
+FROM g CROSS JOIN tot
+"""
+
+
 QUERIES = {
+    "q_source_mix": q_source_mix,
     "q_pack_sequences": q_pack_sequences,
     "q_text_unigram_ppl": q_text_unigram_ppl,
     "q_text_repetition": q_text_repetition,
@@ -861,6 +920,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_source_mix": _SOURCE_MIX_SQL,
     "q_pack_sequences": _PACK_SEQUENCES_SQL,
     "q_text_unigram_ppl": _TEXT_UNIGRAM_PPL_SQL,
     "q_text_repetition": _TEXT_REPETITION_SQL,

@@ -52,6 +52,7 @@ __all__ = [
     "create_slot_pgoutput",
     "create_publication",
     "pull_changes_pgoutput",
+    "change_batches_pgoutput",
     "PgReplicationConnection",
     "ReplicationStream",
     "lsn_to_int",
@@ -362,6 +363,39 @@ def pull_changes_pgoutput(
     parsed = parse_pgoutput(raw)
     max_lsn = raw[-1][0] if raw else None
     return _envelope_df(spark, parsed, publisher or slot, epoch), max_lsn
+
+
+def change_batches_pgoutput(
+    spark,
+    params: PgParams,
+    slot: str,
+    publication: str,
+    max_pulls: int | None = None,
+):
+    """Micro-batch loop over a pgoutput slot — the exact contract of
+    ``pglogical.change_batches`` (each yielded envelope was PEEKED;
+    its watermark advances only when the consumer asks for the NEXT
+    batch, so a crash mid-batch replays it and the idempotent MERGE
+    sinks absorb the duplicates).  Stops when a pull decodes nothing
+    (or after ``max_pulls``)."""
+    from pgshovel_spark.sources.pglogical import advance
+
+    pulls = 0
+    pending: str | None = None
+    while max_pulls is None or pulls < max_pulls:
+        if pending is not None:
+            advance(params, slot, pending)
+            pending = None
+        df, max_lsn = pull_changes_pgoutput(
+            spark, params, slot, publication, peek=True
+        )
+        if max_lsn is None:
+            return
+        pulls += 1
+        pending = max_lsn
+        yield df
+    # consumer exhausted the allowance: the LAST batch stays
+    # unacknowledged by design (same as incremental_pulls)
 
 
 # ---------------------------------------------------------------------------

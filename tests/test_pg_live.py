@@ -1160,3 +1160,30 @@ def test_kafka_envelope_byte_parity_with_live_capture(spark, pg, tmp_path):
     assert parsed_bad.filter(F.col("key").isNotNull()).count() == 0
     env.unpersist()
     pgl.drop_slot(pg, "kseam_slot")
+
+
+def test_pgoutput_change_batches_deferred_commit(spark, pg):
+    """change_batches_pgoutput twins pglogical.change_batches: each
+    batch is peeked, the watermark advances only on the NEXT pull, and
+    exhausting the allowance leaves the last batch unacknowledged."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table pocb_t(id int primary key, v int)")
+    po.create_publication(pg, "pocb_pub", ["pocb_t"])
+    po.create_slot_pgoutput(pg, "pocb_slot")
+    with pg.connect() as c:
+        c.query("insert into pocb_t values (1, 10)")
+    gen = po.change_batches_pgoutput(spark, pg, "pocb_slot", "pocb_pub", max_pulls=2)
+    b1 = next(gen)
+    assert [r.after["id"] for r in b1.collect()] == ["1"]
+    with pg.connect() as c:
+        c.query("insert into pocb_t values (2, 20)")
+    b2 = next(gen)  # asking for batch 2 commits batch 1's watermark
+    ids = [r.after["id"] for r in b2.collect()]
+    assert ids == ["2"]  # batch 1 acked, not replayed
+    assert list(gen) == []  # allowance exhausted
+    # batch 2 was never acked: a fresh consumer replays it
+    d, _ = po.pull_changes_pgoutput(spark, pg, "pocb_slot", "pocb_pub")
+    assert [r.after["id"] for r in d.collect()] == ["2"]
+    pgl.drop_slot(pg, "pocb_slot")
