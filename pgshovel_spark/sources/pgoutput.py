@@ -179,11 +179,22 @@ def parse_pgoutput(
     changes: list[dict] = []
     txn: list[dict] = []
     commit_ts: datetime.datetime | None = None
+    # protocol v2 streamed-transaction state: changes of in-progress
+    # large transactions arrive in S..E segments BEFORE their commit,
+    # keyed by the toplevel xid from StreamStart; per-message xids
+    # (which may be subtransactions) are recorded so StreamAbort can
+    # discard exactly one subtransaction's changes.
+    streams: dict[int, list[dict]] = {}
+    stream_xid: int | None = None  # inside an S..E segment when set
     for lsn, xid, payload in messages:
         if not payload:
             raise ValueError("empty pgoutput message")
         r = _Reader(payload)
         kind = chr(r.u8())
+        msg_xid = xid
+        if stream_xid is not None and kind in "RIUDTM":
+            # v2: DML/metadata inside a stream segment is xid-prefixed
+            msg_xid = r.i32()
         if kind == "B":  # Begin: final_lsn, commit_ts, xid
             r.i64()
             commit_ts = _pg_ts(r.i64())
@@ -193,6 +204,31 @@ def parse_pgoutput(
             changes.extend(txn)
             txn = []
             commit_ts = None
+        elif kind == "S":  # v2 StreamStart: xid, first-segment flag
+            stream_xid = r.i32()
+            r.u8()
+            streams.setdefault(stream_xid, [])
+        elif kind == "E":  # v2 StreamStop
+            stream_xid = None
+        elif kind == "c":  # v2 StreamCommit: xid, flags, 2 lsn, ts
+            sxid = r.i32()
+            r.u8()
+            r.i64()
+            r.i64()
+            ts = _pg_ts(r.i64())
+            done = streams.pop(sxid, [])
+            for ch in done:
+                ch["ts"] = ts
+            changes.extend(done)
+        elif kind == "A":  # v2 StreamAbort: xid, subxid
+            sxid = r.i32()
+            sub = r.i32()
+            if sub == sxid:
+                streams.pop(sxid, None)  # whole transaction rolled back
+            elif sxid in streams:  # one subtransaction rolled back
+                streams[sxid] = [
+                    ch for ch in streams[sxid] if ch["txid"] != sub
+                ]
         elif kind == "R":  # Relation
             oid = r.i32()
             ns = r.cstr()
@@ -260,32 +296,34 @@ def parse_pgoutput(
                     }
             src = after if after is not None else (before or {})
             key = {k: src.get(k) for k in rel.key_columns if k in src}
-            txn.append(
+            sink = streams[stream_xid] if stream_xid is not None else txn
+            sink.append(
                 {
                     "op": {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[kind],
                     "table": rel.name,
                     "key": key or None,
                     "before": before,
                     "after": after,
-                    "txid": xid,
-                    "ts": commit_ts,
+                    "txid": msg_xid,
+                    "ts": commit_ts,  # None in a stream; StreamCommit stamps
                     "lsn": lsn,
                 }
             )
         elif kind == "T":  # Truncate: nrels, options, oids
             nrels = r.i32()
             r.u8()
+            sink = streams[stream_xid] if stream_xid is not None else txn
             for _ in range(nrels):
                 oid = r.i32()
                 rel = rels.get(oid)
-                txn.append(
+                sink.append(
                     {
                         "op": "TRUNCATE",
                         "table": rel.name if rel else f"oid:{oid}",
                         "key": None,
                         "before": None,
                         "after": None,
-                        "txid": xid,
+                        "txid": msg_xid,
                         "ts": commit_ts,
                         "lsn": lsn,
                     }
@@ -336,12 +374,23 @@ def pull_changes_pgoutput(
     peek: bool = True,
     publisher: str | None = None,
     epoch: int = 0,
+    proto_version: int = 1,
+    streaming: bool = False,
+    work_mem: str | None = None,
 ):
     """Drain (peek=False) or peek (default) the pgoutput slot through
     ``pg_logical_slot_*_binary_changes`` and return
     ``(envelope DataFrame, max_lsn)`` — the exact contract of
     ``pglogical.pull_changes``, same two-phase watermark discipline
-    (advance() after the batch commits downstream)."""
+    (advance() after the batch commits downstream).
+
+    ``proto_version=2, streaming=True`` enables in-progress
+    transaction streaming (PG 14+): transactions larger than
+    ``logical_decoding_work_mem`` arrive as StreamStart/Stop segments
+    and commit via StreamCommit — the decoder reassembles them in
+    commit order, so the envelope is identical either way.
+    ``work_mem`` (e.g. ``'64kB'``) sets that GUC on the decoding
+    session, forcing the streamed path for testing."""
     import re
 
     from pgshovel_spark.sources.pglogical import _check_slot, _envelope_df
@@ -353,11 +402,18 @@ def pull_changes_pgoutput(
         if peek
         else "pg_logical_slot_get_binary_changes"
     )
+    opts = f"'proto_version', '{int(proto_version)}'"
+    if streaming:
+        opts += ", 'streaming', 'on'"
     with params.connect() as c:
+        if work_mem is not None:
+            if not re.match(r"[0-9]+[kMG]?B\Z", work_mem):
+                raise ValueError(f"invalid work_mem: {work_mem!r}")
+            c.query(f"set logical_decoding_work_mem = '{work_mem}'")
         res = c.query(
             f"select lsn::text, xid::text, data from {fn}"
             f"('{_check_slot(slot)}', null, null,"
-            f" 'proto_version', '1', 'publication_names', '{publication}')"
+            f" {opts}, 'publication_names', '{publication}')"
         )[0]
     raw = [(lsn, int(xid), data) for lsn, xid, data in res.rows]
     parsed = parse_pgoutput(raw)
@@ -423,8 +479,11 @@ class PgReplicationConnection(PgConnection):
         publication: str,
         start_lsn: str = "0/0",
         proto_version: int = 1,
+        streaming: bool = False,
     ) -> "ReplicationStream":
-        """Enter CopyBoth mode streaming ``slot`` through pgoutput."""
+        """Enter CopyBoth mode streaming ``slot`` through pgoutput
+        (``proto_version=2, streaming=True`` = in-progress transaction
+        streaming for large transactions, PG 14+)."""
         import re
 
         from pgshovel_spark.sources.pglogical import _check_slot
@@ -433,10 +492,11 @@ class PgReplicationConnection(PgConnection):
             raise ValueError(f"invalid publication name: {publication!r}")
         if not re.match(r"[0-9A-Fa-f]+/[0-9A-Fa-f]+\Z", start_lsn):
             raise ValueError(f"invalid LSN: {start_lsn!r}")
+        stream_opt = ", streaming 'on'" if streaming else ""
         sql = (
             f"START_REPLICATION SLOT {_check_slot(slot)} LOGICAL {start_lsn}"
             f" (proto_version '{int(proto_version)}',"
-            f" publication_names '{publication}')"
+            f" publication_names '{publication}'{stream_opt})"
         )
         body = sql.encode() + b"\x00"
         self._sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
@@ -497,7 +557,8 @@ class ReplicationStream:
                     start, end, _clock = struct.unpack("!qqq", payload[1:25])
                     self.wal_end = max(self.wal_end, end)
                     batch.append((lsn_to_str(start), 0, payload[25:]))
-                    if payload[25:26] == b"C":  # Commit closes the txn
+                    # Commit (v1) or StreamCommit (v2) closes a txn
+                    if payload[25:26] in (b"C", b"c"):
                         return parse_pgoutput(batch, rels)
                 elif tag == b"k":  # keepalive: end, clock, reply?
                     end, _clock, reply = struct.unpack("!qqB", payload[1:18])

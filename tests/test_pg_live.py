@@ -1187,3 +1187,123 @@ def test_pgoutput_change_batches_deferred_commit(spark, pg):
     d, _ = po.pull_changes_pgoutput(spark, pg, "pocb_slot", "pocb_pub")
     assert [r.after["id"] for r in d.collect()] == ["2"]
     pgl.drop_slot(pg, "pocb_slot")
+
+
+# ---------------------------------------------------------------------------
+# pgoutput protocol v2 — streamed in-progress transactions (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_pgoutput_v2_stream_unit():
+    """Decoder conformance on hand-built v2 bytes: S..E segments,
+    xid-prefixed DML, StreamCommit stamping + ordering, StreamAbort of
+    a subtransaction and of the whole transaction, interleaved small
+    (non-streamed) transactions."""
+    import struct as st
+
+    from pgshovel_spark.sources import pgoutput as po
+
+    TS = 820540800000000  # 2026-01-01 in pg microseconds
+    rel = _msg_relation(99, "public", "t", ["id", "v"], ["id"])
+
+    def s_start(xid, first=1):
+        return b"S" + st.pack("!iB", xid, first)
+
+    def s_ins(xid, *vals):
+        return b"I" + st.pack("!i", xid) + st.pack("!i", 99) + b"N" + _tuple_data(list(vals))
+
+    def s_rel(xid):
+        return b"R" + st.pack("!i", xid) + rel[1:]
+
+    s_commit = b"c" + st.pack("!iBqqq", 700, 0, 0, 0, TS)
+    msgs = [
+        # segment 1 of streamed txn 700 (relation arrives IN the stream)
+        ("0/10", 700, s_start(700)),
+        ("0/11", 700, s_rel(700)),
+        ("0/12", 700, s_ins(700, 1, "a")),
+        ("0/13", 700, s_ins(701, 90, "sub")),   # subtransaction 701
+        ("0/14", 700, b"E"),
+        # a SMALL txn 800 commits in between (non-streamed v1 framing)
+        ("0/20", 800, _msg_begin(TS, 800)),
+        ("0/21", 800, b"I" + st.pack("!i", 99) + b"N" + _tuple_data([50, "mid"])),
+        ("0/22", 800, b"C" + b"\x00" + st.pack("!qqq", 0, 0, TS)),
+        # segment 2 of txn 700; subtxn 701 aborts, then txn commits
+        ("0/30", 700, s_start(700, 0)),
+        ("0/31", 700, s_ins(700, 2, "b")),
+        ("0/32", 700, b"E"),
+        ("0/33", 700, b"A" + st.pack("!ii", 700, 701)),  # abort subtxn
+        ("0/34", 700, s_commit),
+    ]
+    out = po.parse_pgoutput(msgs)
+    # commit ORDER: txn 800 commits before txn 700's StreamCommit
+    assert [(c["txid"], c["after"]["id"]) for c in out] == [
+        (800, "50"), (700, "1"), (700, "2")
+    ]
+    assert all(c["ts"] is not None and c["ts"].year == 2026 for c in out)
+    # whole-transaction abort drops everything
+    msgs_abort = msgs[:5] + [("0/40", 700, b"A" + st.pack("!ii", 700, 700))]
+    assert po.parse_pgoutput(msgs_abort) == []
+
+
+def test_pgoutput_v2_streamed_equals_unstreamed(spark, pg):
+    """A 30k-row transaction decoded TWICE from one slot (peek is
+    non-destructive): proto 1 plain vs proto 2 with a 64kB
+    logical_decoding_work_mem forcing stream segments.  The envelope
+    must be IDENTICAL — streaming is a transport detail, not a
+    semantic one."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table pov2_t(id int primary key, v text)")
+    po.create_publication(pg, "pov2_pub", ["pov2_t"])
+    po.create_slot_pgoutput(pg, "pov2_slot")
+    with pg.connect() as c:
+        c.query(
+            "insert into pov2_t select g, 'p' || g from generate_series(1, 30000) g"
+        )
+        c.query("update pov2_t set v = 'x' where id = 7")
+    plain, lsn1 = po.pull_changes_pgoutput(spark, pg, "pov2_slot", "pov2_pub")
+    streamed, lsn2 = po.pull_changes_pgoutput(
+        spark, pg, "pov2_slot", "pov2_pub",
+        proto_version=2, streaming=True, work_mem="64kB",
+    )
+    assert lsn1 == lsn2
+    cols = ["op", "table", "key", "before", "after", "seq"]
+    a = [tuple(str(r[c]) for c in cols) for r in plain.orderBy("seq").collect()]
+    b = [tuple(str(r[c]) for c in cols) for r in streamed.orderBy("seq").collect()]
+    assert a == b and len(a) == 30001
+    pgl.drop_slot(pg, "pov2_slot")
+
+
+def test_pgoutput_v2_walsender_streamed(pg):
+    """The v2 streamed path over the REAL walsender transport: SET the
+    work_mem on the replication session (database-replication mode
+    accepts SQL), START_REPLICATION with streaming 'on', and read a
+    large transaction arriving as stream segments."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table powv2_t(id int primary key, v text)")
+    po.create_publication(pg, "powv2_pub", ["powv2_t"])
+    po.create_slot_pgoutput(pg, "powv2_slot")
+    rc = po.PgReplicationConnection(pg)
+    try:
+        rc.query("set logical_decoding_work_mem = '64kB'")
+        stream = rc.start_replication(
+            "powv2_slot", "powv2_pub", proto_version=2, streaming=True
+        )
+        with pg.connect() as c:
+            c.query(
+                "insert into powv2_t select g, 'w' || g"
+                " from generate_series(1, 20000) g"
+            )
+        changes = stream.read(max_seconds=30.0)
+        assert len(changes) == 20000
+        ids = sorted(int(c_["after"]["id"]) for c_ in changes)
+        assert ids == list(range(1, 20001))
+        assert all(c_["ts"] is not None for c_ in changes)
+        stream.send_status(stream.wal_end)
+        stream.stop()
+    finally:
+        rc.close()
+    pgl.drop_slot(pg, "powv2_slot")
