@@ -721,11 +721,13 @@ def q_agg_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale posture as q_sketch_hll: per (event_type, bucket)
     max(rho) partial-aggregates to <=64 registers per group per
-    partition before the shuffle; the exact column pays the usual
-    distinct shuffle and exists only as the audit baseline.  The
-    float estimate is deterministic for the q_sketch_hll reasons
-    (exact power-of-two partial sums; ln over an exact small-integer
-    ratio in the small-range branch; 2dp round).
+    partition before the shuffle.  The exact audit column rides the
+    SAME aggregation chain: buckets PARTITION the user space by hash,
+    so distinct users = Σ per-bucket distinct counts — no second
+    distinct shuffle, no join-back (one chain: distinct → bucket agg
+    → group rollup).  The float estimate is deterministic for the
+    q_sketch_hll reasons (exact power-of-two partial sums; ln over an
+    exact small-integer ratio in the small-range branch; 2dp round).
     """
     e = load_table(spark, sf_dir, "events")
     du = e.select("event_type", "user_id").distinct()
@@ -736,14 +738,15 @@ def q_agg_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(hv / F.lit(_HLL_M)).cast("long").alias("w"),
     )
     regs = b.groupBy("event_type", "bucket").agg(
-        F.max(_rho_spark(F.col("w"))).alias("register")
+        F.max(_rho_spark(F.col("w"))).alias("register"),
+        F.count(F.lit(1)).alias("bucket_users"),  # du is distinct
     )
     summary = regs.groupBy("event_type").agg(
+        F.sum("bucket_users").alias("exact_users"),
         F.count(F.lit(1)).alias("buckets_nonzero"),
         F.sum("register").alias("sum_registers"),
         F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("z_nz"),
     )
-    exact = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_users"))
     raw = F.lit(0.709) * F.lit(float(_HLL_M * _HLL_M)) / (
         F.col("z_nz") + (F.lit(_HLL_M) - F.col("buckets_nonzero"))
     )
@@ -752,7 +755,7 @@ def q_agg_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw < F.lit(2.5 * _HLL_M)) & (v_empty > 0),
         F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_empty),
     ).otherwise(raw)
-    return summary.join(exact, "event_type").select(
+    return summary.select(
         "event_type",
         "exact_users",
         "buckets_nonzero",
@@ -772,34 +775,33 @@ b AS (
   FROM du
 ),
 regs AS (
-  SELECT event_type, bucket, MAX({_rho_sql("w")}) AS register
+  SELECT event_type, bucket, MAX({_rho_sql("w")}) AS register,
+         COUNT(*) AS bucket_users
   FROM b GROUP BY event_type, bucket
 ),
 summary AS (
   SELECT event_type,
+         CAST(SUM(bucket_users) AS BIGINT) AS exact_users,
          COUNT(*) AS buckets_nonzero,
          SUM(register) AS sum_registers,
          SUM(power(2.0, -register)) AS z_nz
   FROM regs GROUP BY event_type
 ),
-exact AS (
-  SELECT event_type, COUNT(*) AS exact_users FROM du GROUP BY event_type
-),
 raw AS (
-  SELECT event_type, buckets_nonzero, sum_registers,
+  SELECT event_type, exact_users, buckets_nonzero, sum_registers,
          0.709 * {float(_HLL_M * _HLL_M)}
            / (z_nz + ({_HLL_M} - buckets_nonzero)) AS raw_est,
          {_HLL_M} - buckets_nonzero AS v_empty
   FROM summary
 )
-SELECT r.event_type,
-       e.exact_users,
-       r.buckets_nonzero,
-       CAST(r.sum_registers AS BIGINT) AS sum_registers,
-       ROUND(CASE WHEN r.raw_est < {2.5 * _HLL_M} AND r.v_empty > 0
-                  THEN {float(_HLL_M)} * ln({float(_HLL_M)} / r.v_empty)
-                  ELSE r.raw_est END, 2) AS hll_estimate
-FROM raw r JOIN exact e USING (event_type)
+SELECT event_type,
+       exact_users,
+       buckets_nonzero,
+       CAST(sum_registers AS BIGINT) AS sum_registers,
+       ROUND(CASE WHEN raw_est < {2.5 * _HLL_M} AND v_empty > 0
+                  THEN {float(_HLL_M)} * ln({float(_HLL_M)} / v_empty)
+                  ELSE raw_est END, 2) AS hll_estimate
+FROM raw
 """
 
 

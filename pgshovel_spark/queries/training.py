@@ -857,9 +857,11 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE tokenize pass collapses the corpus to a
     |sources|×|langs| grouped table (bounded: ~100 rows); the two
-    corpus totals ride a broadcast cross join of the 1-row re-
-    aggregate, so the plan is scan → partial agg → tiny exchange →
-    broadcast — no second corpus pass, no single-partition window.
+    corpus totals fold over that bounded table in a coalesce(1)
+    whole-frame window (narrow dependency — the documented
+    calendar/vocabulary-bounded fold pattern), so the plan is scan →
+    partial agg → one tiny exchange, no join-back and no broadcast
+    round-trip.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "source",
@@ -872,10 +874,11 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ntok").alias("tok_mass"),
         F.sum("n_chars").alias("char_mass"),
     )
-    tot = g.agg(
-        F.sum("n_docs").alias("t_docs"), F.sum("tok_mass").alias("t_toks")
+    w = Window.partitionBy()  # bounded: |sources|x|langs| rows
+    g = g.coalesce(1).withColumn("t_docs", F.sum("n_docs").over(w)).withColumn(
+        "t_toks", F.sum("tok_mass").over(w)
     )
-    return g.crossJoin(F.broadcast(tot)).select(
+    return g.select(
         "source",
         "lang",
         "n_docs",
