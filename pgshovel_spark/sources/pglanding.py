@@ -1,0 +1,151 @@
+"""Landing-zone bridge: live Postgres capture → Structured Streaming.
+
+The capture side of the live stack (pglogical/pgoutput) is a serial
+driver loop by design (WAL is commit-ordered); Structured Streaming
+wants a replayable, checkpointable SOURCE.  This module is the
+production join between them, the architecture
+tools/pglive_streambench.py measures end-to-end:
+
+  writers → slot → LandingCapture (peek → land parquet → advance)
+          → landing_stream (file source) → any streaming consumer
+          → e.g. foreachBatch executed-MERGE sink
+
+Why a landing zone instead of wiring the slot straight into a custom
+source: the parquet landing gives the stream a REPLAYABLE offset log
+(file names), which is what lets the streaming checkpoint provide
+exactly-once downstream while the slot's own watermark only promises
+at-least-once into the landing.  A real deployment would point the
+landing at object storage (or swap in the Kafka topic the relay
+publishes to — to_kafka_records emits that exact record layout);
+the consumer side is identical either way.
+
+Watermark contract: ``advance`` runs AFTER the landing file is
+durably written — "committed downstream" here means "landed".  A
+crash between write and advance replays the batch into a SECOND
+landing file; the envelope's (publisher, epoch, seq) identity plus
+the idempotent MERGE sinks absorb the duplicates (the documented
+at-least-once + idempotent-apply contract).
+
+``seq`` rebasing: the envelope's dense per-pull seq restarts at 0
+each batch; the capture loop rebases it onto a global monotone offset
+(persisted in the landing dir) so the MERGE newer-guard sees one
+total order across batches — the role per-partition offsets play on
+a real bus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgshovel_spark.sources.pglogical import advance, pull_changes
+from pgshovel_spark.sources.pgoutput import pull_changes_pgoutput
+from pgshovel_spark.streaming.change_stream import CHANGE_SCHEMA
+
+__all__ = ["LandingCapture", "landing_stream"]
+
+
+class LandingCapture:
+    """Pull → land → advance loop writing slot batches as parquet
+    directories under ``landing_dir``.
+
+    ``publication`` set → binary pgoutput; otherwise the
+    test_decoding path with ``key_cols``.  One instance per slot
+    (slots are serial); scale-out is per-database sharding with one
+    capture loop each, exactly like the reference relay.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        params,
+        slot: str,
+        landing_dir: str,
+        publication: str | None = None,
+        key_cols: dict[str, list[str]] | None = None,
+        proto_version: int = 1,
+        streaming: bool = False,
+    ):
+        self.spark = spark
+        self.params = params
+        self.slot = slot
+        self.landing_dir = landing_dir
+        self.publication = publication
+        self.key_cols = key_cols
+        self.proto_version = proto_version
+        self.streaming = streaming
+        os.makedirs(landing_dir, exist_ok=True)
+        self._seq_file = os.path.join(landing_dir, "_seq_base")
+        self.seq_base = self._read_seq()
+        self.batches = 0
+
+    def _read_seq(self) -> int:
+        try:
+            with open(self._seq_file) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _write_seq(self) -> None:
+        tmp = self._seq_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self.seq_base))
+        os.replace(tmp, self._seq_file)
+
+    def pull_once(self) -> int:
+        """One peek → land → advance cycle; returns rows landed (0 =
+        slot idle).  The landing write precedes the advance, so a
+        crash in between replays the batch (at-least-once into the
+        landing; the stream's checkpoint is exactly-once after it)."""
+        if self.publication is not None:
+            df, max_lsn = pull_changes_pgoutput(
+                self.spark,
+                self.params,
+                self.slot,
+                self.publication,
+                proto_version=self.proto_version,
+                streaming=self.streaming,
+            )
+        else:
+            df, max_lsn = pull_changes(
+                self.spark, self.params, self.slot, self.key_cols
+            )
+        if max_lsn is None:
+            return 0
+        n = df.count()
+        if n:
+            out = os.path.join(self.landing_dir, f"b_{self.seq_base:016d}")
+            df.withColumn("seq", F.col("seq") + F.lit(self.seq_base)).coalesce(
+                1
+            ).write.parquet(out)
+            self.seq_base += n
+            self._write_seq()
+            self.batches += 1
+        advance(self.params, self.slot, max_lsn)
+        return n
+
+    def drain(self, max_pulls: int = 1000) -> int:
+        """Pull until the slot is idle; returns total rows landed."""
+        total = 0
+        for _ in range(max_pulls):
+            n = self.pull_once()
+            if n == 0:
+                return total
+            total += n
+        return total
+
+
+def landing_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Structured Streaming source over a LandingCapture directory —
+    CHANGE_SCHEMA rows in landed order.  Each capture pull lands one
+    DIRECTORY, and the file stream source does not recurse, so the
+    path globs one level down."""
+    return (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(landing_dir, "b_*"))
+    )

@@ -1307,3 +1307,59 @@ def test_pgoutput_v2_walsender_streamed(pg):
     finally:
         rc.close()
     pgl.drop_slot(pg, "powv2_slot")
+
+
+# ---------------------------------------------------------------------------
+# landing bridge: live capture -> Structured Streaming (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_landing_capture_to_stream(spark, pg, tmp_path):
+    """The production join between the serial capture loop and a
+    checkpointable streaming source: LandingCapture lands pgoutput
+    batches with globally rebased seq (persisted across instances),
+    landing_stream replays them in order, and the decoded rows equal
+    the slot's envelope exactly."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pglanding import LandingCapture, landing_stream
+
+    with pg.connect() as c:
+        c.query("create table land_t(id int primary key, v text)")
+    po.create_publication(pg, "land_pub", ["land_t"])
+    po.create_slot_pgoutput(pg, "land_slot")
+    landing = str(tmp_path / "landing")
+    cap = LandingCapture(spark, pg, "land_slot", landing, publication="land_pub")
+
+    with pg.connect() as c:
+        c.query("insert into land_t select g, 'a' || g from generate_series(1, 30) g")
+    assert cap.pull_once() == 30
+    with pg.connect() as c:
+        c.query("update land_t set v = 'u' where id <= 5")
+        c.query("delete from land_t where id = 9")
+    assert cap.pull_once() == 6
+    assert cap.pull_once() == 0  # idle slot
+    assert cap.seq_base == 36 and cap.batches == 2
+
+    # a NEW capture instance resumes the persisted seq base (crash-
+    # restart shape) and keeps the total order monotone
+    cap2 = LandingCapture(spark, pg, "land_slot", landing, publication="land_pub")
+    assert cap2.seq_base == 36
+    with pg.connect() as c:
+        c.query("insert into land_t values (99, 'late')")
+    assert cap2.drain() == 1
+
+    got: list = []
+    q = (
+        landing_stream(spark, landing)
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert len(got) == 37
+    seqs = sorted(r.seq for r in got)
+    assert seqs == list(range(37))  # dense global order across batches
+    ops = {r.op for r in got}
+    assert ops == {"INSERT", "UPDATE", "DELETE"}
+    pgl.drop_slot(pg, "land_slot")

@@ -38,13 +38,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from pgshovel_spark.session import get_session  # noqa: E402
 from pgshovel_spark.sources import pglogical as pgl  # noqa: E402
 from pgshovel_spark.sources import pgoutput as po  # noqa: E402
 from pgshovel_spark.sources.pgwire import ScratchPostgres  # noqa: E402
-from pgshovel_spark.streaming.change_stream import CHANGE_SCHEMA  # noqa: E402
 
 TXN_ROWS = 500
 N_HOT_IDS = 20_000  # update pressure concentrates here
@@ -141,19 +140,22 @@ def main() -> None:
         po.create_publication(p, "pgls_pub", ["pgstream_t"])
         po.create_slot_pgoutput(p, "pgls_slot")
 
+        from pgshovel_spark.sources.pglanding import (
+            LandingCapture,
+            landing_stream,
+        )
+
+        cap = LandingCapture(
+            spark, p, "pgls_slot", landing, publication="pgls_pub"
+        )
+
         # warm the Spark/Arrow/JDBC path outside the timed window
         with p.connect() as c:
             c.query("insert into pgstream_t values (-1, 'warm', 0.0)")
-        df, lsn = po.pull_changes_pgoutput(spark, p, "pgls_slot", "pgls_pub")
-        df.write.parquet(os.path.join(landing, "b_warm"))
-        pgl.advance(p, "pgls_slot", lsn)
+        cap.pull_once()
 
         q = (
-            spark.readStream.schema(CHANGE_SCHEMA)
-            .option("maxFilesPerTrigger", 8)
-            # each capture pull lands one DIRECTORY; the file stream
-            # source does not recurse, so glob one level down
-            .parquet(os.path.join(landing, "*"))
+            landing_stream(spark, landing)
             .writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", ckpt)
             .start()
@@ -168,25 +170,13 @@ def main() -> None:
         wt.start()
 
         captured = 0
-        seq_base = 0
         pulls = []
-        bi = 0
         while time.time() - t_start < args.run_secs:
             t0 = time.time()
-            df, lsn = po.pull_changes_pgoutput(spark, p, "pgls_slot", "pgls_pub")
-            if lsn is None:
-                time.sleep(0.1)
-                continue
-            n = df.count()
-            if n:
-                df.withColumn(
-                    "seq", F.col("seq") + F.lit(seq_base)
-                ).coalesce(1).write.parquet(os.path.join(landing, f"b_{bi:05d}"))
-                seq_base += n
-                bi += 1
-            pgl.advance(p, "pgls_slot", lsn)
+            n = cap.pull_once()
             captured += n
-            pulls.append((n, time.time() - t0))
+            if n:
+                pulls.append((n, time.time() - t0))
             time.sleep(max(0.0, 0.25 - (time.time() - t0)))  # rate limit
         stop.set()
         wt.join()
@@ -195,24 +185,10 @@ def main() -> None:
         # drain: capture everything committed, then let the stream
         # catch up to the landed total
         t_drain = time.time()
-        while True:
-            df, lsn = po.pull_changes_pgoutput(spark, p, "pgls_slot", "pgls_pub")
-            if lsn is None:
-                break
-            n = df.count()
-            if n:
-                df.withColumn(
-                    "seq", F.col("seq") + F.lit(seq_base)
-                ).coalesce(1).write.parquet(os.path.join(landing, f"b_{bi:05d}"))
-                seq_base += n
-                bi += 1
-                captured += n
-            pgl.advance(p, "pgls_slot", lsn)
-            if n == 0:
-                break
+        captured += cap.drain()
         capture_drain_s = time.time() - t_drain
 
-        landed_total = seq_base + 1  # + the warm-up row
+        landed_total = cap.seq_base  # includes the warm-up row
         deadline = time.time() + 180
         while merged[0] < landed_total and time.time() < deadline:
             time.sleep(0.5)
