@@ -94,6 +94,7 @@ _PRIORITY = (
     "q_agg_approx_audit",
     "q_mm_image",
     "q_source_mix",
+    "q_sample_temperature",
     "q_embed_health",
     "q_user_periodicity",
     "q_join_asof_tolerance",

@@ -909,8 +909,98 @@ FROM g CROSS JOIN tot
 """
 
 
+#: temperature exponent for q_sample_temperature (the mC4/multilingual
+#: standard alpha=0.3: raise low-resource shares, damp the head)
+_TEMP_ALPHA = 0.3
+
+#: token budget the temperature-rebalanced mixture is sampled into
+_TEMP_BUDGET = 1_000_000
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (Arivazhagan et al. 2019;
+    the mC4 sampling rule): resample language shares as
+    p_i ∝ share_i^α with α={_TEMP_ALPHA} — low-resource languages get
+    boosted, the head gets damped — and allocate a
+    {_TEMP_BUDGET}-token budget to the rebalanced shares.  The
+    decision step AFTER ``q_source_mix``'s composition report and the
+    temperature analog of ``q_sample_epochs``'s cap-based schedule.
+
+    Determinism: raw shares are exact integer ratios; the temperature
+    weight is exp(α·ln(share)) — the same single-libm-call posture
+    q_text_tfidf/q_text_unigram_ppl hash-verify — and the weight SUM
+    folds over a lang-sorted array on both engines (Spark ``aggregate``
+    over sorted collect_list, DuckDB ``list_reduce`` over
+    ``list(... ORDER BY lang)``: identical fold order, identical
+    doubles).  Emitted floats are 4dp-rounded; the budget allocation
+    floors the product of identically-rounded doubles, so every row
+    is engine-identical.
+
+    Scale: one tokenize pass → |langs|-row aggregate; everything after
+    is a bounded coalesce(1) fold (documented vocabulary-bounded
+    window exception).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.filter(tokens("text"), lambda t: t != "")).alias("ntok"),
+    )
+    g = d.groupBy("lang").agg(F.sum("ntok").alias("tok_mass"))
+    w = Window.partitionBy()  # bounded: |langs| rows
+    g = g.coalesce(1).withColumn("t_toks", F.sum("tok_mass").over(w))
+    weight = F.exp(
+        F.lit(_TEMP_ALPHA) * F.log(F.col("tok_mass") / F.col("t_toks"))
+    )
+    g = g.withColumn("tw", weight)
+    wsum = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("lang", "tw")).over(w)),
+            lambda s: s["tw"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    g = g.withColumn("tw_sum", wsum)
+    temp_share = F.round(F.col("tw") / F.col("tw_sum"), 4) + 0.0
+    return g.select(
+        "lang",
+        "tok_mass",
+        F.expr("tok_mass * 10000 div t_toks").alias("share_bp"),
+        temp_share.alias("temp_share"),
+        F.floor(temp_share * _TEMP_BUDGET).cast("long").alias("budget_tokens"),
+    )
+
+
+_SAMPLE_TEMPERATURE_SQL = f"""
+WITH per_doc AS (
+  SELECT lang, len({_TOKS}) AS ntok FROM documents
+),
+g AS (
+  SELECT lang, CAST(SUM(ntok) AS BIGINT) AS tok_mass
+  FROM per_doc GROUP BY lang
+),
+tot AS (SELECT SUM(tok_mass) AS t_toks FROM g),
+weighted AS (
+  SELECT lang, tok_mass, t_toks,
+         exp({_TEMP_ALPHA} * ln(tok_mass / CAST(t_toks AS DOUBLE))) AS tw
+  FROM g CROSS JOIN tot
+),
+wsum AS (
+  SELECT list_reduce(list(tw ORDER BY lang), (a, b) -> a + b) AS tw_sum
+  FROM weighted
+)
+SELECT lang,
+       tok_mass,
+       CAST(tok_mass * 10000 // t_toks AS BIGINT) AS share_bp,
+       ROUND(tw / tw_sum, 4) + 0.0 AS temp_share,
+       CAST(FLOOR((ROUND(tw / tw_sum, 4) + 0.0) * {_TEMP_BUDGET}) AS BIGINT)
+         AS budget_tokens
+FROM weighted CROSS JOIN wsum
+"""
+
+
 QUERIES = {
     "q_source_mix": q_source_mix,
+    "q_sample_temperature": q_sample_temperature,
     "q_pack_sequences": q_pack_sequences,
     "q_text_unigram_ppl": q_text_unigram_ppl,
     "q_text_repetition": q_text_repetition,
@@ -924,6 +1014,7 @@ QUERIES = {
 
 ORACLES = {
     "q_source_mix": _SOURCE_MIX_SQL,
+    "q_sample_temperature": _SAMPLE_TEMPERATURE_SQL,
     "q_pack_sequences": _PACK_SEQUENCES_SQL,
     "q_text_unigram_ppl": _TEXT_UNIGRAM_PPL_SQL,
     "q_text_repetition": _TEXT_REPETITION_SQL,
