@@ -1363,3 +1363,94 @@ def test_landing_capture_to_stream(spark, pg, tmp_path):
     ops = {r.op for r in got}
     assert ops == {"INSERT", "UPDATE", "DELETE"}
     pgl.drop_slot(pg, "land_slot")
+
+
+def test_landing_capture_walsender_transport(spark, pg, tmp_path):
+    """LandingCapture over the persistent walsender session: same
+    landing layout and seq contract as the SQL transport, watermark
+    confirmed via Standby Status Update — a restart sees nothing
+    already confirmed, and unconfirmed work replays."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pglanding import LandingCapture, landing_stream
+
+    with pg.connect() as c:
+        c.query("create table lws_t(id int primary key, v text)")
+    po.create_publication(pg, "lws_pub", ["lws_t"])
+    po.create_slot_pgoutput(pg, "lws_slot")
+    landing = str(tmp_path / "landing")
+    cap = LandingCapture(
+        spark, pg, "lws_slot", landing,
+        publication="lws_pub", transport="walsender",
+    )
+    try:
+        with pg.connect() as c:
+            c.query("insert into lws_t select g, 'a' || g from generate_series(1, 40) g")
+            c.query("update lws_t set v = 'u' where id <= 4")
+        n = cap.pull_once(max_seconds=8.0)
+        assert n == 44
+        assert cap.pull_once(max_seconds=1.0) == 0  # idle
+        # the status update moved the durable watermark
+        with pg.connect() as c:
+            flushed = c.one(
+                "select confirmed_flush_lsn::text from pg_replication_slots"
+                " where slot_name = 'lws_slot'"
+            )
+        assert po.lsn_to_int(flushed) > 0
+    finally:
+        cap.close()
+
+    got: list = []
+    q = (
+        landing_stream(spark, landing)
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert len(got) == 44
+    assert sorted(r.seq for r in got) == list(range(44))
+    assert all(r.ts is not None for r in got)
+    pgl.drop_slot(pg, "lws_slot")
+
+
+def test_pgoutput_multi_table_transaction_atomicity(spark, pg):
+    """pgshovel's transaction grouping, live: one transaction touching
+    TWO published tables decodes as one txid block in commit order —
+    an aborted transaction leaves no trace, and envelope consumers can
+    reassemble atomic units on (txid) exactly like the reference's
+    transaction-scoped mutation batches."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table mta_a(id int primary key, v text)")
+        c.query("create table mta_b(id int primary key, v text)")
+    po.create_publication(pg, "mta_pub", ["mta_a", "mta_b"])
+    po.create_slot_pgoutput(pg, "mta_slot")
+    with pg.connect() as c:
+        # txn 1: writes to both tables atomically
+        c.query(
+            "begin; insert into mta_a values (1, 'a1');"
+            " insert into mta_b values (1, 'b1');"
+            " insert into mta_a values (2, 'a2'); commit"
+        )
+        # txn 2: rolled back — must not appear at all
+        c.query(
+            "begin; insert into mta_a values (99, 'ghost');"
+            " insert into mta_b values (99, 'ghost'); rollback"
+        )
+        # txn 3: single table
+        c.query("insert into mta_b values (2, 'b2')")
+    df, _ = po.pull_changes_pgoutput(spark, pg, "mta_slot", "mta_pub")
+    rows = df.orderBy("seq").collect()
+    assert [(r.table, r.after["id"]) for r in rows] == [
+        ("public.mta_a", "1"), ("public.mta_b", "1"),
+        ("public.mta_a", "2"), ("public.mta_b", "2"),
+    ]
+    # one txid spans the multi-table block; the ghost txn left nothing
+    txids = [r.txid for r in rows]
+    assert txids[0] == txids[1] == txids[2] != txids[3]
+    assert all(r.after["v"] != "ghost" for r in rows)
+    # commit timestamp is constant WITHIN a transaction
+    assert rows[0].ts == rows[1].ts == rows[2].ts
+    pgl.drop_slot(pg, "mta_slot")
