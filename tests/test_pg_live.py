@@ -1454,3 +1454,57 @@ def test_pgoutput_multi_table_transaction_atomicity(spark, pg):
     # commit timestamp is constant WITHIN a transaction
     assert rows[0].ts == rows[1].ts == rows[2].ts
     pgl.drop_slot(pg, "mta_slot")
+
+
+def test_pgoutput_tuple_roundtrip_property():
+    """Property: ANY column values (unicode, quotes, newlines, NULs
+    are impossible in PG text but control chars aren't, empty strings,
+    NULLs) survive encode -> parse exactly, for any column count and
+    any key subset — the decoder never truncates, merges, or reorders
+    values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pgshovel_spark.sources import pgoutput as po
+
+    text_val = st.text(
+        alphabet=st.characters(blacklist_characters="\x00", max_codepoint=0x2FFF),
+        max_size=60,
+    )
+    cols_strategy = st.lists(
+        st.tuples(st.booleans(), st.one_of(st.none(), text_val)),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(cols=cols_strategy)
+    def check(cols):
+        names = [f"c{i}" for i in range(len(cols))]
+        keys = [n for n, (is_key, _) in zip(names, cols) if is_key]
+        rel = _msg_relation(7, "public", "t", names, keys)
+        ins = (
+            b"I"
+            + __import__("struct").pack("!i", 7)
+            + b"N"
+            + _tuple_data([v for _, v in cols])
+        )
+        out = po.parse_pgoutput(
+            [
+                ("0/1", 5, _msg_begin()),
+                ("0/2", 5, rel),
+                ("0/3", 5, ins),
+                ("0/4", 5, b"C\x00" + __import__("struct").pack("!qqq", 0, 0, 0)),
+            ]
+        )
+        assert len(out) == 1
+        got = out[0]["after"]
+        assert list(got.keys()) == names  # order and completeness
+        for n, (_, v) in zip(names, cols):
+            assert got[n] == v
+        expect_key = {
+            n: v for n, (is_key, v) in zip(names, cols) if is_key
+        }
+        assert (out[0]["key"] or {}) == expect_key
+
+    check()
