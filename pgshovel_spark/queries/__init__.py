@@ -96,6 +96,7 @@ _PRIORITY = (
     "q_source_mix",
     "q_sample_temperature",
     "q_embed_health",
+    "q_late_events",
     "q_user_periodicity",
     "q_join_asof_tolerance",
     # round-9 NEW queries first (never driver-checked): the batched

@@ -476,9 +476,77 @@ FROM filled WHERE marker = 1
 """
 
 
+#: watermark delay for q_late_events (seconds behind the running max)
+_LATE_WM_S = 300
+
+
+def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark drop accounting, batch-checkable: replay events in
+    ARRIVAL order (event_id — the capture sequence) and flag each one
+    that arrives more than {_LATE_WM_S} s of EVENT TIME behind the
+    running high-water mark — exactly the rows a streaming watermark
+    of that delay would drop.  Per event_type: arrivals, late count,
+    late share in exact basis points, and the worst lateness — the
+    sizing table for choosing `withWatermark` delays (too tight loses
+    data, too loose bloats state).
+
+    Strictly-before running max (frame ends at 1 PRECEDING) so an
+    event never competes with itself; all arithmetic in integer epoch
+    seconds.  Scale: one event_id-ordered window per type + one
+    |types|-row aggregate — the window shuffle IS the aggregation's
+    clustering, one exchange total.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ts_s = epoch_s("ts")
+    hwm = F.max(ts_s).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = e.select(
+        "event_type",
+        ts_s.alias("t"),
+        hwm.alias("hwm"),
+    ).withColumn(
+        "late_by",
+        F.when(F.col("hwm") - F.col("t") > _LATE_WM_S,
+               F.col("hwm") - F.col("t")).otherwise(F.lit(0)),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_by") > 0).cast("long")).alias("n_late"),
+        F.expr(
+            f"sum(cast(late_by > 0 as long)) * 10000 div count(1)"
+        ).alias("late_bp"),
+        F.max("late_by").alias("max_late_s"),
+    )
+
+
+_LATE_EVENTS_SQL = f"""
+WITH tagged AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events
+),
+scored AS (
+  SELECT event_type,
+         CASE WHEN hwm - t > {_LATE_WM_S} THEN hwm - t ELSE 0 END AS late_by
+  FROM tagged
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS late_bp,
+       MAX(late_by) AS max_late_s
+FROM scored GROUP BY event_type
+"""
+
+
 QUERIES = {
     # changed / never-driver-checked first (registration order is the
     # harness's check order)
+    "q_late_events": q_late_events,
     "q_cdc_snapshot_diff": q_cdc_snapshot_diff,
     "q_scd2_intervals": q_scd2_intervals,
     "q_ts_gapfill": q_ts_gapfill,
@@ -492,6 +560,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_late_events": _LATE_EVENTS_SQL,
     "q_cdc_snapshot_diff": _CDC_SNAPSHOT_DIFF_SQL,
     "q_scd2_intervals": _SCD2_INTERVALS_SQL,
     "q_ts_gapfill": _TS_GAPFILL_SQL,
