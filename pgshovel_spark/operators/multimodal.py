@@ -249,6 +249,166 @@ def sample_frames(
     return src.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
+def encode_avi(frames: list[list[list[int]]], fps: int = 10) -> bytes:
+    """REAL AVI container encode of grayscale frame grids, stdlib-only:
+    a RIFF('AVI ') file with the standard hdrl LIST (avih main header
+    + one 'vids'/DIB stream: strh + BITMAPINFOHEADER strf) and a movi
+    LIST of uncompressed '00db' DIB frames (bottom-up BGR rows with
+    4-byte stride padding, r=g=b — the exact layout decode_bmp_gray
+    reverses).  The video analog of the WAV/PNG codec seams."""
+    if not frames or not frames[0] or not frames[0][0]:
+        raise ValueError("empty video")
+    h = len(frames[0])
+    w = len(frames[0][0])
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def dib(rows: list[list[int]]) -> bytes:
+        if len(rows) != h or any(len(r) != w for r in rows):
+            raise ValueError("inconsistent frame dimensions")
+        body = bytearray()
+        for r in reversed(rows):  # bottom-up storage
+            line = bytearray()
+            for v in r:
+                line += bytes((v, v, v))
+            line += b"\x00" * (stride - len(line))
+            body += line
+        return bytes(body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0, 0,
+        len(frames),        # dwTotalFrames
+        0, 1,               # dwInitialFrames, dwStreams
+        frame_bytes,        # dwSuggestedBufferSize
+        w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, fps, 0,
+                                        len(frames), frame_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       2835, 2835, 0, 0)
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    movi = b"movi" + b"".join(chunk(b"00db", dib(f)) for f in frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_gray(payload: bytes) -> tuple[int, int, list[list[list[int]]]]:
+    """REAL AVI decode, stdlib-only: RIFF walk, avih main header for
+    declared dimensions/frame count, '00db'/'00dc' movi chunks
+    unpacked from bottom-up padded BGR DIB rows into row-major
+    grayscale grids (the BMP luma path).  Raises ValueError on
+    non-AVI payloads or a frame-count/dimension mismatch between the
+    header and the movi data (module codec policy)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    dims: list[int] | None = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal dims
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_start = pos + 8
+            data_end = data_start + ln
+            if data_end > end:
+                raise ValueError(
+                    f"truncated AVI chunk {tag!r}: declares {ln} bytes"
+                )
+            if tag == b"LIST":
+                walk(buf, data_start + 4, data_end)  # skip list type
+            elif tag == b"avih":
+                if ln < 40:
+                    raise ValueError("truncated AVI main header")
+                vals = struct.unpack("<10I", buf[data_start : data_start + 40])
+                dims = [vals[4], vals[8], vals[9]]  # frames, w, h
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(buf[data_start:data_end])
+            pos = data_end + (ln % 2)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    if dims is None:
+        raise ValueError("AVI missing avih main header")
+    n, w, h = dims
+    if len(frames_raw) != n:
+        raise ValueError(
+            f"AVI header declares {n} frames, movi carries {len(frames_raw)}"
+        )
+    stride = (w * 3 + 3) & ~3
+    frames: list[list[list[int]]] = []
+    for raw in frames_raw:
+        if len(raw) < stride * h:
+            raise ValueError("truncated AVI frame data")
+        rows = []
+        for y in range(h):
+            base = (h - 1 - y) * stride  # bottom-up
+            row = []
+            for x in range(w):
+                b, g, r = raw[base + 3 * x : base + 3 * x + 3]
+                row.append((77 * r + 150 * g + 29 * b) >> 8)
+            rows.append(row)
+        frames.append(rows)
+    return w, h, frames
+
+
+#: schema of extract_video_features (all-integer: deterministic)
+VIDEO_FEATURES_SCHEMA = (
+    "doc_id long, n_frames long, width long, height long,"
+    " sampled_frames long, sampled_checksum long"
+)
+
+
+def extract_video_features(
+    df: DataFrame, id_col: str, payload_col: str, step: int = 2
+) -> DataFrame:
+    """Arrow-batched video feature extraction through the REAL AVI
+    codec: per row, declared-and-verified frame count, dimensions,
+    then FRAME SAMPLING (every ``step``-th frame — the real-codec
+    version of sample_frames' byte-offset stand-in) with an integer
+    checksum over the sampled frames' mean gray values
+    (Σ (i+1)·mean_i).  Row-local mapInPandas, zero shuffles."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_frames": [], "width": [], "height": [],
+                "sampled_frames": [], "sampled_checksum": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_avi_gray(p if p is not None else b"")
+                sampled = frames[::step]
+                npix = w * h
+                checksum = 0
+                for k, fr in enumerate(sampled):
+                    mean = sum(sum(r) for r in fr) // npix
+                    checksum += (k * step + 1) * mean  # (frame_idx + 1)·mean
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(frames))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sampled_frames"].append(len(sampled))
+                out["sampled_checksum"].append(checksum)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, VIDEO_FEATURES_SCHEMA)
+
+
 #: Schema of a perceptual-hash feature row.
 IMAGE_HASH_SCHEMA = StructType(
     [

@@ -93,6 +93,7 @@ _PRIORITY = (
     # oracle rewrite, periodicity zero-span guard)
     "q_agg_approx_audit",
     "q_mm_image",
+    "q_mm_video",
     "q_source_mix",
     "q_sample_temperature",
     "q_embed_health",

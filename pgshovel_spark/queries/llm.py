@@ -205,11 +205,72 @@ FROM documents
 """
 
 
+def q_mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video analysis through a full container codec — the video
+    member of the q_mm_audio/q_mm_image family, closing the triad:
+    per document, synthesize n uniform-gray frames (n, dimensions and
+    each frame's gray value are pure functions of doc_id), encode
+    them as an actual AVI/RIFF container (hdrl main header + 'vids'
+    DIB stream + movi '00db' DIB chunks), decode it back through the
+    real RIFF walker (operators/multimodal.decode_avi_gray) and
+    FRAME-SAMPLE every 2nd frame with an integer checksum — while the
+    oracle states the closed form: a uniform frame's mean gray IS its
+    value, so sampled_checksum = Σ_{{i even}} (i+1)·((37·doc_id +
+    11·i) mod 256).  A container, frame-unpack, or sampling
+    regression breaks the hash; nothing is faked on the engine side.
+
+    Scale: one mapInPandas synth stage + one feature stage, both
+    Arrow-batched and row-local — zero shuffles.
+    """
+    import pandas as pd
+
+    from pgshovel_spark.operators.multimodal import (
+        encode_avi,
+        extract_video_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 2 + doc_id % 6
+                w = 8 * (1 + doc_id % 3)
+                frames = [
+                    [[(37 * doc_id + 11 * i) % 256] * w for _ in range(8)]
+                    for i in range(n)
+                ]
+                payloads.append(encode_avi(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = src.mapInPandas(synth, "doc_id long, payload binary")
+    return extract_video_features(clips, "doc_id", "payload", step=2)
+
+
+_MM_VIDEO_SQL = """
+SELECT doc_id,
+       CAST(2 + doc_id % 6 AS BIGINT) AS n_frames,
+       CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST((2 + doc_id % 6 + 1) // 2 AS BIGINT) AS sampled_frames,
+       CAST((SELECT SUM((i + 1) * ((37 * doc_id + 11 * i) % 256))
+             FROM unnest(range(0, 2 + doc_id % 6, 2)) AS t(i))
+            AS BIGINT) AS sampled_checksum
+FROM documents
+"""
+
+
 QUERIES = {
     "q_mm_features": q_mm_features,
     "q_mm_frame_sample": q_mm_frame_sample,
     "q_mm_audio": q_mm_audio,
     "q_mm_image": q_mm_image,
+    "q_mm_video": q_mm_video,
 }
 
 ORACLES = {
@@ -217,4 +278,5 @@ ORACLES = {
     "q_mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
     "q_mm_audio": _MM_AUDIO_SQL,
     "q_mm_image": _MM_IMAGE_SQL,
+    "q_mm_video": _MM_VIDEO_SQL,
 }
