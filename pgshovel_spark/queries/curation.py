@@ -1262,9 +1262,15 @@ _EMBED_HEALTH_SQL = """
 WITH per AS (
   SELECT label,
          len(embedding) AS dim,
-         CAST(FLOOR(sqrt(list_reduce(
-                list_transform(embedding::DOUBLE[], x -> x * x),
-                (a, b) -> a + b)) * 1000 + 0.5) AS BIGINT) AS nm
+         -- empty-vector guard: list_reduce has no init form and
+         -- ERRORS on an empty list; Spark's aggregate(init 0.0)
+         -- returns norm 0 — the exact corrupt row this health check
+         -- exists to count, so both sides must report it, not crash
+         CASE WHEN len(embedding) = 0 THEN 0
+              ELSE CAST(FLOOR(sqrt(list_reduce(
+                     list_transform(embedding::DOUBLE[], x -> x * x),
+                     (a, b) -> a + b)) * 1000 + 0.5) AS BIGINT)
+         END AS nm
   FROM embeddings
 )
 SELECT label,

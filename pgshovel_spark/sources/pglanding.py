@@ -138,10 +138,21 @@ class LandingCapture:
             self._repl = None
 
     def _land(self, df, n: int) -> None:
+        """Crash-safe landing: write under a glob-invisible temp name,
+        rename into place atomically, THEN persist the seq base.  A
+        crash anywhere in between replays the batch into the same
+        slot: a stale temp dir is overwritten, and an already-renamed
+        final dir (crash after rename, before the seq write) is the
+        replayed batch's own content — keep it and just advance the
+        base.  landing_stream's ``b_*`` glob never sees temp dirs, so
+        partial writes are invisible to the consumer."""
         out = os.path.join(self.landing_dir, f"b_{self.seq_base:016d}")
-        df.withColumn("seq", F.col("seq") + F.lit(self.seq_base)).coalesce(
-            1
-        ).write.parquet(out)
+        tmp = os.path.join(self.landing_dir, f"_tmp_b_{self.seq_base:016d}")
+        if not os.path.exists(out):
+            df.withColumn(
+                "seq", F.col("seq") + F.lit(self.seq_base)
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, out)  # atomic on a local/posix filesystem
         self.seq_base += n
         self._write_seq()
         self.batches += 1

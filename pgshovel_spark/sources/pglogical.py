@@ -121,6 +121,12 @@ def advance(params: PgParams, slot: str, upto_lsn: str) -> None:
 # table whose own name embeds ': INSERT:' would still confuse it,
 # which the pathological-identifier test accepts as out of contract.
 _CHANGE_RE = re.compile(r"\Atable (.+?): (INSERT|UPDATE|DELETE):( .*)?\Z", re.S)
+#: PG 11+ renders truncation as 'table a, b: TRUNCATE: (no-flags)' /
+#: '... restart_seqs cascade' — one line for ALL truncated tables.
+#: Must decode (parity with pgoutput's 'T'): before round 10 it was
+#: silently skipped; the strict unparseable-line rule would otherwise
+#: WEDGE the capture loop on it (peek re-reads the same line forever).
+_TRUNCATE_RE = re.compile(r"\Atable (.+?): TRUNCATE:( .*)?\Z", re.S)
 _COMMIT_RE = re.compile(r"\ACOMMIT \d+(?: \(at ([^)]+)\))?\Z")
 
 
@@ -208,6 +214,22 @@ def parse_test_decoding(
             continue
         m = _CHANGE_RE.match(data)
         if m is None:
+            t = _TRUNCATE_RE.match(data)
+            if t is not None:
+                for table in t.group(1).split(", "):
+                    txn.append(
+                        {
+                            "op": "TRUNCATE",
+                            "table": table,
+                            "key": None,
+                            "before": None,
+                            "after": None,
+                            "txid": xid,
+                            "ts": None,
+                            "lsn": lsn,
+                        }
+                    )
+                continue
             # Only logical-message frames are legitimately non-change
             # lines on this plugin; anything else is a parse failure
             # and MUST surface — silently dropping a change line is

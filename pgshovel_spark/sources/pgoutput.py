@@ -80,6 +80,16 @@ def _pg_ts(micros: int) -> datetime.datetime:
     return _PG_EPOCH + datetime.timedelta(microseconds=micros)
 
 
+def _check_publication(name: str) -> str:
+    """Shared publication-name guard (the _check_slot pattern) — the
+    name is spliced into replication-command SQL on both transports."""
+    import re
+
+    if not re.match(r"[a-z0-9_]+\Z", name):
+        raise ValueError(f"invalid publication name: {name!r}")
+    return name
+
+
 class _Reader:
     """Cursor over one pgoutput message body with declared-length
     checks — a truncated or oversized field raises a descriptive
@@ -179,6 +189,9 @@ def parse_pgoutput(
     changes: list[dict] = []
     txn: list[dict] = []
     commit_ts: datetime.datetime | None = None
+    begin_xid = 0  # from the Begin message: the walsender transport
+    # carries no per-message xid (unlike the slot functions), so
+    # non-streamed changes fall back to it when the transport xid is 0
     # protocol v2 streamed-transaction state: changes of in-progress
     # large transactions arrive in S..E segments BEFORE their commit,
     # keyed by the toplevel xid from StreamStart; per-message xids
@@ -198,7 +211,7 @@ def parse_pgoutput(
         if kind == "B":  # Begin: final_lsn, commit_ts, xid
             r.i64()
             commit_ts = _pg_ts(r.i64())
-            r.i32()
+            begin_xid = r.i32()
             txn = []
         elif kind == "C":  # Commit: flags, commit_lsn, end_lsn, ts
             changes.extend(txn)
@@ -304,7 +317,7 @@ def parse_pgoutput(
                     "key": key or None,
                     "before": before,
                     "after": after,
-                    "txid": msg_xid,
+                    "txid": msg_xid or begin_xid,
                     "ts": commit_ts,  # None in a stream; StreamCommit stamps
                     "lsn": lsn,
                 }
@@ -323,7 +336,7 @@ def parse_pgoutput(
                         "key": None,
                         "before": None,
                         "after": None,
-                        "txid": msg_xid,
+                        "txid": msg_xid or begin_xid,
                         "ts": commit_ts,
                         "lsn": lsn,
                     }
@@ -357,8 +370,7 @@ def create_publication(params: PgParams, name: str, tables: list[str]) -> None:
     table scoping, expressed in the database's own catalog)."""
     import re
 
-    if not re.match(r"[a-z0-9_]+\Z", name):
-        raise ValueError(f"invalid publication name: {name!r}")
+    _check_publication(name)
     for t in tables:
         if not re.match(r"[A-Za-z_][A-Za-z0-9_.]*\Z", t):
             raise ValueError(f"invalid table name: {t!r}")
@@ -395,8 +407,7 @@ def pull_changes_pgoutput(
 
     from pgshovel_spark.sources.pglogical import _check_slot, _envelope_df
 
-    if not re.match(r"[a-z0-9_]+\Z", publication):
-        raise ValueError(f"invalid publication name: {publication!r}")
+    _check_publication(publication)
     fn = (
         "pg_logical_slot_peek_binary_changes"
         if peek
@@ -488,8 +499,7 @@ class PgReplicationConnection(PgConnection):
 
         from pgshovel_spark.sources.pglogical import _check_slot
 
-        if not re.match(r"[a-z0-9_]+\Z", publication):
-            raise ValueError(f"invalid publication name: {publication!r}")
+        _check_publication(publication)
         if not re.match(r"[0-9A-Fa-f]+/[0-9A-Fa-f]+\Z", start_lsn):
             raise ValueError(f"invalid LSN: {start_lsn!r}")
         stream_opt = ", streaming 'on'" if streaming else ""
@@ -523,34 +533,43 @@ class ReplicationStream:
     Standby Status Update feedback out.
 
     ``read(...)`` accumulates raw pgoutput payloads until the end of a
-    transaction (Commit seen) or the deadline; keepalives are answered
-    inline when the server requests a reply, and the caller confirms
-    durably-applied progress with ``send_status(flush_lsn)`` — the
-    walsender analog of ``pglogical.advance`` (crash before the status
-    update replays the batch: the same at-least-once contract)."""
+    transaction (Commit seen) or the deadline; a deadline that lands
+    MID-TRANSACTION stashes the already-received messages as a pending
+    tail, and the next ``read`` resumes from it — on a live stream the
+    server never resends those frames, so dropping them would lose the
+    transaction's head silently.  Keepalives are answered inline when
+    the server requests a reply, reporting only the LAST
+    CALLER-CONFIRMED flush position (``send_status``), never the raw
+    receive position — confirming received-but-unlanded WAL would let
+    a crash skip it forever (the at-least-once contract,
+    pglogical.advance's walsender analog)."""
 
     def __init__(self, conn: PgReplicationConnection):
         self._conn = conn
         self._done = False
-        self.wal_end = 0  # highest server-reported end LSN
+        self.wal_end = 0  # highest server-reported end LSN (telemetry)
+        self.flush_lsn = 0  # last position the CALLER confirmed durable
+        self._pending: list[tuple[str, int, bytes]] = []  # open-txn tail
+        self.relations: dict = {}  # stream-lifetime Relation metadata
 
     def read(self, max_seconds: float = 5.0, relations=None) -> list[dict]:
         """Read until a Commit message closes a transaction (returning
-        its changes) or the deadline passes (returning [])."""
+        its changes) or the deadline passes (returning [] — any open
+        transaction's frames are kept pending for the next call)."""
         import time
 
         conn = self._conn
         deadline = time.time() + max_seconds
-        batch: list[tuple[str, int, bytes]] = []
-        rels = relations if relations is not None else {}
+        batch = self._pending
+        self._pending = []
+        rels = relations if relations is not None else self.relations
         while time.time() < deadline:
-            conn._sock.settimeout(max(0.05, deadline - time.time()))
             try:
-                kind, payload = conn._recv_msg()
-            except (TimeoutError, OSError):
+                kind, payload = conn._recv_msg(
+                    header_timeout=max(0.05, deadline - time.time())
+                )
+            except TimeoutError:
                 break
-            finally:
-                conn._sock.settimeout(None)
             if kind == b"d":  # CopyData
                 tag = payload[:1]
                 if tag == b"w":  # XLogData: start, end, clock, body
@@ -564,7 +583,7 @@ class ReplicationStream:
                     end, _clock, reply = struct.unpack("!qqB", payload[1:18])
                     self.wal_end = max(self.wal_end, end)
                     if reply:
-                        self.send_status(self.wal_end)
+                        self._send_status_raw(self.flush_lsn)
             elif kind == b"E":
                 from pgshovel_spark.sources.pgwire import PgError
 
@@ -574,17 +593,21 @@ class ReplicationStream:
             elif kind == b"c":  # server CopyDone
                 self._done = True
                 break
-        if batch:
-            # deadline hit mid-transaction: decode what closed; an
-            # open tail (no Commit) yields nothing by design —
-            # transactions are atomic in the envelope contract
-            return parse_pgoutput(batch, rels)
+        # deadline or CopyDone with an open (uncommitted) tail: keep
+        # it for the next read — transactions stay atomic AND lossless
+        self._pending = batch
         return []
 
     def send_status(self, flush_lsn: int) -> None:
         """Standby Status Update: confirm written/flushed/applied up
         to ``flush_lsn`` (an int LSN) — moves confirmed_flush_lsn on
-        the server, the durable watermark."""
+        the server, the durable watermark.  Call ONLY after the batch
+        is durable downstream; keepalive auto-replies reuse this
+        position until the caller advances it."""
+        self.flush_lsn = max(self.flush_lsn, flush_lsn)
+        self._send_status_raw(self.flush_lsn)
+
+    def _send_status_raw(self, flush_lsn: int) -> None:
         now = int(
             (datetime.datetime.now(datetime.timezone.utc) - _PG_EPOCH)
             / datetime.timedelta(microseconds=1)

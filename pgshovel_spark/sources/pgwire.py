@@ -171,22 +171,20 @@ class _BufferedSock:
         if pos + n <= len(buf):
             self._pos = pos + n
             return buf[pos : pos + n]
-        parts = [buf[pos:]]
-        need = n - (len(buf) - pos)
-        while need > 0:
-            chunk = self._sock.recv(max(65536, need))
+        # Accumulate INTO the instance buffer, not a local list: a
+        # recv timeout mid-frame (the replication stream sets socket
+        # deadlines) must leave the partial bytes buffered so the
+        # retried call resumes exactly where it stopped — a local
+        # accumulator would silently drop them and desync the framing.
+        self._buf = buf[pos:]
+        self._pos = 0
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
             if not chunk:
                 raise ConnectionError("server closed the connection")
-            if len(chunk) >= need:
-                parts.append(chunk[:need])
-                self._buf = chunk
-                self._pos = need
-                return b"".join(parts)
-            parts.append(chunk)
-            need -= len(chunk)
-        self._buf = b""
-        self._pos = 0
-        return b"".join(parts)
+            self._buf += chunk
+        self._pos = n
+        return self._buf[:n]
 
 
 def _cstrings(payload: bytes) -> list[str]:
@@ -228,8 +226,35 @@ class PgConnection:
 
     # -- framing ------------------------------------------------------------
 
-    def _recv_msg(self) -> tuple[bytes, bytes]:
-        head = self._rd.read_exact(5)
+    def _recv_msg(self, header_timeout: float | None = None) -> tuple[bytes, bytes]:
+        """Read one framed message.  ``header_timeout`` bounds the wait
+        for the 5-byte header only (TimeoutError propagates; the
+        restartable read buffer keeps any partial bytes) — once a
+        header arrives, the payload is read under a generous fixed
+        deadline because the server sends messages whole; a payload
+        stall is a genuinely broken connection, not an idle one."""
+        if header_timeout is not None:
+            self._sock.settimeout(header_timeout)
+        try:
+            head = self._rd.read_exact(5)
+        finally:
+            if header_timeout is not None:
+                self._sock.settimeout(30.0)
+        try:
+            kind, payload = self._parse_frame(head)
+        except TimeoutError as e:
+            # header consumed but payload stalled 30s: the session is
+            # broken (the server sends frames whole) — resuming would
+            # desync, so fail the connection loudly.
+            raise ConnectionError(
+                "connection stalled mid-frame (payload timeout)"
+            ) from e
+        finally:
+            if header_timeout is not None:
+                self._sock.settimeout(None)
+        return kind, payload
+
+    def _parse_frame(self, head: bytes) -> tuple[bytes, bytes]:
         kind = head[:1]
         (length,) = struct.unpack("!i", head[1:])
         # A corrupt length word would silently desync the framing

@@ -1508,3 +1508,173 @@ def test_pgoutput_tuple_roundtrip_property():
         assert (out[0]["key"] or {}) == expect_key
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# round-10 self-review regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_test_decoding_truncate_decodes(spark, pg):
+    """TRUNCATE must decode on the test_decoding path (parity with
+    pgoutput 'T') — the strict unparseable-line rule would otherwise
+    wedge the capture loop forever on the first truncation."""
+    with pg.connect() as c:
+        c.query("create table tdtr_a(id int primary key)")
+        c.query("create table tdtr_b(id int primary key)")
+        pgl.create_slot(pg, "tdtr_slot")
+        c.query("insert into tdtr_a values (1)")
+        c.query("truncate tdtr_a, tdtr_b")
+        c.query("insert into tdtr_a values (2)")
+    df, lsn = pgl.pull_changes(spark, pg, "tdtr_slot")
+    rows = df.orderBy("seq").collect()
+    assert [r.op for r in rows] == ["INSERT", "TRUNCATE", "TRUNCATE", "INSERT"]
+    assert {rows[1].table, rows[2].table} == {"public.tdtr_a", "public.tdtr_b"}
+    pgl.drop_slot(pg, "tdtr_slot")
+
+
+class _TimeoutScriptedSock(_ScriptedSock):
+    """Scripted sock that raises TimeoutError when drained (instead of
+    'closed'), and accepts appended script — models an idle-then-active
+    live replication socket."""
+
+    def recv(self, n: int) -> bytes:
+        if self._pos >= len(self._stream):
+            raise TimeoutError("idle")
+        return super().recv(n)
+
+    def feed(self, b: bytes) -> None:
+        self._stream += b
+
+
+def _xlog(start: int, body: bytes) -> bytes:
+    import struct as st
+
+    inner = b"w" + st.pack("!qqq", start, start, 0) + body
+    return _wire_msg(b"d", inner)
+
+
+def _keepalive(end: int, reply: int) -> bytes:
+    import struct as st
+
+    return _wire_msg(b"d", b"k" + st.pack("!qqB", end, 0, reply))
+
+
+def _scripted_stream(initial: bytes):
+    from pgshovel_spark.sources.pgoutput import ReplicationStream
+
+    conn = _scripted_conn(initial)
+    conn._sock = _TimeoutScriptedSock(initial)
+    from pgshovel_spark.sources.pgwire import _BufferedSock
+
+    conn._rd = _BufferedSock(conn._sock)
+    return ReplicationStream(conn), conn._sock
+
+
+def test_walsender_deadline_keeps_open_transaction_pending():
+    """A read() deadline landing MID-TRANSACTION must not drop the
+    frames already consumed off the socket: they stay pending and the
+    next read() completes the transaction losslessly — on a live
+    stream the server never resends them."""
+    import struct as st
+
+    rel = _msg_relation(99, "public", "t", ["id", "v"], ["id"])
+    ins1 = b"I" + st.pack("!i", 99) + b"N" + _tuple_data([1, "a"])
+    ins2 = b"I" + st.pack("!i", 99) + b"N" + _tuple_data([2, "b"])
+    commit = b"C\x00" + st.pack("!qqq", 0, 0, 820540800000000)
+
+    # first half of the txn arrives, then the socket goes idle
+    stream, sock = _scripted_stream(
+        _xlog(16, _msg_begin(xid=41)) + _xlog(17, rel) + _xlog(18, ins1)
+    )
+    assert stream.read(max_seconds=0.3) == []  # deadline, nothing lost
+    # the rest arrives later
+    sock.feed(_xlog(19, ins2) + _xlog(20, commit))
+    out = stream.read(max_seconds=2.0)
+    assert [c["after"]["id"] for c in out] == ["1", "2"]
+    # walsender transport xid is 0: Begin's xid must backfill
+    assert [c["txid"] for c in out] == [41, 41]
+
+
+def test_walsender_keepalive_confirms_only_flushed():
+    """Keepalive auto-replies must report the last CALLER-confirmed
+    flush position, never the raw receive position — confirming
+    received-but-unlanded WAL lets a crash skip it forever."""
+    import struct as st
+
+    stream, sock = _scripted_stream(_keepalive(500, 1))
+    assert stream.read(max_seconds=0.3) == []
+    assert stream.wal_end == 500
+    # the auto-reply carried flush 0 (nothing confirmed yet)
+    assert sock.sent
+    body = sock.sent[5:]  # strip CopyData frame header
+    assert body[:1] == b"r"
+    written, flushed, applied = st.unpack("!qqq", body[1:25])
+    assert (written, flushed, applied) == (0, 0, 0)
+
+    # after the caller confirms, replies carry that position
+    sock.sent = b""
+    stream.send_status(123)
+    sock.feed(_keepalive(900, 1))
+    stream.read(max_seconds=0.3)
+    last = sock.sent[len(sock.sent) - 39 :]  # last status frame
+    written, flushed, applied = st.unpack("!qqq", last[6:30])
+    assert flushed == 123  # not 900 (wal_end)
+
+
+def test_buffered_sock_timeout_preserves_partial_bytes():
+    """read_exact interrupted by a recv timeout mid-frame must keep
+    the partial bytes buffered so the retried call resumes exactly —
+    dropping them desyncs the protocol framing."""
+    import pytest as _p
+
+    from pgshovel_spark.sources.pgwire import _BufferedSock
+
+    class Flaky:
+        def __init__(self):
+            self.calls = 0
+
+        def recv(self, n):
+            self.calls += 1
+            if self.calls == 1:
+                return b"ab"
+            if self.calls == 2:
+                raise TimeoutError("slow")
+            return b"cdef"
+
+    rd = _BufferedSock(Flaky())
+    with _p.raises(TimeoutError):
+        rd.read_exact(4)
+    assert rd.read_exact(4) == b"abcd"  # partial 'ab' was preserved
+    assert rd.read_exact(2) == b"ef"
+
+
+def test_landing_replay_tolerates_existing_batch_dir(spark, pg, tmp_path):
+    """Crash after the landing rename but before the seq write: the
+    restarted capture replays the batch, finds its own directory, and
+    advances past it instead of failing path-already-exists."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pglanding import LandingCapture
+
+    with pg.connect() as c:
+        c.query("create table lrp_t(id int primary key)")
+    po.create_publication(pg, "lrp_pub", ["lrp_t"])
+    po.create_slot_pgoutput(pg, "lrp_slot")
+    landing = str(tmp_path / "landing")
+    cap = LandingCapture(spark, pg, "lrp_slot", landing, publication="lrp_pub")
+    with pg.connect() as c:
+        c.query("insert into lrp_t values (1), (2), (3)")
+    assert cap.pull_once() == 3
+    # simulate the crash window: seq file rolled back, slot NOT advanced
+    # (re-insert the same logical batch via a fresh slot position)
+    with open(f"{landing}/_seq_base", "w") as f:
+        f.write("0")
+    cap2 = LandingCapture(spark, pg, "lrp_slot", landing, publication="lrp_pub")
+    assert cap2.seq_base == 0
+    with pg.connect() as c:
+        c.query("insert into lrp_t values (4), (5), (6)")
+    # the replayed batch targets the EXISTING b_0 dir: must not raise,
+    # must advance the base past it
+    assert cap2.pull_once() == 3
+    assert cap2.seq_base == 3
+    pgl.drop_slot(pg, "lrp_slot")
