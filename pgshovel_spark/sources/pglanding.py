@@ -168,14 +168,34 @@ class LandingCapture:
 
             from pgshovel_spark.sources.pglogical import _envelope_df
 
-            rc, stream, rels = self._walsender()
+            from pgshovel_spark.sources.pgwire import PgError
+
             parsed: list[dict] = []
             deadline = time.time() + max_seconds
             while time.time() < deadline:
-                got = stream.read(
-                    max_seconds=max(0.1, deadline - time.time()),
-                    relations=rels,
-                )
+                try:
+                    rc, stream, rels = self._walsender()
+                    got = stream.read(
+                        max_seconds=max(0.1, deadline - time.time()),
+                        relations=rels,
+                    )
+                except (ConnectionError, OSError, PgError) as e:
+                    # walsender died (failover, pg_terminate_backend
+                    # = FATAL 57P01/57P02 ErrorResponse, network drop
+                    # = socket error): drop the session AND any
+                    # un-landed parse — the slot's confirmed_flush_lsn
+                    # replays everything not yet send_status'd, so a
+                    # fresh session resumes losslessly (at-least-once;
+                    # the envelope identity dedupes the overlap
+                    # downstream).  Genuine protocol errors re-raise.
+                    if isinstance(e, PgError) and not (
+                        e.sqlstate.startswith("57P")
+                        or e.sqlstate.startswith("08")
+                    ):
+                        raise
+                    self.close()
+                    parsed = []
+                    continue
                 if not got:
                     break
                 parsed.extend(got)
@@ -185,6 +205,7 @@ class LandingCapture:
             self._land(
                 _envelope_df(self.spark, parsed, self.slot, 0), n
             )
+            _rc, stream, _rels = self._repl
             stream.send_status(stream.wal_end)
             return n
         if self.publication is not None:

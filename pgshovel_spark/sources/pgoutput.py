@@ -626,15 +626,18 @@ class ReplicationStream:
         if self._done:
             return
         conn = self._conn
-        conn._sock.sendall(b"c" + struct.pack("!i", 4))
-        conn._sock.settimeout(10.0)
         try:
+            conn._sock.sendall(b"c" + struct.pack("!i", 4))
+            conn._sock.settimeout(10.0)
             while True:
                 kind, _payload = conn._recv_msg()
                 if kind == b"Z":
                     break
         except (TimeoutError, OSError):
-            pass
+            pass  # dead session: nothing to hand back gracefully
         finally:
-            conn._sock.settimeout(None)
+            try:
+                conn._sock.settimeout(None)
+            except OSError:
+                pass
             self._done = True

@@ -1678,3 +1678,58 @@ def test_landing_replay_tolerates_existing_batch_dir(spark, pg, tmp_path):
     assert cap2.pull_once() == 3
     assert cap2.seq_base == 3
     pgl.drop_slot(pg, "lrp_slot")
+
+
+def test_landing_walsender_survives_backend_kill(spark, pg, tmp_path):
+    """Failover resilience: pg_terminate_backend on the walsender mid-
+    capture must not lose or duplicate landed data — the capture loop
+    reconnects, the slot replays everything past confirmed_flush_lsn,
+    and the landed union equals the committed workload exactly."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pglanding import LandingCapture, landing_stream
+
+    with pg.connect() as c:
+        c.query("create table fok_t(id int primary key, v text)")
+    po.create_publication(pg, "fok_pub", ["fok_t"])
+    po.create_slot_pgoutput(pg, "fok_slot")
+    landing = str(tmp_path / "landing")
+    cap = LandingCapture(
+        spark, pg, "fok_slot", landing,
+        publication="fok_pub", transport="walsender",
+    )
+    try:
+        with pg.connect() as c:
+            c.query("insert into fok_t select g, 'a' || g from generate_series(1, 20) g")
+        assert cap.pull_once(max_seconds=8.0) == 20
+
+        # kill the walsender backend under the live session
+        with pg.connect() as c:
+            killed = c.query(
+                "select pg_terminate_backend(active_pid)"
+                " from pg_replication_slots where slot_name = 'fok_slot'"
+            )[0].rows[0][0]
+        assert killed is True
+        with pg.connect() as c:
+            c.query("insert into fok_t select g, 'b' || g from generate_series(21, 35) g")
+        # first pull hits the dead socket, reconnects, and captures
+        got = 0
+        for _ in range(5):
+            got += cap.pull_once(max_seconds=8.0)
+            if got >= 15:
+                break
+        assert got == 15
+    finally:
+        cap.close()
+
+    rows: list = []
+    q = (
+        landing_stream(spark, landing)
+        .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    ids = sorted(int(r.after["id"]) for r in rows)
+    assert ids == list(range(1, 36))  # nothing lost, nothing duplicated
+    pgl.drop_slot(pg, "fok_slot")
