@@ -88,6 +88,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-secs", type=int, default=30)
     ap.add_argument("--writer-rate", type=int, default=15_000)
+    ap.add_argument(
+        "--transport", choices=("sql", "walsender"), default="sql"
+    )
     args = ap.parse_args()
     spark = get_session("pglive_streambench")
     jvm = spark._jvm
@@ -146,7 +149,8 @@ def main() -> None:
         )
 
         cap = LandingCapture(
-            spark, p, "pgls_slot", landing, publication="pgls_pub"
+            spark, p, "pgls_slot", landing,
+            publication="pgls_pub", transport=args.transport,
         )
 
         # warm the Spark/Arrow/JDBC path outside the timed window
@@ -242,7 +246,9 @@ def main() -> None:
             "capture_drain_sec": round(capture_drain_s, 2),
             "merge_drain_sec": round(merge_drain_s, 2),
             "exactly_once_state_match": bool(exact),
+            "transport": args.transport,
         }
+        cap.close()
         pgl.drop_slot(p, "pgls_slot")
     con.close()
 
@@ -250,7 +256,8 @@ def main() -> None:
     print("|---|---|")
     for k, v in results.items():
         print(f"| {k} | {v} |")
-    print(json.dumps({"pglive_stream": results}))
+    s_key = f"pglive_stream_{args.transport}"
+    print(json.dumps({s_key: results}))
 
 
 if __name__ == "__main__":
