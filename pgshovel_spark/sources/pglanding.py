@@ -140,19 +140,26 @@ class LandingCapture:
     def _land(self, df, n: int) -> None:
         """Crash-safe landing: write under a glob-invisible temp name,
         rename into place atomically, THEN persist the seq base.  A
-        crash anywhere in between replays the batch into the same
-        slot: a stale temp dir is overwritten, and an already-renamed
-        final dir (crash after rename, before the seq write) is the
-        replayed batch's own content — keep it and just advance the
-        base.  landing_stream's ``b_*`` glob never sees temp dirs, so
-        partial writes are invisible to the consumer."""
+        crash anywhere in between replays into the same slot — and the
+        replayed pull is UNBOUNDED, so it may be a strict SUPERSET of
+        the directory already renamed (new transactions committed
+        after the crash).  The replay therefore REPLACES the existing
+        directory rather than skipping it: skipping would confirm the
+        extra rows without landing them.  The streaming consumer may
+        have read the old part file already; the replacement's rows
+        re-deliver, and the idempotent MERGE sinks absorb the overlap
+        (the documented at-least-once contract into the landing).
+        landing_stream's ``b_*`` glob never sees temp dirs, so partial
+        writes are invisible."""
+        import shutil
+
         out = os.path.join(self.landing_dir, f"b_{self.seq_base:016d}")
         tmp = os.path.join(self.landing_dir, f"_tmp_b_{self.seq_base:016d}")
-        if not os.path.exists(out):
-            df.withColumn(
-                "seq", F.col("seq") + F.lit(self.seq_base)
-            ).coalesce(1).write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, out)  # atomic on a local/posix filesystem
+        df.withColumn(
+            "seq", F.col("seq") + F.lit(self.seq_base)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)  # crash-replay leftover
+        os.rename(tmp, out)  # atomic on a local/posix filesystem
         self.seq_base += n
         self._write_seq()
         self.batches += 1
@@ -223,7 +230,11 @@ class LandingCapture:
             )
         if max_lsn is None:
             return 0
-        n = df.count()
+        # the envelope builder stamps the driver-known row count; a
+        # count() here would re-run the whole envelope pipeline
+        n = getattr(df, "_pgshovel_nrows", None)
+        if n is None:
+            n = df.count()
         if n:
             self._land(df, n)
         advance(self.params, self.slot, max_lsn)

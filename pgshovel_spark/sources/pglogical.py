@@ -302,9 +302,16 @@ def _envelope_df(
 ) -> DataFrame:
     """Parsed change dicts -> CHANGE_SCHEMA DataFrame — shared by the
     test_decoding and pgoutput capture paths (``ts`` may arrive as the
-    server's text rendering or an already-decoded datetime)."""
+    server's text rendering or an already-decoded datetime).
+
+    The row count is known driver-side, so it is stamped on the frame
+    as ``_pgshovel_nrows`` — hot capture loops (LandingCapture) read
+    it instead of paying a count() job that re-evaluates the whole
+    createDataFrame/from_json pipeline per pull."""
     if not parsed:
-        return spark.createDataFrame([], CHANGE_SCHEMA)
+        df = spark.createDataFrame([], CHANGE_SCHEMA)
+        df._pgshovel_nrows = 0
+        return df
     # Ship the maps as JSON TEXT through the Arrow fast path and
     # rebuild them JVM-side: createDataFrame over Python dict rows
     # falls off Arrow onto per-row pickling, which measured 4.4 s for
@@ -357,7 +364,31 @@ def _envelope_df(
         F.col("epoch").cast("long"),
         F.col("seq").cast("long"),
     )
+    df._pgshovel_nrows = len(parsed)
     return df
+
+
+def deferred_commit_batches(pull, ack, max_pulls: int | None = None):
+    """The shared peek/advance micro-batch discipline (one copy for
+    BOTH plugins): each yielded envelope was PEEKED via ``pull() ->
+    (df, max_lsn)``, and ``ack(max_lsn)`` runs only when the consumer
+    asks for the NEXT batch — a crash mid-batch replays it
+    (at-least-once; the MERGE sinks are replay-idempotent).  Stops
+    when a pull decodes nothing (or after ``max_pulls``); exhausting
+    the allowance leaves the LAST batch unacknowledged by design
+    (same as cdc.incremental_pulls)."""
+    pulls = 0
+    pending: str | None = None
+    while max_pulls is None or pulls < max_pulls:
+        if pending is not None:
+            ack(pending)
+            pending = None
+        df, max_lsn = pull()
+        if max_lsn is None:
+            return
+        pulls += 1
+        pending = max_lsn
+        yield df
 
 
 def change_batches(
@@ -367,27 +398,14 @@ def change_batches(
     key_cols: dict[str, list[str]] | None = None,
     max_pulls: int | None = None,
 ):
-    """Micro-batch loop over the slot — the logical-decoding analog of
-    ``cdc.incremental_pulls``, with the SAME deferred-commit contract:
-    each yielded envelope DataFrame was PEEKED, and its LSN watermark
-    is advanced only when the consumer asks for the NEXT batch — a
-    crash mid-batch replays it (at-least-once; the MERGE sinks are
-    replay-idempotent).  Stops when a pull decodes nothing (or after
-    ``max_pulls``)."""
-    pulls = 0
-    pending: str | None = None
-    while max_pulls is None or pulls < max_pulls:
-        if pending is not None:
-            advance(params, slot, pending)
-            pending = None
-        df, max_lsn = pull_changes(spark, params, slot, key_cols, peek=True)
-        if max_lsn is None:
-            return
-        pulls += 1
-        pending = max_lsn
-        yield df
-    # consumer exhausted the allowance: the LAST batch stays
-    # unacknowledged by design (same as incremental_pulls)
+    """Micro-batch loop over a test_decoding slot — the logical-
+    decoding analog of ``cdc.incremental_pulls`` (see
+    ``deferred_commit_batches`` for the watermark contract)."""
+    return deferred_commit_batches(
+        lambda: pull_changes(spark, params, slot, key_cols, peek=True),
+        lambda lsn: advance(params, slot, lsn),
+        max_pulls,
+    )
 
 
 def pg_observed_schema(params: PgParams, table: str) -> dict[str, str]:

@@ -175,6 +175,7 @@ def _read_tuple(r: _Reader, rel: _Relation) -> dict[str, str | None]:
 def parse_pgoutput(
     messages: list[tuple[str, int, bytes]],
     relations: dict[int, _Relation] | None = None,
+    streams: dict[int, list[dict]] | None = None,
 ) -> list[dict]:
     """Decode raw ``(lsn, xid, payload)`` pgoutput messages (from the
     binary slot functions or walsender XLogData) into CHANGE_SCHEMA
@@ -184,6 +185,14 @@ def parse_pgoutput(
     LONG-LIVED stream (walsender); pass a dict to persist it.  The
     SQL-function transport re-decodes from the slot's restart point,
     so each batch is self-contained and the default fresh dict works.
+
+    ``streams`` likewise persists protocol-v2 OPEN streamed
+    transactions across calls: the walsender interleaves S..E
+    segments of a large in-progress transaction with OTHER
+    transactions' commits, so a parse triggered by one transaction's
+    Commit may be holding another's open segments — without a
+    persistent dict those would be dropped silently (live streams
+    never resend frames).
     """
     rels = relations if relations is not None else {}
     changes: list[dict] = []
@@ -197,7 +206,7 @@ def parse_pgoutput(
     # keyed by the toplevel xid from StreamStart; per-message xids
     # (which may be subtransactions) are recorded so StreamAbort can
     # discard exactly one subtransaction's changes.
-    streams: dict[int, list[dict]] = {}
+    streams = streams if streams is not None else {}
     stream_xid: int | None = None  # inside an S..E segment when set
     for lsn, xid, payload in messages:
         if not payload:
@@ -440,29 +449,20 @@ def change_batches_pgoutput(
     max_pulls: int | None = None,
 ):
     """Micro-batch loop over a pgoutput slot — the exact contract of
-    ``pglogical.change_batches`` (each yielded envelope was PEEKED;
-    its watermark advances only when the consumer asks for the NEXT
-    batch, so a crash mid-batch replays it and the idempotent MERGE
-    sinks absorb the duplicates).  Stops when a pull decodes nothing
-    (or after ``max_pulls``)."""
-    from pgshovel_spark.sources.pglogical import advance
+    ``pglogical.change_batches`` (the shared
+    ``deferred_commit_batches`` watermark discipline)."""
+    from pgshovel_spark.sources.pglogical import (
+        advance,
+        deferred_commit_batches,
+    )
 
-    pulls = 0
-    pending: str | None = None
-    while max_pulls is None or pulls < max_pulls:
-        if pending is not None:
-            advance(params, slot, pending)
-            pending = None
-        df, max_lsn = pull_changes_pgoutput(
+    return deferred_commit_batches(
+        lambda: pull_changes_pgoutput(
             spark, params, slot, publication, peek=True
-        )
-        if max_lsn is None:
-            return
-        pulls += 1
-        pending = max_lsn
-        yield df
-    # consumer exhausted the allowance: the LAST batch stays
-    # unacknowledged by design (same as incremental_pulls)
+        ),
+        lambda lsn: advance(params, slot, lsn),
+        max_pulls,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -551,6 +551,10 @@ class ReplicationStream:
         self.flush_lsn = 0  # last position the CALLER confirmed durable
         self._pending: list[tuple[str, int, bytes]] = []  # open-txn tail
         self.relations: dict = {}  # stream-lifetime Relation metadata
+        # stream-lifetime OPEN v2 transactions: segments already parsed
+        # but not yet StreamCommit'ed/aborted survive across read()
+        # calls even when another transaction's commit triggers a parse
+        self._streams: dict[int, list[dict]] = {}
 
     def read(self, max_seconds: float = 5.0, relations=None) -> list[dict]:
         """Read until a Commit message closes a transaction (returning
@@ -578,7 +582,7 @@ class ReplicationStream:
                     batch.append((lsn_to_str(start), 0, payload[25:]))
                     # Commit (v1) or StreamCommit (v2) closes a txn
                     if payload[25:26] in (b"C", b"c"):
-                        return parse_pgoutput(batch, rels)
+                        return parse_pgoutput(batch, rels, self._streams)
                 elif tag == b"k":  # keepalive: end, clock, reply?
                     end, _clock, reply = struct.unpack("!qqB", payload[1:18])
                     self.wal_end = max(self.wal_end, end)

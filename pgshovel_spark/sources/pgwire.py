@@ -170,21 +170,25 @@ class _BufferedSock:
         buf, pos = self._buf, self._pos
         if pos + n <= len(buf):
             self._pos = pos + n
-            return buf[pos : pos + n]
+            return bytes(buf[pos : pos + n])  # buf may be a bytearray
         # Accumulate INTO the instance buffer, not a local list: a
         # recv timeout mid-frame (the replication stream sets socket
         # deadlines) must leave the partial bytes buffered so the
         # retried call resumes exactly where it stopped — a local
         # accumulator would silently drop them and desync the framing.
-        self._buf = buf[pos:]
+        # A bytearray keeps the append amortized O(1) (bytes += would
+        # copy the whole prefix per chunk: quadratic on multi-MB
+        # frames), and recv asks for the full remainder each round.
+        acc = bytearray(buf[pos:])
+        self._buf = acc
         self._pos = 0
-        while len(self._buf) < n:
-            chunk = self._sock.recv(65536)
+        while len(acc) < n:
+            chunk = self._sock.recv(max(65536, n - len(acc)))
             if not chunk:
                 raise ConnectionError("server closed the connection")
-            self._buf += chunk
+            acc += chunk
         self._pos = n
-        return self._buf[:n]
+        return bytes(acc[:n])
 
 
 def _cstrings(payload: bytes) -> list[str]:
@@ -233,26 +237,28 @@ class PgConnection:
         header arrives, the payload is read under a generous fixed
         deadline because the server sends messages whole; a payload
         stall is a genuinely broken connection, not an idle one."""
-        if header_timeout is not None:
-            self._sock.settimeout(header_timeout)
+        if header_timeout is None:
+            return self._parse_frame(self._rd.read_exact(5))
+        self._sock.settimeout(header_timeout)
         try:
-            head = self._rd.read_exact(5)
+            try:
+                head = self._rd.read_exact(5)
+            except TimeoutError:
+                raise  # idle poll: partial bytes stay buffered
+            self._sock.settimeout(30.0)
+            try:
+                return self._parse_frame(head)
+            except TimeoutError as e:
+                # header consumed but payload stalled 30s: the session
+                # is broken (the server sends frames whole) — resuming
+                # would desync, so fail the connection loudly.
+                raise ConnectionError(
+                    "connection stalled mid-frame (payload timeout)"
+                ) from e
         finally:
-            if header_timeout is not None:
-                self._sock.settimeout(30.0)
-        try:
-            kind, payload = self._parse_frame(head)
-        except TimeoutError as e:
-            # header consumed but payload stalled 30s: the session is
-            # broken (the server sends frames whole) — resuming would
-            # desync, so fail the connection loudly.
-            raise ConnectionError(
-                "connection stalled mid-frame (payload timeout)"
-            ) from e
-        finally:
-            if header_timeout is not None:
-                self._sock.settimeout(None)
-        return kind, payload
+            # ALWAYS restore blocking mode — a leaked deadline would
+            # make later plain _recv_msg calls time out unexpectedly
+            self._sock.settimeout(None)
 
     def _parse_frame(self, head: bytes) -> tuple[bytes, bytes]:
         kind = head[:1]

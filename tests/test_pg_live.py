@@ -1649,12 +1649,16 @@ def test_buffered_sock_timeout_preserves_partial_bytes():
     assert rd.read_exact(2) == b"ef"
 
 
-def test_landing_replay_tolerates_existing_batch_dir(spark, pg, tmp_path):
-    """Crash after the landing rename but before the seq write: the
-    restarted capture replays the batch, finds its own directory, and
-    advances past it instead of failing path-already-exists."""
+def test_landing_replay_superset_replaces_existing_batch_dir(spark, pg, tmp_path):
+    """The REAL crash window: parquet dir renamed, seq base not yet
+    persisted, slot not yet advanced.  The restarted capture's replay
+    pull is UNBOUNDED — it returns the original batch PLUS anything
+    committed since — so the replay must REPLACE the existing
+    directory (skipping it would confirm the new rows without landing
+    them), must not raise path-exists, and the landed stream must
+    carry every committed row exactly once at dense seqs."""
     from pgshovel_spark.sources import pgoutput as po
-    from pgshovel_spark.sources.pglanding import LandingCapture
+    from pgshovel_spark.sources.pglanding import LandingCapture, landing_stream
 
     with pg.connect() as c:
         c.query("create table lrp_t(id int primary key)")
@@ -1664,19 +1668,30 @@ def test_landing_replay_tolerates_existing_batch_dir(spark, pg, tmp_path):
     cap = LandingCapture(spark, pg, "lrp_slot", landing, publication="lrp_pub")
     with pg.connect() as c:
         c.query("insert into lrp_t values (1), (2), (3)")
-    assert cap.pull_once() == 3
-    # simulate the crash window: seq file rolled back, slot NOT advanced
-    # (re-insert the same logical batch via a fresh slot position)
+    # crash window: land WITHOUT advancing the slot or (then) the seq
+    df, _lsn = po.pull_changes_pgoutput(spark, pg, "lrp_slot", "lrp_pub")
+    cap._land(df, 3)
     with open(f"{landing}/_seq_base", "w") as f:
-        f.write("0")
-    cap2 = LandingCapture(spark, pg, "lrp_slot", landing, publication="lrp_pub")
-    assert cap2.seq_base == 0
+        f.write("0")  # seq persist "lost" in the crash
+    # more commits happen before the restart
     with pg.connect() as c:
         c.query("insert into lrp_t values (4), (5), (6)")
-    # the replayed batch targets the EXISTING b_0 dir: must not raise,
-    # must advance the base past it
-    assert cap2.pull_once() == 3
-    assert cap2.seq_base == 3
+    cap2 = LandingCapture(spark, pg, "lrp_slot", landing, publication="lrp_pub")
+    assert cap2.seq_base == 0
+    assert cap2.pull_once() == 6  # superset replay over the old b_0
+    assert cap2.seq_base == 6 and cap2.pull_once() == 0
+
+    got: list = []
+    q = (
+        landing_stream(spark, landing)
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(int(r.after["id"]) for r in got) == [1, 2, 3, 4, 5, 6]
+    assert sorted(r.seq for r in got) == list(range(6))
     pgl.drop_slot(pg, "lrp_slot")
 
 
@@ -1733,3 +1748,44 @@ def test_landing_walsender_survives_backend_kill(spark, pg, tmp_path):
     ids = sorted(int(r.after["id"]) for r in rows)
     assert ids == list(range(1, 36))  # nothing lost, nothing duplicated
     pgl.drop_slot(pg, "fok_slot")
+
+
+def test_walsender_interleaved_stream_segments_survive_commit_parse():
+    """v2 interleaving: a small transaction COMMITS between a large
+    streamed transaction's segments.  The commit-triggered parse must
+    not discard the open stream's already-consumed segments — they
+    persist in the stream state and the eventual StreamCommit emits
+    the COMPLETE transaction."""
+    import struct as st
+
+    rel = _msg_relation(99, "public", "t", ["id", "v"], ["id"])
+
+    def s_ins(xid, i):
+        return (b"I" + st.pack("!i", xid) + st.pack("!i", 99)
+                + b"N" + _tuple_data([i, f"v{i}"]))
+
+    TS = 820540800000000
+    stream, sock = _scripted_stream(
+        # segment 1 of streamed txn 70 (relation inside the stream)
+        _xlog(10, b"S" + st.pack("!iB", 70, 1))
+        + _xlog(11, b"R" + st.pack("!i", 70) + rel[1:])
+        + _xlog(12, s_ins(70, 1))
+        + _xlog(13, b"E")
+        # small txn 80 commits in between -> triggers a parse
+        + _xlog(20, _msg_begin(TS, 80))
+        + _xlog(21, b"I" + st.pack("!i", 99) + b"N" + _tuple_data([50, "mid"]))
+        + _xlog(22, b"C\x00" + st.pack("!qqq", 0, 0, TS))
+    )
+    first = stream.read(max_seconds=1.0)
+    assert [c["after"]["id"] for c in first] == ["50"]  # txn 80 only
+    # the streamed txn's tail arrives and commits
+    sock.feed(
+        _xlog(30, b"S" + st.pack("!iB", 70, 0))
+        + _xlog(31, s_ins(70, 2))
+        + _xlog(32, b"E")
+        + _xlog(33, b"c" + st.pack("!iBqqq", 70, 0, 0, 0, TS))
+    )
+    second = stream.read(max_seconds=2.0)
+    # BOTH segments' rows: segment 1 was not lost to the earlier parse
+    assert [c["after"]["id"] for c in second] == ["1", "2"]
+    assert all(c["txid"] == 70 and c["ts"] is not None for c in second)
