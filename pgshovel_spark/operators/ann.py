@@ -144,6 +144,14 @@ def build_ivf_index(
     # Baseline quantization quality for the staleness monitor
     # (ivf_append / ivf_staleness): mean cosine distance of every
     # vector to its assigned centroid — one bounded aggregate.
+    # A REBUILD resets the stats log first: rows from the previous
+    # era (append distances measured against the OLD centroids, the
+    # old build baseline) would otherwise blend into the staleness
+    # ratio and keep the retrain flag pinned after the very rebuild
+    # it recommended.
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "stats"), ignore_errors=True)
     _append_stats(
         spark, out_dir, "build",
         assigned.select(

@@ -63,7 +63,16 @@ def asof_join(
             right.select(r_struct.alias("__rv")).schema["__rv"].dataType
         ).alias("__rv"),
     )
-    r_tagged = right.select(
+    # Equi-join NULL semantics: a right row with a NULL join key (or a
+    # NULL order value) can never match — NULL = NULL is not true in
+    # the ASOF JOIN this implements.  Window.partitionBy would
+    # otherwise co-locate NULL-key rows of BOTH sides and fabricate
+    # matches; filtering the right side alone preserves left rows
+    # (they surface unmatched, NULL-filled under how='left').
+    r_pred = F.col(order_col).isNotNull()
+    for k in on:
+        r_pred = r_pred & F.col(k).isNotNull()
+    r_tagged = right.filter(r_pred).select(
         *on,
         F.col(order_col).alias("__ord"),
         F.lit(0).alias("__side"),

@@ -52,6 +52,30 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
+def _luma(r: int, g: int, b: int) -> int:
+    """Integer BT.601-ish luma (/256 keeps it exact) — the ONE
+    grayscale definition every codec in this module shares, so the
+    documented codec-invariance guarantees (same pixels hash
+    identically through BMP/PNG/AVI) cannot silently diverge."""
+    return (77 * r + 150 * g + 29 * b) >> 8
+
+
+def _pack_dib_rows(rows: list[list[int]]) -> bytes:
+    """Row-major grayscale grid -> bottom-up padded BGR DIB bytes
+    (r=g=b), the storage layout BMP bodies and AVI '00db' frames
+    share."""
+    w = len(rows[0])
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in reversed(rows):  # positive height => bottom-up storage
+        line = bytearray()
+        for v in r:
+            line += bytes((v, v, v))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    return bytes(body)
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Real image dimension decode for the stdlib-parseable formats.
 
@@ -63,6 +87,14 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     WebP ...) need codec libraries this container doesn't ship.
     """
     if len(payload) >= 26 and payload[:2] == b"BM":
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            # BITMAPCOREHEADER stores int16 dims at different offsets;
+            # blind '<ii' would return garbage like w | (h << 16)
+            raise ValueError(
+                f"unsupported BMP DIB header size {hdr_size}"
+                " (BITMAPINFOHEADER required)"
+            )
         w, h = struct.unpack_from("<ii", payload, 18)
         return int(w), abs(int(h))
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -270,14 +302,7 @@ def encode_avi(frames: list[list[list[int]]], fps: int = 10) -> bytes:
     def dib(rows: list[list[int]]) -> bytes:
         if len(rows) != h or any(len(r) != w for r in rows):
             raise ValueError("inconsistent frame dimensions")
-        body = bytearray()
-        for r in reversed(rows):  # bottom-up storage
-            line = bytearray()
-            for v in r:
-                line += bytes((v, v, v))
-            line += b"\x00" * (stride - len(line))
-            body += line
-        return bytes(body)
+        return _pack_dib_rows(rows)
 
     avih = struct.pack(
         "<14I",
@@ -357,7 +382,7 @@ def decode_avi_gray(payload: bytes) -> tuple[int, int, list[list[list[int]]]]:
             row = []
             for x in range(w):
                 b, g, r = raw[base + 3 * x : base + 3 * x + 3]
-                row.append((77 * r + 150 * g + 29 * b) >> 8)
+                row.append(_luma(r, g, b))
             rows.append(row)
         frames.append(rows)
     return w, h, frames
@@ -442,8 +467,7 @@ def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
         row = []
         for x in range(w):
             b, g, r = payload[base + 3 * x : base + 3 * x + 3]
-            # integer luma approximation (BT.601-ish, /256 keeps it exact)
-            row.append((77 * r + 150 * g + 29 * b) >> 8)
+            row.append(_luma(r, g, b))
         rows.append(row)
     return w, h, rows
 
@@ -527,8 +551,7 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
         else:
             rows.append(
                 [
-                    (77 * line[3 * x] + 150 * line[3 * x + 1] + 29 * line[3 * x + 2])
-                    >> 8
+                    _luma(line[3 * x], line[3 * x + 1], line[3 * x + 2])
                     for x in range(w)
                 ]
             )
@@ -633,14 +656,7 @@ def encode_bmp(rows: list[list[int]]) -> bytes:
     w = len(rows[0]) if h else 0
     if not (w and h):
         raise ValueError("empty image")
-    stride = (w * 3 + 3) & ~3
-    body = bytearray()
-    for r in reversed(rows):  # positive height => bottom-up storage
-        line = bytearray()
-        for v in r:
-            line += bytes((v, v, v))  # b, g, r all equal
-        line += b"\x00" * (stride - len(line))
-        body += line
+    body = _pack_dib_rows(rows)
     header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     return bytes(header + info + body)

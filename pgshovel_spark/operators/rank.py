@@ -19,25 +19,26 @@ fixture, fatal on a 100 TB table.  The classic fix is a two-pass rank:
    -sum the counts to per-partition rank offsets, broadcast-join them
    back: global_rank = offset(pid) + local_index + 1.
 
-The range boundaries Spark samples are irrelevant to correctness — the
-rank is derived from actual per-partition counts, so any boundary
-placement yields the same output (the sort keys must form a TOTAL order,
-i.e. include a unique tiebreaker; the id projection sits above the sort
-in the same whole-stage pipeline, so it numbers rows in sorted order).
-
-The ranged stream is SELF-REFERENCED (the offset broadcast derives
-from it and joins back), and AQE's stage dedup misses the re-aliased
-copy — the range shuffle and the base scan PLAN TWICE
-(tools/selfref_audit.py, round 8).  This is accepted here by
-measurement: a lazy MEMORY_AND_DISK persist of the ranged stream
-(full-width corpus rows) doubled the wall at sf0.1 (0.9 -> 2.3 s,
-5 -> 7 jobs) because the cache write/read of wide rows costs more
-than the second column-pruned scan+shuffle; at 100 TB the two
-options move comparable bytes (cache write+read vs re-scan +
-re-shuffle), so the un-cached form is kept for its strictly better
-local profile.  Contrast the SLIM self-references (q_skyline's
-per-user profile, q_important_stock's per-part aggregate), where the
-cached rows are corpus-REDUCED and the cache wins outright.
+The range boundaries Spark samples are irrelevant to correctness ONLY
+as long as both consumers observe the SAME placement, which requires a
+SINGLE execution of the ranged stream.  The offsets branch and the
+output join are two planned copies (DeduplicateRelations re-aliases
+the self-reference; AQE's stage dedup misses it — tools/
+selfref_audit.py, round 8), and RangePartitioner's reservoir sampling
+is seeded by the physical RDD id: two independent executions on data
+large enough for PARTIAL sampling can pick DIFFERENT boundaries, so
+counts from one execution would join against partition ids of the
+other — silent duplicate/gapped ranks (round-10 review finding; the
+fixture scale hid it because small partitions are sampled
+exhaustively).  The ranged stream is therefore ``materialize``d:
+block-level locking makes every block compute exactly once and both
+branches read one lineage.  The round-7 A/B that measured the
+un-cached form faster (0.9 vs 2.3 s at sf0.1) chose wrongly — that
+comparison traded a correctness invariant for local wall; the persist
+is the price of a consistent partitioning.  (The sort keys must still
+form a TOTAL order — unique tiebreaker — and the id projection sits
+above the sort in the same whole-stage pipeline, numbering rows in
+sorted order.)
 """
 
 from __future__ import annotations
@@ -66,8 +67,13 @@ def with_global_rank(
     to be deterministic.  If ``total_col`` is given, the total row count
     is appended too (computed in the same job, no extra action).
     """
+    from pgshovel_spark.operators.scratch import materialize
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
+    # materialize: BOTH consumers (the counts branch and the output
+    # join) must read ONE execution of the range shuffle — see the
+    # module docstring's boundary-divergence invariant.
+    ranged = materialize(
         df.repartitionByRange(n, *order)
         .sortWithinPartitions(*order)
         .withColumn("__gr_mid", F.monotonically_increasing_id())

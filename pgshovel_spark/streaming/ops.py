@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from pgshovel_spark.functions.determinism import dec, exact_sum
+from pgshovel_spark.functions.determinism import exact_sum
 
 
 def tumbling_counts(
@@ -156,7 +156,9 @@ def stream_interval_join(
     return l.join(r, cond).drop("__rkey")
 
 
-def validate_sequences(batch: DataFrame) -> DataFrame:
+def validate_sequences(
+    batch: DataFrame, carry: DataFrame | None = None
+) -> DataFrame:
     """Sequence validation + publisher fencing (batch form, usable
     inside foreachBatch — mirrors the reference consumer's
     sequences state machine):
@@ -165,18 +167,43 @@ def validate_sequences(batch: DataFrame) -> DataFrame:
     2. GAP CHECK: per (publisher, epoch), dense seq must increment by
        1; returns rows annotated with ``seq_gap`` (a gap means a
        corrupt/lossy stream — the reference raises; callers decide).
+
+    A single batch cannot see across micro-batch boundaries — the
+    dominant real loss mode (a message dropped BETWEEN batches) and
+    the fencing hazard (a late batch carrying only an already-fenced
+    old epoch) are both invisible per-batch.  ``carry`` closes that:
+    pass a (publisher, epoch, seq) frame holding each stream's
+    validated high-water marks (e.g. the previous result's
+    ``groupBy(publisher, epoch).agg(max(seq))``, persisted in the
+    sink's own table).  Carry rows participate as PHANTOMS: they seed
+    the lag window (so the first row after a boundary gap flags) and
+    the epoch fence (so stale epochs stay fenced), and are excluded
+    from the returned rows.
     """
-    max_epoch = batch.groupBy("publisher").agg(F.max("epoch").alias("max_epoch"))
-    fenced = batch.join(
+    src = batch.withColumn("__phantom", F.lit(False))
+    if carry is not None:
+        src = src.unionByName(
+            carry.select("publisher", "epoch", "seq").withColumn(
+                "__phantom", F.lit(True)
+            ),
+            allowMissingColumns=True,
+        )
+    max_epoch = src.groupBy("publisher").agg(F.max("epoch").alias("max_epoch"))
+    fenced = src.join(
         F.broadcast(max_epoch), "publisher"
     ).filter(F.col("epoch") == F.col("max_epoch")).drop("max_epoch")
     w = Window.partitionBy("publisher", "epoch").orderBy("seq")
-    return fenced.withColumn(
-        "seq_gap",
-        F.when(
-            F.lag("seq").over(w).isNotNull() & (F.col("seq") - F.lag("seq").over(w) != 1),
-            True,
-        ).otherwise(False),
+    return (
+        fenced.withColumn(
+            "seq_gap",
+            F.when(
+                F.lag("seq").over(w).isNotNull()
+                & (F.col("seq") - F.lag("seq").over(w) != 1),
+                True,
+            ).otherwise(False),
+        )
+        .filter(~F.col("__phantom"))
+        .drop("__phantom")
     )
 
 
@@ -207,6 +234,15 @@ def assemble_transactions(changes: DataFrame, timeout_ms: int | None = None) -> 
     production streams; note that with availableNow replays a pending
     processing-time timeout keeps the query alive until it fires, so
     bounded test replays should leave it off.
+
+    Completed transactions leave a TOMBSTONE in state (status string)
+    rather than vanishing: under at-least-once delivery a straggler
+    duplicate arriving in a later micro-batch would otherwise
+    RE-CREATE the transaction and eventually emit a second,
+    contradictory 'abandoned' summary for an already-committed txid.
+    Tombstoned groups absorb duplicates silently; with ``timeout_ms``
+    set the tombstone expires (without emission) after the same
+    duration, bounding state.
     """
 
     def assemble(
@@ -214,8 +250,10 @@ def assemble_transactions(changes: DataFrame, timeout_ms: int | None = None) -> 
     ) -> Iterator[pd.DataFrame]:
         (txid,) = key
         if state.hasTimedOut:
-            n, tables = state.get if state.exists else (0, "")
+            n, tables, fin = state.get if state.exists else (0, "", None)
             state.remove()
+            if fin:  # expired tombstone: already reported, stay silent
+                return
             yield pd.DataFrame(
                 {
                     "txid": [txid],
@@ -226,7 +264,13 @@ def assemble_transactions(changes: DataFrame, timeout_ms: int | None = None) -> 
                 }
             )
             return
-        n, tables = state.get if state.exists else (0, "")
+        n, tables, fin = state.get if state.exists else (0, "", None)
+        if fin:
+            # duplicate mutations for a finished transaction: absorb,
+            # keep the tombstone armed
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+            return
         table_set = set(tables.split(",")) - {""}
         done = None
         commit_ts = None
@@ -239,28 +283,29 @@ def assemble_transactions(changes: DataFrame, timeout_ms: int | None = None) -> 
                 else:
                     n += 1
                     table_set.add(row["table"])
-        if done == "committed":
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "txid": [txid],
-                    "n_mutations": [n],
-                    "tables": [",".join(sorted(table_set))],
-                    "committed_at": [commit_ts],
-                    "status": ["committed"],
-                }
-            )
-        elif done == "rolled_back":
-            state.remove()
+        if done is not None:
+            state.update((0, "", done))  # tombstone
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+            if done == "committed":
+                yield pd.DataFrame(
+                    {
+                        "txid": [txid],
+                        "n_mutations": [n],
+                        "tables": [",".join(sorted(table_set))],
+                        "committed_at": [commit_ts],
+                        "status": ["committed"],
+                    }
+                )
         else:
-            state.update((n, ",".join(sorted(table_set))))
+            state.update((n, ",".join(sorted(table_set)), None))
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
 
     return changes.groupBy("txid").applyInPandasWithState(
         assemble,
         outputStructType=TXN_SCHEMA,
-        stateStructType="n LONG, tables STRING",
+        stateStructType="n LONG, tables STRING, fin STRING",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout

@@ -48,10 +48,23 @@ def _has_table(d: str) -> bool:
 
 def _latest_rows(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
     """Newest row per key by order_cols — the shared dedup rank used by
-    every upsert sink (one definition, one contract)."""
+    every upsert sink (one definition, one contract).
+
+    Rows with a NULL key column are DROPPED here: this is the NULL-key
+    filter parse_change_envelope's malformed-JSON contract counts on
+    (a corrupt message decodes to all-NULL columns).  Without it the
+    parquet engines would persist a phantom all-NULL state row, and
+    the JDBC MERGE's ``t.k = s.k`` ON clause — which never matches
+    NULL = NULL — would INSERT a fresh NULL row on every replay,
+    breaking the idempotence half of exactly-once."""
+    pred = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        pred = c if pred is None else (pred & c)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.filter(pred)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -394,9 +407,13 @@ class BucketedParquetMergeSink(MergeSink):
         target_dir = self.target_dir
         self._recover()
         self._check_meta()
-        if batch_df.isEmpty():
+        # localCheckpoint: isEmpty, the touched-bucket collect, and the
+        # staging write below would otherwise each re-run the whole
+        # upstream batch plan (JSON decode, windows) — three
+        # evaluations per micro-batch on the hot streaming path.
+        b = batch_df.withColumn("__kb", self._kb).localCheckpoint(eager=True)
+        if b.isEmpty():
             return  # a 0-row first write would leave a data-file-less table
-        b = batch_df.withColumn("__kb", self._kb)
         if not _has_table(target_dir):
             # first batch: plain partitioned write
             b_latest = _latest_rows(b, self.keys, self.order_cols)
