@@ -404,3 +404,62 @@ def test_dedup_semantic_invariants(spark):
             assert b.is_pruned
         else:
             assert a.is_pruned
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Equi-join NULL semantics: NULL join keys (or NULL order values)
+    on the right never match; NULL-key left rows survive a left join
+    unmatched instead of picking up a NULL-key right row."""
+    from pgshovel_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (None, 100, "l2")], "k int, t int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 7), (None, 50, 8), (1, None, 9)], "k int, t int, rid int"
+    )
+    out = asof_join(
+        left, right, on=["k"], order_col="t",
+        right_tiebreak="rid", right_value_cols=["rid"], how="left",
+    ).collect()
+    got = {r.lv: r.rid for r in out}
+    assert got["l1"] == 7          # real match (NULL-order rid=9 excluded)
+    assert got["l2"] is None       # NULL key matches nothing
+    inner = asof_join(
+        left, right, on=["k"], order_col="t",
+        right_tiebreak="rid", right_value_cols=["rid"], how="inner",
+    ).collect()
+    assert [r.lv for r in inner] == ["l1"]
+
+
+def test_ivf_rebuild_resets_staleness_stats(spark, tmp_path):
+    """Rebuilding an IVF index in place resets the stats log: the
+    retrain flag must CLEAR after the rebuild the monitor recommended,
+    not stay pinned on the previous era's drifted append rows."""
+    import numpy as np
+
+    from pgshovel_spark.operators.ann import (
+        build_ivf_index,
+        ivf_append,
+        ivf_staleness,
+    )
+
+    rng = np.random.default_rng(7)
+    base = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(200)]
+    # 300 appended vs 200 base rows: appended_frac 0.6 > 0.5 trips
+    # the volume threshold deterministically (the cosine-ratio leg is
+    # distribution-sensitive; volume is not)
+    drift = [
+        (1000 + i, [float(x) for x in rng.normal(5, 1, 8)]) for i in range(300)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark.createDataFrame(base, schema), idx, k_clusters=4)
+    ivf_append(spark, idx, spark.createDataFrame(drift, schema))
+    assert ivf_staleness(spark, idx)["retrain"] is True
+    # the recommended action: rebuild in place over the full corpus
+    build_ivf_index(
+        spark.createDataFrame(base + drift, schema), idx, k_clusters=4
+    )
+    after = ivf_staleness(spark, idx)
+    assert after["retrain"] is False, f"stale-era stats leaked: {after}"

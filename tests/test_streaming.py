@@ -1180,3 +1180,86 @@ def test_stateful_ops_on_rocksdb_state_store(spark, event_files, tmp_path):
 
     assert rocks_dedup == base_dedup
     assert rocks_res == base_res
+
+
+def test_sequence_validation_carry_across_batches(spark):
+    """The carry frame closes the micro-batch boundary blind spot: a
+    gap falling exactly BETWEEN batches flags on the next batch's
+    first row, and a late batch carrying only an already-fenced old
+    epoch stays fenced."""
+    # previous batches validated A/epoch2 up to seq 10, and publisher
+    # B is already on epoch 3
+    carry = spark.createDataFrame(
+        [("A", 2, 10), ("B", 3, 5)],
+        "publisher string, epoch long, seq long",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("A", 2, 12),  # boundary gap: 10 -> 12 (11 lost between batches)
+            ("A", 2, 13),
+            ("B", 2, 99),  # stale epoch arriving late: must stay fenced
+        ],
+        "publisher string, epoch long, seq long",
+    )
+    out = validate_sequences(batch, carry=carry).collect()
+    got = {(r.publisher, r.seq): r.seq_gap for r in out}
+    assert got[("A", 12)] is True, "gap across the batch boundary must flag"
+    assert got[("A", 13)] is False
+    assert ("B", 99) not in got, "old epoch must stay fenced by the carry"
+    # phantoms never leak into the output
+    assert ("A", 10) not in got and ("B", 5) not in got
+    # without carry the same batch hides both problems (the blind spot)
+    blind = {
+        (r.publisher, r.seq): r.seq_gap
+        for r in validate_sequences(batch).collect()
+    }
+    assert blind[("A", 12)] is False and ("B", 99) in blind
+
+
+def test_transaction_assembly_straggler_does_not_resurrect(spark, tmp_path):
+    """At-least-once redelivery: a duplicate mutation arriving AFTER
+    its transaction committed must be absorbed by the tombstone, not
+    re-create state that later emits a contradictory row."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1)
+    first = [
+        ("INSERT", "t1", 500, t0),
+        ("COMMIT", "", 500, t0),
+    ]
+    straggler = [("INSERT", "t1", 500, t0)]  # redelivered duplicate
+    schema = "op string, table string, txid long, ts timestamp"
+    path = str(tmp_path / "txns")
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(path)
+    spark.createDataFrame(straggler, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(path).schema
+        ).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = assemble_transactions(stream)
+    run_to_memory(out, "txn_straggler", output_mode="append")
+    rows = spark.sql("SELECT * FROM txn_straggler").collect()
+    assert len(rows) == 1 and rows[0].status == "committed"
+
+
+def test_merge_sinks_drop_null_key_rows(spark, tmp_path):
+    """_latest_rows drops NULL-key rows (the malformed-envelope
+    contract): the parquet sink persists no phantom NULL row and a
+    replayed batch stays idempotent."""
+    from pgshovel_spark.streaming.sinks import SnapshotParquetMergeSink
+
+    sink = SnapshotParquetMergeSink(
+        str(tmp_path / "state"), keys=["k"], order_cols=["seq"]
+    )
+    batch = spark.createDataFrame(
+        [(1, "a", 10), (None, None, 11), (2, "b", 12)],
+        "k int, v string, seq int",
+    )
+    sink.apply(batch, 0)
+    sink.apply(batch, 0)  # replay
+    got = spark.read.parquet(str(tmp_path / "state"))
+    assert got.filter(F.col("k").isNull()).count() == 0
+    assert {r.k for r in got.collect()} == {1, 2}
