@@ -66,6 +66,11 @@ def with_global_rank(
     ``order`` must be a total order (unique tiebreaker) for the result
     to be deterministic.  If ``total_col`` is given, the total row count
     is appended too (computed in the same job, no extra action).
+
+    Callers should PRE-PROJECT ``df`` to the columns they need: the
+    ranged stream is cached (see module docstring) and column pruning
+    cannot push through the cache boundary, so the materialized width
+    is exactly the input width.
     """
     from pgshovel_spark.operators.scratch import materialize
 

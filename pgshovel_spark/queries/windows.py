@@ -189,7 +189,10 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Window.orderBy`` — a global window with no partitionBy funnels the
     whole table through ONE task, which is a scale-killer at 100 TB.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # pre-project: the rank operator CACHES its input (single-execution
+    # invariant), and column pruning cannot push through the cache
+    # boundary — the operator materializes exactly what it is given
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     tiled = global_ntile(
         o,
         order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
