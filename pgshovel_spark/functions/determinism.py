@@ -183,3 +183,24 @@ def iratio_sql(num: str, den: str, nd: int = 4) -> str:
         f"CAST(({num} * {2 * scale} + {den}) // ({den} * 2) AS DOUBLE)"
         f" / {scale}.0"
     )
+
+
+#: Knuth multiplicative hash constant (2^32 * phi) — THE deterministic
+#: sampling hash every membership/bucket decision in the repo uses.
+KNUTH = 2654435761
+
+
+def knuth_bucket(col: Column | str, mod: int) -> Column:
+    """Deterministic bucket in [0, mod) from a non-negative integer id:
+    ``((id % 2^31) * KNUTH) % 2^32 % mod``.  The % 2^31 pre-reduction
+    is load-bearing (an unreduced multiply wraps BIGINT); this is the
+    ONE definition the sampling family shares — previously five inline
+    copies that an edit could desynchronize."""
+    col = F.col(col) if isinstance(col, str) else col
+    return ((col % F.lit(2**31)) * F.lit(KNUTH)) % F.lit(2**32) % F.lit(mod)
+
+
+def knuth_bucket_sql(expr: str, mod: int) -> str:
+    """The DuckDB rendering of :func:`knuth_bucket` (identical BIGINT
+    arithmetic)."""
+    return f"(({expr} % 2147483648) * {KNUTH}) % 4294967296 % {mod}"

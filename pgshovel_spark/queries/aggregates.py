@@ -258,7 +258,10 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny aggregated rows, and p*p == pc^2/1e4 by construction.
     # Overflow bound: sum(pc^2 >> 16) < 1.6e11/group-row -> safe to
     # ~5.7e7 rows/group; beyond that widen the split to >>32.
-    pc = (p * 100 + F.lit(0.5)).cast("long")
+    # floor, not cast: cast truncates TOWARD ZERO, so a negative price
+    # (credit/return line) would round the wrong way vs the oracle's
+    # FLOOR(p*100 + 0.5) half-up
+    pc = F.floor(p * 100 + F.lit(0.5)).cast("long")
     pcc = pc * pc
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -28,13 +28,7 @@ from pgshovel_spark.queries.similarity import _DF_CAP as _SIM_DF_CAP
 from pgshovel_spark.queries.training import _TOKS as _CUR_TOKS
 from pgshovel_spark.functions.determinism import iratio
 from pgshovel_spark.sources.tables import load_table
-
-
-def _docs_parallel(spark, sf_dir):
-    """documents spread across cores before tokenize/explode work (the
-    single-file fixture scans as one task otherwise; no-op at scale)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+from pgshovel_spark.sources.tables import docs_parallel as _docs_parallel
 
 
 # ------------------------------------------------- BPE pre-tokenization

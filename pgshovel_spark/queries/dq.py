@@ -24,22 +24,23 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fused plan: the referential checks ride the SAME scan as their
     fact table's row checks — orders' PK/date/FK-to-customer checks
-    flow from ``orders LEFT JOIN customer`` (the dim key is a PK, so
-    the join is 1:1 and preserves fact counts — the exact assumption
-    the oracle's own LEFT-JOIN counts embed), and both lineitem range
-    checks plus its FK-to-orders check from ``lineitem LEFT JOIN
-    orders(keys)``.  All four table legs then union into ONE
-    padded-schema stream feeding ONE global aggregate: each leg tags
-    its rows and pads the others' flag columns with nulls, the
-    partial aggregate collapses every map partition to constant-size
-    state before any exchange (sums of flags; the PK check's COUNT
-    DISTINCT keeps only distinct order keys per partition), and the
-    single one-row result ``stack``s out to the 8 constraint rows.
-    vs the per-leg aggregates this fuses away three separate
-    final-aggregate exchange stages; vs the naive 8-branch union:
-    orders drops from three scans to two (fact + FK key side),
-    lineitem from two to one — at 100 TB the scans are the whole cost
-    of a DQ gate, and both dim sides broadcast (keys only)."""
+    flow from ``orders LEFT JOIN customer(keys DISTINCT)`` (the key
+    side is DEDUPED so the join stays 1:1 and preserves fact counts
+    EVEN WHEN THE DIM IS DIRTY — a duplicated dim key is exactly the
+    anomaly a DQ sweep exists to catch, and it gets its own
+    customer_pk_unique row rather than corrupting every orders-side
+    count), and both lineitem range checks plus its FK-to-orders
+    check from ``lineitem LEFT JOIN orders(keys DISTINCT)``.  All
+    four table legs then union into ONE padded-schema stream feeding
+    ONE global aggregate: each leg tags its rows and pads the others'
+    flag columns with nulls, the partial aggregate collapses every
+    map partition to constant-size state before any exchange (sums
+    of flags; the PK checks' COUNT DISTINCTs keep only distinct keys
+    per partition), and the single one-row result ``stack``s out to
+    the 9 constraint rows.  vs the per-leg aggregates this fuses away
+    three separate final-aggregate exchange stages — at 100 TB the
+    scans are the whole cost of a DQ gate, and both dim sides
+    broadcast (keys only)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
@@ -49,12 +50,23 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("long")
     null_l = F.lit(None).cast("long")
 
+    # the dim KEY side is deduped before the FK probe: the fused plan's
+    # per-order counts (o_n, PK, date) ride this join and must stay 1:1
+    # even when the dim itself is dirty — a duplicated c_custkey (the
+    # very anomaly a DQ sweep exists to catch; it gets its own
+    # customer_pk_unique row below) would otherwise inflate every
+    # orders-side count and report phantom violations
     o_leg = (
         o.select("o_orderkey", "o_orderdate", "o_custkey")
-        .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(
+            c.select("c_custkey").distinct(),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
         .select(
             F.lit(0).alias("leg"),
             F.col("o_orderkey").alias("dkey"),
+            F.lit(None).cast("long").alias("dkey2"),
             flag(
                 ~F.col("o_orderdate").between(
                     F.lit("1990-01-01").cast("timestamp"),
@@ -67,10 +79,15 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li_leg = (
         li.select("l_orderkey", "l_quantity", "l_discount")
-        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(
+            o.select("o_orderkey").distinct(),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
         .select(
             F.lit(1).alias("leg"),
             null_l.alias("dkey"),
+            null_l.alias("dkey2"),
             flag(~F.col("l_quantity").between(1, 50)).alias("f1"),
             flag(~F.col("l_discount").between(0.0, 0.5)).alias("f2"),
             flag(F.col("o_orderkey").isNull()).alias("f3"),
@@ -79,6 +96,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_leg = c.select(
         F.lit(2).alias("leg"),
         null_l.alias("dkey"),
+        F.col("c_custkey").alias("dkey2"),
         flag(F.col("c_name").isNull()).alias("f1"),
         zero.alias("f2"),
         zero.alias("f3"),
@@ -86,6 +104,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_leg = ev.select(
         F.lit(3).alias("leg"),
         null_l.alias("dkey"),
+        null_l.alias("dkey2"),
         flag(F.col("value") < 0).alias("f1"),
         zero.alias("f2"),
         zero.alias("f3"),
@@ -104,19 +123,21 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_of(1, "f2").alias("li_disc_viol"),
         s_of(1, "f3").alias("fklo_viol"),
         n_of(2).alias("c_n"),
+        (n_of(2) - F.countDistinct("dkey2")).alias("c_pk_viol"),
         s_of(2, "f1").alias("c_name_viol"),
         n_of(3).alias("ev_n"),
         s_of(3, "f1").alias("ev_val_viol"),
     )
     out = one.select(
         F.expr(
-            "stack(8,"
+            "stack(9,"
             " 'orders_pk_unique', o_n, o_pk_viol,"
             " 'orders_date_in_bounds', o_n, o_date_viol,"
             " 'orders_fk_customer', o_n, fkoc_viol,"
             " 'lineitem_qty_in_range', li_n, li_qty_viol,"
             " 'lineitem_discount_in_range', li_n, li_disc_viol,"
             " 'lineitem_fk_orders', li_n, fklo_viol,"
+            " 'customer_pk_unique', c_n, c_pk_viol,"
             " 'customer_name_not_null', c_n, c_name_viol,"
             " 'events_value_non_negative', ev_n, ev_val_viol"
             ") AS (check_name, n_checked, n_violations)"
@@ -140,11 +161,16 @@ FROM (
   UNION ALL
   SELECT 'orders_fk_customer', COUNT(*),
          SUM(CAST(c_custkey IS NULL AS BIGINT))
-  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o_custkey = c_custkey
   UNION ALL
   SELECT 'lineitem_fk_orders', COUNT(*),
          SUM(CAST(o_orderkey IS NULL AS BIGINT))
-  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'customer_pk_unique', COUNT(*),
+         COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
   UNION ALL
   SELECT 'lineitem_qty_in_range', COUNT(*),
          SUM(CAST(NOT (l_quantity BETWEEN 1 AND 50) AS BIGINT)) FROM lineitem
@@ -166,7 +192,7 @@ FROM (
 
 
 #: PSI parameters: fixed-width value buckets (width 50, clamped to
-#: [0, 9]) and a calendar cut between the reference (A) and current
+#: [0, 9] on BOTH ends) and a calendar cut between the reference (A) and current
 #: (B) windows.  Fixed edges — not quantiles — keep the histogram
 #: deterministic and mergeable; Laplace (+1) smoothing makes every
 #: bucket ratio finite on both engines.
@@ -194,9 +220,16 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     t1 = F.lit(_PSI_CUT).cast("timestamp")
-    b = F.least(
-        F.lit(_PSI_NB - 1),
-        F.floor(F.col("value") / _PSI_W).cast("long"),
+    # clamped on BOTH ends: a negative event value would otherwise
+    # land in bucket -1, making the Laplace-smoothed proportions span
+    # 11 buckets and biasing the PSI (both engines shared the bug, so
+    # the hash gate could never surface it)
+    b = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(_PSI_NB - 1),
+            F.floor(F.col("value") / _PSI_W).cast("long"),
+        ),
     )
     counts = (
         e.select("event_type", b.alias("b"), (F.col("ts") < t1).alias("is_a"))
@@ -256,7 +289,8 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_PSI_SQL = f"""
 WITH c AS (
   SELECT event_type,
-         LEAST({_PSI_NB - 1}, CAST(FLOOR(value / {_PSI_W}) AS BIGINT)) AS b,
+         GREATEST(0, LEAST({_PSI_NB - 1},
+                CAST(FLOOR(value / {_PSI_W}) AS BIGINT))) AS b,
          SUM(CASE WHEN ts < TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END) AS ca,
          SUM(CASE WHEN ts < TIMESTAMP '{_PSI_CUT}' THEN 0 ELSE 1 END) AS cb
   FROM events GROUP BY 1, 2

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pgshovel_spark.functions.determinism import iratio
 from pgshovel_spark.functions.textfns import tokens
 from pgshovel_spark.queries.training import _KNUTH, _TOKS
+from pgshovel_spark.functions.determinism import knuth_bucket
 from pgshovel_spark.sources.tables import load_table
 
 #: Blocklist for the scrub op: terms whose presence flags a document
@@ -149,9 +150,7 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(tokens("text"), lambda t: t != "")
-    bucket = (
-        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
-    ) % F.lit(2**32) % F.lit(1000)
+    bucket = knuth_bucket("doc_id", 1000)
     split = (
         F.when(bucket < _SPLIT_TRAIN, F.lit("train"))
         .when(bucket < _SPLIT_VAL, F.lit("val"))

@@ -217,8 +217,12 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             o,
+            # INTERVAL arithmetic, not date_add: date_add truncates a
+            # timestamp to DATE (midnight), silently diverging from
+            # the oracle's o_orderdate + INTERVAL 60 DAY whenever an
+            # order timestamp carries a time-of-day
             (li.l_orderkey == o.o_orderkey)
-            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
         )
         .select(
             "l_orderkey",

@@ -32,14 +32,33 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(_media(spark, sf_dir), "doc_id", "payload")
 
 
-_MM_FEATURES_SQL = """
+# The engine measures the PAYLOAD (UTF-8 bytes of encode(text)), so the
+# oracle must too: octet_length(encode()) for byte length, and the
+# first UTF-8 byte derived from the first CODEPOINT (cp<128 -> cp;
+# 2-byte -> 192+cp//64; 3-byte -> 224+cp//4096; else 240+cp//262144) —
+# length(text)/ascii() count CHARACTERS and silently diverge on any
+# non-ASCII document.
+_MM_FIRST_BYTE_SQL = (
+    "CASE WHEN cp < 128 THEN cp"
+    " WHEN cp < 2048 THEN 192 + cp // 64"
+    " WHEN cp < 65536 THEN 224 + cp // 4096"
+    " ELSE 240 + cp // 262144 END"
+)
+
+_MM_FEATURES_SQL = f"""
+WITH src AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS nb,
+         COALESCE(ascii(substring(text, 1, 1)), 0) AS cp
+  FROM documents
+)
 SELECT
   doc_id,
-  CAST(length(text) AS BIGINT) AS n_bytes,
-  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
-  CAST((ascii(substring(text, 1, 1)) % 64 + 1) * 16 AS BIGINT) AS width,
-  CAST((length(text) % 64 + 1) * 16 AS BIGINT) AS height
-FROM documents
+  CAST(nb AS BIGINT) AS n_bytes,
+  CAST({_MM_FIRST_BYTE_SQL} AS BIGINT) AS first_byte,
+  CAST((({_MM_FIRST_BYTE_SQL}) % 64 + 1) * 16 AS BIGINT) AS width,
+  CAST((nb % 64 + 1) * 16 AS BIGINT) AS height
+FROM src
 """
 
 
@@ -53,8 +72,9 @@ SELECT doc_id,
        CAST(f AS BIGINT) AS frame_idx,
        CAST(f * 100 AS BIGINT) AS frame_offset_bytes
 FROM documents,
-     LATERAL (SELECT unnest(generate_series(0, length(text) // 100 - 1, 3)) AS f)
-WHERE length(text) >= 100
+     LATERAL (SELECT unnest(generate_series(
+       0, octet_length(encode(text)) // 100 - 1, 3)) AS f)
+WHERE octet_length(encode(text)) >= 100
 """
 
 

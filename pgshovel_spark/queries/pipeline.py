@@ -1,3 +1,4 @@
+
 """End-to-end training-data curation pipeline as ONE declarative plan.
 
 ``q_pipeline_curate`` chains the curation stages the individual
@@ -24,6 +25,7 @@ from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
 from pgshovel_spark.operators.scratch import materialize
+from pgshovel_spark.functions.determinism import knuth_bucket
 from pgshovel_spark.queries.training import (
     _BUDGET_MILLI,
     _KNUTH,
@@ -128,9 +130,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000).cast("long"),
         F.expr("(budget_toks * w_milli) div lang_toks"),
     )
-    bucket = (
-        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
-    ) % F.lit(2**32) % F.lit(1000)
+    bucket = knuth_bucket("doc_id", 1000)
     d = (
         d.join(F.broadcast(totals), "lang")
         .filter(bucket.cast("long") < rate)

@@ -51,17 +51,7 @@ _TOKEN_HASH_SQL = (
 _MINHASH_COEFS = [(2971, 1049), (3413, 2221), (4021, 367), (4519, 1559),
                   (5003, 2897), (5519, 733), (6037, 1973), (6553, 3181)]
 _MINHASH_P = 2147483647
-
-
-def _docs_parallel(spark, sf_dir):
-    """documents, spread across the full core count BEFORE the
-    tokenize/explode projections: the fixture is one small parquet
-    file -> one input task, which would serialize all the (interpreted
-    higher-order) shingle/token expressions onto a single thread.  On
-    a real multi-file corpus the scan is already parallel and this
-    repartition collapses to a cheap shuffle of raw docs."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+from pgshovel_spark.sources.tables import docs_parallel as _docs_parallel
 
 
 def _tok_distinct(spark, sf_dir):
@@ -714,15 +704,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set to genuine near-dups.
     """
     sigs = _minhash_sigs(spark, sf_dir)
-
-    def band(i):
-        cols = [F.col(f"mh{4*i+j}") for j in range(4)]
-        k = cols[0]
-        for c in cols[1:]:
-            k = k * 31 + c
-        return k.alias(f"band{i}")
-
-    return sigs.select("doc_id", *[F.col(f"mh{i}") for i in range(8)], band(0), band(1))
+    return sigs.select(
+        "doc_id", *[F.col(f"mh{i}") for i in range(8)], _band_key(0), _band_key(1)
+    )
 
 
 _DEDUP_MINHASH_SQL = f"""
@@ -736,6 +720,18 @@ FROM ({_MINHASH_SIGS_SQL})
 #: number of LSH bands (8 minhashes as N_BANDS x 4 rows).  Referenced by
 #: every Python AND SQL site below — change it in one place only.
 _N_BANDS = 2
+
+
+def _band_key(i: int):
+    """Band-i LSH key: the 31-polynomial mix of minhashes 4i..4i+3 —
+    THE banding layout contract between signatures, pairs, clusters,
+    and the estimator audit.  One definition; the SQL mirrors render
+    the same ((mh*31+mh)*31+mh)*31+mh expression inline."""
+    cols = [F.col(f"mh{4 * i + j}") for j in range(4)]
+    k = cols[0]
+    for c in cols[1:]:
+        k = k * 31 + c
+    return k.alias(f"band{i}")
 
 
 def _bands_long(sigs: DataFrame) -> DataFrame:
@@ -902,14 +898,7 @@ def q_sim_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lazy population races (measured 12 jobs lazy vs 10 eager)
     per_doc = materialize(tok.groupBy("doc_id").agg(*aggs), eager=True)
 
-    def band(i):
-        cols = [F.col(f"mh{4 * i + j}") for j in range(4)]
-        k = cols[0]
-        for c in cols[1:]:
-            k = k * 31 + c
-        return k.alias(f"band{i}")
-
-    long_ = _bands_long(per_doc.select("doc_id", band(0), band(1)))
+    long_ = _bands_long(per_doc.select("doc_id", _band_key(0), _band_key(1)))
     big = (
         long_.groupBy("band_idx", "key")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -924,8 +913,8 @@ def q_sim_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffled O(pairs) either way.
     full = per_doc.select(
         "doc_id",
-        band(0),
-        band(1),
+        _band_key(0),
+        _band_key(1),
         F.array(*[F.col(f"mh{i}") for i in range(8)]).alias("mhs"),
         "toks",
     )

@@ -13,18 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import norm_text, tokens
+from pgshovel_spark.functions.determinism import KNUTH, knuth_bucket
 from pgshovel_spark.operators.scratch import materialize
 from pgshovel_spark.sources.tables import load_table, table_rowcount
-
-
-def _docs_parallel(spark, sf_dir):
-    """documents spread across all cores before tokenize/explode work —
-    the single-file fixture otherwise scans as ONE task and serializes
-    every interpreted higher-order expression (measured 3-6x whole-
-    query on the similarity family).  No-op cost on a real multi-file
-    corpus."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+from pgshovel_spark.sources.tables import docs_parallel as _docs_parallel
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,13 +413,19 @@ def q_text_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     view, fn = f"__docs_for_spans_{tag}", f"token_spans_{tag}"
     d.createOrReplaceTempView(view)
     spark.udtf.register(fn, TokenSpans)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT d.doc_id, s.token_idx, s.token, s.start_off, s.end_off
         FROM {view} d,
              LATERAL {fn}(d.doc_id, d.text) s
         """
     )
+    # spark.sql analyzes EAGERLY, so the names are already bound into
+    # the plan — drop them now or every invocation leaks one temp view
+    # + one temp function into the session catalog
+    spark.catalog.dropTempView(view)
+    spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn}")
+    return out
 
 
 #: The fixture text is single-space separated, so offsets follow from a
@@ -460,7 +458,7 @@ FROM tok
 #: "rebalance the corpus mix" step of training-data curation.
 _SAMPLE_RATES = {"en": 50, "de": 30, "fr": 30}
 _SAMPLE_DEFAULT_RATE = 10
-_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
+_KNUTH = KNUTH  # canonical constant lives in functions/determinism.py
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,9 +476,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id is reduced mod 2^31 BEFORE the multiply so the product
     # stays under 2^63 for ANY 64-bit id (otherwise ANSI mode throws
     # ARITHMETIC_OVERFLOW at exactly the id ranges a 100 TB corpus has).
-    bucket = (
-        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
-    ) % F.lit(2**32) % F.lit(100)
+    bucket = knuth_bucket("doc_id", 100)
     rate = F.lit(_SAMPLE_DEFAULT_RATE)
     for lang, r in sorted(_SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
+from pgshovel_spark.functions.determinism import KNUTH, knuth_bucket
 from pgshovel_spark.sources.tables import load_table
 
 #: context length for q_pack_sequences (tokens per training sequence)
@@ -485,7 +486,7 @@ _MIX_WEIGHTS = {"en": 400, "de": 200, "fr": 200, "es": 100, "zh": 100}
 #: fraction of the corpus token count to spend, in milli-units.
 _BUDGET_MILLI = 500
 
-_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
+_KNUTH = KNUTH  # canonical constant lives in functions/determinism.py
 
 
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,9 +546,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000).cast("long"),
         F.expr("(budget_toks * w_milli) div lang_toks"),
     )
-    bucket = (
-        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
-    ) % F.lit(2**32) % F.lit(1000)
+    bucket = knuth_bucket("doc_id", 1000)
     return (
         d.join(F.broadcast(totals), "lang")
         .withColumn("rate_milli", rate)
@@ -654,7 +653,13 @@ def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("epochs_milli"), F.lit(_MAX_EPOCHS_MILLI))
             .cast("long")
             .alias("epochs_eff_milli"),
-            (F.col("epochs_milli") > _MAX_EPOCHS_MILLI).alias("capped"),
+            # capped iff the cap leaves an actual deficit — defined on
+            # the UNFLOORED target, not the floored milli-epoch value:
+            # flooring could report capped=false next to a positive
+            # deficit (target 4000.5 milli-epochs floors to 4000)
+            F.expr(
+                f"target_toks > (lang_toks * {_MAX_EPOCHS_MILLI}) div 1000"
+            ).alias("capped"),
             F.greatest(
                 F.lit(0).cast("long"),
                 F.expr(
@@ -690,7 +695,7 @@ SELECT lang, w_milli, lang_toks, target_toks,
        (target_toks * 1000) // lang_toks AS epochs_milli,
        LEAST((target_toks * 1000) // lang_toks,
              CAST({_MAX_EPOCHS_MILLI} AS BIGINT)) AS epochs_eff_milli,
-       (target_toks * 1000) // lang_toks > {_MAX_EPOCHS_MILLI} AS capped,
+       target_toks > (lang_toks * {_MAX_EPOCHS_MILLI}) // 1000 AS capped,
        GREATEST(CAST(0 AS BIGINT),
                 target_toks - (lang_toks * {_MAX_EPOCHS_MILLI}) // 1000)
          AS deficit_toks
@@ -720,9 +725,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine, never a full sort.
     """
     d = load_table(spark, sf_dir, "documents")
-    h = (
-        (F.col("doc_id") % F.lit(2**31)) * F.lit(_KNUTH)
-    ) % F.lit(2**32) % F.lit(1000000) + F.lit(1)
+    h = knuth_bucket("doc_id", 1000000) + F.lit(1)
     u = h.cast("double") / F.lit(1000001.0)
     key = -F.log(u) / F.col("n_chars").cast("double")
     return (

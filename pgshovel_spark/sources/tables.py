@@ -216,3 +216,15 @@ def nation_name_expr(spark: SparkSession, sf_dir: str, key_col):
         pairs.append(F.lit(int(x.key)))
         pairs.append(F.lit(x.name))
     return F.element_at(F.create_map(*pairs), key_col.cast("long"))
+
+
+def docs_parallel(spark: SparkSession, sf_dir: str):
+    """documents spread across all cores BEFORE tokenize/explode work —
+    the single-file fixture otherwise scans as ONE task and serializes
+    every interpreted higher-order expression onto one thread (measured
+    3-6x whole-query on the similarity family).  No-op cost on a real
+    multi-file corpus, where the scan is already parallel.  ONE shared
+    definition (text/similarity/curation/training previously carried
+    four copies of this spread)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
