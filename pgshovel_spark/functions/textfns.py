@@ -24,14 +24,17 @@ WS_SQL = "[ \\t\\n\\x0B\\f\\r]"
 
 
 def norm_text(c: Column | str) -> Column:
-    """Normalization used by exact dedup: lower, trim, collapse runs
-    of whitespace.
+    """Normalization used by exact dedup: lower, collapse runs of
+    whitespace, THEN trim — collapse-first, because ``trim`` strips
+    only ASCII spaces: trimming before the collapse left a leading/
+    trailing tab or newline alive as an edge SPACE, so two texts
+    differing only in edge-whitespace TYPE failed to dedup.
 
-    Oracle SQL: ``regexp_replace(trim(lower(text)),
-    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')``.
+    Oracle SQL: ``trim(regexp_replace(lower(text),
+    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))``.
     """
     c = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(F.trim(F.lower(c)), WS + "+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), WS + "+", " "))
 
 
 def tokens(c: Column | str) -> Column:

@@ -299,7 +299,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_INCREMENTAL_SQL = r"""
 WITH d AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
   FROM documents
 ), corpus AS (
   SELECT norm, MIN(doc_id) AS dup_of FROM d WHERE doc_id % 5 <> 0 GROUP BY norm

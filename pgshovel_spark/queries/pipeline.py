@@ -167,7 +167,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_CURATE_SQL = f"""
 WITH t AS (
   SELECT doc_id, lang,
-         regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm,
+         trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm,
          {_TOKS} AS a
   FROM documents
 ), ded AS (

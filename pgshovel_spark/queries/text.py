@@ -55,7 +55,7 @@ SELECT
   COUNT(*) AS n_dupes,
   CAST(length(norm) AS BIGINT) AS norm_len
 FROM (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
   FROM documents
 )
 GROUP BY norm

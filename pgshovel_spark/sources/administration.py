@@ -84,6 +84,24 @@ def _vpath(admin_dir: str, name: str, version: int) -> str:
     return os.path.join(admin_dir, f"{name}.v{version}.json")
 
 
+#: payload column width for the SQL backends — sized for realistic
+#: SetConfigs (dozens of tables with drift-populated column_types);
+#: Derby VARCHAR caps at 32672, PostgreSQL is unconstrained.  claim()
+#: pre-checks the encoded length so an oversized config fails with a
+#: CLEAR error instead of a driver-specific truncation exception.
+_PAYLOAD_MAX = 32000
+
+
+def _check_payload_len(name: str, version: int, body: str) -> str:
+    if len(body) > _PAYLOAD_MAX:
+        raise ConfigError(
+            f"config {name} v{version} payload is {len(body)} chars —"
+            f" exceeds the SQL backends' {_PAYLOAD_MAX}-char column;"
+            " split the set or use the file/ZooKeeper backend"
+        )
+    return body
+
+
 class CoordinatorBackend:
     """Versioned-config store contract — the coordination seam.
 
@@ -129,14 +147,25 @@ class FileBackend(CoordinatorBackend):
     def claim(self, name: str, version: int, payload: dict) -> None:
         os.makedirs(self.admin_dir, exist_ok=True)
         path = _vpath(self.admin_dir, name, version)
+        # Write the payload to a temp file FIRST, then link it into
+        # place: os.link is the atomic exclusive-create (EEXIST on a
+        # lost race, like O_EXCL) AND it lands the complete payload in
+        # one step.  The previous O_EXCL-create-then-dump left a
+        # claimed-but-empty version file if the writer died mid-dump —
+        # unrepairable, because the claim itself forbids rewriting.
+        tmp = f"{path}.tmp.{os.getpid()}.{id(payload):x}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            os.link(tmp, path)
         except FileExistsError:
             raise ConfigError(
                 f"version conflict: {name} v{version} was created concurrently"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f, indent=2, sort_keys=True)
+        finally:
+            os.unlink(tmp)
 
     def read(self, name: str, version: int) -> dict:
         with open(_vpath(self.admin_dir, name, version)) as f:
@@ -235,11 +264,17 @@ class JdbcBackend(CoordinatorBackend):
             st.executeUpdate(
                 "CREATE TABLE set_config ("
                 " name VARCHAR(128) NOT NULL, version INT NOT NULL,"
-                " payload VARCHAR(4096) NOT NULL,"
+                f" payload VARCHAR({_PAYLOAD_MAX}) NOT NULL,"
                 " PRIMARY KEY (name, version))"
             )
-        except Exception:
-            pass  # already exists — CREATE IF NOT EXISTS isn't portable
+        except Exception as e:
+            # tolerate ONLY the already-exists race (CREATE IF NOT
+            # EXISTS isn't portable); a dead connection or missing
+            # privilege must surface HERE, not as a confusing
+            # 'table does not exist' on the first claim
+            msg = str(e).lower()
+            if "exist" not in msg and "x0y32" not in msg and "42p07" not in msg:
+                raise
         finally:
             st.close()
 
@@ -262,7 +297,12 @@ class JdbcBackend(CoordinatorBackend):
         try:
             ps.setString(1, name)
             ps.setInt(2, version)
-            ps.setString(3, json.dumps(payload, sort_keys=True))
+            ps.setString(
+                3,
+                _check_payload_len(
+                    name, version, json.dumps(payload, sort_keys=True)
+                ),
+            )
             ps.executeUpdate()
         except Exception as e:  # duplicate-key from the remote engine
             if "23505" in str(e) or "duplicate" in str(e).lower():
@@ -311,7 +351,7 @@ class PgWireBackend(CoordinatorBackend):
             self._con.query(
                 "CREATE TABLE IF NOT EXISTS set_config ("
                 " name VARCHAR(128) NOT NULL, version INT NOT NULL,"
-                " payload VARCHAR(4096) NOT NULL,"
+                f" payload VARCHAR({_PAYLOAD_MAX}) NOT NULL,"
                 " PRIMARY KEY (name, version))"
             )
         except PgError as e:
@@ -335,7 +375,7 @@ class PgWireBackend(CoordinatorBackend):
         )
 
     def claim(self, name: str, version: int, payload: dict) -> None:
-        body = json.dumps(payload, sort_keys=True)
+        body = _check_payload_len(name, version, json.dumps(payload, sort_keys=True))
         try:
             self._con.query(
                 "INSERT INTO set_config (name, version, payload) VALUES "

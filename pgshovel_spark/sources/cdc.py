@@ -120,6 +120,11 @@ def cursor_subquery(
     SQL is unit-testable without a live database."""
     if not _IDENT.fullmatch(cursor_col):
         raise ValueError(f"cursor_col is not a plain identifier: {cursor_col!r}")
+    # the table name is spliced into remote SQL just like cursor_col —
+    # validate BOTH identifiers (schema-qualified allowed), or a caller
+    # bypassing administration's validation carries an injection hole
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", table):
+        raise ValueError(f"table is not a plain identifier: {table!r}")
     pred = (
         ""
         if watermark is None
@@ -242,6 +247,15 @@ def incremental_pulls(
     engine's ``pgq.finish_batch``).  Stops when a pull returns no new
     rows (or after ``max_pulls``).
 
+    DEPLOYMENT CONSTRAINT for TIMESTAMP cursors: the watermark value
+    round-trips through the driver's JVM/OS timezone (JDBC
+    getTimestamp → naive Python datetime → rendered literal).  Run
+    the driver with a FIXED-OFFSET timezone (UTC — the standard JDBC
+    guidance; session.py pins it): on a DST zone, a cursor value in
+    the ambiguous repeated hour can read back an hour high and the
+    next pull's ``> watermark`` predicate would silently skip that
+    hour's rows.  Monotone integer cursors carry no such hazard.
+
     The snapshot_read callable abstracts the source: JDBC in
     production (jdbc_snapshot_reader), a parquet-backed lambda in
     tests — identical loop either way.  Cursor-aware readers OPT IN by
@@ -290,7 +304,11 @@ def incremental_pulls(
             with open(watermark_file) as f:
                 raw = json.load(f)["watermark"]
             watermark = _decode_watermark(raw) if isinstance(raw, dict) else raw
-        except (ValueError, KeyError, FileNotFoundError):
+        except (ValueError, KeyError, TypeError, FileNotFoundError):
+            # TypeError included: valid-JSON-but-wrong-shape content
+            # (e.g. a top-level list, or a non-string inside the typed
+            # envelope) must ALSO degrade to the full re-pull, never a
+            # restart-wedging crash
             watermark = None
     pulls = 0
     while max_pulls is None or pulls < max_pulls:
@@ -372,7 +390,17 @@ def bootstrap_consistent_state(
     plain (column-pruned, partition-pruned) batch read.
     """
     xip = xip or []
-    post = changes_df.filter(~mvcc_visible(txid_col, xmin, xmax, xip))
+    # a NULL txid is a malformed change row: ~mvcc_visible(NULL)
+    # evaluates NULL and the filter would SILENTLY drop the mutation
+    # (a lost update in the bootstrapped state) — fail loudly instead
+    vis = mvcc_visible(txid_col, xmin, xmax, xip)
+    guarded = F.when(
+        F.col(txid_col).isNull(),
+        F.raise_error(
+            F.lit("bootstrap_consistent_state: change row with NULL txid")
+        ).cast("boolean"),
+    ).otherwise(vis)
+    post = changes_df.filter(~guarded)
     # Source-precedence tiebreak: a post-snapshot mutation that TIES
     # the snapshot row on every order column must still win (it is by
     # construction newer — it was invisible to the snapshot), else

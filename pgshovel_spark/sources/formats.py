@@ -187,10 +187,17 @@ def compact(
     df = spark.read.parquet(path)
     if partition_cols:
         # target_file_mb is enforced via maxRecordsPerFile (estimated
-        # from on-disk bytes/row — a metadata-only count, no data scan),
-        # so a hot partition splits into several target-sized files
-        # instead of one giant one.
-        n_records = df.count()
+        # from on-disk bytes/row).  The row count comes from the
+        # parquet FOOTERS driver-side (num_rows per file) — df.count()
+        # is NOT metadata-only with aggregate pushdown off (the
+        # default) and would add a second full scan to every
+        # compaction.
+        import pyarrow.parquet as pq
+
+        n_records = sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in src.rglob("*.parquet")
+        )
         rec_bytes = max(1, total // max(1, n_records))
         max_rec = max(1, target_bytes // rec_bytes)
         w = (

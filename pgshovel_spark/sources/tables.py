@@ -170,9 +170,25 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     # Key the cache on the target's mtime/size so an in-place regenerated
     # fixture is re-read, and support the documented directory-tree table
     # layout (a parquet dataset dir of part files) by summing footers.
+    # For the DIRECTORY layout the stamp aggregates over the data files
+    # themselves: rewriting a part file's bytes in place (same name) or
+    # adding one inside a nested partition dir does NOT touch the top
+    # directory's own mtime/size, so a top-level stat alone served
+    # stale counts.
     try:
         st = os.stat(path)
-        stamp = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            n_files = tot_mtime = tot_size = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        fst = os.stat(os.path.join(root, f))
+                        n_files += 1
+                        tot_mtime = max(tot_mtime, fst.st_mtime_ns)
+                        tot_size += fst.st_size
+            stamp = (n_files, tot_mtime, tot_size)
+        else:
+            stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
         stamp = None
     key = (sf_dir, name, stamp)
