@@ -225,3 +225,40 @@ def test_backend_contract_exactly_one_winner(any_backend):
     assert len(wins) == 1 and results.count("lose") == 7
     winner = int(wins[0].split(":")[1])
     assert be.read("raced_set", 1) == {"winner": winner}
+
+
+def test_file_claim_payload_is_atomic(tmp_path):
+    """The claim file appears COMPLETE or not at all: no temp files
+    survive, a lost race raises ConfigError, and every version file on
+    disk is valid JSON at all times (the O_EXCL-create-then-dump
+    window used to leave an unrepairable empty claim)."""
+    import json
+    import os
+
+    from pgshovel_spark.sources.administration import ConfigError, FileBackend
+
+    be = FileBackend(str(tmp_path / "admin"))
+    be.claim("s1", 1, {"k": "v" * 100})
+    assert be.read("s1", 1) == {"k": "v" * 100}
+    with pytest.raises(ConfigError, match="conflict"):
+        be.claim("s1", 1, {"other": 1})
+    # the losing claim leaves neither a temp file nor a torn payload
+    files = os.listdir(str(tmp_path / "admin"))
+    assert files == ["s1.v1.json"]
+    with open(tmp_path / "admin" / "s1.v1.json") as f:
+        assert json.load(f) == {"k": "v" * 100}
+
+
+def test_sql_backend_payload_too_large_is_clear(tmp_path):
+    """An oversized config fails with a CLEAR ConfigError naming the
+    limit, not a driver-specific truncation exception."""
+    import sqlite3
+
+    from pgshovel_spark.sources.administration import (
+        ConfigError,
+        _check_payload_len,
+    )
+
+    with pytest.raises(ConfigError, match="exceeds the SQL backends"):
+        _check_payload_len("big", 1, "x" * 40000)
+    assert _check_payload_len("ok", 1, "x" * 100) == "x" * 100

@@ -121,3 +121,15 @@ def test_embeddings_fixture_is_64d():
         "'/root/testdata/sf0.001/embeddings.parquet') WHERE len(embedding) <> 64"
     ).fetchone()[0]
     assert n_bad == 0
+
+
+def test_norm_text_edge_whitespace_types_dedup_equal(spark):
+    """Texts differing only in edge-whitespace TYPE normalize equal:
+    collapse-first then trim (trim alone strips only ASCII spaces, so
+    a leading tab used to survive as a leading space)."""
+    from pgshovel_spark.functions.textfns import norm_text
+
+    rows = [("a b",), ("\ta b",), ("a b\n",), ("  a\tb  ",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r[0] for r in df.select(norm_text("text")).collect()}
+    assert got == {"a b"}

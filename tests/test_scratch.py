@@ -155,3 +155,25 @@ def test_truncate_cuts_lineage_on_storage(spark):
     # and the checkpoint dir was set under this session's scratch root
     ckpt = spark.sparkContext._jsc.sc().getCheckpointDir().get()
     assert str(scratch.SCRATCH_ROOT) in ckpt
+
+
+def test_table_rowcount_dir_stamp_sees_inplace_rewrite(spark, tmp_path):
+    """Directory-dataset row counts re-read when a PART FILE is
+    rewritten in place (same name) — the top-level dir stat alone
+    missed it and served a stale cached count."""
+    import shutil
+
+    from pgshovel_spark.sources import tables as T
+
+    d = str(tmp_path / "orders.parquet")
+    spark.range(10).selectExpr("id AS o_orderkey").coalesce(1).write.parquet(d)
+    import os
+    tdir = str(tmp_path)
+    assert T.table_rowcount(tdir, "orders") == 10
+    # rewrite the part file IN PLACE with different contents
+    part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    bigger = str(tmp_path / "bigger")
+    spark.range(25).selectExpr("id AS o_orderkey").coalesce(1).write.parquet(bigger)
+    newpart = next(f for f in os.listdir(bigger) if f.endswith(".parquet"))
+    shutil.copyfile(os.path.join(bigger, newpart), os.path.join(d, part))
+    assert T.table_rowcount(tdir, "orders") == 25
