@@ -98,6 +98,7 @@ _PRIORITY = (
     "q_sample_temperature",
     "q_embed_health",
     "q_late_events",
+    "q_expr_try",
     "q_user_periodicity",
     "q_join_asof_tolerance",
     # round-9 NEW queries first (never driver-checked): the batched

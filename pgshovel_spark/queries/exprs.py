@@ -278,7 +278,55 @@ FROM lineitem
 """
 
 
+def q_expr_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI error-safety panel — Spark 4 runs under ANSI mode
+    where division by zero, numeric overflow, bad casts, and
+    out-of-bounds access are RUNTIME ERRORS; the ``try_*`` family is
+    the documented production posture for untrusted data (NULL on
+    failure instead of a dead job).  One row per event exercising all
+    four: try_cast of a JSON-extracted string, try_divide with zero
+    denominators, try_element_at past an array's end, and
+    try_multiply at BIGINT overflow — the oracle states each NULL
+    analytically (CASE on the failing condition), so the hash check
+    pins the try-semantics themselves.
+
+    Scale: pure row-local expressions inside codegen, zero shuffles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') as bigint)").alias("k_int"),
+        (
+            F.round(
+                F.expr("try_divide(value, cast(user_id % 5 as double))"), 4
+            )
+            + 0.0
+        ).alias("safe_ratio"),
+        F.expr(
+            "cast(try_element_at(sequence(1, 1 + cast(user_id % 4 as int)), 3)"
+            " as bigint)"
+        ).alias("third_elem"),
+        F.expr("try_multiply(user_id, 9223372036854775807L)").alias("big_prod"),
+    )
+
+
+_EXPR_TRY_SQL = """
+SELECT
+  event_id,
+  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+  CASE WHEN user_id % 5 = 0 THEN NULL
+       ELSE ROUND(value / CAST(user_id % 5 AS DOUBLE), 4) + 0.0
+  END AS safe_ratio,
+  CASE WHEN 1 + user_id % 4 >= 3
+       THEN CAST(3 AS BIGINT) ELSE NULL END AS third_elem,
+  CASE WHEN user_id <= 1 THEN user_id * 9223372036854775807
+       ELSE NULL END AS big_prod
+FROM events
+"""
+
+
 QUERIES = {
+    "q_expr_try": q_expr_try,
     "q_expr_case": q_expr_case,
     "q_string_funcs": q_string_funcs,
     "q_date_funcs": q_date_funcs,
@@ -290,6 +338,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_expr_try": _EXPR_TRY_SQL,
     "q_expr_case": _EXPR_CASE_SQL,
     "q_string_funcs": _STRING_FUNCS_SQL,
     "q_date_funcs": _DATE_FUNCS_SQL,
