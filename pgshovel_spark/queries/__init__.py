@@ -99,6 +99,7 @@ _PRIORITY = (
     "q_embed_health",
     "q_late_events",
     "q_expr_try",
+    "q_graph_lpa",
     "q_user_periodicity",
     "q_join_asof_tolerance",
     # round-9 NEW queries first (never driver-checked): the batched

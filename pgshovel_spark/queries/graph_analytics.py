@@ -24,7 +24,7 @@ recursive closure ~2x at sf0.1 there).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.operators.graph import connected_components
@@ -476,13 +476,107 @@ ORDER BY r DESC, node LIMIT 20
 _GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
+#: synchronous LPA rounds (unrolled — each is one join + one ranked
+#: aggregate; 2 rounds resolves the fixture graph's dense cores while
+#: keeping the plan a fixed-depth DAG)
+_LPA_ROUNDS = 2
+
+
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (Raghavan et al. 2007) over the
+    bipartite trade graph — the community-detection member of the
+    graph family (CC finds CONNECTivity; LPA finds DENSITY: the
+    near-dup cluster-refinement step a dedup pipeline runs when a
+    connected component is too coarse).
+
+    SYNCHRONOUS rounds with a deterministic tie-break — classic LPA
+    updates asynchronously with random ties, which no two engines
+    would reproduce; here every node simultaneously adopts the label
+    most frequent among its NEIGHBORS, ties broken by MIN label, for
+    {_LPA_ROUNDS} unrolled rounds.  Output is one row per community:
+    final label, member count, customers/suppliers split.
+
+    Scale: each round is one (node-keyed) join against the label
+    table + one ranked aggregate — fixed-depth declarative DAG like
+    q_graph_pagerank's unroll, never a driver loop; the edge list is
+    the shared parquet scratch artifact.
+    """
+    e = _trade_edges(spark, sf_dir)
+    inc = e.select(F.col("cn").alias("node"), F.col("sn").alias("nbr")).unionByName(
+        e.select(F.col("sn").alias("node"), F.col("cn").alias("nbr"))
+    )
+    labels = inc.select("node").distinct().withColumn("lbl", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        nbr_lbl = inc.join(
+            labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+        )
+        cnt = nbr_lbl.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum((F.col("node") % 2 == 0).cast("long")).alias("n_customers"),
+        F.sum((F.col("node") % 2 == 1).cast("long")).alias("n_suppliers"),
+    )
+
+
+_GRAPH_LPA_SQL = f"""
+WITH edges AS ({_TRADE_EDGES_SQL}),
+inc AS (
+  SELECT cn AS node, sn AS nbr FROM edges
+  UNION ALL
+  SELECT sn AS node, cn AS nbr FROM edges
+),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM inc),
+r1c AS (
+  SELECT i.node, l.lbl, COUNT(*) AS c
+  FROM inc i JOIN l0 l ON i.nbr = l.node
+  GROUP BY i.node, l.lbl
+),
+l1 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM r1c
+  ) WHERE rn = 1
+),
+r2c AS (
+  SELECT i.node, l.lbl, COUNT(*) AS c
+  FROM inc i JOIN l1 l ON i.nbr = l.node
+  GROUP BY i.node, l.lbl
+),
+l2 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM r2c
+  ) WHERE rn = 1
+)
+SELECT lbl AS community,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers
+FROM l2 GROUP BY lbl
+"""
+
+
 QUERIES = {
+    "q_graph_lpa": q_graph_lpa,
     "q_graph_trade_components": q_graph_trade_components,
     "q_graph_degrees": q_graph_degrees,
     "q_graph_triangles": q_graph_triangles,
     "q_graph_pagerank": q_graph_pagerank,
 }
 ORACLES = {
+    "q_graph_lpa": _GRAPH_LPA_SQL,
     "q_graph_trade_components": _GRAPH_TRADE_COMPONENTS_SQL,
     "q_graph_degrees": _GRAPH_DEGREES_SQL,
     "q_graph_triangles": _GRAPH_TRIANGLES_SQL,
