@@ -257,9 +257,19 @@ def landing_stream(
     """Structured Streaming source over a LandingCapture directory —
     CHANGE_SCHEMA rows in landed order.  Each capture pull lands one
     DIRECTORY, and the file stream source does not recurse, so the
-    path globs one level down."""
+    path globs one level down.
+
+    ``ignoreMissingFiles`` is ON because of the capture side's
+    crash-replay contract (``LandingCapture._land``): a replay REPLACES
+    an already-visible ``b_*`` directory with a superset batch, so a
+    consumer that indexed the old part file but had not yet processed
+    it would otherwise die with FileNotFoundException.  The replaced
+    file's rows re-deliver under the new part name and the idempotent
+    MERGE sinks absorb the overlap (the documented at-least-once
+    contract into the landing)."""
     return (
         spark.readStream.schema(CHANGE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("ignoreMissingFiles", "true")
         .parquet(os.path.join(landing_dir, "b_*"))
     )

@@ -264,10 +264,13 @@ class PgConnection:
         kind = head[:1]
         (length,) = struct.unpack("!i", head[1:])
         # A corrupt length word would silently desync the framing
-        # (length < 4 would rewind the buffer) or allocate absurdly
-        # (the field is a signed int32; the server never sends
-        # gigabyte messages on this control-plane path) — fail loudly.
-        if length < 4 or length > (1 << 30):
+        # (length < 4 would rewind the buffer) or allocate absurdly —
+        # fail loudly.  Upper bound: PostgreSQL field VALUES go up to
+        # 1 GiB, and the SQL-function CDC path ships a whole change
+        # line as one DataRow field, so a near-limit TOAST value plus
+        # row/framing overhead can legitimately exceed 2^30 — allow
+        # 1 GiB + 64 MiB of overhead before calling it corrupt.
+        if length < 4 or length > (1 << 30) + (64 << 20):
             raise ConnectionError(
                 f"corrupt protocol frame: kind={kind!r} length={length}"
             )

@@ -210,14 +210,44 @@ def parse_change_envelope(
     Malformed JSON yields a NULL struct -> NULL columns (Spark
     from_json PERMISSIVE), which the downstream idempotent upsert
     drops on its NULL-key filter rather than poisoning the batch.
-    Works on both batch and streaming DataFrames."""
-    return raw.select(
-        F.from_json(
-            F.col("value").cast("string"),
-            schema or CHANGE_SCHEMA,
-            {"timestampFormat": _WIRE_TS_FMT},
-        ).alias("c")
+    Works on both batch and streaming DataFrames.
+
+    Timestamp decode is LENIENT on purpose: pinning ``timestampFormat``
+    to the strict microsecond pattern inside from_json would disable
+    Spark's datetime-parse fallback, so an envelope whose ``ts`` lacks
+    a fractional second (Spark's own default to_json omits ``.000``
+    for whole-second values) or a zone offset — common from legacy /
+    third-party bus producers at this public ingestion seam — would
+    silently decode to NULL and then poison ordering/dedup downstream.
+    Timestamp-typed fields are therefore parsed as STRINGS and
+    converted with try_to_timestamp(strict wire format) falling back
+    to Spark's lenient ISO-8601 parser; only the PRODUCER side
+    (``to_kafka_records``) keeps the strict format, preserving
+    round-trip byte parity."""
+    sch = schema or CHANGE_SCHEMA
+    wire_schema = StructType(
+        [
+            StructField(
+                f.name,
+                StringType() if isinstance(f.dataType, TimestampType) else f.dataType,
+                f.nullable,
+            )
+            for f in sch.fields
+        ]
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), wire_schema).alias("c")
     ).select("c.*")
+    for f in sch.fields:
+        if isinstance(f.dataType, TimestampType):
+            parsed = parsed.withColumn(
+                f.name,
+                F.coalesce(
+                    F.try_to_timestamp(F.col(f.name), F.lit(_WIRE_TS_FMT)),
+                    F.try_to_timestamp(F.col(f.name)),
+                ),
+            )
+    return parsed
 
 
 def mutations_from_events(events: DataFrame) -> DataFrame:

@@ -243,6 +243,14 @@ def assemble_transactions(changes: DataFrame, timeout_ms: int | None = None) -> 
     Tombstoned groups absorb duplicates silently; with ``timeout_ms``
     set the tombstone expires (without emission) after the same
     duration, bounding state.
+
+    CHECKPOINT COMPATIBILITY: the tombstone added a third state field
+    (``stateStructType`` is now ``n LONG, tables STRING, fin STRING``;
+    it was ``n LONG, tables STRING`` before).  Spark's state store
+    cannot deserialize rows written under the old layout — restarting
+    a streaming query from a pre-tombstone checkpoint fails at state
+    decode.  Use a FRESH ``checkpointLocation`` when upgrading across
+    this change (replay the landing/source from the desired offset).
     """
 
     def assemble(

@@ -1012,9 +1012,20 @@ def test_wire_fuzz_malformed_frames():
     with _p.raises(ConnectionError, match="corrupt protocol frame"):
         conn.query("select 1")
 
-    # 4. absurd (oversized) length word fails loudly, no allocation
-    conn = _scripted_conn(b"D" + st.pack("!i", 1 << 30 | 5))
+    # 4. absurd (oversized) length word fails loudly, no allocation —
+    #    the cap sits ABOVE 1 GiB + 64 MiB because PostgreSQL field
+    #    values go up to 1 GiB and the SQL-function CDC path ships a
+    #    whole change line as one field (pgwire._parse_frame); a
+    #    near-limit frame must NOT be called corrupt (case 4b).
+    conn = _scripted_conn(b"D" + st.pack("!i", (1 << 30) + (64 << 20) + 5))
     with _p.raises(ConnectionError, match="corrupt protocol frame"):
+        conn.query("select 1")
+
+    # 4b. a legitimately-huge-but-legal length word is NOT corrupt:
+    #     the parser accepts the header and then dies on the missing
+    #     payload ("closed"), never on the corrupt-frame check.
+    conn = _scripted_conn(b"D" + st.pack("!i", (1 << 30) + 5))
+    with _p.raises(ConnectionError, match="closed"):
         conn.query("select 1")
 
     # 5. ErrorResponse MID-STREAM between DataRows: PgError carries

@@ -797,6 +797,37 @@ def test_kafka_envelope_parse_matches_file_branch(spark, tmp_path):
     nulls = parse_change_envelope(bad).collect()
     assert len(nulls) == 1 and nulls[0].op is None
 
+    # LENIENT ts decode (ADVICE r10): external/legacy bus producers
+    # commonly emit ISO timestamps WITHOUT a fractional second or zone
+    # offset (Spark's own default to_json omits '.000' for
+    # whole-second values).  The strict wire format alone would decode
+    # these to NULL and poison downstream ordering/dedup — assert the
+    # fallback parser recovers every common shape.
+    import json as _json
+
+    def _env(ts_str):
+        payload = _json.dumps(
+            {"op": "INSERT", "table": "t", "key": {"id": "1"},
+             "before": None, "after": {"v": "x"}, "txid": 1,
+             "ts": ts_str, "publisher": "p", "epoch": 1, "seq": 1}
+        ).encode()
+        return (b"1", payload)
+
+    legacy = spark.createDataFrame(
+        [
+            _env("2024-03-01T12:00:00"),            # no fraction, no zone
+            _env("2024-03-01T12:00:00Z"),           # no fraction, UTC zone
+            _env("2024-03-01T12:00:00.5"),          # 1-digit fraction
+            _env("2024-03-01T12:00:00.123+02:00"),  # millis + offset
+            _env("2024-03-01T12:00:00.123456Z"),    # strict wire format
+        ],
+        "key binary, value binary",
+    )
+    got = parse_change_envelope(legacy).select("ts").collect()
+    assert all(r.ts is not None for r in got), got
+    assert {r.ts.second for r in got} == {0}
+    assert sorted(r.ts.microsecond for r in got) == [0, 0, 123000, 123456, 500000]
+
 
 def test_transactional_merge_semantics_executed_in_sqlite(spark, tmp_path):
     """VERDICT r4 'what's missing #2': the TransactionalMergeSink's
