@@ -479,6 +479,12 @@ FROM filled WHERE marker = 1
 #: watermark delay for q_late_events (seconds behind the running max)
 _LATE_WM_S = 300
 
+#: arrival-sequence rows per prefix-max bucket: the parallelism knob of
+#: the two-pass running max (NOT a semantics knob — any value gives the
+#: same answer).  64k keeps the boundary table 65536× smaller than the
+#: corpus.
+_LATE_BUCKET = 1 << 16
+
 
 def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark drop accounting, batch-checkable: replay events in
@@ -492,22 +498,61 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Strictly-before running max (frame ends at 1 PRECEDING) so an
     event never competes with itself; all arithmetic in integer epoch
-    seconds.  Scale: one event_id-ordered window per type + one
-    |types|-row aggregate — the window shuffle IS the aggregation's
-    clustering, one exchange total.
+    seconds.
+
+    Scale (round-11 restructure, the rank.py treatment): a window
+    partitioned by the 5-value event_type would funnel ALL events
+    through 5 tasks — a near-global sort wearing a partition key.  The
+    running max is instead computed as a bucketed two-pass prefix max:
+    (1) bucket arrivals by ``event_id div {_LATE_BUCKET}`` — a PURE
+    FUNCTION of the row, so unlike repartitionByRange there is no
+    sampled-boundary divergence and nothing to materialize — and run
+    the strictly-before max per (event_type, bucket), |types|×|buckets|
+    -way parallel; (2) reduce each bucket to its max and prefix-max
+    the strictly-earlier buckets per type — a boundary table 65536×
+    smaller than the corpus (its per-type window sorts ~1.5M tiny rows
+    per type at 100 TB, not the corpus) — then broadcast it back:
+    hwm = greatest(within-bucket strictly-before max, previous-buckets
+    max).  One corpus-sized hash exchange total; the final |types|-row
+    aggregate reuses nothing heavier than a map-side partial.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("event_id")
     ts_s = epoch_s("ts")
-    hwm = F.max(ts_s).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    tagged = e.select(
+    b = e.select(
         "event_type",
+        "event_id",
         ts_s.alias("t"),
-        hwm.alias("hwm"),
-    ).withColumn(
-        "late_by",
-        F.when(F.col("hwm") - F.col("t") > _LATE_WM_S,
-               F.col("hwm") - F.col("t")).otherwise(F.lit(0)),
+        F.expr(f"event_id div {_LATE_BUCKET}").alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("local_hwm", F.max("t").over(w_in))
+    bmax = b.groupBy("event_type", "bkt").agg(F.max("t").alias("bkt_max"))
+    w_pre = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = bmax.select(
+        "event_type", "bkt", F.max("bkt_max").over(w_pre).alias("prev_hwm")
+    )
+    tagged = (
+        local.join(F.broadcast(prev), ["event_type", "bkt"])
+        # greatest() skips NULLs: first row of a bucket has NULL
+        # local_hwm, first bucket of a type has NULL prev_hwm, and the
+        # very first arrival of a type has both NULL -> hwm NULL ->
+        # late_by 0, exactly the old single-window semantics.
+        .withColumn("hwm", F.greatest("local_hwm", "prev_hwm"))
+        .withColumn(
+            "late_by",
+            F.when(
+                F.col("hwm") - F.col("t") > _LATE_WM_S,
+                F.col("hwm") - F.col("t"),
+            ).otherwise(F.lit(0)),
+        )
     )
     return tagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

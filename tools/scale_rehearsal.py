@@ -120,6 +120,13 @@ PANEL = (
     # rehearse that the shared-subtree recompute stays amortized at 10x)
     "q_skyline",
     "q_pipeline_curate",
+    # round-11: the five round-10 last-wave additions the r10 verdict
+    # flagged as missing their adjudication rows
+    "q_expr_try",             # try_* error-safety panel, row-local codegen
+    "q_graph_lpa",            # synchronous label propagation, 4 rounds
+    "q_late_events",          # bucketed two-pass prefix max (r11 rewrite)
+    "q_sample_temperature",   # temperature-rule mixture weights
+    "q_mm_video",             # AVI/RIFF container decode, mapInPandas
 )
 
 
