@@ -209,6 +209,15 @@ def parse_test_decoding(
             ts = m.group(1)
             for ch in txn:
                 ch["ts"] = ts
+                # The COMMIT record's lsn: the ONLY per-change position
+                # that is monotone across a decoded stream.  Decoding
+                # emits whole transactions in COMMIT order, so a later
+                # batch can carry changes whose own record lsn is LOWER
+                # than everything already seen (their txn started
+                # earlier, committed later) — offset tracking
+                # (pgdatasource.py) must key on (commit_lsn, idx), never
+                # the change lsn.
+                ch["commit_lsn"] = lsn
             changes.extend(txn)
             txn = []
             continue

@@ -223,6 +223,12 @@ def parse_pgoutput(
             begin_xid = r.i32()
             txn = []
         elif kind == "C":  # Commit: flags, commit_lsn, end_lsn, ts
+            # Stamp the Commit frame's own lsn: the only position
+            # monotone across transactions (decoding emits in COMMIT
+            # order; change lsns interleave) — the offset key the
+            # native streaming source (pgdatasource.py) tracks.
+            for ch in txn:
+                ch["commit_lsn"] = lsn
             changes.extend(txn)
             txn = []
             commit_ts = None
@@ -241,6 +247,7 @@ def parse_pgoutput(
             done = streams.pop(sxid, [])
             for ch in done:
                 ch["ts"] = ts
+                ch["commit_lsn"] = lsn  # StreamCommit frame position
             changes.extend(done)
         elif kind == "A":  # v2 StreamAbort: xid, subxid
             sxid = r.i32()

@@ -1800,3 +1800,223 @@ def test_walsender_interleaved_stream_segments_survive_commit_parse():
     # BOTH segments' rows: segment 1 was not lost to the earlier parse
     assert [c["after"]["id"] for c in second] == ["1", "2"]
     assert all(c["txid"] == 70 and c["ts"] is not None for c in second)
+
+
+# ---------------------------------------------------------------------------
+# native streaming source: spark.readStream.format("pgshovel")
+# ---------------------------------------------------------------------------
+
+
+def _wait_for(cond, timeout=90.0):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if cond():
+            return True
+        time.sleep(0.25)
+    return cond()
+
+
+def test_pgdatasource_offset_algebra_unit():
+    """Offset slicing without a server: positions key on COMMIT lsn —
+    a transaction that started early and committed late arrives with
+    change lsns LOWER than already-delivered ones and must still be
+    delivered (the interleaved-transaction ordering hazard)."""
+    from pgshovel_spark.sources.pgdatasource import PgShovelSimpleStreamReader
+
+    rdr = PgShovelSimpleStreamReader(
+        {"sockdir": "/nonexistent", "slot": "s", "plugin": "test_decoding"}
+    )
+
+    def ch(op, commit_lsn, change_lsn, key):
+        return {
+            "op": op, "table": "t", "key": {"id": str(key)},
+            "before": None, "after": {"id": str(key)},
+            "txid": 7, "ts": None,
+            "lsn": change_lsn, "commit_lsn": commit_lsn,
+        }
+
+    # batch 1: txn B (commit 0/120) only — txn A still open
+    b1 = [ch("INSERT", "0/120", "0/110", 1)]
+    rows1, end1 = rdr._slice(b1, {"lsn": 0, "idx": 0, "seq": 0}, None)
+    assert len(rows1) == 1 and rows1[0][9] == 0  # seq 0
+    # batch 2 re-peeks batch 1 PLUS txn A (commit 0/130, change lsn
+    # 0/100 — LOWER than everything already seen) with two changes
+    b2 = b1 + [ch("INSERT", "0/130", "0/100", 2), ch("UPDATE", "0/130", "0/105", 2)]
+    rows2, end2 = rdr._slice(b2, end1, None)
+    assert [r[0] for r in rows2] == ["INSERT", "UPDATE"]
+    assert [r[9] for r in rows2] == [1, 2]  # dense seq continuation
+    assert end2["seq"] == 3 and end2["lsn"] > end1["lsn"]
+    # replay of the already-planned range is exact
+    rows_replay, got = rdr._slice(b2, end1, end2)
+    assert rows_replay == rows2 and got == end2
+    # a short replay (slot advanced externally) must raise, not ship
+    import pytest as _p
+
+    short = b1  # txn A's rows vanished
+    with _p.raises(RuntimeError, match="cannot replay"):
+        rdr._peek_parse = lambda: short
+        list(rdr.readBetweenOffsets(end1, end2))
+
+
+def test_pgdatasource_stream_capture(spark, pg, tmp_path):
+    """The native source end-to-end live: readStream.format('pgshovel')
+    over a pgoutput slot — CHANGE_SCHEMA rows, dense global seq across
+    micro-batches, and the slot watermark advanced by Spark's OWN
+    commit (checkpoint-native exactly-once, no landing directory)."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table nds_t(id int primary key, v text)")
+    po.create_publication(pg, "nds_pub", ["nds_t"])
+    po.create_slot_pgoutput(pg, "nds_slot")
+    with pg.connect() as c:
+        c.query("insert into nds_t select g, 'a' || g from generate_series(1, 30) g")
+        c.query("update nds_t set v = 'u' where id <= 5")
+        c.query("delete from nds_t where id = 9")
+        wal_after = c.one("select pg_current_wal_lsn()::text")
+
+    register_pgshovel(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("slot", "nds_slot")
+        .option("publication", "nds_pub")
+        .load()
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_for(lambda: len(got) == 36), f"got {len(got)} rows"
+        assert sorted(r.seq for r in got) == list(range(36))
+        assert {r.op for r in got} == {"INSERT", "UPDATE", "DELETE"}
+        ins = [r for r in got if r.op == "INSERT"]
+        assert len(ins) == 30 and all(r.key["id"] for r in ins)
+        assert all(r.ts is not None for r in got)
+        assert all(r.publisher == "nds_slot" for r in got)
+
+        # Spark's batch commit advanced the slot watermark past the
+        # captured transactions (the landing path needed its own
+        # watermark file for this; here the checkpoint IS the ledger).
+        # Read pg_replication_slots, NOT a peek — a concurrent peek
+        # would contend on the slot's active lock with the source's
+        # own pull ("slot is active for PID", 55006).
+        def _advanced():
+            with pg.connect() as c:
+                flushed = c.one(
+                    "select confirmed_flush_lsn::text from"
+                    " pg_replication_slots where slot_name = 'nds_slot'"
+                )
+            return po.lsn_to_int(flushed) >= po.lsn_to_int(wal_after) - (1 << 16)
+
+        assert _wait_for(_advanced)
+
+        # live tail: a new transaction lands while the query runs
+        with pg.connect() as c:
+            c.query("insert into nds_t values (99, 'late')")
+        assert _wait_for(lambda: len(got) == 37), f"got {len(got)} rows"
+        late = [r for r in got if r.seq == 36]
+        assert late and late[0].after["v"] == "late"
+    finally:
+        q.stop()
+    pgl.drop_slot(pg, "nds_slot")
+
+
+def test_pgdatasource_checkpoint_restart_exactly_once(spark, pg, tmp_path):
+    """Kill/resume through Spark's checkpoint recovery: stop the
+    query, write MORE transactions while it is down, restart from the
+    SAME checkpointLocation — every change arrives exactly once with
+    the dense seq unbroken across the restart (the at-least-once/
+    exactly-once split of the landing bridge collapses to one story)."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table ndr_t(id int primary key, v text)")
+    po.create_publication(pg, "ndr_pub", ["ndr_t"])
+    po.create_slot_pgoutput(pg, "ndr_slot")
+    register_pgshovel(spark)
+    ckpt = str(tmp_path / "ckpt")
+    got: list = []
+
+    def _start():
+        return (
+            spark.readStream.format("pgshovel")
+            .option("sockdir", pg.sockdir)
+            .option("slot", "ndr_slot")
+            .option("publication", "ndr_pub")
+            .load()
+            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    with pg.connect() as c:
+        c.query("insert into ndr_t select g, 'x' || g from generate_series(1, 20) g")
+    q = _start()
+    try:
+        assert _wait_for(lambda: len(got) == 20), f"got {len(got)}"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # writes while the consumer is DOWN (three separate transactions)
+    with pg.connect() as c:
+        c.query("insert into ndr_t select g, 'y' || g from generate_series(21, 25) g")
+        c.query("update ndr_t set v = 'u1' where id = 1")
+        c.query("delete from ndr_t where id = 2")
+
+    q = _start()
+    try:
+        assert _wait_for(lambda: len(got) == 27), f"got {len(got)}"
+        # exactly once: no duplicates, no loss, dense seq over restart
+        assert sorted(r.seq for r in got) == list(range(27))
+        assert sum(1 for r in got if r.op == "DELETE") == 1
+        assert sum(1 for r in got if r.op == "UPDATE") == 1
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    pgl.drop_slot(pg, "ndr_slot")
+
+
+def test_pgdatasource_test_decoding_plugin(spark, pg, tmp_path):
+    """The same source over the SQL-reachable test_decoding plugin
+    with caller-supplied key columns — plugin choice is an option, not
+    a code path consumers can see."""
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table ntd_t(id int primary key, v text)")
+    pgl.create_slot(pg, "ntd_slot")
+    with pg.connect() as c:
+        c.query("insert into ntd_t values (1, 'a'), (2, 'b')")
+        c.query("delete from ntd_t where id = 1")
+
+    register_pgshovel(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("slot", "ntd_slot")
+        .option("plugin", "test_decoding")
+        .option("key_cols", '{"ntd_t": ["id"]}')
+        .load()
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_for(lambda: len(got) == 3), f"got {len(got)}"
+        assert sorted(r.seq for r in got) == [0, 1, 2]
+        d = [r for r in got if r.op == "DELETE"][0]
+        assert d.key == {"id": "1"} and d.ts is not None
+    finally:
+        q.stop()
+    pgl.drop_slot(pg, "ntd_slot")
