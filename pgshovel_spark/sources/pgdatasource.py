@@ -225,11 +225,40 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
 
     # -- SimpleDataSourceStreamReader contract ------------------------------
 
+    #: rows per emitted Arrow RecordBatch (bounds IPC message size on
+    #: an unbounded first read over a large backlog)
+    _ARROW_CHUNK = 65536
+
+    def _to_batches(self, rows: list) -> list:
+        """Column-build Arrow RecordBatches from row tuples.  read()
+        may return ``Iterator[pa.RecordBatch]`` instead of tuples
+        (public DataSource contract); the runner then ships the
+        batches verbatim instead of re-converting row-at-a-time in
+        ``records_to_arrow_batches`` — measured 4x cheaper on the
+        40k-row capture cycles this source runs (EXPERIMENTS.md r11).
+        """
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from pgshovel_spark.streaming.change_stream import CHANGE_SCHEMA
+
+        sch = to_arrow_schema(CHANGE_SCHEMA)
+        out = []
+        for lo in range(0, len(rows), self._ARROW_CHUNK):
+            chunk = rows[lo : lo + self._ARROW_CHUNK]
+            cols = list(zip(*chunk))
+            arrays = [
+                pa.array(list(cols[i]), type=sch.field(i).type)
+                for i in range(len(sch))
+            ]
+            out.append(pa.RecordBatch.from_arrays(arrays, schema=sch))
+        return out
+
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         rows, end = self._slice(self._peek_parse(), start, None)
         # list iterator: the prefetch wrapper copy.copy()s it for the
         # cache, which a generator would not survive
-        return iter(rows), end
+        return iter(self._to_batches(rows)), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         rows, got = self._slice(self._peek_parse(), start, end)
@@ -243,7 +272,7 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
                 f"{start} .. {end}: got seq {got['seq']}, "
                 f"expected {end['seq']} (slot advanced externally?)"
             )
-        return iter(rows)
+        return iter(self._to_batches(rows))
 
     def commit(self, end: dict) -> None:
         # Move the slot watermark to the last consumed commit record.

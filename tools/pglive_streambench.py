@@ -89,7 +89,19 @@ def main() -> None:
     ap.add_argument("--run-secs", type=int, default=30)
     ap.add_argument("--writer-rate", type=int, default=15_000)
     ap.add_argument(
-        "--transport", choices=("sql", "walsender"), default="sql"
+        "--max-changes",
+        type=int,
+        default=40_000,
+        help="datasource transport only: upto_nchanges bound per peek",
+    )
+    ap.add_argument(
+        "--transport",
+        choices=("sql", "walsender", "datasource"),
+        default="sql",
+        help="sql/walsender = LandingCapture + file stream over the "
+        "landing; datasource = the round-11 native source "
+        "(readStream.format('pgshovel') straight into the MERGE sink, "
+        "no landing directory, Spark's checkpoint as the only ledger)",
     )
     args = ap.parse_args()
     spark = get_session("pglive_streambench")
@@ -143,27 +155,52 @@ def main() -> None:
         po.create_publication(p, "pgls_pub", ["pgstream_t"])
         po.create_slot_pgoutput(p, "pgls_slot")
 
-        from pgshovel_spark.sources.pglanding import (
-            LandingCapture,
-            landing_stream,
-        )
+        if args.transport == "datasource":
+            from pgshovel_spark.sources.pgdatasource import register_pgshovel
 
-        cap = LandingCapture(
-            spark, p, "pgls_slot", landing,
-            publication="pgls_pub", transport=args.transport,
-        )
+            register_pgshovel(spark)
+            # warm the Spark/Arrow/JDBC path outside the timed window
+            with p.connect() as c:
+                c.query("insert into pgstream_t values (-1, 'warm', 0.0)")
+            q = (
+                spark.readStream.format("pgshovel")
+                .option("sockdir", p.sockdir)
+                .option("slot", "pgls_slot")
+                .option("publication", "pgls_pub")
+                # bound the per-trigger decode window: an unbounded
+                # peek re-decodes the whole backlog each cycle, so a
+                # slow batch snowballs (measured p95 11 s unbounded vs
+                # ~2 s bounded at the same 15k rows/s offered load)
+                .option("max_changes", str(args.max_changes))
+                .load()
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="250 milliseconds")
+                .start()
+            )
+            cap = None
+        else:
+            from pgshovel_spark.sources.pglanding import (
+                LandingCapture,
+                landing_stream,
+            )
 
-        # warm the Spark/Arrow/JDBC path outside the timed window
-        with p.connect() as c:
-            c.query("insert into pgstream_t values (-1, 'warm', 0.0)")
-        cap.pull_once()
+            cap = LandingCapture(
+                spark, p, "pgls_slot", landing,
+                publication="pgls_pub", transport=args.transport,
+            )
 
-        q = (
-            landing_stream(spark, landing)
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
+            # warm the Spark/Arrow/JDBC path outside the timed window
+            with p.connect() as c:
+                c.query("insert into pgstream_t values (-1, 'warm', 0.0)")
+            cap.pull_once()
+
+            q = (
+                landing_stream(spark, landing)
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
 
         stop = threading.Event()
         wstats: dict = {}
@@ -175,13 +212,18 @@ def main() -> None:
 
         captured = 0
         pulls = []
-        while time.time() - t_start < args.run_secs:
-            t0 = time.time()
-            n = cap.pull_once()
-            captured += n
-            if n:
-                pulls.append((n, time.time() - t0))
-            time.sleep(max(0.0, 0.25 - (time.time() - t0)))  # rate limit
+        if cap is None:
+            # the native source IS the capture loop — just let it run
+            while time.time() - t_start < args.run_secs:
+                time.sleep(0.25)
+        else:
+            while time.time() - t_start < args.run_secs:
+                t0 = time.time()
+                n = cap.pull_once()
+                captured += n
+                if n:
+                    pulls.append((n, time.time() - t0))
+                time.sleep(max(0.0, 0.25 - (time.time() - t0)))  # rate limit
         stop.set()
         wt.join()
         write_wall = time.time() - t_start
@@ -189,14 +231,19 @@ def main() -> None:
         # drain: capture everything committed, then let the stream
         # catch up to the landed total
         t_drain = time.time()
-        captured += cap.drain()
-        capture_drain_s = time.time() - t_drain
-
-        landed_total = cap.seq_base  # includes the warm-up row
+        if cap is None:
+            capture_drain_s = 0.0
+            landed_total = wstats["committed_rows"] + 1  # + warm row
+        else:
+            captured += cap.drain()
+            capture_drain_s = time.time() - t_drain
+            landed_total = cap.seq_base  # includes the warm-up row
         deadline = time.time() + 180
         while merged[0] < landed_total and time.time() < deadline:
             time.sleep(0.5)
         merge_drain_s = time.time() - t_drain - capture_drain_s
+        if cap is None:
+            captured = merged[0]
 
         progress = [
             pr for pr in (q.recentProgress or []) if pr["numInputRows"] > 0
@@ -248,7 +295,8 @@ def main() -> None:
             "exactly_once_state_match": bool(exact),
             "transport": args.transport,
         }
-        cap.close()
+        if cap is not None:
+            cap.close()
         pgl.drop_slot(p, "pgls_slot")
     con.close()
 
