@@ -214,8 +214,10 @@ def parse_pgoutput(
         r = _Reader(payload)
         kind = chr(r.u8())
         msg_xid = xid
-        if stream_xid is not None and kind in "RIUDTM":
+        if stream_xid is not None and kind in "RIUDTMY":
             # v2: DML/metadata inside a stream segment is xid-prefixed
+            # (the documented set: Relation, Type, Insert, Update,
+            # Delete, Truncate, Message — Type ('Y') included)
             msg_xid = r.i32()
         if kind == "B":  # Begin: final_lsn, commit_ts, xid
             r.i64()
@@ -276,12 +278,29 @@ def parse_pgoutput(
                     keys.append(cname)
             full = f"{ns}.{name}" if ns not in ("", "pg_catalog") else name
             rels[oid] = _Relation(full, cols, keys)
+        # Y/O/M carry no row data but are STILL PARSED field-by-field:
+        # accepting a truncated/corrupt frame silently would let a
+        # framing desync masquerade as "metadata we don't care about"
+        # and surface rows later as inexplicable decode garbage — the
+        # same fail-loudly rule the DML kinds follow (fuzz-pinned in
+        # test_pgoutput_decoder_malformed_metadata).
         elif kind == "Y":  # Type metadata: oid, namespace, name
-            pass
-        elif kind == "O":  # Origin: lsn, name
-            pass
-        elif kind == "M":  # logical Message: flags, lsn, prefix, body
-            pass
+            r.i32()
+            r.cstr()
+            r.cstr()
+        elif kind == "O":  # Origin: commit lsn on the origin, name
+            r.i64()
+            r.cstr()
+        elif kind == "M":  # Message: flags, lsn, prefix, length, body
+            r.u8()
+            r.i64()
+            r.cstr()
+            n = r.i32()
+            if n < 0:
+                raise ValueError(
+                    f"negative pgoutput Message content length {n}"
+                )
+            r.take(n)
         elif kind in ("I", "U", "D"):
             oid = r.i32()
             if oid not in rels:
