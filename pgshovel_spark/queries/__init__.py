@@ -87,7 +87,11 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
-    # round-10 NEW queries first (never driver-checked): the explicit
+    # round-11 plan change first: q_late_events rewritten off the
+    # 5-partition window onto the bucketed two-pass prefix max — its
+    # NEW plan needs a fresh driver row
+    "q_late_events",
+    # round-10 NEW queries (driver-checked r10): the explicit
     # 64-register HLL audit twin of q_agg_approx, then the image-codec
     # promotion; then the round-10 oracle/guard fixes (asof tie-break
     # oracle rewrite, periodicity zero-span guard)
@@ -97,7 +101,6 @@ _PRIORITY = (
     "q_source_mix",
     "q_sample_temperature",
     "q_embed_health",
-    "q_late_events",
     "q_expr_try",
     "q_graph_lpa",
     "q_user_periodicity",
