@@ -84,7 +84,9 @@ from typing import Iterator, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -128,6 +130,12 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("plugin=pgoutput requires option 'publication'")
         self.proto_version = int(_opt(options, "proto_version", "1"))
         self.streaming = _opt(options, "streaming", "false").lower() == "true"
+        # decoder-side replication-origin filter (parse_pgoutput):
+        # "none" drops foreign-origin transactions whole (loop
+        # prevention in bidirectional topologies); pgoutput only
+        self.origin = _opt(options, "origin", "any")
+        if self.origin not in ("any", "none"):
+            raise ValueError(f"origin must be 'any' or 'none', got {self.origin!r}")
         self.publisher = _opt(options, "publisher", self.slot)
         self.epoch = int(_opt(options, "epoch", "0"))
         kc = _opt(options, "key_cols")
@@ -170,7 +178,7 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
                     f" 'publication_names', '{self.publication}')"
                 )[0]
                 raw = [(l, int(x), d) for l, x, d in res.rows]
-                return parse_pgoutput(raw)
+                return parse_pgoutput(raw, origin=self.origin)
             res = c.query(
                 "select lsn::text, xid::text, data from"
                 " pg_logical_slot_peek_changes"
@@ -287,6 +295,270 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
             advance(self.params, self.slot, lsn_to_str(end["lsn"]))
 
 
+# ---------------------------------------------------------------------------
+# the WRITE half: two-phase-commit upsert sink into live Postgres
+# ---------------------------------------------------------------------------
+
+
+_IDENT_RE = None  # compiled lazily (module import stays light)
+
+
+def _check_ident(name: str) -> str:
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*\Z")
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def _pg_literal(v) -> str:
+    from pgshovel_spark.sources.cdc import sql_literal
+
+    return "NULL" if v is None else sql_literal(v, style="ansi")
+
+
+class _UpsertCommit(WriterCommitMessage):
+    """Per-task commit message: the prepared-transaction gid (None
+    under two_phase=false) and the task's upserted row count."""
+
+    def __init__(self, gid=None, rows=0):
+        self.gid = gid
+        self.rows = rows
+
+
+class PgUpsertStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("pgshovel")`` — the consumer half of the
+    relay as a native Spark sink: keyed upsert into a live Postgres
+    table with a lexicographic (order_cols) newer-guard, committed via
+    REAL two-phase commit.
+
+    Protocol per micro-batch: each executor task reduces its partition
+    to latest-per-key, applies one ``INSERT ... ON CONFLICT (keys) DO
+    UPDATE ... WHERE ROW(tgt.order) < ROW(excluded.order)`` statement
+    chain on its own wire connection, then ``PREPARE TRANSACTION``
+    with a task-unique gid and reports the gid as its commit message.
+    The driver's ``commit()`` issues ``COMMIT PREPARED`` for every
+    gid; ``abort()`` rolls them back — a failed batch leaves NO
+    partial state visible (needs ``max_prepared_transactions > 0``;
+    set ``two_phase=false`` to fall back to per-task autocommit,
+    where the newer-guard alone provides replay idempotence).
+
+    Crash recovery (LIFECYCLE NOTE: Spark instantiates this writer
+    fresh for every task AND every commit/abort call, so NOTHING here
+    may sweep unconditionally — an init-time sweep would roll back
+    the in-flight batch's own prepares, found the hard way): gids
+    embed the micro-batch id (``pgshovel2pc_<table>_b<batch>_<rnd>``,
+    batch id from the task's ``streaming.sql.batchId`` local
+    property).  A replayed batch whose earlier attempt left orphaned
+    prepared transactions hits their row locks, times out
+    (``lock_timeout``), sweeps prefix-gids from batches <= its own
+    (excluding its own gid), and retries once; ``commit()``/
+    ``abort()`` additionally sweep dead same-or-older-batch leftovers
+    after settling the reported gids.  Replays are absorbed by the
+    newer-guard (never strictly newer), the same exactly-once
+    contract as JdbcMergeSink (streaming/sinks.py).
+
+    Operating requirements, documented not guessed:
+    - key-disjoint partitions: two concurrent tasks upserting the SAME
+      key would deadlock through 2PC (task B waits on task A's
+      prepared row lock; A's COMMIT PREPARED waits on B finishing) —
+      ``.repartition(n, *keys)`` upstream, which also co-locates each
+      key's latest-per-key reduce;
+    - no speculative execution in two_phase mode (a duplicate running
+      attempt is indistinguishable from a dead one to the sweep);
+    - single writer per table (the reference relay's consumer-group-
+      of-one discipline `[recalled: consumer groups]`): the sweep
+      would roll back ANOTHER live writer's prepared batches;
+    - non-NULL order_cols (the lexicographic guard and the in-task
+      reduce both compare them).
+    """
+
+    def __init__(self, options, schema):
+        from pgshovel_spark.sources.pgwire import PgParams
+
+        sockdir = _opt(options, "sockdir")
+        if not sockdir:
+            raise ValueError("pgshovel sink requires option 'sockdir'")
+        self.params = PgParams(
+            sockdir=sockdir,
+            database=_opt(options, "database", "postgres"),
+            user=_opt(options, "user", "postgres"),
+            port=int(_opt(options, "port", "5432")),
+        )
+        self.table = _check_ident(_opt(options, "table") or "")
+        keys = _opt(options, "keys")
+        if not keys:
+            raise ValueError("pgshovel sink requires option 'keys'")
+        self.keys = [_check_ident(k.strip()) for k in keys.split(",")]
+        order = _opt(options, "order_cols")
+        if not order:
+            raise ValueError("pgshovel sink requires option 'order_cols'")
+        self.order_cols = [_check_ident(c.strip()) for c in order.split(",")]
+        self.columns = [_check_ident(f.name) for f in schema.fields]
+        for c in self.keys + self.order_cols:
+            if c not in self.columns:
+                raise ValueError(f"column {c!r} not in input schema {self.columns}")
+        self.two_phase = _opt(options, "two_phase", "true").lower() == "true"
+        self.rows_per_stmt = int(_opt(options, "rows_per_stmt", "1000"))
+        self.lock_timeout_ms = int(_opt(options, "lock_timeout_ms", "10000"))
+        self._gid_prefix = f"pgshovel2pc_{self.table}_"
+
+    def _gid_parts(self, gid: str) -> tuple[int, str]:
+        """(batch id, run token) embedded in one of OUR gids;
+        (-1, "") if the gid is foreign-shaped."""
+        tail = gid[len(self._gid_prefix):]
+        bits = tail.split("_")
+        if len(bits) != 3 or not bits[0].startswith("b") or not bits[1].startswith("r"):
+            return -1, ""
+        num = bits[0][1:]
+        return (int(num) if num.isdigit() else -1), bits[1][1:]
+
+    def _sweep(
+        self,
+        c,
+        upto_batch: int,
+        exclude_gids: set,
+        my_run: str | None,
+    ) -> int:
+        """Roll back dead prefix-gids: any batch < ``upto_batch``, plus
+        batch == ``upto_batch`` gids from OTHER runs (``my_run`` set:
+        a prior crashed run's orphans of the very batch now being
+        replayed — same-run siblings are live and protected) or not in
+        ``exclude_gids`` (``my_run`` None: driver commit/abort, where
+        the reported message gids are the live set).  Tolerates
+        concurrent-sweep races."""
+        from pgshovel_spark.sources.pgwire import PgError
+
+        res = c.query(
+            "select gid from pg_prepared_xacts where gid like "
+            f"'{self._gid_prefix}%'"
+        )[0]
+        n = 0
+        for (gid,) in res.rows:
+            if gid in exclude_gids:
+                continue
+            batch, run = self._gid_parts(gid)
+            if batch < 0 or batch > upto_batch:
+                continue
+            if batch == upto_batch and my_run is not None and run == my_run:
+                continue  # live sibling of this very attempt set
+            try:
+                c.query(f"rollback prepared '{gid}'")
+                n += 1
+            except PgError as e:
+                if e.sqlstate != "42704":  # another sweeper won the race
+                    raise
+        return n
+
+    # -- executor side -------------------------------------------------------
+
+    def _upsert_sql(self, rows: list) -> str:
+        cols = ", ".join(self.columns)
+        vals = ",\n".join(
+            "(" + ", ".join(_pg_literal(v) for v in row) + ")" for row in rows
+        )
+        conflict = ", ".join(self.keys)
+        non_keys = [c for c in self.columns if c not in self.keys]
+        sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+        tgt_ord = ", ".join(f"tgt.{c}" for c in self.order_cols)
+        exc_ord = ", ".join(f"excluded.{c}" for c in self.order_cols)
+        return (
+            f"insert into {self.table} as tgt ({cols}) values\n{vals}\n"
+            f"on conflict ({conflict}) do update set {sets}\n"
+            f"where row({tgt_ord}) < row({exc_ord})"
+        )
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        from pgshovel_spark.sources.pgwire import PgError
+
+        ki = [self.columns.index(k) for k in self.keys]
+        oi = [self.columns.index(c) for c in self.order_cols]
+        latest: dict = {}
+        for row in iterator:
+            t = tuple(row)
+            k = tuple(t[i] for i in ki)
+            prev = latest.get(k)
+            if prev is None or tuple(t[i] for i in oi) > tuple(
+                prev[i] for i in oi
+            ):
+                latest[k] = t
+        if not latest:
+            return _UpsertCommit()
+        rows = list(latest.values())
+        tc = TaskContext.get()
+        batch_prop = tc.getLocalProperty("streaming.sql.batchId") if tc else None
+        batch_id = int(batch_prop) if batch_prop else 0
+        if not self.two_phase:
+            with self.params.connect() as c:
+                for lo in range(0, len(rows), self.rows_per_stmt):
+                    c.query(self._upsert_sql(rows[lo : lo + self.rows_per_stmt]))
+            return _UpsertCommit(None, len(rows))
+        # run token: StreamExecution sets the job group to the query's
+        # runId, which CHANGES on restart — it distinguishes a prior
+        # crashed run's same-batch orphans from this run's live
+        # sibling prepares (both look identical in pg_prepared_xacts)
+        run_prop = tc.getLocalProperty("spark.jobGroup.id") if tc else None
+        run_tok = "".join(ch for ch in (run_prop or "norun") if ch.isalnum())[:12]
+        gid = f"{self._gid_prefix}b{batch_id}_r{run_tok}_{uuid.uuid4().hex[:12]}"
+        with self.params.connect() as c:
+            # A replayed batch (or a retried task) can hit the row
+            # locks of an earlier attempt's orphaned prepared txn:
+            # bounded wait, sweep, one retry.
+            c.query(f"set lock_timeout = '{self.lock_timeout_ms}ms'")
+            for attempt in (1, 2):
+                try:
+                    c.query("begin")
+                    for lo in range(0, len(rows), self.rows_per_stmt):
+                        c.query(
+                            self._upsert_sql(rows[lo : lo + self.rows_per_stmt])
+                        )
+                    c.query(f"prepare transaction '{gid}'")
+                    break
+                except PgError as e:
+                    c.query("rollback")
+                    if e.sqlstate != "55P03" or attempt == 2:
+                        raise
+                    self._sweep(c, batch_id, {gid}, my_run=run_tok)
+        return _UpsertCommit(gid, len(rows))
+
+    # -- driver side ---------------------------------------------------------
+
+    def commit(self, messages, batchId) -> None:
+        gids = [m.gid for m in messages if m is not None and getattr(m, "gid", None)]
+        if not gids and not self.two_phase:
+            return
+        with self.params.connect() as c:
+            for gid in gids:
+                c.query(f"commit prepared '{gid}'")
+            if self.two_phase:
+                # dead attempts of this or earlier batches (reported
+                # gids are committed above, so anything left under the
+                # prefix at <= batchId is garbage)
+                self._sweep(c, batchId, set(gids), my_run=None)
+
+    def abort(self, messages, batchId) -> None:
+        from pgshovel_spark.sources.pgwire import PgError
+
+        if not self.two_phase:
+            return
+        gids = [m.gid for m in messages if m is not None and getattr(m, "gid", None)]
+        with self.params.connect() as c:
+            for gid in gids:
+                try:
+                    c.query(f"rollback prepared '{gid}'")
+                except PgError as e:
+                    if e.sqlstate != "42704":  # already gone
+                        raise
+            self._sweep(c, batchId, set(gids), my_run=None)
+
+
 class PgShovelDataSource(DataSource):
     """``format("pgshovel")`` — live Postgres logical-decoding CDC as
     a first-class Spark streaming source emitting CHANGE_SCHEMA rows.
@@ -294,9 +566,10 @@ class PgShovelDataSource(DataSource):
     Options: sockdir (required), slot (required), database, user,
     port, plugin (pgoutput | test_decoding), publication (required
     for pgoutput), proto_version, streaming ('true' enables protocol
-    v2 in-progress transaction streaming), publisher, epoch,
-    key_cols (JSON table->pk-list map, test_decoding only),
-    max_changes (bound raw rows per peek).
+    v2 in-progress transaction streaming), origin ('none' drops
+    foreign-origin transactions whole — loop prevention; pgoutput
+    only), publisher, epoch, key_cols (JSON table->pk-list map,
+    test_decoding only), max_changes (bound raw rows per peek).
     """
 
     @classmethod
@@ -310,6 +583,9 @@ class PgShovelDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return PgShovelSimpleStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return PgUpsertStreamWriter(self.options, schema)
 
 
 def register_pgshovel(spark) -> None:

@@ -176,6 +176,7 @@ def parse_pgoutput(
     messages: list[tuple[str, int, bytes]],
     relations: dict[int, _Relation] | None = None,
     streams: dict[int, list[dict]] | None = None,
+    origin: str = "any",
 ) -> list[dict]:
     """Decode raw ``(lsn, xid, payload)`` pgoutput messages (from the
     binary slot functions or walsender XLogData) into CHANGE_SCHEMA
@@ -192,11 +193,24 @@ def parse_pgoutput(
     transactions' commits, so a parse triggered by one transaction's
     Commit may be holding another's open segments — without a
     persistent dict those would be dropped silently (live streams
-    never resend frames).
+    never resend frames).  (Internal shape note: streamed-transaction
+    origin marks persist in the same dict under ``("origin", xid)``
+    tuple keys — int change-list keys never collide with them.)
+
+    ``origin`` mirrors pgoutput's PG16+ server-side option,
+    implemented decoder-side so it works against ANY server version:
+    ``"any"`` (default) keeps every transaction; ``"none"`` DROPS
+    whole transactions that carry a replication-origin mark (an
+    Origin message) — the loop-prevention filter a bidirectional /
+    cascading replication topology needs, applied at commit time so a
+    transaction is kept or dropped ATOMICALLY.
     """
+    if origin not in ("any", "none"):
+        raise ValueError(f"origin must be 'any' or 'none', got {origin!r}")
     rels = relations if relations is not None else {}
     changes: list[dict] = []
     txn: list[dict] = []
+    txn_origin: str | None = None
     commit_ts: datetime.datetime | None = None
     begin_xid = 0  # from the Begin message: the walsender transport
     # carries no per-message xid (unlike the slot functions), so
@@ -224,16 +238,20 @@ def parse_pgoutput(
             commit_ts = _pg_ts(r.i64())
             begin_xid = r.i32()
             txn = []
+            txn_origin = None
         elif kind == "C":  # Commit: flags, commit_lsn, end_lsn, ts
             # Stamp the Commit frame's own lsn: the only position
             # monotone across transactions (decoding emits in COMMIT
             # order; change lsns interleave) — the offset key the
             # native streaming source (pgdatasource.py) tracks.
+            if origin == "none" and txn_origin is not None:
+                txn = []  # foreign-origin txn dropped whole
             for ch in txn:
                 ch["commit_lsn"] = lsn
             changes.extend(txn)
             txn = []
             commit_ts = None
+            txn_origin = None
         elif kind == "S":  # v2 StreamStart: xid, first-segment flag
             stream_xid = r.i32()
             r.u8()
@@ -247,6 +265,9 @@ def parse_pgoutput(
             r.i64()
             ts = _pg_ts(r.i64())
             done = streams.pop(sxid, [])
+            s_origin = streams.pop(("origin", sxid), None)
+            if origin == "none" and s_origin is not None:
+                done = []  # foreign-origin streamed txn dropped whole
             for ch in done:
                 ch["ts"] = ts
                 ch["commit_lsn"] = lsn  # StreamCommit frame position
@@ -256,6 +277,7 @@ def parse_pgoutput(
             sub = r.i32()
             if sub == sxid:
                 streams.pop(sxid, None)  # whole transaction rolled back
+                streams.pop(("origin", sxid), None)
             elif sxid in streams:  # one subtransaction rolled back
                 streams[sxid] = [
                     ch for ch in streams[sxid] if ch["txid"] != sub
@@ -290,7 +312,16 @@ def parse_pgoutput(
             r.cstr()
         elif kind == "O":  # Origin: commit lsn on the origin, name
             r.i64()
-            r.cstr()
+            o_name = r.cstr()
+            # An Origin frame inside an S..E segment marks the OPEN
+            # streamed transaction (it is NOT xid-prefixed); outside,
+            # it marks the current plain transaction.  The mark
+            # persists with the stream state so a commit parsed in a
+            # LATER read() still sees it.
+            if stream_xid is not None:
+                streams[("origin", stream_xid)] = o_name
+            else:
+                txn_origin = o_name
         elif kind == "M":  # Message: flags, lsn, prefix, length, body
             r.u8()
             r.i64()
@@ -424,6 +455,7 @@ def pull_changes_pgoutput(
     proto_version: int = 1,
     streaming: bool = False,
     work_mem: str | None = None,
+    origin: str = "any",
 ):
     """Drain (peek=False) or peek (default) the pgoutput slot through
     ``pg_logical_slot_*_binary_changes`` and return
@@ -462,7 +494,7 @@ def pull_changes_pgoutput(
             f" {opts}, 'publication_names', '{publication}')"
         )[0]
     raw = [(lsn, int(xid), data) for lsn, xid, data in res.rows]
-    parsed = parse_pgoutput(raw)
+    parsed = parse_pgoutput(raw, origin=origin)
     max_lsn = raw[-1][0] if raw else None
     return _envelope_df(spark, parsed, publisher or slot, epoch), max_lsn
 
@@ -580,7 +612,10 @@ class ReplicationStream:
         # stream-lifetime OPEN v2 transactions: segments already parsed
         # but not yet StreamCommit'ed/aborted survive across read()
         # calls even when another transaction's commit triggers a parse
-        self._streams: dict[int, list[dict]] = {}
+        self._streams: dict = {}
+        # decoder-side replication-origin filter (see parse_pgoutput):
+        # set to "none" to drop foreign-origin transactions whole
+        self.origin = "any"
 
     def read(self, max_seconds: float = 5.0, relations=None) -> list[dict]:
         """Read until a Commit message closes a transaction (returning
@@ -608,7 +643,9 @@ class ReplicationStream:
                     batch.append((lsn_to_str(start), 0, payload[25:]))
                     # Commit (v1) or StreamCommit (v2) closes a txn
                     if payload[25:26] in (b"C", b"c"):
-                        return parse_pgoutput(batch, rels, self._streams)
+                        return parse_pgoutput(
+                            batch, rels, self._streams, origin=self.origin
+                        )
                 elif tag == b"k":  # keepalive: end, clock, reply?
                     end, _clock, reply = struct.unpack("!qqB", payload[1:18])
                     self.wal_end = max(self.wal_end, end)

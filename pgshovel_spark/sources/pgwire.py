@@ -444,7 +444,11 @@ class ScratchPostgres:
             # must stay ON — logical decoding only streams up to the
             # FLUSHED lsn, so async commits make an immediate slot peek
             # race its own transaction (observed: empty decode).
-            "-c fsync=off"
+            "-c fsync=off "
+            # two-phase commit surface for the native upsert sink's
+            # PREPARE TRANSACTION / COMMIT PREPARED protocol (default 0
+            # disables it server-wide)
+            "-c max_prepared_transactions=32"
         )
         r = self._run(
             [self._pg_ctl, "-D", self.data, "-o", opts,

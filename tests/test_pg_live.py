@@ -2116,3 +2116,286 @@ def test_pgoutput_decoder_malformed_metadata():
     out = po.parse_pgoutput(v2)
     assert [(c["txid"], c["after"]["id"]) for c in out] == [(7, "1")]
     assert out[0]["ts"] is not None
+
+
+def test_pgoutput_origin_filter_unit():
+    """Decoder-side replication-origin filter (round 11): origin='none'
+    drops a foreign-origin transaction ATOMICALLY at commit — plain
+    and v2-streamed framing, including an Origin mark whose stream
+    commits in a LATER parse call (persistent streams dict)."""
+    import struct as st
+
+    import pytest as _p
+
+    from pgshovel_spark.sources import pgoutput as po
+
+    TS = 820540800000000
+    rel = _msg_relation(99, "public", "t", ["id", "v"], ["id"])
+    origin_msg = b"O" + st.pack("!q", 0x99) + b"node_b\x00"
+
+    def txn(xid, ids, with_origin):
+        out = [("0/%X" % (xid * 16), xid, _msg_begin(TS, xid))]
+        if with_origin:
+            out.append(("0/%X" % (xid * 16 + 1), xid, origin_msg))
+        for j, i in enumerate(ids):
+            out.append(("0/%X" % (xid * 16 + 2 + j), xid,
+                        b"I" + st.pack("!i", 99) + b"N" + _tuple_data([i, "x"])))
+        out.append(("0/%X" % (xid * 16 + 9), xid,
+                    b"C\x00" + st.pack("!qqq", 0, 0, TS)))
+        return out
+
+    msgs = ([("0/1", 1, rel)]
+            + txn(2, [1, 2], with_origin=False)
+            + txn(3, [3], with_origin=True)       # foreign
+            + txn(4, [4], with_origin=False))
+    keep_all = po.parse_pgoutput(msgs, origin="any")
+    assert [c["after"]["id"] for c in keep_all] == ["1", "2", "3", "4"]
+    local_only = po.parse_pgoutput(msgs, origin="none")
+    assert [c["after"]["id"] for c in local_only] == ["1", "2", "4"]
+
+    with _p.raises(ValueError, match="origin must be"):
+        po.parse_pgoutput(msgs, origin="weird")
+
+    # v2 streamed txn: Origin in segment 1 (call 1), data + commit in
+    # call 2 — the mark must survive in the persistent streams dict
+    streams: dict = {}
+    rels: dict = {}
+    seg1 = [
+        ("0/20", 7, b"S" + st.pack("!iB", 7, 1)),
+        ("0/21", 7, origin_msg),                  # NOT xid-prefixed
+        ("0/22", 7, b"R" + st.pack("!i", 7) + rel[1:]),
+        ("0/23", 7, b"I" + st.pack("!i", 7) + st.pack("!i", 99)
+         + b"N" + _tuple_data([10, "s"])),
+        ("0/24", 7, b"E"),
+    ]
+    assert po.parse_pgoutput(seg1, rels, streams, origin="none") == []
+    seg2 = [
+        ("0/30", 7, b"S" + st.pack("!iB", 7, 0)),
+        ("0/31", 7, b"I" + st.pack("!i", 7) + st.pack("!i", 99)
+         + b"N" + _tuple_data([11, "s"])),
+        ("0/32", 7, b"E"),
+        ("0/33", 7, b"c" + st.pack("!iBqqq", 7, 0, 0, 0, TS)),
+    ]
+    assert po.parse_pgoutput(seg2, rels, streams, origin="none") == []
+    assert streams == {}  # mark cleaned up with the dropped txn
+    # same frames under origin='any' deliver both segments' rows
+    streams2: dict = {}
+    rels2: dict = {}
+    po.parse_pgoutput(seg1, rels2, streams2, origin="any")
+    out = po.parse_pgoutput(seg2, rels2, streams2, origin="any")
+    assert [c["after"]["id"] for c in out] == ["10", "11"]
+
+
+def test_pgoutput_origin_filter_live(spark, pg):
+    """Origin filter against a REAL server: a session marked with
+    pg_replication_origin_session_setup writes one transaction; under
+    origin='none' the decoder drops it, under 'any' it arrives — the
+    loop-prevention a bidirectional topology needs, without requiring
+    the PG16 server-side option."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table orig_t(id int primary key, v text)")
+    po.create_publication(pg, "orig_pub", ["orig_t"])
+    po.create_slot_pgoutput(pg, "orig_slot")
+
+    with pg.connect() as c:
+        c.query("insert into orig_t values (1, 'local')")
+    with pg.connect() as c:  # a REPLICATED session (has an origin)
+        c.query("select pg_replication_origin_create('peer_node')")
+        c.query("select pg_replication_origin_session_setup('peer_node')")
+        c.query("insert into orig_t values (2, 'from_peer')")
+        c.query("select pg_replication_origin_session_reset()")
+    with pg.connect() as c:
+        c.query("insert into orig_t values (3, 'local2')")
+
+    df_all, _ = po.pull_changes_pgoutput(
+        spark, pg, "orig_slot", "orig_pub", origin="any"
+    )
+    ids_all = sorted(r.after["id"] for r in df_all.collect())
+    assert ids_all == ["1", "2", "3"]
+    df_local, _ = po.pull_changes_pgoutput(
+        spark, pg, "orig_slot", "orig_pub", origin="none"
+    )
+    ids_local = sorted(r.after["id"] for r in df_local.collect())
+    assert ids_local == ["1", "3"]
+    pgl.drop_slot(pg, "orig_slot")
+
+
+# ---------------------------------------------------------------------------
+# native streaming SINK: writeStream.format("pgshovel") (2PC upsert)
+# ---------------------------------------------------------------------------
+
+
+def test_pgupsert_sink_two_phase_live(spark, pg, tmp_path):
+    """The native write half: a file-backed stream of keyed rows
+    upserts into a live Postgres table through PREPARE TRANSACTION /
+    COMMIT PREPARED; stale replays lose to the newer-guard; no
+    prepared transaction survives a clean run."""
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query(
+            "create table ups_t(id bigint primary key, v text,"
+            " epoch bigint, seq bigint)"
+        )
+    register_pgshovel(spark)
+
+    src_dir = str(tmp_path / "in")
+    rows1 = [(i, f"a{i}", 1, i) for i in range(200)]
+    spark.createDataFrame(rows1, "id long, v string, epoch long, seq long")\
+        .coalesce(2).write.mode("append").parquet(src_dir)
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema("id long, v string, epoch long, seq long")
+            .parquet(src_dir)
+            .writeStream.format("pgshovel")
+            .option("sockdir", pg.sockdir)
+            .option("table", "ups_t")
+            .option("keys", "id")
+            .option("order_cols", "epoch,seq")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    with pg.connect() as c:
+        n = c.one("select count(*) from ups_t")
+        assert n == 200
+        assert c.one("select v from ups_t where id = 7") == "a7"
+        assert c.one("select count(*) from pg_prepared_xacts") == 0
+
+    # second wave: 100 genuine updates (epoch 2) + 50 STALE rows
+    # (epoch 0 — must lose) + 20 new keys
+    rows2 = ([(i, f"b{i}", 2, i) for i in range(100)]
+             + [(i, "stale", 0, 0) for i in range(100, 150)]
+             + [(i, f"n{i}", 1, i) for i in range(200, 220)])
+    spark.createDataFrame(rows2, "id long, v string, epoch long, seq long")\
+        .coalesce(3).write.mode("append").parquet(src_dir)
+    run(str(tmp_path / "ck1"))  # same checkpoint: only new files run
+    with pg.connect() as c:
+        assert c.one("select count(*) from ups_t") == 220
+        assert c.one("select v from ups_t where id = 7") == "b7"      # updated
+        assert c.one("select v from ups_t where id = 120") == "a120"  # stale lost
+        assert c.one("select v from ups_t where id = 210") == "n210"  # inserted
+        assert c.one("select count(*) from pg_prepared_xacts") == 0
+
+
+def test_pgupsert_sink_orphan_recovery(spark, pg, tmp_path):
+    """A prepared transaction orphaned by a crash between task PREPARE
+    and driver COMMIT PREPARED holds row locks; query start must roll
+    it back or the replayed batch deadlocks."""
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query(
+            "create table orph_t(id bigint primary key, v text,"
+            " epoch bigint, seq bigint)"
+        )
+        # simulate the crash leftover: a prepared txn under the sink's
+        # gid prefix holding a lock on id=1
+        c.query("begin")
+        c.query("insert into orph_t values (1, 'orphan', 1, 1)")
+        c.query("prepare transaction 'pgshovel2pc_orph_t_b0_rdeadrun_cafe01'")
+    with pg.connect() as c:
+        assert c.one("select count(*) from pg_prepared_xacts") == 1
+
+    register_pgshovel(spark)
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "fresh", 2, 1), (2, "x", 1, 1)],
+        "id long, v string, epoch long, seq long",
+    ).write.mode("append").parquet(src_dir)
+    q = (
+        spark.readStream.schema("id long, v string, epoch long, seq long")
+        .parquet(src_dir)
+        .writeStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("table", "orph_t")
+        .option("keys", "id")
+        .option("order_cols", "epoch,seq")
+        .option("lock_timeout_ms", "2000")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    with pg.connect() as c:
+        assert c.one("select count(*) from pg_prepared_xacts") == 0
+        assert c.one("select v from orph_t where id = 1") == "fresh"
+        assert c.one("select count(*) from orph_t") == 2
+
+
+def test_pg_native_relay_source_to_sink(spark, pg, tmp_path):
+    """The FULL native relay, one Spark query, zero landing files:
+    live writes -> pgoutput slot -> readStream.format('pgshovel') ->
+    flatten -> writeStream.format('pgshovel') 2PC upsert into a
+    SECOND live table — Postgres-to-Postgres CDC through Spark with
+    the checkpoint as the only ledger; end state exact."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table relay_src(id bigint primary key, v text)")
+        c.query(
+            "create table relay_dst(id bigint primary key, v text,"
+            " epoch bigint, seq bigint)"
+        )
+    po.create_publication(pg, "relay_pub", ["relay_src"])
+    po.create_slot_pgoutput(pg, "relay_slot")
+    with pg.connect() as c:
+        c.query("insert into relay_src select g, 'v' || g from generate_series(1, 300) g")
+        c.query("update relay_src set v = 'u' || id where id <= 40")
+
+    register_pgshovel(spark)
+    flat = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("slot", "relay_slot")
+        .option("publication", "relay_pub")
+        .load()
+        .filter(F.col("op") != "DELETE")
+        .select(
+            F.col("after")["id"].cast("long").alias("id"),
+            F.col("after")["v"].alias("v"),
+            F.col("epoch"),
+            F.col("seq"),
+        )
+        .filter(F.col("id").isNotNull())
+        # 2PC requirement: key-disjoint partitions (see sink docstring)
+        .repartition(4, "id")
+    )
+    q = (
+        flat.writeStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("table", "relay_dst")
+        .option("keys", "id")
+        .option("order_cols", "epoch,seq")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def _synced():
+            with pg.connect() as c:
+                return c.one(
+                    "select count(*) from relay_dst where v like 'u%'"
+                ) == 40 and c.one("select count(*) from relay_dst") == 300
+        assert _wait_for(_synced), "relay did not converge"
+        # live tail through the running relay
+        with pg.connect() as c:
+            c.query("insert into relay_src values (999, 'late')")
+        assert _wait_for(lambda: pg.connect().__enter__().one(
+            "select count(*) from relay_dst where id = 999") == 1)
+        with pg.connect() as c:
+            src = c.query("select id, v from relay_src order by id")[0].rows
+            dst = c.query("select id, v from relay_dst order by id")[0].rows
+        assert src == dst
+    finally:
+        q.stop()
+    pgl.drop_slot(pg, "relay_slot")
