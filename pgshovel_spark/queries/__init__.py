@@ -87,9 +87,12 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
-    # round-11 plan change first: q_late_events rewritten off the
+    # round-11 NEW queries first (never driver-checked), then the
+    # round-11 plan change (q_late_events rewritten off the
     # 5-partition window onto the bucketed two-pass prefix max — its
-    # NEW plan needs a fresh driver row
+    # NEW plan needs a fresh driver row)
+    "q_sample_rejection",
+    "q_graph_kcore",
     "q_late_events",
     # round-10 NEW queries (driver-checked r10): the explicit
     # 64-register HLL audit twin of q_agg_approx, then the image-codec

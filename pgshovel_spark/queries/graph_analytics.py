@@ -568,7 +568,94 @@ FROM l2 GROUP BY lbl
 """
 
 
+#: k-core threshold and fixed peel depth for q_graph_kcore
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel on the bipartite trade graph — the dense-subgraph
+    primitive (spam rings, heavy trading cliques, anchor communities):
+    repeatedly drop every node with degree < k and every edge touching
+    one, {_KCORE_ROUNDS} synchronous rounds unrolled into ONE
+    declarative plan (the q_graph_pagerank/q_graph_lpa precedent —
+    fixed-depth DAG, no driver loop, deterministic).
+
+    Output: per peel stage (0 = raw graph .. {_KCORE_ROUNDS}), the
+    surviving edge count and per-side node counts — the convergence
+    profile an analyst reads to pick k.
+
+    Scale: each round is two degree aggregates + two semi joins on
+    the (already corpus-reduced, 16-byte) edge artifact; stage stats
+    reuse the per-round exchanges via AQE stage reuse, and the peel
+    monotonically SHRINKS the frame each round.
+    """
+    stats = []
+
+    def stage_stats(e: DataFrame, r: int) -> DataFrame:
+        return e.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("cn").alias("n_customers"),
+            F.countDistinct("sn").alias("n_suppliers"),
+        ).select(
+            F.lit(r).alias("stage"), "n_edges", "n_customers", "n_suppliers"
+        )
+
+    e = _trade_edges(spark, sf_dir)
+    stats.append(stage_stats(e, 0))
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep_c = (
+            e.groupBy("cn").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("cn")
+        )
+        keep_s = (
+            e.groupBy("sn").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("sn")
+        )
+        e = e.join(keep_c, "cn", "left_semi").join(keep_s, "sn", "left_semi")
+        stats.append(stage_stats(e, r))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+_GRAPH_KCORE_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= {_MIN_QTY}
+    AND l_shipdate >= TIMESTAMP '{_FROM}'
+    AND l_shipdate < TIMESTAMP '{_TO}'
+), e1 AS (
+  SELECT cn, sn FROM e0
+  WHERE cn IN (SELECT cn FROM e0 GROUP BY cn HAVING COUNT(*) >= {_KCORE_K})
+    AND sn IN (SELECT sn FROM e0 GROUP BY sn HAVING COUNT(*) >= {_KCORE_K})
+), e2 AS (
+  SELECT cn, sn FROM e1
+  WHERE cn IN (SELECT cn FROM e1 GROUP BY cn HAVING COUNT(*) >= {_KCORE_K})
+    AND sn IN (SELECT sn FROM e1 GROUP BY sn HAVING COUNT(*) >= {_KCORE_K})
+), e3 AS (
+  SELECT cn, sn FROM e2
+  WHERE cn IN (SELECT cn FROM e2 GROUP BY cn HAVING COUNT(*) >= {_KCORE_K})
+    AND sn IN (SELECT sn FROM e2 GROUP BY sn HAVING COUNT(*) >= {_KCORE_K})
+)
+SELECT 0 AS stage, COUNT(*) AS n_edges,
+       COUNT(DISTINCT cn) AS n_customers,
+       COUNT(DISTINCT sn) AS n_suppliers FROM e0
+UNION ALL
+SELECT 1, COUNT(*), COUNT(DISTINCT cn), COUNT(DISTINCT sn) FROM e1
+UNION ALL
+SELECT 2, COUNT(*), COUNT(DISTINCT cn), COUNT(DISTINCT sn) FROM e2
+UNION ALL
+SELECT 3, COUNT(*), COUNT(DISTINCT cn), COUNT(DISTINCT sn) FROM e3
+"""
+
+
 QUERIES = {
+    "q_graph_kcore": q_graph_kcore,
     "q_graph_lpa": q_graph_lpa,
     "q_graph_trade_components": q_graph_trade_components,
     "q_graph_degrees": q_graph_degrees,
@@ -576,6 +663,7 @@ QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
 }
 ORACLES = {
+    "q_graph_kcore": _GRAPH_KCORE_SQL,
     "q_graph_lpa": _GRAPH_LPA_SQL,
     "q_graph_trade_components": _GRAPH_TRADE_COMPONENTS_SQL,
     "q_graph_degrees": _GRAPH_DEGREES_SQL,

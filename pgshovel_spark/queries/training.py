@@ -1001,7 +1001,83 @@ FROM weighted CROSS JOIN wsum
 """
 
 
+def q_sample_rejection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated rejection sampling — the curation step between
+    hard filters and mixture weighting: every document computes an
+    integer quality score and is kept with probability proportional
+    to it, so low-quality docs are DOWN-WEIGHTED rather than cliff-
+    dropped (the soft-filter discipline of modern pretraining mixes).
+
+    quality_milli in [300, 1000]: 300 + 700 * content-token share
+    (tokens outside the tiny stopword set {'a','the'}) — all-integer
+    arithmetic, no float boundary.  Accept iff the Knuth hash bucket
+    of doc_id (mod 1000) < quality_milli: deterministic across
+    re-runs, task retries, and the oracle (the sampling family's
+    shared knuth_bucket).  Output: per (lang, source) corpus panel —
+    doc/accept counts, exact basis-point accept rate, token mass
+    before/after — the table a data-mix owner reads to see what the
+    gate costs each slice.
+
+    Scale: one row-local projection (tokenize once per doc), one
+    |langs x sources|-row aggregate; no joins, no window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda x: x != F.lit(""))
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin("a", "the")))
+    # integer division (div), not /: stays on the BIGINT lattice
+    quality = F.lit(300) + F.expr(
+        "700 * (n_toks - stop_hits) div greatest(n_toks, 1)"
+    )
+    scored = d.select(
+        "lang",
+        "source",
+        n_toks.alias("n_toks"),
+        stop_hits.alias("stop_hits"),
+        knuth_bucket("doc_id", 1000).alias("bkt"),
+    ).withColumn("quality_milli", quality)
+    acc = F.col("bkt") < F.col("quality_milli")
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(acc.cast("long")).alias("n_accept"),
+        F.expr(
+            "sum(cast(bkt < quality_milli as long)) * 10000 div count(1)"
+        ).alias("accept_bp"),
+        F.sum("n_toks").alias("toks_total"),
+        F.sum(F.when(acc, F.col("n_toks")).otherwise(F.lit(0))).alias(
+            "toks_accept"
+        ),
+    )
+
+
+_SAMPLE_REJECTION_SQL = f"""
+WITH d AS (
+  SELECT lang, source,
+         len({_TOKS}) AS n_toks,
+         len(list_filter({_TOKS}, x -> x IN ('a', 'the'))) AS stop_hits,
+         (((doc_id % 2147483648) * {_KNUTH}) % 4294967296) % 1000 AS bkt
+  FROM documents
+), q AS (
+  SELECT lang, source, n_toks, bkt,
+         300 + 700 * (n_toks - stop_hits) // GREATEST(n_toks, 1)
+           AS quality_milli
+  FROM d
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN bkt < quality_milli THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accept,
+       CAST(SUM(CASE WHEN bkt < quality_milli THEN 1 ELSE 0 END) * 10000
+         // COUNT(*) AS BIGINT) AS accept_bp,
+       CAST(SUM(n_toks) AS BIGINT) AS toks_total,
+       CAST(SUM(CASE WHEN bkt < quality_milli THEN n_toks ELSE 0 END)
+         AS BIGINT) AS toks_accept
+FROM q GROUP BY lang, source
+"""
+
+
 QUERIES = {
+    "q_sample_rejection": q_sample_rejection,
     "q_source_mix": q_source_mix,
     "q_sample_temperature": q_sample_temperature,
     "q_pack_sequences": q_pack_sequences,
@@ -1016,6 +1092,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sample_rejection": _SAMPLE_REJECTION_SQL,
     "q_source_mix": _SOURCE_MIX_SQL,
     "q_sample_temperature": _SAMPLE_TEMPERATURE_SQL,
     "q_pack_sequences": _PACK_SEQUENCES_SQL,
