@@ -95,6 +95,15 @@ def main() -> None:
         help="datasource transport only: upto_nchanges bound per peek",
     )
     ap.add_argument(
+        "--sink",
+        choices=("derby", "pg2pc"),
+        default="derby",
+        help="derby = foreachBatch executed ANSI MERGE into embedded "
+        "Derby; pg2pc = the round-11 native writeStream.format('pgshovel') "
+        "two-phase-commit upsert back into live Postgres (requires "
+        "--transport datasource: the FULL native relay, one Spark query)",
+    )
+    ap.add_argument(
         "--transport",
         choices=("sql", "walsender", "datasource"),
         default="sql",
@@ -162,7 +171,7 @@ def main() -> None:
             # warm the Spark/Arrow/JDBC path outside the timed window
             with p.connect() as c:
                 c.query("insert into pgstream_t values (-1, 'warm', 0.0)")
-            q = (
+            src = (
                 spark.readStream.format("pgshovel")
                 .option("sockdir", p.sockdir)
                 .option("slot", "pgls_slot")
@@ -173,11 +182,43 @@ def main() -> None:
                 # ~2 s bounded at the same 15k rows/s offered load)
                 .option("max_changes", str(args.max_changes))
                 .load()
-                .writeStream.foreachBatch(apply_batch)
-                .option("checkpointLocation", ckpt)
-                .trigger(processingTime="250 milliseconds")
-                .start()
             )
+            if args.sink == "pg2pc":
+                # the FULL native relay: pg -> source -> flatten ->
+                # native 2PC upsert back into pg, one Spark query
+                with p.connect() as c:
+                    c.query(
+                        "create table pgstate_t(id bigint primary key,"
+                        " v text, score float8, seq bigint)"
+                    )
+                flat = (
+                    src.filter(F.col("op") != "DELETE")
+                    .select(
+                        F.col("after")["id"].cast("long").alias("id"),
+                        F.col("after")["v"].alias("v"),
+                        F.col("after")["score"].cast("double").alias("score"),
+                        F.col("seq"),
+                    )
+                    .filter(F.col("id").isNotNull())
+                    .repartition(8, "id")  # 2PC: key-disjoint partitions
+                )
+                q = (
+                    flat.writeStream.format("pgshovel")
+                    .option("sockdir", p.sockdir)
+                    .option("table", "pgstate_t")
+                    .option("keys", "id")
+                    .option("order_cols", "seq")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(processingTime="250 milliseconds")
+                    .start()
+                )
+            else:
+                q = (
+                    src.writeStream.foreachBatch(apply_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(processingTime="250 milliseconds")
+                    .start()
+                )
             cap = None
         else:
             from pgshovel_spark.sources.pglanding import (
@@ -239,40 +280,60 @@ def main() -> None:
             capture_drain_s = time.time() - t_drain
             landed_total = cap.seq_base  # includes the warm-up row
         deadline = time.time() + 180
-        while merged[0] < landed_total and time.time() < deadline:
-            time.sleep(0.5)
+        if args.sink == "pg2pc":
+            # the sink table's dense max(seq) is the processed ledger
+            def _done_rows():
+                with p.connect() as c:
+                    m = c.one("select coalesce(max(seq), -1) from pgstate_t")
+                return m + 1
+
+            while _done_rows() < landed_total and time.time() < deadline:
+                time.sleep(0.5)
+            captured = _done_rows()
+        else:
+            while merged[0] < landed_total and time.time() < deadline:
+                time.sleep(0.5)
+            if cap is None:
+                captured = merged[0]
         merge_drain_s = time.time() - t_drain - capture_drain_s
-        if cap is None:
-            captured = merged[0]
 
         progress = [
             pr for pr in (q.recentProgress or []) if pr["numInputRows"] > 0
         ]
         q.stop()
 
-        # exactly-once verification: Derby == live Postgres
-        rs = con.createStatement().executeQuery(
-            "SELECT COUNT(*), COALESCE(SUM(ID), 0) FROM STATE"
-        )
-        rs.next()
-        derby_n, derby_sum = rs.getLong(1), rs.getLong(2)
-        with p.connect() as c:
-            pg_n, pg_sum = c.query(
-                "select count(*), coalesce(sum(id), 0) from pgstream_t"
-            )[0].rows[0]
-            # spot-check value equality on the hot (updated) range
-            pg_hot = c.query(
-                "select id, v from pgstream_t where id < 200 order by id"
-            )[0].rows
-        rs = con.createStatement().executeQuery(
-            "SELECT ID, V FROM STATE WHERE ID < 200 ORDER BY ID"
-        )
-        derby_hot = []
-        while rs.next():
-            derby_hot.append((rs.getLong(1), rs.getString(2)))
-        exact = (derby_n == pg_n) and (derby_sum == pg_sum) and (
-            derby_hot == [(int(a), b) for a, b in pg_hot]
-        )
+        # exactly-once verification: sink state == live Postgres source
+        if args.sink == "pg2pc":
+            with p.connect() as c:
+                exact = c.one(
+                    "select count(*) from pgstream_t s full join pgstate_t d"
+                    " using (id) where d.id is null or s.id is null"
+                    " or s.v is distinct from d.v"
+                    " or s.score is distinct from d.score"
+                ) == 0
+        else:
+            rs = con.createStatement().executeQuery(
+                "SELECT COUNT(*), COALESCE(SUM(ID), 0) FROM STATE"
+            )
+            rs.next()
+            derby_n, derby_sum = rs.getLong(1), rs.getLong(2)
+            with p.connect() as c:
+                pg_n, pg_sum = c.query(
+                    "select count(*), coalesce(sum(id), 0) from pgstream_t"
+                )[0].rows[0]
+                # spot-check value equality on the hot (updated) range
+                pg_hot = c.query(
+                    "select id, v from pgstream_t where id < 200 order by id"
+                )[0].rows
+            rs = con.createStatement().executeQuery(
+                "SELECT ID, V FROM STATE WHERE ID < 200 ORDER BY ID"
+            )
+            derby_hot = []
+            while rs.next():
+                derby_hot.append((rs.getLong(1), rs.getString(2)))
+            exact = (derby_n == pg_n) and (derby_sum == pg_sum) and (
+                derby_hot == [(int(a), b) for a, b in pg_hot]
+            )
 
         lat_ms = sorted(
             pr["durationMs"]["triggerExecution"] for pr in progress
@@ -294,6 +355,7 @@ def main() -> None:
             "merge_drain_sec": round(merge_drain_s, 2),
             "exactly_once_state_match": bool(exact),
             "transport": args.transport,
+            "sink": args.sink,
         }
         if cap is not None:
             cap.close()
@@ -304,7 +366,9 @@ def main() -> None:
     print("|---|---|")
     for k, v in results.items():
         print(f"| {k} | {v} |")
-    s_key = f"pglive_stream_{args.transport}"
+    s_key = f"pglive_stream_{args.transport}" + (
+        "_pg2pc" if args.sink == "pg2pc" else ""
+    )
     print(json.dumps({s_key: results}))
 
 

@@ -127,6 +127,9 @@ PANEL = (
     "q_late_events",          # bucketed two-pass prefix max (r11 rewrite)
     "q_sample_temperature",   # temperature-rule mixture weights
     "q_mm_video",             # AVI/RIFF container decode, mapInPandas
+    # round-11 additions
+    "q_sample_rejection",     # row-local quality gate + tiny aggregate
+    "q_graph_kcore",          # 3-round semi-join peel on the edge artifact
 )
 
 
