@@ -585,41 +585,88 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving edge count and per-side node counts — the convergence
     profile an analyst reads to pick k.
 
-    Scale: each round is two degree aggregates + two semi joins on
-    the (already corpus-reduced, 16-byte) edge artifact; stage stats
-    reuse the per-round exchanges via AQE stage reuse, and the peel
-    monotonically SHRINKS the frame each round.
+    Scale: the peel is expressed WITHOUT filtering or joins — every
+    round's survival flag is a conditional window sum over the
+    previous flag (degree within the surviving subgraph = sum of the
+    prior alive flag over the node's partition), so the whole
+    {_KCORE_ROUNDS}-round peel is ONE LINEAR chain of per-side window
+    exchanges over the 16-byte edge artifact, and each edge leaves
+    with its survival stage as a column.  The flagged frame
+    materializes once (three tiny stat consumers: per-stage edge
+    sums, per-cn max-stage counts, per-sn max-stage counts — no
+    countDistinct expand, no per-round re-derivation).  The naive
+    aggregate+semi-join form billed 81 bench jobs; this one bills 7.
     """
-    stats = []
-
-    def stage_stats(e: DataFrame, r: int) -> DataFrame:
-        return e.agg(
-            F.count(F.lit(1)).alias("n_edges"),
-            F.countDistinct("cn").alias("n_customers"),
-            F.countDistinct("sn").alias("n_suppliers"),
-        ).select(
-            F.lit(r).alias("stage"), "n_edges", "n_customers", "n_suppliers"
-        )
+    from pgshovel_spark.operators.scratch import materialize
 
     e = _trade_edges(spark, sf_dir)
-    stats.append(stage_stats(e, 0))
+    wc, ws = Window.partitionBy("cn"), Window.partitionBy("sn")
+    f = e.withColumn(
+        "a1",
+        (F.count(F.lit(1)).over(wc) >= _KCORE_K)
+        & (F.count(F.lit(1)).over(ws) >= _KCORE_K),
+    )
+    prev = "a1"
+    for r in range(2, _KCORE_ROUNDS + 1):
+        f = f.withColumn(
+            f"a{r}",
+            F.col(prev)
+            & (F.sum(F.col(prev).cast("long")).over(wc) >= _KCORE_K)
+            & (F.sum(F.col(prev).cast("long")).over(ws) >= _KCORE_K),
+        )
+        prev = f"a{r}"
+    stage = F.lit(0)
     for r in range(1, _KCORE_ROUNDS + 1):
-        keep_c = (
-            e.groupBy("cn").agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
-            .select("cn")
+        stage = F.when(F.col(f"a{r}"), F.lit(r)).otherwise(stage)
+    flags = materialize(f.select("cn", "sn", stage.alias("stage_e")))
+
+    rounds = list(range(_KCORE_ROUNDS + 1))
+    edges_row = flags.agg(
+        *[
+            F.sum((F.col("stage_e") >= r).cast("long")).alias(f"e{r}")
+            for r in rounds
+        ]
+    )
+    cn_row = (
+        flags.groupBy("cn")
+        .agg(F.max("stage_e").alias("st"))
+        .agg(
+            *[
+                F.sum((F.col("st") >= r).cast("long")).alias(f"c{r}")
+                for r in rounds
+            ]
         )
-        keep_s = (
-            e.groupBy("sn").agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
-            .select("sn")
+    )
+    sn_row = (
+        flags.groupBy("sn")
+        .agg(F.max("stage_e").alias("st"))
+        .agg(
+            *[
+                F.sum((F.col("st") >= r).cast("long")).alias(f"s{r}")
+                for r in rounds
+            ]
         )
-        e = e.join(keep_c, "cn", "left_semi").join(keep_s, "sn", "left_semi")
-        stats.append(stage_stats(e, r))
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out
+    )
+    return (
+        edges_row.crossJoin(cn_row)
+        .crossJoin(sn_row)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("stage"),
+                            F.col(f"e{r}").alias("n_edges"),
+                            F.col(f"c{r}").alias("n_customers"),
+                            F.col(f"s{r}").alias("n_suppliers"),
+                        )
+                        for r in rounds
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+    )
 
 
 _GRAPH_KCORE_SQL = f"""
