@@ -58,6 +58,10 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         # raise it to 64-256m on a cluster (SCALE.md).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        # Python DataSource filter pushdown (the native pgshovel
+        # batch source renders supported conjuncts into the remote
+        # WHERE clause; off by default in Spark 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- Arrow for all Python crossings ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -84,6 +84,7 @@ from typing import Iterator, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -293,6 +294,198 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
             from pgshovel_spark.sources.pgoutput import lsn_to_str
 
             advance(self.params, self.slot, lsn_to_str(end["lsn"]))
+
+
+# ---------------------------------------------------------------------------
+# the BATCH half: MVCC snapshot bootstrap as a native partitioned read
+# ---------------------------------------------------------------------------
+
+
+class PgShovelBatchReader(DataSourceReader):
+    """``spark.read.format("pgshovel").option("table", ...)`` — the
+    consistent-bootstrap read as a first-class partitioned Spark scan
+    (public ``DataSourceReader``): N key slices, each read by an
+    EXECUTOR task on its own wire connection, all adopting ONE
+    exported MVCC snapshot (``SET TRANSACTION SNAPSHOT``) so the
+    union is a point-in-time image even under concurrent writers —
+    the same discipline ``pglogical.snapshot_parallel_read`` proves
+    via mapInPandas, promoted to the native scan API.
+
+    Filter pushdown is REAL (``pushFilters``, Spark 4.1): supported
+    conjuncts (comparisons / In / IsNull on plain columns) render
+    into the remote WHERE clause next to the slice predicate, so the
+    server prunes before a byte crosses the wire; unsupported filters
+    are returned to Spark for post-scan evaluation.  Slices use the
+    sign-safe ``mod(mod(key, N) + N, N)`` with NULL keys routed to
+    slice 0 (pglogical's union-is-the-whole-table construction).
+
+    Rows hand off as column-built Arrow RecordBatches; numeric decodes
+    follow the bootstrap contract (numeric -> double, lossy by
+    declaration).  Keep the exporting transaction open for the scan's
+    whole duration (run the action inside ``exported_snapshot``).
+    """
+
+    def __init__(self, options, schema):
+        from pgshovel_spark.sources.pgwire import PgParams
+
+        sockdir = _opt(options, "sockdir")
+        if not sockdir:
+            raise ValueError("pgshovel batch source requires option 'sockdir'")
+        self.params = PgParams(
+            sockdir=sockdir,
+            database=_opt(options, "database", "postgres"),
+            user=_opt(options, "user", "postgres"),
+            port=int(_opt(options, "port", "5432")),
+        )
+        self.table = _check_ident(_opt(options, "table") or "")
+        self.key_col = _check_ident(_opt(options, "partition_col") or "")
+        self.n_parts = int(_opt(options, "num_partitions", "8"))
+        self.snapshot = _opt(options, "snapshot")
+        if self.snapshot is not None and not all(
+            ch in "0123456789ABCDEFabcdef-" for ch in self.snapshot
+        ):
+            raise ValueError(f"invalid snapshot id: {self.snapshot!r}")
+        self.schema = schema
+        self.columns = [_check_ident(f.name) for f in schema.fields]
+        self.pushed_sql: list[str] = []  # rendered conjuncts (telemetry/tests)
+
+    # -- pushdown ------------------------------------------------------------
+
+    def _render_filter(self, f) -> str | None:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            return None  # nested column: not pushable
+        col = attr[0]
+        if col not in self.columns:
+            return None
+        _check_ident(col)
+        if isinstance(f, IsNull):
+            return f"{col} is null"
+        if isinstance(f, IsNotNull):
+            return f"{col} is not null"
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for cls, op in ops.items():
+            if isinstance(f, cls):
+                return f"{col} {op} {_pg_literal(f.value)}"
+        if isinstance(f, In):
+            if not f.value:  # In's value is the tuple of candidates
+                return None
+            vals = ", ".join(_pg_literal(v) for v in f.value)
+            return f"{col} in ({vals})"
+        return None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            sql = self._render_filter(f)
+            if sql is None:
+                yield f  # Spark evaluates it post-scan
+            else:
+                self.pushed_sql.append(sql)
+
+    # -- scan ----------------------------------------------------------------
+
+    def partitions(self):
+        from pyspark.sql.datasource import InputPartition
+
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        import decimal
+
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import DoubleType
+
+        i = partition.value
+        pred = (
+            f"mod(mod({self.key_col}, {self.n_parts}) + {self.n_parts},"
+            f" {self.n_parts}) = {i}"
+        )
+        if i == 0:
+            pred = f"({pred} or {self.key_col} is null)"
+        where = " and ".join([pred] + self.pushed_sql)
+        col_sql = ", ".join(self.columns)
+        with self.params.connect() as c:
+            if self.snapshot is not None:
+                c.query("begin isolation level repeatable read")
+                c.query(f"set transaction snapshot '{self.snapshot}'")
+            res = c.query(
+                f"select {col_sql} from {self.table} where {where}"
+            )[0]
+            if self.snapshot is not None:
+                c.query("commit")
+        sch = to_arrow_schema(self.schema)
+        is_double = [
+            isinstance(f.dataType, DoubleType) for f in self.schema.fields
+        ]
+        rows = res.rows
+        for lo in range(0, max(len(rows), 1), 65536):
+            chunk = rows[lo : lo + 65536]
+            if not chunk and lo > 0:
+                break
+            cols = list(zip(*chunk)) if chunk else [[] for _ in self.columns]
+            arrays = []
+            for j in range(len(self.columns)):
+                vals = list(cols[j])
+                if is_double[j]:
+                    # bootstrap contract: numeric -> double (the wire
+                    # client decodes numeric to Decimal)
+                    vals = [
+                        float(v) if isinstance(v, decimal.Decimal) else v
+                        for v in vals
+                    ]
+                arrays.append(pa.array(vals, type=sch.field(j).type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=sch)
+
+
+def infer_pg_schema(options) -> StructType:
+    """LIMIT-0 probe -> StructType via the bootstrap OID map (same
+    lossy-numeric contract as snapshot_parallel_read); honors an
+    optional ``columns`` option for projection at the source."""
+    from pyspark.sql import types as T
+
+    from pgshovel_spark.sources.pglogical import _OID_SPARK
+    from pgshovel_spark.sources.pgwire import PgParams
+
+    params = PgParams(
+        sockdir=_opt(options, "sockdir"),
+        database=_opt(options, "database", "postgres"),
+        user=_opt(options, "user", "postgres"),
+        port=int(_opt(options, "port", "5432")),
+    )
+    table = _check_ident(_opt(options, "table") or "")
+    keep = _opt(options, "columns")
+    keep_list = (
+        [_check_ident(c.strip()) for c in keep.split(",")] if keep else None
+    )
+    with params.connect() as c:
+        probe = c.query(f"select * from {table} limit 0")[0]
+    fields = [
+        T.StructField(name, _OID_SPARK.get(oid, T.StringType()))
+        for name, oid in zip(probe.columns, probe.type_oids)
+        if keep_list is None or name in keep_list
+    ]
+    if keep_list:
+        order = {n: i for i, n in enumerate(keep_list)}
+        fields.sort(key=lambda f: order.get(f.name, 1 << 30))
+    return T.StructType(fields)
 
 
 # ---------------------------------------------------------------------------
@@ -577,9 +770,16 @@ class PgShovelDataSource(DataSource):
         return "pgshovel"
 
     def schema(self) -> StructType:
+        # batch mode (option 'table' set): infer from a live LIMIT-0
+        # probe; streaming mode: the CHANGE_SCHEMA envelope
+        if _opt(self.options, "table"):
+            return infer_pg_schema(self.options)
         from pgshovel_spark.streaming.change_stream import CHANGE_SCHEMA
 
         return CHANGE_SCHEMA
+
+    def reader(self, schema: StructType):
+        return PgShovelBatchReader(self.options, schema)
 
     def simpleStreamReader(self, schema: StructType):
         return PgShovelSimpleStreamReader(self.options)
