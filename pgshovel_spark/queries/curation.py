@@ -536,23 +536,16 @@ FROM runs GROUP BY doc_a, doc_b
 
 # --------------------------------------- SimHash near-dup pairs (banded)
 
-#: Knuth multiplicative spread of the shared polynomial token hash:
-#: the raw hash tops out around 2^28 on this corpus, so its high bits
-#: are constant and any band over them would bucket the whole corpus
-#: together (quadratic blow-up).  The hash is reduced mod 2^31 BEFORE
-#: the multiply so the product is bounded by 2^31 * 2654435761 < 2^63
-#: for ANY input length — without the reduction a shingle longer than
-#: ~120 chars overflows BIGINT, which Spark wraps silently while
-#: DuckDB raises OutOfRangeException (engine divergence).  The mod is
-#: a no-op at raw hash < 2^31, so fixture results are unchanged.
-_SPREAD_MUL = 2654435761
-_SPREAD_MOD = 4294967296
-_SPREAD_RED = 2147483648  # 2^31 pre-multiply reduction, both engines
-
-
-def _spread(h):
-    """Overflow-proof Knuth spread: ((h % 2^31) * mul) % 2^32."""
-    return ((h % _SPREAD_RED) * _SPREAD_MUL) % _SPREAD_MOD
+# The Knuth spread + polynomial token hash live in
+# functions/hashing.py since round 11 (one definition, two
+# renderings); local names preserved for in-module call sites.
+from pgshovel_spark.functions.hashing import (  # noqa: E402
+    SPREAD_MOD as _SPREAD_MOD,
+    SPREAD_MUL as _SPREAD_MUL,
+    SPREAD_RED as _SPREAD_RED,
+    spread as _spread,
+    spread_token_hash_sql as _spread_token_hash_sql,
+)
 
 
 def _simhash32(spark, sf_dir):
@@ -633,7 +626,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_PAIRS_SQL = r"""
+_SIMHASH_PAIRS_SQL = rf"""
 WITH tokd AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
@@ -646,10 +639,7 @@ WITH tokd AS (
   FROM tokd WHERE len(toks) >= 2
 ), th AS (
   SELECT doc_id,
-         (CAST((((((length(t) * 31 + ascii(substring(t, 1, 1))) * 31
-           + ascii(substring(t, 2, 1))) * 31 + ascii(substring(t, 3, 1))) * 31
-           + ascii(substring(t, 4, 1))) * 31 + ascii(substring(t, -1, 1)))
-           AS BIGINT) % 2147483648 * 2654435761) % 4294967296 AS th
+         {_spread_token_hash_sql('t')} AS th
   FROM sh
 ), bits AS (
   SELECT doc_id, th, bit
@@ -1073,7 +1063,7 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(a)-3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))"
     )
     # need >= w k-grams so every position has a full window
-    from pgshovel_spark.queries.similarity import _token_hash
+    from pgshovel_spark.functions.hashing import token_hash as _token_hash
 
     g = d.filter(F.size("a") >= 3 + _WIN_W - 1).select(
         "doc_id", F.posexplode(tri).alias("i", "t")
@@ -1108,7 +1098,7 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEXT_WINNOWING_SQL = r"""
+_TEXT_WINNOWING_SQL = rf"""
 WITH d AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS a
@@ -1121,10 +1111,7 @@ WITH d AS (
   WHERE len(a) >= 6
 ), g AS (
   SELECT doc_id, i, n_grams,
-         (CAST((((((length(t) * 31 + ascii(substring(t, 1, 1))) * 31
-           + ascii(substring(t, 2, 1))) * 31 + ascii(substring(t, 3, 1))) * 31
-           + ascii(substring(t, 4, 1))) * 31 + ascii(substring(t, -1, 1)))
-           AS BIGINT) % 2147483648 * 2654435761) % 4294967296 AS h
+         {_spread_token_hash_sql('t')} AS h
   FROM tg
 ), fps AS (
   SELECT doc_id, i,

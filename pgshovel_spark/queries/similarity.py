@@ -27,30 +27,16 @@ from pgshovel_spark.functions.vectors import cosine_sim
 from pgshovel_spark.operators.scratch import materialize, scratch_table
 from pgshovel_spark.sources.tables import load_table
 
-#: polynomial token hash shared by minhash/simhash (same arithmetic in
-#: the DuckDB oracles below).  Horner polynomial over length + first 4
-#: chars + last char: ~2.8e8 distinct values for ASCII words, enough
-#: entropy that LSH band buckets only collide for genuinely similar
-#: docs (a low-entropy hash makes the band self-join quadratic in the
-#: bucket size — measured 4x over the bench budget before this).
-#: ascii(substring(t, i, 1)) is 0 past the end on both engines.
-def _token_hash(t):
-    h = F.length(t).cast("long")
-    for i in (1, 2, 3, 4):
-        h = h * 31 + F.ascii(F.substring(t, i, 1))
-    return (h * 31 + F.ascii(F.substring(t, -1, 1))).cast("long")
-
-
-_TOKEN_HASH_SQL = (
-    "CAST((((((length({t}) * 31 + ascii(substring({t}, 1, 1))) * 31"
-    " + ascii(substring({t}, 2, 1))) * 31 + ascii(substring({t}, 3, 1))) * 31"
-    " + ascii(substring({t}, 4, 1))) * 31 + ascii(substring({t}, -1, 1))) AS BIGINT)"
+# Shared cross-engine hash primitives live in functions/hashing.py
+# (round-11 consolidation); the local underscore names are kept so
+# in-module call sites and oracle f-strings read unchanged.
+from pgshovel_spark.functions.hashing import (  # noqa: E402
+    MINHASH_COEFS as _MINHASH_COEFS,
+    MINHASH_P as _MINHASH_P,
+    TOKEN_HASH_SQL as _TOKEN_HASH_SQL,
+    spread as _spread,
+    token_hash as _token_hash,
 )
-
-#: (a, b) coefficients for the MinHash linear permutations h_i(x) = (a*x + b) mod P.
-_MINHASH_COEFS = [(2971, 1049), (3413, 2221), (4021, 367), (4519, 1559),
-                  (5003, 2897), (5519, 733), (6037, 1973), (6553, 3181)]
-_MINHASH_P = 2147483647
 from pgshovel_spark.sources.tables import docs_parallel as _docs_parallel
 
 
@@ -112,8 +98,6 @@ def _bigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     its dedup passes."""
 
     def build(spark, sf_dir):
-        from pgshovel_spark.queries.curation import _spread
-
         d = _docs_parallel(spark, sf_dir)
         toks = F.filter(tokens("text"), lambda t: t != "")
         shingles = F.array_distinct(

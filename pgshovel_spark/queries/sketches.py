@@ -40,12 +40,15 @@ from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
 from pgshovel_spark.operators.scratch import scratch_table
-from pgshovel_spark.queries.curation import _spread
-from pgshovel_spark.queries.similarity import _TOKEN_HASH_SQL, _token_hash
+from pgshovel_spark.functions.hashing import (
+    SPREAD_SQL as _SPREAD_SQL,
+    TOKEN_HASH_SQL as _TOKEN_HASH_SQL,
+    spread as _spread,
+    token_hash as _token_hash,
+)
 from pgshovel_spark.sources.tables import load_table
 
 #: DuckDB-side Knuth spread (overflow-proof) over the shared token hash.
-_SPREAD_SQL = "((({h}) % 2147483648) * 2654435761) % 4294967296"
 
 #: tokenized documents -> one row per (doc) token occurrence, oracle side
 _TOKS_SQL = (
