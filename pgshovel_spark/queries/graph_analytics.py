@@ -621,9 +621,14 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = materialize(f.select("cn", "sn", stage.alias("stage_e")))
 
     rounds = list(range(_KCORE_ROUNDS + 1))
+    # coalesce: a global agg over an EMPTY frame returns one row of
+    # NULL sums, but the oracle's COUNT(*) renders 0 — degenerate
+    # (zero-edge) inputs must hash-match too
     edges_row = flags.agg(
         *[
-            F.sum((F.col("stage_e") >= r).cast("long")).alias(f"e{r}")
+            F.coalesce(
+                F.sum((F.col("stage_e") >= r).cast("long")), F.lit(0)
+            ).alias(f"e{r}")
             for r in rounds
         ]
     )
@@ -632,7 +637,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("stage_e").alias("st"))
         .agg(
             *[
-                F.sum((F.col("st") >= r).cast("long")).alias(f"c{r}")
+                F.coalesce(
+                    F.sum((F.col("st") >= r).cast("long")), F.lit(0)
+                ).alias(f"c{r}")
                 for r in rounds
             ]
         )
@@ -642,7 +649,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("stage_e").alias("st"))
         .agg(
             *[
-                F.sum((F.col("st") >= r).cast("long")).alias(f"s{r}")
+                F.coalesce(
+                    F.sum((F.col("st") >= r).cast("long")), F.lit(0)
+                ).alias(f"s{r}")
                 for r in rounds
             ]
         )

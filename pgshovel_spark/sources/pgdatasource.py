@@ -155,39 +155,31 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"lsn": 0, "idx": 0, "seq": 0}
 
     def _peek_parse(self) -> list:
+        # raw pulls go through the ONE shared SQL construction per
+        # plugin (raw_slot_changes[_pgoutput]) — the pull_changes*
+        # helpers use the same, so the paths cannot drift
+        if self.plugin == "pgoutput":
+            from pgshovel_spark.sources.pgoutput import (
+                parse_pgoutput,
+                raw_slot_changes_pgoutput,
+            )
+
+            raw = raw_slot_changes_pgoutput(
+                self.params,
+                self.slot,
+                self.publication,
+                proto_version=self.proto_version,
+                streaming=self.streaming,
+                limit=self.max_changes,
+            )
+            return parse_pgoutput(raw, origin=self.origin)
         from pgshovel_spark.sources.pglogical import (
-            _check_slot,
             parse_test_decoding,
+            raw_slot_changes,
         )
 
-        limit = "null" if self.max_changes is None else str(self.max_changes)
-        with self.params.connect() as c:
-            if self.plugin == "pgoutput":
-                from pgshovel_spark.sources.pgoutput import (
-                    _check_publication,
-                    parse_pgoutput,
-                )
-
-                _check_publication(self.publication)
-                opts = f"'proto_version', '{self.proto_version}'"
-                if self.streaming:
-                    opts += ", 'streaming', 'on'"
-                res = c.query(
-                    "select lsn::text, xid::text, data from"
-                    " pg_logical_slot_peek_binary_changes"
-                    f"('{_check_slot(self.slot)}', null, {limit}, {opts},"
-                    f" 'publication_names', '{self.publication}')"
-                )[0]
-                raw = [(l, int(x), d) for l, x, d in res.rows]
-                return parse_pgoutput(raw, origin=self.origin)
-            res = c.query(
-                "select lsn::text, xid::text, data from"
-                " pg_logical_slot_peek_changes"
-                f"('{_check_slot(self.slot)}', null, {limit},"
-                " 'include-timestamp', 'on')"
-            )[0]
-            raw = [(l, int(x), d) for l, x, d in res.rows]
-            return parse_test_decoding(raw, self.key_cols)
+        raw = raw_slot_changes(self.params, self.slot, limit=self.max_changes)
+        return parse_test_decoding(raw, self.key_cols)
 
     def _row(self, ch: dict, seq: int) -> tuple:
         from pgshovel_spark.sources.pgwire import _dec_tstz
@@ -383,6 +375,13 @@ class PgShovelBatchReader(DataSourceReader):
         }
         for cls, op in ops.items():
             if isinstance(f, cls):
+                if op != "=" and isinstance(f.value, str):
+                    # string ORDERING is collation-dependent server-side
+                    # (en_US says 'Banana' > 'apple'; Spark's binary
+                    # UTF-8 order disagrees) — never push string range
+                    # comparisons; equality stays pushable (default
+                    # Postgres collations are deterministic).
+                    return None
                 return f"{col} {op} {_pg_literal(f.value)}"
         if isinstance(f, In):
             if not f.value:  # In's value is the tuple of candidates
@@ -406,6 +405,11 @@ class PgShovelBatchReader(DataSourceReader):
 
         return [InputPartition(i) for i in range(self.n_parts)]
 
+    #: rows per FETCH / Arrow batch: bounds executor memory to one
+    #: chunk per task instead of the whole key slice (a 20 GB table's
+    #: slice would otherwise sit twice in Python memory)
+    _FETCH = 65536
+
     def read(self, partition):
         import decimal
 
@@ -422,25 +426,13 @@ class PgShovelBatchReader(DataSourceReader):
             pred = f"({pred} or {self.key_col} is null)"
         where = " and ".join([pred] + self.pushed_sql)
         col_sql = ", ".join(self.columns)
-        with self.params.connect() as c:
-            if self.snapshot is not None:
-                c.query("begin isolation level repeatable read")
-                c.query(f"set transaction snapshot '{self.snapshot}'")
-            res = c.query(
-                f"select {col_sql} from {self.table} where {where}"
-            )[0]
-            if self.snapshot is not None:
-                c.query("commit")
         sch = to_arrow_schema(self.schema)
         is_double = [
             isinstance(f.dataType, DoubleType) for f in self.schema.fields
         ]
-        rows = res.rows
-        for lo in range(0, max(len(rows), 1), 65536):
-            chunk = rows[lo : lo + 65536]
-            if not chunk and lo > 0:
-                break
-            cols = list(zip(*chunk)) if chunk else [[] for _ in self.columns]
+
+        def to_batch(chunk):
+            cols = list(zip(*chunk))
             arrays = []
             for j in range(len(self.columns)):
                 vals = list(cols[j])
@@ -452,7 +444,25 @@ class PgShovelBatchReader(DataSourceReader):
                         for v in vals
                     ]
                 arrays.append(pa.array(vals, type=sch.field(j).type))
-            yield pa.RecordBatch.from_arrays(arrays, schema=sch)
+            return pa.RecordBatch.from_arrays(arrays, schema=sch)
+
+        # server-side cursor: stream the slice in _FETCH-row chunks so
+        # peak task memory is one chunk, not the whole slice
+        with self.params.connect() as c:
+            c.query("begin isolation level repeatable read")
+            if self.snapshot is not None:
+                c.query(f"set transaction snapshot '{self.snapshot}'")
+            c.query(
+                f"declare pgshovel_scan cursor for"
+                f" select {col_sql} from {self.table} where {where}"
+            )
+            while True:
+                res = c.query(f"fetch {self._FETCH} from pgshovel_scan")[0]
+                if res.rows:
+                    yield to_batch(res.rows)
+                if len(res.rows) < self._FETCH:
+                    break
+            c.query("commit")
 
 
 def infer_pg_schema(options) -> StructType:
@@ -508,9 +518,28 @@ def _check_ident(name: str) -> str:
 
 
 def _pg_literal(v) -> str:
+    import datetime as _dt
+
     from pgshovel_spark.sources.cdc import sql_literal
 
-    return "NULL" if v is None else sql_literal(v, style="ansi")
+    if v is None:
+        return "NULL"
+    if isinstance(v, bytes):
+        # bytea hex-format input; the string literal coerces to bytea
+        return f"'\\x{v.hex()}'"
+    if isinstance(v, (dict, list, tuple, set)):
+        # loud failure beats silently inserting a Python repr
+        raise ValueError(
+            f"unsupported composite value for a pgshovel SQL literal: {type(v).__name__}"
+        )
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        # sql_literal renders TIMESTAMP '...' (without time zone):
+        # Postgres IGNORES an offset inside that typed literal and
+        # re-interprets the value in the server TimeZone — a silent
+        # instant shift on non-UTC servers.  tz-aware values must be
+        # TIMESTAMPTZ literals.
+        return f"TIMESTAMPTZ '{v.isoformat(sep=' ')}'"
+    return sql_literal(v, style="ansi")
 
 
 class _UpsertCommit(WriterCommitMessage):
@@ -594,6 +623,13 @@ class PgUpsertStreamWriter(DataSourceStreamWriter):
         for c in self.keys + self.order_cols:
             if c not in self.columns:
                 raise ValueError(f"column {c!r} not in input schema {self.columns}")
+        if not [c for c in self.columns if c not in self.keys]:
+            # an all-key schema would render 'DO UPDATE SET' with an
+            # empty assignment list — reject at init, not per batch
+            raise ValueError(
+                "pgshovel sink needs at least one non-key column "
+                f"(all of {self.columns} are keys)"
+            )
         self.two_phase = _opt(options, "two_phase", "true").lower() == "true"
         self.rows_per_stmt = int(_opt(options, "rows_per_stmt", "1000"))
         self.lock_timeout_ms = int(_opt(options, "lock_timeout_ms", "10000"))
@@ -625,12 +661,22 @@ class PgUpsertStreamWriter(DataSourceStreamWriter):
         concurrent-sweep races."""
         from pgshovel_spark.sources.pgwire import PgError
 
+        # current_database() filter: pg_prepared_xacts is CLUSTER-wide
+        # and ROLLBACK PREPARED on another database's gid errors with
+        # a non-42704 state — a same-named table in a sibling database
+        # must never crash this sink's commits.  LIKE keeps only the
+        # constant prefix ('_' is a LIKE wildcard, so the table-bearing
+        # prefix is re-checked EXACTLY in Python: table 'a_b' must not
+        # sweep table 'axb').
         res = c.query(
-            "select gid from pg_prepared_xacts where gid like "
-            f"'{self._gid_prefix}%'"
+            "select gid from pg_prepared_xacts"
+            " where database = current_database()"
+            " and gid like 'pgshovel2pc%'"
         )[0]
         n = 0
         for (gid,) in res.rows:
+            if not gid.startswith(self._gid_prefix):
+                continue
             if gid in exclude_gids:
                 continue
             batch, run = self._gid_parts(gid)
@@ -789,5 +835,18 @@ class PgShovelDataSource(DataSource):
 
 
 def register_pgshovel(spark) -> None:
-    """Register the source on a session: idempotent, no jars."""
+    """Register the source on a session: idempotent, no jars.
+
+    Also enables Python DataSource filter pushdown: Spark 4.1 HARD-
+    FAILS any read from a source that implements ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default)
+    — without this, the batch source would be unusable on sessions
+    built outside :func:`pgshovel_spark.session.get_session`.  The
+    conf is runtime-settable SQL conf; if a cluster pins it
+    unchangeable, the set is best-effort and the read surfaces
+    Spark's own DATA_SOURCE_PUSHDOWN_DISABLED error."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # best-effort; see docstring
     spark.dataSource.register(PgShovelDataSource)

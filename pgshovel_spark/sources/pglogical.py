@@ -282,6 +282,27 @@ def parse_test_decoding(
     return changes
 
 
+def raw_slot_changes(
+    params: PgParams,
+    slot: str,
+    peek: bool = True,
+    limit: int | None = None,
+) -> list[tuple[str, int, str]]:
+    """Raw ``(lsn, xid, data)`` rows from the test_decoding slot
+    functions — the ONE construction of the peek/get SQL, shared by
+    ``pull_changes`` and the native streaming source
+    (pgdatasource.py) so the two paths cannot drift."""
+    fn = "pg_logical_slot_peek_changes" if peek else "pg_logical_slot_get_changes"
+    bound = "null" if limit is None else str(int(limit))
+    with params.connect() as c:
+        res = c.query(
+            f"select lsn::text, xid::text, data from {fn}"
+            f"('{_check_slot(slot)}', null, {bound},"
+            " 'include-timestamp', 'on')"
+        )[0]
+    return [(lsn, int(xid), data) for lsn, xid, data in res.rows]
+
+
 def pull_changes(
     spark: SparkSession,
     params: PgParams,
@@ -294,13 +315,7 @@ def pull_changes(
     """Drain (peek=False) or peek (default) the slot and return
     ``(envelope DataFrame, max_lsn)``; feed ``max_lsn`` to
     ``advance`` after the batch commits downstream."""
-    fn = "pg_logical_slot_peek_changes" if peek else "pg_logical_slot_get_changes"
-    with params.connect() as c:
-        res = c.query(
-            f"select lsn::text, xid::text, data from {fn}"
-            f"('{_check_slot(slot)}', null, null, 'include-timestamp', 'on')"
-        )[0]
-    raw = [(lsn, int(xid), data) for lsn, xid, data in res.rows]
+    raw = raw_slot_changes(params, slot, peek=peek)
     parsed = parse_test_decoding(raw, key_cols)
     max_lsn = raw[-1][0] if raw else None
     return _envelope_df(spark, parsed, publisher or slot, epoch), max_lsn

@@ -444,6 +444,48 @@ def create_publication(params: PgParams, name: str, tables: list[str]) -> None:
         c.query(f"create publication {name} for table {', '.join(tables)}")
 
 
+def raw_slot_changes_pgoutput(
+    params: PgParams,
+    slot: str,
+    publication: str,
+    peek: bool = True,
+    proto_version: int = 1,
+    streaming: bool = False,
+    work_mem: str | None = None,
+    limit: int | None = None,
+) -> list[tuple[str, int, bytes]]:
+    """Raw ``(lsn, xid, payload)`` rows from the binary slot functions
+    — the ONE construction of the peek/get SQL (options, publication,
+    bound), shared by ``pull_changes_pgoutput`` and the native
+    streaming source (pgdatasource.py) so the two paths cannot
+    drift."""
+    import re
+
+    from pgshovel_spark.sources.pglogical import _check_slot
+
+    _check_publication(publication)
+    fn = (
+        "pg_logical_slot_peek_binary_changes"
+        if peek
+        else "pg_logical_slot_get_binary_changes"
+    )
+    opts = f"'proto_version', '{int(proto_version)}'"
+    if streaming:
+        opts += ", 'streaming', 'on'"
+    bound = "null" if limit is None else str(int(limit))
+    with params.connect() as c:
+        if work_mem is not None:
+            if not re.match(r"[0-9]+[kMG]?B\Z", work_mem):
+                raise ValueError(f"invalid work_mem: {work_mem!r}")
+            c.query(f"set logical_decoding_work_mem = '{work_mem}'")
+        res = c.query(
+            f"select lsn::text, xid::text, data from {fn}"
+            f"('{_check_slot(slot)}', null, {bound},"
+            f" {opts}, 'publication_names', '{publication}')"
+        )[0]
+    return [(lsn, int(xid), data) for lsn, xid, data in res.rows]
+
+
 def pull_changes_pgoutput(
     spark,
     params: PgParams,
@@ -470,30 +512,17 @@ def pull_changes_pgoutput(
     commit order, so the envelope is identical either way.
     ``work_mem`` (e.g. ``'64kB'``) sets that GUC on the decoding
     session, forcing the streamed path for testing."""
-    import re
+    from pgshovel_spark.sources.pglogical import _envelope_df
 
-    from pgshovel_spark.sources.pglogical import _check_slot, _envelope_df
-
-    _check_publication(publication)
-    fn = (
-        "pg_logical_slot_peek_binary_changes"
-        if peek
-        else "pg_logical_slot_get_binary_changes"
+    raw = raw_slot_changes_pgoutput(
+        params,
+        slot,
+        publication,
+        peek=peek,
+        proto_version=proto_version,
+        streaming=streaming,
+        work_mem=work_mem,
     )
-    opts = f"'proto_version', '{int(proto_version)}'"
-    if streaming:
-        opts += ", 'streaming', 'on'"
-    with params.connect() as c:
-        if work_mem is not None:
-            if not re.match(r"[0-9]+[kMG]?B\Z", work_mem):
-                raise ValueError(f"invalid work_mem: {work_mem!r}")
-            c.query(f"set logical_decoding_work_mem = '{work_mem}'")
-        res = c.query(
-            f"select lsn::text, xid::text, data from {fn}"
-            f"('{_check_slot(slot)}', null, null,"
-            f" {opts}, 'publication_names', '{publication}')"
-        )[0]
-    raw = [(lsn, int(xid), data) for lsn, xid, data in res.rows]
     parsed = parse_pgoutput(raw, origin=origin)
     max_lsn = raw[-1][0] if raw else None
     return _envelope_df(spark, parsed, publisher or slot, epoch), max_lsn

@@ -2515,3 +2515,62 @@ def test_pgbatch_source_snapshot_bootstrap(spark, pg):
         )
         assert [f.name for f in slim.schema.fields] == ["v", "id"]
         assert slim.count() == 500
+
+
+def test_pgbatch_pushdown_safety_rules():
+    """Self-review regressions (round 11): tz-aware timestamps push as
+    TIMESTAMPTZ (a TIMESTAMP literal silently drops the offset
+    server-side), string RANGE comparisons are never pushed (server
+    collation vs Spark binary order), bytes render as bytea hex, and
+    composite values fail loudly instead of inserting a Python repr."""
+    import datetime as dt
+
+    import pytest as _p
+
+    from pyspark.sql.datasource import GreaterThan, GreaterThanOrEqual
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pgshovel_spark.sources.pgdatasource import (
+        PgShovelBatchReader,
+        _pg_literal,
+    )
+
+    sch = StructType([
+        StructField("id", LongType()),
+        StructField("v", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    rdr = PgShovelBatchReader(
+        {"sockdir": "/nonexistent", "table": "t", "partition_col": "id"}, sch
+    )
+    aware = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    fs = [
+        GreaterThanOrEqual(("ts",), aware),
+        GreaterThan(("v",), "apple"),   # string range: must NOT push
+    ]
+    left = list(rdr.pushFilters(fs))
+    assert left == [fs[1]]
+    assert rdr.pushed_sql == ["ts >= TIMESTAMPTZ '2024-01-01 00:00:00+00:00'"]
+
+    assert _pg_literal(b"\x01\xab") == "'\\x01ab'"
+    naive = dt.datetime(2024, 1, 1, 12, 0, 0)
+    assert _pg_literal(naive) == "TIMESTAMP '2024-01-01 12:00:00'"
+    with _p.raises(ValueError, match="composite"):
+        _pg_literal({"k": "v"})
+
+    # all-key sink schemas are rejected at init (empty DO UPDATE SET)
+    from pgshovel_spark.sources.pgdatasource import PgUpsertStreamWriter
+
+    with _p.raises(ValueError, match="non-key column"):
+        PgUpsertStreamWriter(
+            {"sockdir": "/nonexistent", "table": "t",
+             "keys": "id,seq", "order_cols": "seq"},
+            StructType([StructField("id", LongType()),
+                        StructField("seq", LongType())]),
+        )
