@@ -93,6 +93,7 @@ _PRIORITY = (
     # NEW plan needs a fresh driver row)
     "q_sample_rejection",
     "q_graph_kcore",
+    "q_mm_imagedup",
     "q_late_events",
     # round-10 NEW queries (driver-checked r10): the explicit
     # 64-register HLL audit twin of q_agg_approx, then the image-codec

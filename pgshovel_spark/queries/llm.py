@@ -285,7 +285,104 @@ FROM documents
 """
 
 
+#: pattern classes for q_mm_imagedup: doc_id % _IMGDUP_CLASSES share
+#: pixel content (different doc_ids, different CONTAINER formats)
+_IMGDUP_CLASSES = 40
+
+
+def q_mm_imagedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection through the real codec path —
+    the multimodal twin of exact text dedup: documents synthesize
+    checkerboards whose pixel parameters are a pure function of
+    ``doc_id % {_IMGDUP_CLASSES}`` while the CONTAINER format (BMP /
+    grayscale PNG / truecolor PNG) still varies per doc_id — so each
+    class holds byte-DIFFERENT files with identical decoded pixels.
+    The engine decodes every payload (stdlib codecs), fingerprints it
+    on decoded CONTENT (width, 64-bit average-hash, exact pixel
+    checksum — all integers), and groups: a dedup pass that catches
+    duplicates ACROSS container formats, which byte-level dedup
+    (q_dedup_exact on payload bytes) structurally cannot.  Per
+    cluster: image count, distinct container count (>1 proves the
+    cross-format catch), and the min-doc_id representative.
+
+    The oracle states the closed form each fingerprint must satisfy
+    (checkerboard ahash is the phase's alternating byte pattern;
+    pixel_sum = 32*s^2*(hi+lo)) — codec, filter, or hash regressions
+    break the hash.
+
+    Scale: synth + decode are row-local Arrow stages (zero shuffles);
+    the dedup aggregate shuffles 28-byte fingerprint rows once.
+    """
+    import pandas as pd
+
+    from pgshovel_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        extract_image_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                c = doc_id % _IMGDUP_CLASSES
+                s = 1 + c % 5
+                hi = 128 + (c * 3) % 128
+                lo = (c * 7) % 120
+                phase = c % 2
+                rows = [
+                    [
+                        hi if (x // s + y // s + phase) % 2 == 0 else lo
+                        for x in range(8 * s)
+                    ]
+                    for y in range(8 * s)
+                ]
+                fmt = doc_id % 3  # container varies WITHIN a class
+                if fmt == 0:
+                    payloads.append(encode_bmp(rows))
+                else:
+                    payloads.append(encode_png(rows, color=(fmt == 2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = src.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_image_features(imgs, "doc_id", "payload")
+    return feats.groupBy("width", "ahash", "pixel_sum").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.countDistinct((F.col("doc_id") % 3)).alias("n_formats"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
+_MM_IMAGEDUP_SQL = f"""
+WITH fp AS (
+  SELECT doc_id,
+         CAST(8 * (1 + (doc_id % {_IMGDUP_CLASSES}) % 5) AS BIGINT) AS width,
+         CAST(CASE WHEN (doc_id % {_IMGDUP_CLASSES}) % 2 = 0
+                   THEN {_AHASH_PHASE0} ELSE {_AHASH_PHASE1} END
+              AS BIGINT) AS ahash,
+         CAST(32 * (1 + (doc_id % {_IMGDUP_CLASSES}) % 5)
+                 * (1 + (doc_id % {_IMGDUP_CLASSES}) % 5)
+                 * ((128 + ((doc_id % {_IMGDUP_CLASSES}) * 3) % 128)
+                    + ((doc_id % {_IMGDUP_CLASSES}) * 7) % 120)
+              AS BIGINT) AS pixel_sum
+  FROM documents
+)
+SELECT width, ahash, pixel_sum,
+       COUNT(*) AS n_images,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_formats,
+       MIN(doc_id) AS rep_doc
+FROM fp GROUP BY width, ahash, pixel_sum
+"""
+
+
 QUERIES = {
+    "q_mm_imagedup": q_mm_imagedup,
     "q_mm_features": q_mm_features,
     "q_mm_frame_sample": q_mm_frame_sample,
     "q_mm_audio": q_mm_audio,
@@ -294,6 +391,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_mm_imagedup": _MM_IMAGEDUP_SQL,
     "q_mm_features": _MM_FEATURES_SQL,
     "q_mm_frame_sample": _MM_FRAME_SAMPLE_SQL,
     "q_mm_audio": _MM_AUDIO_SQL,

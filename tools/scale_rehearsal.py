@@ -129,7 +129,8 @@ PANEL = (
     "q_mm_video",             # AVI/RIFF container decode, mapInPandas
     # round-11 additions
     "q_sample_rejection",     # row-local quality gate + tiny aggregate
-    "q_graph_kcore",          # 3-round semi-join peel on the edge artifact
+    "q_graph_kcore",          # window-flag peel on the edge artifact
+    "q_mm_imagedup",          # cross-format image dedup, codec mapInPandas
 )
 
 
