@@ -94,6 +94,7 @@ _PRIORITY = (
     "q_sample_rejection",
     "q_graph_kcore",
     "q_mm_imagedup",
+    "q_text_ppl_buckets",
     "q_late_events",
     # round-10 NEW queries (driver-checked r10): the explicit
     # 64-register HLL audit twin of q_agg_approx, then the image-codec

@@ -1076,7 +1076,101 @@ FROM q GROUP BY lang, source
 """
 
 
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the step AFTER the LM
+    quality score: split each language's documents into head / middle
+    / tail terciles by unigram NLL (head = most fluent) so a training
+    mix can up-sample heads and down-sample tails.  Reports per
+    (lang, bucket): doc count, token mass, and the NLL range — the
+    table the CCNet pipeline publishes per snapshot.
+
+    Determinism: ranks order by (lang, ROUNDED nll, doc_id) — the 4dp
+    nll is the hash-proven emission of q_text_unigram_ppl, and doc_id
+    totalizes ties; tercile boundaries use NTILE's exact integer
+    arithmetic (first ``r = n % 3`` groups get ``q+1 = n div 3 + 1``)
+    computed identically on both engines, never a float percentile
+    whose interpolation could straddle an ulp.
+
+    Scale: NO per-lang window over the corpus (the 5-partition trap):
+    ranks come from operators/rank.py's two-pass distributed rank over
+    (lang, nll, doc_id) — per-lang rank = global rank minus the
+    lang's min rank, and the per-lang counts ride in the SAME
+    5-row broadcast.  The ranked stream materializes once (rank.py's
+    boundary-consistency invariant) and both consumers read it.
+    """
+    from pgshovel_spark.operators.rank import with_global_rank
+
+    base = q_text_unigram_ppl(spark, sf_dir).select(
+        "doc_id", "lang", "n_toks", "nll_per_token"
+    )
+    ranked = with_global_rank(
+        base,
+        [F.col("lang"), F.col("nll_per_token"), F.col("doc_id")],
+        rank_col="grank",
+    )
+    lang_stats = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l"), F.min("grank").alias("rank0")
+    )
+    lab = (
+        ranked.join(F.broadcast(lang_stats), "lang")
+        .withColumn("i", F.col("grank") - F.col("rank0") + 1)
+        .withColumn("q3", F.expr("n_l div 3"))
+        .withColumn("r3", F.col("n_l") % 3)
+        .withColumn(
+            "bucket",
+            F.when(
+                F.col("i")
+                <= F.col("q3") + (F.col("r3") >= 1).cast("long"),
+                F.lit("head"),
+            )
+            .when(
+                F.col("i")
+                <= F.lit(2) * F.col("q3")
+                + (F.col("r3") >= 1).cast("long")
+                + (F.col("r3") >= 2).cast("long"),
+                F.lit("middle"),
+            )
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return lab.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("toks_total"),
+        F.min("nll_per_token").alias("min_nll"),
+        F.max("nll_per_token").alias("max_nll"),
+    )
+
+
+_TEXT_PPL_BUCKETS_SQL = f"""
+WITH base AS ({_TEXT_UNIGRAM_PPL_SQL}),
+ranked AS (
+  SELECT doc_id, lang, n_toks, nll_per_token,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY nll_per_token, doc_id) AS i,
+         COUNT(*) OVER (PARTITION BY lang) AS n_l
+  FROM base
+), lab AS (
+  SELECT lang, n_toks, nll_per_token,
+         CASE WHEN i <= n_l // 3 + CASE WHEN n_l % 3 >= 1 THEN 1 ELSE 0 END
+              THEN 'head'
+              WHEN i <= 2 * (n_l // 3)
+                        + CASE WHEN n_l % 3 >= 1 THEN 1 ELSE 0 END
+                        + CASE WHEN n_l % 3 >= 2 THEN 1 ELSE 0 END
+              THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+)
+SELECT lang, bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS toks_total,
+       MIN(nll_per_token) AS min_nll,
+       MAX(nll_per_token) AS max_nll
+FROM lab GROUP BY lang, bucket
+"""
+
+
 QUERIES = {
+    "q_text_ppl_buckets": q_text_ppl_buckets,
     "q_sample_rejection": q_sample_rejection,
     "q_source_mix": q_source_mix,
     "q_sample_temperature": q_sample_temperature,
@@ -1092,6 +1186,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_ppl_buckets": _TEXT_PPL_BUCKETS_SQL,
     "q_sample_rejection": _SAMPLE_REJECTION_SQL,
     "q_source_mix": _SOURCE_MIX_SQL,
     "q_sample_temperature": _SAMPLE_TEMPERATURE_SQL,

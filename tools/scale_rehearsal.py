@@ -131,6 +131,7 @@ PANEL = (
     "q_sample_rejection",     # row-local quality gate + tiny aggregate
     "q_graph_kcore",          # window-flag peel on the edge artifact
     "q_mm_imagedup",          # cross-format image dedup, codec mapInPandas
+    "q_text_ppl_buckets",     # CCNet terciles via two-pass rank
 )
 
 
