@@ -48,7 +48,6 @@ from pgshovel_spark.functions.hashing import (
 )
 from pgshovel_spark.sources.tables import load_table
 
-#: DuckDB-side Knuth spread (overflow-proof) over the shared token hash.
 
 #: tokenized documents -> one row per (doc) token occurrence, oracle side
 _TOKS_SQL = (

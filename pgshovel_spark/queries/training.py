@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
-from pgshovel_spark.functions.determinism import KNUTH, knuth_bucket
+from pgshovel_spark.functions.determinism import KNUTH, knuth_bucket, knuth_bucket_sql
 from pgshovel_spark.sources.tables import load_table
 
 #: context length for q_pack_sequences (tokens per training sequence)
@@ -1055,7 +1055,7 @@ WITH d AS (
   SELECT lang, source,
          len({_TOKS}) AS n_toks,
          len(list_filter({_TOKS}, x -> x IN ('a', 'the'))) AS stop_hits,
-         (((doc_id % 2147483648) * {_KNUTH}) % 4294967296) % 1000 AS bkt
+         {knuth_bucket_sql('doc_id', 1000)} AS bkt
   FROM documents
 ), q AS (
   SELECT lang, source, n_toks, bkt,

@@ -332,6 +332,8 @@ class PgShovelBatchReader(DataSourceReader):
         self.table = _check_ident(_opt(options, "table") or "")
         self.key_col = _check_ident(_opt(options, "partition_col") or "")
         self.n_parts = int(_opt(options, "num_partitions", "8"))
+        if self.n_parts < 1:
+            raise ValueError(f"num_partitions must be >= 1, got {self.n_parts}")
         self.snapshot = _opt(options, "snapshot")
         if self.snapshot is not None and not all(
             ch in "0123456789ABCDEFabcdef-" for ch in self.snapshot
@@ -392,7 +394,12 @@ class PgShovelBatchReader(DataSourceReader):
 
     def pushFilters(self, filters):
         for f in filters:
-            sql = self._render_filter(f)
+            try:
+                sql = self._render_filter(f)
+            except ValueError:
+                # unrepresentable literal (NaN/inf, composite): the
+                # filter must stay with Spark, never crash the scan
+                sql = None
             if sql is None:
                 yield f  # Spark evaluates it post-scan
             else:
@@ -487,6 +494,12 @@ def infer_pg_schema(options) -> StructType:
     )
     with params.connect() as c:
         probe = c.query(f"select * from {table} limit 0")[0]
+    if keep_list:
+        unknown = [c_ for c_ in keep_list if c_ not in probe.columns]
+        if unknown:
+            raise ValueError(
+                f"columns not in {table}: {unknown} (have {probe.columns})"
+            )
     fields = [
         T.StructField(name, _OID_SPARK.get(oid, T.StringType()))
         for name, oid in zip(probe.columns, probe.type_oids)

@@ -113,6 +113,8 @@ def main() -> None:
         "no landing directory, Spark's checkpoint as the only ledger)",
     )
     args = ap.parse_args()
+    if args.sink == "pg2pc" and args.transport != "datasource":
+        ap.error("--sink pg2pc requires --transport datasource")
     spark = get_session("pglive_streambench")
     jvm = spark._jvm
     jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
