@@ -466,6 +466,15 @@ class ScratchPostgres:
                 time.sleep(0.2)
         raise PgUnavailable("server did not accept connections in 15s")
 
+    def restart(self) -> PgParams:
+        """Crash-stop and restart the SAME data directory (slots,
+        tables, prepared transactions survive) — the failover drill
+        the native source's resume tests exercise.  ``-m immediate``
+        is a simulated crash: no shutdown checkpoint, WAL replay on
+        start, exactly what a real failover looks like."""
+        self._run([self._pg_ctl, "-D", self.data, "-m", "immediate", "stop"])
+        return self.start()
+
     def stop(self) -> None:
         self._run([self._pg_ctl, "-D", self.data, "-m", "immediate", "stop"])
         shutil.rmtree(self.root, ignore_errors=True)
