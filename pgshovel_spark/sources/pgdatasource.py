@@ -146,6 +146,23 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         # completes the in-flight transaction past the limit, so a
         # bounded peek still returns whole transactions.
         self.max_changes = int(mc) if mc else None
+        # transport=walsender (pgoutput only): steady-state reads come
+        # from ONE persistent START_REPLICATION CopyBoth session held
+        # by the reader (the runner process is long-lived) — the
+        # server PUSHES decoded transactions, ~3-4x the peek
+        # transport's decode rate.  The replay path (restart
+        # readBetweenOffsets) still uses the SQL peek: after a crash
+        # the old runner is gone, the slot is free, and a peek from
+        # confirmed_flush_lsn deterministically re-produces any
+        # uncommitted range — push for speed, pull for replay.
+        self.transport = _opt(options, "transport", "sql")
+        if self.transport not in ("sql", "walsender"):
+            raise ValueError(f"transport must be 'sql' or 'walsender', got {self.transport!r}")
+        if self.transport == "walsender" and self.plugin != "pgoutput":
+            raise ValueError("transport=walsender requires plugin=pgoutput")
+        #: per-trigger poll window on the walsender transport
+        self.poll_seconds = float(_opt(options, "poll_seconds", "1.0"))
+        self._ws = None  # (PgReplicationConnection, ReplicationStream)
 
     # -- offset algebra ----------------------------------------------------
 
@@ -255,13 +272,88 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
             out.append(pa.RecordBatch.from_arrays(arrays, schema=sch))
         return out
 
+    # -- walsender steady-state session --------------------------------------
+
+    def _ensure_ws(self):
+        if self._ws is None:
+            from pgshovel_spark.sources.pgoutput import PgReplicationConnection
+
+            rc = PgReplicationConnection(self.params)
+            stream = rc.start_replication(
+                self.slot,
+                self.publication,
+                proto_version=self.proto_version,
+                streaming=self.streaming,
+            )
+            stream.origin = self.origin
+            self._ws = (rc, stream)
+        return self._ws
+
+    def _close_ws(self) -> None:
+        if self._ws is not None:
+            rc, stream, = self._ws[0], self._ws[1]
+            try:
+                stream.stop()
+            except Exception:
+                pass
+            try:
+                rc.close()
+            finally:
+                self._ws = None
+
+    def _walsender_parse(self) -> list:
+        """Collect committed transactions pushed within the poll
+        window.  A dead session (failover, pg_terminate_backend,
+        server crash) drops BOTH the connection and any un-sliced
+        parse: the slot replays everything past confirmed_flush on
+        reconnect, and keeping the partial batch would duplicate rows
+        WITHIN one read (the position filter only dedupes across
+        batches) — LandingCapture.pull_once's exact contract."""
+        import time
+
+        from pgshovel_spark.sources.pgwire import PgError
+
+        parsed: list = []
+        deadline = time.time() + self.poll_seconds
+        while time.time() < deadline:
+            try:
+                _rc, stream = self._ensure_ws()
+                got = stream.read(
+                    max_seconds=max(0.1, deadline - time.time()),
+                    relations=stream.relations,
+                )
+            except (ConnectionError, OSError, PgError) as e:
+                if isinstance(e, PgError) and not (
+                    e.sqlstate.startswith("57P")
+                    or e.sqlstate.startswith("08")
+                ):
+                    raise
+                self._close_ws()
+                parsed = []
+                continue
+            if not got:
+                break
+            parsed.extend(got)
+        return parsed
+
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
-        rows, end = self._slice(self._peek_parse(), start, None)
+        changes = (
+            self._walsender_parse()
+            if self.transport == "walsender"
+            else self._peek_parse()
+        )
+        rows, end = self._slice(changes, start, None)
         # list iterator: the prefetch wrapper copy.copy()s it for the
         # cache, which a generator would not survive
         return iter(self._to_batches(rows)), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        # ALWAYS the SQL peek, even on transport=walsender: replay
+        # runs on executors after a restart, when no walsender session
+        # exists yet (the engine replays the pending batch BEFORE the
+        # first latestOffset of the new run), and a peek from
+        # confirmed_flush deterministically re-produces any
+        # uncommitted range.
         rows, got = self._slice(self._peek_parse(), start, end)
         if got["seq"] != end["seq"]:
             # The slot can no longer reproduce the planned range —
@@ -281,11 +373,19 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         # commit boundary; advance is monotone server-side (never
         # moves backwards), so replayed commits after a restart are
         # no-ops.
-        if end.get("lsn"):
-            from pgshovel_spark.sources.pglogical import advance
-            from pgshovel_spark.sources.pgoutput import lsn_to_str
+        if not end.get("lsn"):
+            return
+        if self.transport == "walsender" and self._ws is not None:
+            # the held session keeps the slot ACTIVE (a SQL advance
+            # would fail 55006): confirm via Standby Status Update,
+            # the wire-native watermark move
+            _rc, stream = self._ws
+            stream.send_status(end["lsn"])
+            return
+        from pgshovel_spark.sources.pglogical import advance
+        from pgshovel_spark.sources.pgoutput import lsn_to_str
 
-            advance(self.params, self.slot, lsn_to_str(end["lsn"]))
+        advance(self.params, self.slot, lsn_to_str(end["lsn"]))
 
 
 # ---------------------------------------------------------------------------

@@ -2646,3 +2646,123 @@ def test_pgdatasource_survives_server_crash_restart(spark, tmp_path):
         assert sum(1 for r in got if r.after["v"].startswith("b")) == 10
     finally:
         server.stop()
+
+
+def test_pgdatasource_walsender_transport(spark, pg, tmp_path):
+    """Native source on the PUSH transport: one persistent
+    START_REPLICATION CopyBoth session held by the reader, slot
+    watermark confirmed by Standby Status Update at Spark's own batch
+    commit, live tail through the running query."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table nws_t(id int primary key, v text)")
+    po.create_publication(pg, "nws_pub", ["nws_t"])
+    po.create_slot_pgoutput(pg, "nws_slot")
+    with pg.connect() as c:
+        c.query("insert into nws_t select g, 'a' || g from generate_series(1, 25) g")
+        c.query("update nws_t set v = 'u' where id <= 5")
+
+    register_pgshovel(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("slot", "nws_slot")
+        .option("publication", "nws_pub")
+        .option("transport", "walsender")
+        .load()
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_for(lambda: len(got) == 30), f"got {len(got)}"
+        assert sorted(r.seq for r in got) == list(range(30))
+        # Standby Status Update moved the durable watermark
+        def _flushed():
+            with pg.connect() as c:
+                f = c.one(
+                    "select confirmed_flush_lsn::text from"
+                    " pg_replication_slots where slot_name = 'nws_slot'"
+                )
+            return po.lsn_to_int(f) > 0
+        assert _wait_for(_flushed)
+        with pg.connect() as c:
+            c.query("insert into nws_t values (99, 'late')")
+        assert _wait_for(lambda: len(got) == 31), f"got {len(got)}"
+    finally:
+        q.stop()
+    # the runner's walsender session must release the slot on stop
+    assert _wait_for(lambda: not _slot_active(pg, "nws_slot"), timeout=30)
+    pgl.drop_slot(pg, "nws_slot")
+
+
+def _slot_active(pg, slot):
+    with pg.connect() as c:
+        return bool(
+            c.one(
+                f"select active from pg_replication_slots"
+                f" where slot_name = '{slot}'"
+            )
+        )
+
+
+def test_pgdatasource_walsender_restart_replays_via_peek(spark, pg, tmp_path):
+    """The hybrid transport contract: steady-state reads ride the
+    push stream, but a restart's uncommitted-range replay comes from
+    the SQL peek — the two transports must agree on (commit_lsn, idx)
+    positions or the replay raises loudly.  Stop mid-stream, write
+    while down, restart from the same checkpoint: exactly-once."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table nwr_t(id int primary key, v text)")
+    po.create_publication(pg, "nwr_pub", ["nwr_t"])
+    po.create_slot_pgoutput(pg, "nwr_slot")
+    register_pgshovel(spark)
+    ckpt = str(tmp_path / "ckpt")
+    got: list = []
+
+    def _start():
+        return (
+            spark.readStream.format("pgshovel")
+            .option("sockdir", pg.sockdir)
+            .option("slot", "nwr_slot")
+            .option("publication", "nwr_pub")
+            .option("transport", "walsender")
+            .load()
+            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    with pg.connect() as c:
+        c.query("insert into nwr_t select g, 'x' || g from generate_series(1, 15) g")
+    q = _start()
+    try:
+        assert _wait_for(lambda: len(got) == 15), f"got {len(got)}"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # the stopped run's session must release the slot before the
+    # restart's peek replay can touch it
+    assert _wait_for(lambda: not _slot_active(pg, "nwr_slot"), timeout=30)
+
+    with pg.connect() as c:
+        c.query("insert into nwr_t select g, 'y' || g from generate_series(16, 22) g")
+        c.query("delete from nwr_t where id = 1")
+
+    q = _start()
+    try:
+        assert _wait_for(lambda: len(got) == 23), f"got {len(got)}"
+        assert sorted(r.seq for r in got) == list(range(23))
+        assert sum(1 for r in got if r.op == "DELETE") == 1
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    pgl.drop_slot(pg, "nwr_slot")

@@ -95,6 +95,19 @@ def main() -> None:
         help="datasource transport only: upto_nchanges bound per peek",
     )
     ap.add_argument(
+        "--poll-seconds",
+        type=float,
+        default=1.0,
+        help="datasource+walsender only: per-trigger push poll window",
+    )
+    ap.add_argument(
+        "--ds-transport",
+        choices=("sql", "walsender"),
+        default="sql",
+        help="datasource mode only: the native source's own transport "
+        "(walsender = persistent push session, SQL peek for replay)",
+    )
+    ap.add_argument(
         "--sink",
         choices=("derby", "pg2pc"),
         default="derby",
@@ -183,6 +196,8 @@ def main() -> None:
                 # slow batch snowballs (measured p95 11 s unbounded vs
                 # ~2 s bounded at the same 15k rows/s offered load)
                 .option("max_changes", str(args.max_changes))
+                .option("transport", args.ds_transport)
+                .option("poll_seconds", str(args.poll_seconds))
                 .load()
             )
             if args.sink == "pg2pc":
@@ -357,6 +372,7 @@ def main() -> None:
             "merge_drain_sec": round(merge_drain_s, 2),
             "exactly_once_state_match": bool(exact),
             "transport": args.transport,
+            "ds_transport": args.ds_transport,
             "sink": args.sink,
         }
         if cap is not None:
@@ -369,6 +385,8 @@ def main() -> None:
     for k, v in results.items():
         print(f"| {k} | {v} |")
     s_key = f"pglive_stream_{args.transport}" + (
+        "_ws" if args.transport == "datasource" and args.ds_transport == "walsender" else ""
+    ) + (
         "_pg2pc" if args.sink == "pg2pc" else ""
     )
     print(json.dumps({s_key: results}))
