@@ -51,10 +51,18 @@ the source hands rows to Spark (the runner converts them to Arrow
 batches).  Both in-core plugins are supported over the SQL transport
 (``pg_logical_slot_peek[_binary]_changes``): ``pgoutput`` (the
 production plugin, binary, publication-filtered, protocol v1/v2 with
-streamed in-progress transactions) and ``test_decoding``.  The
-walsender transport stays in sources/pglanding.py — its push stream
-cannot re-read an arbitrary uncommitted range, which
-``readBetweenOffsets`` requires.
+streamed in-progress transactions) and ``test_decoding``.
+
+``transport=walsender`` (pgoutput only) is the HYBRID fast path:
+steady-state reads ride one persistent START_REPLICATION CopyBoth
+session held by the reader (the runner process is long-lived; the
+push decode path measures ~3-4x the peek transport), commits confirm
+via Standby Status Update (the held session keeps the slot active, so
+a SQL advance would fail), and ``readBetweenOffsets`` — which a live
+push stream cannot serve (frames arrive once) — stays on the SQL
+peek: restarts replay the pending batch BEFORE the new run opens a
+session, and the two transports agree on (commit_lsn, idx) positions
+(live-tested).
 
 Reference behavior (SURVEY.md §1.1/§2.A [recalled]): pgshovel's relay
 tails a capture queue and republishes mutation batches with dense
