@@ -171,6 +171,15 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         #: per-trigger poll window on the walsender transport
         self.poll_seconds = float(_opt(options, "poll_seconds", "1.0"))
         self._ws = None  # (PgReplicationConnection, ReplicationStream)
+        # RESTART-RACE GUARD: after a (re)start the engine may call
+        # latestOffset -> read() BEFORE the replayed pending batch's
+        # executor readBetweenOffsets peek runs; a walsender session
+        # opened by that first read would hold the slot ACTIVE and
+        # fail the replay peek with 55006.  Reads therefore stay on
+        # the SQL peek until the FIRST commit() of this run — by then
+        # every pending batch is settled (commits are sequential) and
+        # the push session can safely take the slot.
+        self._saw_commit = False
 
     # -- offset algebra ----------------------------------------------------
 
@@ -182,28 +191,48 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
     def _peek_parse(self) -> list:
         # raw pulls go through the ONE shared SQL construction per
         # plugin (raw_slot_changes[_pgoutput]) — the pull_changes*
-        # helpers use the same, so the paths cannot drift
+        # helpers use the same, so the paths cannot drift.  The pull
+        # retries briefly on 55006 ("slot is active"): two concurrent
+        # SQL peeks (the runner's read racing an executor's restart
+        # replay) contend transiently on the slot's active lock.
+        import time
+
+        from pgshovel_spark.sources.pgwire import PgError
+
+        def pull():
+            if self.plugin == "pgoutput":
+                from pgshovel_spark.sources.pgoutput import (
+                    raw_slot_changes_pgoutput,
+                )
+
+                return raw_slot_changes_pgoutput(
+                    self.params,
+                    self.slot,
+                    self.publication,
+                    proto_version=self.proto_version,
+                    streaming=self.streaming,
+                    limit=self.max_changes,
+                )
+            from pgshovel_spark.sources.pglogical import raw_slot_changes
+
+            return raw_slot_changes(
+                self.params, self.slot, limit=self.max_changes
+            )
+
+        for attempt in range(20):
+            try:
+                raw = pull()
+                break
+            except PgError as e:
+                if e.sqlstate != "55006" or attempt == 19:
+                    raise
+                time.sleep(0.5)
         if self.plugin == "pgoutput":
-            from pgshovel_spark.sources.pgoutput import (
-                parse_pgoutput,
-                raw_slot_changes_pgoutput,
-            )
+            from pgshovel_spark.sources.pgoutput import parse_pgoutput
 
-            raw = raw_slot_changes_pgoutput(
-                self.params,
-                self.slot,
-                self.publication,
-                proto_version=self.proto_version,
-                streaming=self.streaming,
-                limit=self.max_changes,
-            )
             return parse_pgoutput(raw, origin=self.origin)
-        from pgshovel_spark.sources.pglogical import (
-            parse_test_decoding,
-            raw_slot_changes,
-        )
+        from pgshovel_spark.sources.pglogical import parse_test_decoding
 
-        raw = raw_slot_changes(self.params, self.slot, limit=self.max_changes)
         return parse_test_decoding(raw, self.key_cols)
 
     def _row(self, ch: dict, seq: int) -> tuple:
@@ -347,7 +376,7 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         changes = (
             self._walsender_parse()
-            if self.transport == "walsender"
+            if self.transport == "walsender" and self._saw_commit
             else self._peek_parse()
         )
         rows, end = self._slice(changes, start, None)
@@ -381,6 +410,8 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         # commit boundary; advance is monotone server-side (never
         # moves backwards), so replayed commits after a restart are
         # no-ops.
+        self._saw_commit = True  # pending replays settled: the push
+        # session may take the slot from the next read on
         if not end.get("lsn"):
             return
         if self.transport == "walsender" and self._ws is not None:

@@ -2765,4 +2765,6 @@ def test_pgdatasource_walsender_restart_replays_via_peek(spark, pg, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+    # the stopping run's push session releases the slot asynchronously
+    assert _wait_for(lambda: not _slot_active(pg, "nwr_slot"), timeout=30)
     pgl.drop_slot(pg, "nwr_slot")
