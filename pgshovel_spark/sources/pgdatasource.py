@@ -360,13 +360,18 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
                     relations=stream.relations,
                 )
             except (ConnectionError, OSError, PgError) as e:
+                # retryable: failover/kill (57P*), connection family
+                # (08*), and 55006 — the slot still held by a prior
+                # run's session that is in the middle of dying
                 if isinstance(e, PgError) and not (
                     e.sqlstate.startswith("57P")
                     or e.sqlstate.startswith("08")
+                    or e.sqlstate == "55006"
                 ):
                     raise
                 self._close_ws()
                 parsed = []
+                time.sleep(0.2)  # no hot spin while the server is down
                 continue
             if not got:
                 break
