@@ -530,6 +530,17 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = b.withColumn("local_hwm", F.max("t").over(w_in))
+    # selfref-audit adjudication (round 11): the boundary aggregate
+    # plans the events scan a SECOND time — deliberately.  The
+    # duplicate is a column-pruned scan + MAP-SIDE-COMBINED aggregate
+    # (boundary-table-sized shuffle, 65536x reduction), strictly
+    # cheaper than the alternatives: sharing the window exchange
+    # re-executes the full (type, bkt) sort per branch
+    # (DeduplicateRelations re-aliases the self-reference, so the
+    # exchanges are not recognized as identical — the known AQE
+    # stage-dedup miss), and materialize() would persist a
+    # corpus-sized frame for a one-off diagnostic.  Same accepted
+    # shape as q_join_range's documented-final row.
     bmax = b.groupBy("event_type", "bkt").agg(F.max("t").alias("bkt_max"))
     w_pre = (
         Window.partitionBy("event_type")
