@@ -2768,3 +2768,49 @@ def test_pgdatasource_walsender_restart_replays_via_peek(spark, pg, tmp_path):
     # the stopping run's push session releases the slot asynchronously
     assert _wait_for(lambda: not _slot_active(pg, "nwr_slot"), timeout=30)
     pgl.drop_slot(pg, "nwr_slot")
+
+
+def test_pgdatasource_schema_drift_mid_stream(spark, pg, tmp_path):
+    """Live DDL under a running native-source query: pgoutput re-sends
+    the Relation message after ALTER TABLE, so rows decoded after the
+    drift carry the new column in their after-map — the envelope's
+    map<string,string> payload makes source schema drift a DATA-level
+    event, never a Spark schema break."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table drift_n(id int primary key, v text)")
+    po.create_publication(pg, "driftn_pub", ["drift_n"])
+    po.create_slot_pgoutput(pg, "driftn_slot")
+    register_pgshovel(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("slot", "driftn_slot")
+        .option("publication", "driftn_pub")
+        .load()
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        with pg.connect() as c:
+            c.query("insert into drift_n values (1, 'before')")
+        assert _wait_for(lambda: len(got) == 1)
+        assert set(got[0].after.keys()) == {"id", "v"}
+
+        with pg.connect() as c:  # live DDL while the query runs
+            c.query("alter table drift_n add column extra bigint default 7")
+            c.query("insert into drift_n values (2, 'after', 42)")
+        assert _wait_for(lambda: len(got) == 2)
+        post = [r for r in got if r.key["id"] == "2"][0]
+        assert set(post.after.keys()) == {"id", "v", "extra"}
+        assert post.after["extra"] == "42"
+        # pre-drift rows keep their original shape — no retro-widening
+        assert set(got[0].after.keys()) == {"id", "v"}
+    finally:
+        q.stop()
+    pgl.drop_slot(pg, "driftn_slot")
