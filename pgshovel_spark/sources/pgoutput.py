@@ -50,6 +50,7 @@ from pgshovel_spark.sources.pgwire import PgConnection, PgParams
 __all__ = [
     "parse_pgoutput",
     "create_slot_pgoutput",
+    "exported_slot_snapshot",
     "create_publication",
     "pull_changes_pgoutput",
     "change_batches_pgoutput",
@@ -428,6 +429,58 @@ def create_slot_pgoutput(params: PgParams, slot: str) -> str:
             f"('{_check_slot(slot)}', 'pgoutput')"
         )[0]
         return row.rows[0][0]
+
+
+def exported_slot_snapshot(params: PgParams, slot: str, plugin: str = "pgoutput"):
+    """ATOMIC bootstrap->stream handoff: create the logical slot via
+    the walsender's ``CREATE_REPLICATION_SLOT ... LOGICAL <plugin>
+    (SNAPSHOT 'export')`` and yield ``(consistent_point, snapshot_id)``
+    as a context manager.
+
+    This is the one operation the SQL-level
+    ``pg_create_logical_replication_slot`` cannot express: the slot's
+    decoding start point and an exported MVCC snapshot of EXACTLY that
+    point, established in one step.  A batch bootstrap that adopts the
+    snapshot (``SET TRANSACTION SNAPSHOT``, e.g. the native batch
+    source's ``snapshot`` option) sees precisely the transactions
+    committed before the consistent point, and the slot streams
+    precisely the transactions committed after it — zero gap, zero
+    overlap, no reliance on sink idempotence to absorb a boundary
+    window.  This is day one of every production CDC deployment
+    (pgshovel's bootstrap-then-tail contract `[recalled: SURVEY.md
+    §1.1 snapshot bootstrap]`, same shape as Debezium's initial
+    snapshot).
+
+    The exported snapshot lives only while the creating walsender
+    session stays open AND idle (its next command discards it — the
+    documented server behavior), so the context holds the replication
+    connection for the bootstrap's whole duration and closes it on
+    exit; start the stream from the yielded consistent point (a fresh
+    slot's confirmed_flush_lsn IS the consistent point, so the native
+    streaming source needs no extra positioning).
+    """
+    from contextlib import contextmanager
+
+    from pgshovel_spark.sources.pglogical import _check_slot
+
+    if plugin not in ("pgoutput", "test_decoding"):
+        raise ValueError(f"unknown plugin {plugin!r}")
+
+    @contextmanager
+    def _ctx():
+        conn = PgReplicationConnection(params)
+        try:
+            res = conn.query(
+                f"CREATE_REPLICATION_SLOT {_check_slot(slot)} LOGICAL "
+                f"{plugin} (SNAPSHOT 'export')"
+            )[0]
+            # (slot_name, consistent_point, snapshot_name, output_plugin)
+            _name, consistent_point, snapshot_id, _plug = res.rows[0]
+            yield consistent_point, snapshot_id
+        finally:
+            conn.close()
+
+    return _ctx()
 
 
 def create_publication(params: PgParams, name: str, tables: list[str]) -> None:

@@ -2814,3 +2814,121 @@ def test_pgdatasource_schema_drift_mid_stream(spark, pg, tmp_path):
     finally:
         q.stop()
     pgl.drop_slot(pg, "driftn_slot")
+
+
+# ---------------------------------------------------------------------------
+# atomic snapshot->stream handoff (CREATE_REPLICATION_SLOT SNAPSHOT 'export')
+# ---------------------------------------------------------------------------
+
+
+def test_pg_atomic_bootstrap_stream_handoff(spark, pg, tmp_path):
+    """Zero-gap/zero-overlap bootstrap->stream: the slot is created
+    WITH an exported snapshot of its own consistent point
+    (exported_slot_snapshot), the batch bootstrap adopts that
+    snapshot, and the stream starts at the consistent point.  The
+    check is STRICT: both halves land in the target via plain INSERT
+    under a PRIMARY KEY — sink idempotence disabled — so a single
+    overlapping row fails loudly (23505) and a missing one fails the
+    exactness compare.  Writes commit BEFORE slot creation, DURING
+    the bootstrap scan (a live concurrent writer), and AFTER the
+    stream starts; end state must be exact."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table hs_src(id bigint primary key, v text)")
+        c.query("create table hs_dst(id bigint primary key, v text)")
+        c.query(
+            "insert into hs_src select g, 'before'"
+            " from generate_series(1, 200) g"
+        )
+    po.create_publication(pg, "hs_pub", ["hs_src"])
+
+    register_pgshovel(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    def strict_insert(rows):
+        # NO on-conflict clause: any row arriving twice (bootstrap AND
+        # stream) violates the primary key and fails the test
+        if not rows:
+            return
+        with pg.connect() as c:
+            vals = ", ".join(f"({int(i)}, '{v}')" for i, v in rows)
+            c.query(f"insert into hs_dst values {vals}")
+
+    with po.exported_slot_snapshot(pg, "hs_slot") as (cpoint, snap):
+        assert "/" in cpoint and "-" in snap
+        # concurrent writer: these commits land DURING the bootstrap
+        # scan, AFTER the consistent point — stream half, exclusively
+        stop = threading.Event()
+
+        def during_writer():
+            g = 201
+            while not stop.is_set() and g <= 260:
+                with pg.connect() as c:
+                    c.query(f"insert into hs_src values ({g}, 'during')")
+                g += 1
+
+        t = threading.Thread(target=during_writer)
+        t.start()
+        try:
+            boot = (
+                spark.read.format("pgshovel")
+                .option("sockdir", pg.sockdir)
+                .option("table", "hs_src")
+                .option("partition_col", "id")
+                .option("num_partitions", "4")
+                .option("snapshot", snap)
+                .load()
+                .collect()
+            )
+        finally:
+            stop.set()
+            t.join()
+        # the snapshot shows EXACTLY the pre-consistent-point state:
+        # no during-row may leak in (that would duplicate via the
+        # stream), none of 1..200 may be missing (that would be a gap)
+        assert sorted(r.id for r in boot) == list(range(1, 201))
+        assert all(r.v == "before" for r in boot)
+        strict_insert([(r.id, r.v) for r in boot])
+
+    with pg.connect() as c:
+        c.query(
+            "insert into hs_src select g, 'after'"
+            " from generate_series(261, 300) g"
+        )
+
+    def land(batch_df, _batch_id):
+        rows = (
+            batch_df.filter(F.col("op") == "INSERT")
+            .select(F.col("after")["id"].cast("long"), F.col("after")["v"])
+            .collect()
+        )
+        strict_insert([(r[0], r[1]) for r in rows])
+
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("slot", "hs_slot")
+        .option("publication", "hs_pub")
+        .load()
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        def synced():
+            with pg.connect() as c:
+                return c.one("select count(*) from hs_dst") == c.one(
+                    "select count(*) from hs_src"
+                )
+
+        assert _wait_for(synced), "handoff did not converge"
+        with pg.connect() as c:
+            src = c.query("select id, v from hs_src order by id")[0].rows
+            dst = c.query("select id, v from hs_dst order by id")[0].rows
+        assert src == dst  # every row exactly once, nothing absorbed
+    finally:
+        q.stop()
+    pgl.drop_slot(pg, "hs_slot")
