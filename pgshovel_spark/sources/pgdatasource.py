@@ -791,6 +791,30 @@ class PgUpsertStreamWriter(DataSourceStreamWriter):
         self.rows_per_stmt = int(_opt(options, "rows_per_stmt", "1000"))
         self.lock_timeout_ms = int(_opt(options, "lock_timeout_ms", "10000"))
         self._gid_prefix = f"pgshovel2pc_{self.table}_"
+        # FAULT-INJECTION SEAM (tests only): when ``chaos_file`` names
+        # an existing file, the first process to consume (delete) it
+        # raises at ``chaos_point`` — 'task_after_prepare' dies between
+        # PREPARE TRANSACTION and reporting the commit message (an
+        # executor crash mid-protocol), 'driver_before_commit' dies
+        # between task success and the first COMMIT PREPARED (a driver
+        # crash mid-protocol).  Consuming the file makes each armed
+        # fault fire exactly once, across task retries and restarts.
+        self.chaos_point = _opt(options, "chaos_point")
+        if self.chaos_point not in (None, "task_after_prepare",
+                                    "driver_before_commit"):
+            raise ValueError(f"unknown chaos_point {self.chaos_point!r}")
+        self.chaos_file = _opt(options, "chaos_file")
+
+    def _consume_chaos(self) -> bool:
+        import os
+
+        if not self.chaos_file:
+            return False
+        try:
+            os.remove(self.chaos_file)
+            return True
+        except FileNotFoundError:
+            return False
 
     def _gid_parts(self, gid: str) -> tuple[int, str]:
         """(batch id, run token) embedded in one of OUR gids;
@@ -922,6 +946,13 @@ class PgUpsertStreamWriter(DataSourceStreamWriter):
                     if e.sqlstate != "55P03" or attempt == 2:
                         raise
                     self._sweep(c, batch_id, {gid}, my_run=run_tok)
+        if self.chaos_point == "task_after_prepare" and self._consume_chaos():
+            # the prepared transaction is now an orphan this process
+            # will never settle — exactly what a task crash leaves
+            raise RuntimeError(
+                "chaos: task killed between PREPARE TRANSACTION and "
+                "reporting its commit message"
+            )
         return _UpsertCommit(gid, len(rows))
 
     # -- driver side ---------------------------------------------------------
@@ -930,6 +961,14 @@ class PgUpsertStreamWriter(DataSourceStreamWriter):
         gids = [m.gid for m in messages if m is not None and getattr(m, "gid", None)]
         if not gids and not self.two_phase:
             return
+        if (gids and self.chaos_point == "driver_before_commit"
+                and self._consume_chaos()):
+            # every task prepared and reported; the driver dies before
+            # the first COMMIT PREPARED — the whole batch is orphaned
+            raise RuntimeError(
+                "chaos: driver killed between task success and "
+                "COMMIT PREPARED"
+            )
         with self.params.connect() as c:
             for gid in gids:
                 c.query(f"commit prepared '{gid}'")

@@ -2932,3 +2932,104 @@ def test_pg_atomic_bootstrap_stream_handoff(spark, pg, tmp_path):
     finally:
         q.stop()
     pgl.drop_slot(pg, "hs_slot")
+
+
+def test_pgupsert_sink_2pc_chaos_drill(spark, pg, tmp_path):
+    """Mid-protocol fault injection, 10 repeats: a task killed BETWEEN
+    ``PREPARE TRANSACTION`` and reporting its commit message (even
+    iterations), and a driver killed BETWEEN task success and the
+    first ``COMMIT PREPARED`` (odd iterations).  Each fault fails the
+    running query and may orphan prepared transactions; a restart from
+    the same checkpoint must converge to exactly-once — end state
+    equal to the source, zero prepared transactions left — via the
+    abort/sweep/lock-timeout recovery machinery, never by luck."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create table cha_src(id bigint primary key, v text)")
+        c.query(
+            "create table cha_dst(id bigint primary key, v text,"
+            " epoch bigint, seq bigint)"
+        )
+    po.create_publication(pg, "cha_pub", ["cha_src"])
+    po.create_slot_pgoutput(pg, "cha_slot")
+    register_pgshovel(spark)
+
+    def stream_df():
+        return (
+            spark.readStream.format("pgshovel")
+            .option("sockdir", pg.sockdir)
+            .option("slot", "cha_slot")
+            .option("publication", "cha_pub")
+            .load()
+            .filter(F.col("op") != "DELETE")
+            .select(
+                F.col("after")["id"].cast("long").alias("id"),
+                F.col("after")["v"].alias("v"),
+                F.col("epoch"),
+                F.col("seq"),
+            )
+            .filter(F.col("id").isNotNull())
+            .repartition(2, "id")
+        )
+
+    def start_writer(extra):
+        w = (
+            stream_df()
+            .writeStream.format("pgshovel")
+            .option("sockdir", pg.sockdir)
+            .option("table", "cha_dst")
+            .option("keys", "id")
+            .option("order_cols", "epoch,seq")
+            .option("lock_timeout_ms", "2000")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+        )
+        for k, v in extra.items():
+            w = w.option(k, v)
+        return w.start()
+
+    chaos = tmp_path / "chaos_marker"
+    n = 0
+    for i in range(10):
+        point = (
+            "task_after_prepare" if i % 2 == 0 else "driver_before_commit"
+        )
+        with pg.connect() as c:
+            c.query(
+                f"insert into cha_src select g, 'w{i}_' || g"
+                f" from generate_series({n + 1}, {n + 30}) g"
+            )
+            if n:  # overwrite an old key too: the upsert path, not
+                # just inserts, rides through every recovery
+                c.query(f"update cha_src set v = 'u{i}' where id = {n}")
+        n += 30
+        chaos.write_text("armed")
+        q = start_writer({"chaos_point": point, "chaos_file": str(chaos)})
+        try:
+            assert _wait_for(lambda: q.exception() is not None, 60), (
+                f"iter {i} ({point}): chaos never fired"
+            )
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        assert not chaos.exists(), f"iter {i}: marker not consumed"
+        q2 = start_writer({})  # recovery: same checkpoint, no chaos
+        try:
+            def synced():
+                with pg.connect() as c:
+                    return c.one("select count(*) from cha_dst") == n and (
+                        c.one("select count(*) from pg_prepared_xacts") == 0
+                    )
+
+            assert _wait_for(synced), f"iter {i} ({point}) did not converge"
+            with pg.connect() as c:
+                src = c.query("select id, v from cha_src order by id")[0].rows
+                dst = c.query("select id, v from cha_dst order by id")[0].rows
+            assert src == dst, f"iter {i} ({point}) diverged"
+        finally:
+            q2.stop()
+    pgl.drop_slot(pg, "cha_slot")
