@@ -483,18 +483,60 @@ def exported_slot_snapshot(params: PgParams, slot: str, plugin: str = "pgoutput"
     return _ctx()
 
 
-def create_publication(params: PgParams, name: str, tables: list[str]) -> None:
+def create_publication(
+    params: PgParams,
+    name: str,
+    tables: list[str],
+    where: dict[str, str] | None = None,
+    columns: dict[str, list[str]] | None = None,
+) -> None:
     """CREATE PUBLICATION scoped to ``tables`` — pgoutput only decodes
     changes for published relations (the reference relay's per-set
-    table scoping, expressed in the database's own catalog)."""
+    table scoping, expressed in the database's own catalog).
+
+    ``where`` maps table -> row-filter predicate (PG 15 publication
+    ``WHERE`` clauses): the server evaluates the predicate INSIDE the
+    walsender, so a 100-TB consumer prunes rows before a byte leaves
+    the database instead of filtering in Spark.  UPDATEs whose old/new
+    images straddle the filter are republished as DELETE (left the
+    filtered set) or INSERT (entered it) — the documented server
+    transformation that keeps the stream consistent with "the table,
+    filtered" (live-pinned in test_pg_live.py).  The predicate is
+    caller-owned SQL over the table's columns (replica-identity
+    columns only, for UPDATE/DELETE — the server enforces this);
+    statement splicing is rejected.
+
+    ``columns`` maps table -> column list (PG 15 column lists): the
+    Relation message then declares exactly that subset and the decoder
+    emits tuples with only those columns — server-side projection.
+    Replica-identity columns must be included (server-enforced)."""
     import re
 
     _check_publication(name)
+    parts = []
     for t in tables:
         if not re.match(r"[A-Za-z_][A-Za-z0-9_.]*\Z", t):
             raise ValueError(f"invalid table name: {t!r}")
+        spec = t
+        cols = (columns or {}).get(t)
+        if cols:
+            spec += " (" + ", ".join(_check_ident_pub(c) for c in cols) + ")"
+        pred = (where or {}).get(t)
+        if pred:
+            if ";" in pred or "--" in pred:
+                raise ValueError(f"invalid row-filter predicate: {pred!r}")
+            spec += f" where ({pred})"
+        parts.append(spec)
     with params.connect() as c:
-        c.query(f"create publication {name} for table {', '.join(tables)}")
+        c.query(f"create publication {name} for table {', '.join(parts)}")
+
+
+def _check_ident_pub(name: str) -> str:
+    import re
+
+    if not re.match(r"[A-Za-z_][A-Za-z0-9_]*\Z", name):
+        raise ValueError(f"invalid column name: {name!r}")
+    return name
 
 
 def raw_slot_changes_pgoutput(

@@ -3033,3 +3033,175 @@ def test_pgupsert_sink_2pc_chaos_drill(spark, pg, tmp_path):
         finally:
             q2.stop()
     pgl.drop_slot(pg, "cha_slot")
+
+
+# ---------------------------------------------------------------------------
+# PG15 publication row filters + column lists (server-side filtering)
+# ---------------------------------------------------------------------------
+
+
+def test_pgoutput_publication_row_filter_live(spark, pg):
+    """PG15 row-filtered publication: the WALSENDER evaluates the
+    predicate, so the filtered slot ships only matching rows — parity
+    against a Spark-side filter of the UNFILTERED stream on the same
+    writes, plus the documented straddle transformation (an UPDATE
+    moving a row across the filter boundary republishes as DELETE /
+    INSERT so the stream stays consistent with 'the table,
+    filtered')."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table rf_t(id bigint primary key, val bigint)")
+    po.create_publication(
+        pg, "rf_pub_all", ["rf_t"]
+    )
+    po.create_publication(
+        pg, "rf_pub_even", ["rf_t"], where={"rf_t": "id % 2 = 0"}
+    )
+    po.create_slot_pgoutput(pg, "rf_slot_all")
+    po.create_slot_pgoutput(pg, "rf_slot_even")
+
+    with pg.connect() as c:
+        c.query(
+            "insert into rf_t select g, g * 10 from generate_series(1, 20) g"
+        )
+        c.query("update rf_t set val = val + 1 where id in (4, 7)")
+        c.query("delete from rf_t where id in (6, 7)")
+
+    def parsed(slot, pub):
+        raw = po.raw_slot_changes_pgoutput(pg, slot, pub)
+        return [
+            (c["op"], c["table"], c["key"]["id"], c["after"])
+            for c in po.parse_pgoutput(raw)
+        ]
+
+    allc = parsed("rf_slot_all", "rf_pub_all")
+    evenc = parsed("rf_slot_even", "rf_pub_even")
+    # parity: the server-filtered stream IS the consumer-side filter
+    # of the unfiltered one (no straddling updates in this wave)
+    assert evenc == [c for c in allc if int(c[2]) % 2 == 0]
+    assert len(evenc) == 10 + 1 + 1  # inserts 2..20 even, update 4, delete 6
+    assert all(int(c[2]) % 2 == 0 for c in evenc)
+
+    # straddle wave: a PK update moving the row across the filter
+    with pg.connect() as c:
+        c.query("update rf_t set id = 25 where id = 8")  # even -> odd
+        c.query("update rf_t set id = 22 where id = 3")  # odd -> even
+    tail_all = parsed("rf_slot_all", "rf_pub_all")[len(allc):]
+    tail_even = parsed("rf_slot_even", "rf_pub_even")[len(evenc):]
+    # unfiltered: both are plain UPDATEs (PK change = before+after)
+    assert [c[0] for c in tail_all] == ["UPDATE", "UPDATE"]
+    # filtered: leaving the set -> DELETE of the old key; entering
+    # the set -> INSERT of the new row (the PG15 transformation)
+    assert [(c[0], c[2]) for c in tail_even] == [
+        ("DELETE", "8"), ("INSERT", "22")
+    ]
+    assert tail_even[1][3]["val"] == "30"  # the entering row's image
+    pgl.drop_slot(pg, "rf_slot_all")
+    pgl.drop_slot(pg, "rf_slot_even")
+
+
+def test_pgoutput_publication_column_list_live(spark, pg):
+    """PG15 column-listed publication: the Relation message declares
+    ONLY the listed columns and the decoder emits exactly that subset
+    — server-side projection for a consumer that must never see (or
+    ship) the excluded column.  Parity: the projected stream equals
+    the full stream minus the excluded column."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query(
+            "create table cl_t(id bigint primary key, v text, secret text)"
+        )
+    po.create_publication(pg, "cl_pub_full", ["cl_t"])
+    po.create_publication(
+        pg, "cl_pub_slim", ["cl_t"], columns={"cl_t": ["id", "v"]}
+    )
+    po.create_slot_pgoutput(pg, "cl_slot_full")
+    po.create_slot_pgoutput(pg, "cl_slot_slim")
+
+    with pg.connect() as c:
+        c.query(
+            "insert into cl_t select g, 'v' || g, 'classified_' || g"
+            " from generate_series(1, 5) g"
+        )
+        c.query("update cl_t set v = 'u2', secret = 'still_secret' where id = 2")
+        c.query("delete from cl_t where id = 3")
+
+    def parsed(slot, pub):
+        raw = po.raw_slot_changes_pgoutput(pg, slot, pub)
+        return po.parse_pgoutput(raw)
+
+    full = parsed("cl_slot_full", "cl_pub_full")
+    slim = parsed("cl_slot_slim", "cl_pub_slim")
+    assert len(full) == len(slim) == 7
+    # the excluded column never crosses the wire on the slim slot
+    for ch in slim:
+        for img in (ch["before"], ch["after"]):
+            if img is not None:
+                assert "secret" not in img
+    # parity: slim == full minus the excluded column
+    def drop_secret(img):
+        return (
+            None if img is None
+            else {k: v for k, v in img.items() if k != "secret"}
+        )
+
+    assert [
+        (c["op"], c["key"], drop_secret(c["before"]), drop_secret(c["after"]))
+        for c in full
+    ] == [(c["op"], c["key"], c["before"], c["after"]) for c in slim]
+    pgl.drop_slot(pg, "cl_slot_full")
+    pgl.drop_slot(pg, "cl_slot_slim")
+
+
+def test_pgdatasource_filtered_publication_stream(spark, pg, tmp_path):
+    """Row filter AND column list together, end to end through the
+    native streaming source: the server prunes rows and projects
+    columns inside the walsender, Spark receives only what the
+    publication publishes."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query(
+            "create table fp_t(id bigint primary key, v text, secret text)"
+        )
+    po.create_publication(
+        pg,
+        "fp_pub",
+        ["fp_t"],
+        where={"fp_t": "id % 3 = 0"},
+        columns={"fp_t": ["id", "v"]},
+    )
+    po.create_slot_pgoutput(pg, "fp_slot")
+    with pg.connect() as c:
+        c.query(
+            "insert into fp_t select g, 'v' || g, 's' || g"
+            " from generate_series(1, 30) g"
+        )
+    register_pgshovel(spark)
+    got: list = []
+
+    def land(batch_df, _bid):
+        got.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("slot", "fp_slot")
+        .option("publication", "fp_pub")
+        .load()
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_for(lambda: len(got) >= 10), f"got {len(got)}"
+    finally:
+        q.stop()
+    assert len(got) == 10
+    assert sorted(int(r.after["id"]) for r in got) == list(range(3, 31, 3))
+    assert all(set(r.after.keys()) == {"id", "v"} for r in got)
+    pgl.drop_slot(pg, "fp_slot")
