@@ -48,7 +48,14 @@ Scale posture: the slot pull is control-plane and serial BY PROTOCOL
 (one walsender/slot decodes in commit order); sharding happens per
 database with one slot+source each, and executor fan-out happens after
 the source hands rows to Spark (the runner converts them to Arrow
-batches).  Both in-core plugins are supported over the SQL transport
+batches).  Since round 12 the fan-out can happen BEFORE the hand-off
+too: ``option("shards", '[{"slot": ..., "publication": ...,
+"database": ...}, ...]')`` switches to the full
+``DataSourceStreamReader`` (PgShovelShardedStreamReader) — one input
+partition per slot, peek/decode/parse on EXECUTORS, offsets a per-slot
+(commit-lsn, idx, seq) vector — measured 48k rows/s offered sustained
+with 4 shards vs the ~15k single-slot ceiling (PGRELAY.json
+pglive_stream_sharded*).  Both in-core plugins are supported over the SQL transport
 (``pg_logical_slot_peek[_binary]_changes``): ``pgoutput`` (the
 production plugin, binary, publication-filtered, protocol v1/v2 with
 streamed in-progress transactions) and ``test_decoding``.
@@ -93,7 +100,9 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
+    InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -105,6 +114,87 @@ __all__ = ["PgShovelDataSource", "register_pgshovel"]
 def _opt(options, key: str, default=None):
     v = options.get(key)
     return default if v is None else v
+
+
+# ---------------------------------------------------------------------------
+# position algebra + Arrow building, shared by the simple (single-slot)
+# and sharded (partition-parallel) stream readers
+# ---------------------------------------------------------------------------
+
+
+def _change_row(ch: dict, seq: int, publisher: str, epoch: int) -> tuple:
+    from pgshovel_spark.sources.pgwire import _dec_tstz
+
+    ts = ch.get("ts")
+    if isinstance(ts, str):
+        ts = _dec_tstz(ts)
+    txid = ch.get("txid")
+    return (
+        ch["op"],
+        ch["table"],
+        ch["key"],
+        ch["before"],
+        ch["after"],
+        int(txid) if txid is not None else None,
+        ts,
+        publisher,
+        epoch,
+        seq,
+    )
+
+
+def _slice_changes(
+    changes: list, start: dict, upto: dict | None, publisher: str, epoch: int
+) -> tuple[list, dict]:
+    """Rows strictly inside (start, upto] by (commit_lsn, idx)
+    position, with dense seq continuation; returns (rows, end)."""
+    from pgshovel_spark.sources.pgoutput import lsn_to_int
+
+    rows: list[tuple] = []
+    lsn, idx, seq = start["lsn"], start["idx"], start["seq"]
+    prev_c, j = None, 0
+    for ch in changes:
+        c_lsn = lsn_to_int(ch["commit_lsn"])
+        j = j + 1 if c_lsn == prev_c else 0
+        prev_c = c_lsn
+        if (c_lsn, j) < (start["lsn"], start["idx"]):
+            continue  # already delivered in an earlier batch
+        if upto is not None and (c_lsn, j) >= (upto["lsn"], upto["idx"]):
+            break
+        rows.append(_change_row(ch, seq, publisher, epoch))
+        seq += 1
+        lsn, idx = c_lsn, j + 1
+    return rows, {"lsn": lsn, "idx": idx, "seq": seq}
+
+
+#: rows per emitted Arrow RecordBatch (bounds IPC message size on an
+#: unbounded first read over a large backlog)
+_ARROW_CHUNK = 65536
+
+
+def _changes_to_batches(rows: list) -> list:
+    """Column-build Arrow RecordBatches from CHANGE_SCHEMA row tuples.
+    Stream-reader ``read`` may return ``Iterator[pa.RecordBatch]``
+    instead of tuples (public DataSource contract); the runner then
+    ships the batches verbatim instead of re-converting row-at-a-time
+    in ``records_to_arrow_batches`` — measured 4x cheaper on the
+    40k-row capture cycles this source runs (EXPERIMENTS.md r11)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from pgshovel_spark.streaming.change_stream import CHANGE_SCHEMA
+
+    sch = to_arrow_schema(CHANGE_SCHEMA)
+    out = []
+    for lo in range(0, len(rows), _ARROW_CHUNK):
+        chunk = rows[lo : lo + _ARROW_CHUNK]
+        cols = list(zip(*chunk))
+        arrays = [
+            pa.array(list(cols[i]), type=sch.field(i).type)
+            for i in range(len(sch))
+        ]
+        out.append(pa.RecordBatch.from_arrays(arrays, schema=sch))
+    return out
 
 
 class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -235,79 +325,15 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
 
         return parse_test_decoding(raw, self.key_cols)
 
-    def _row(self, ch: dict, seq: int) -> tuple:
-        from pgshovel_spark.sources.pgwire import _dec_tstz
-
-        ts = ch.get("ts")
-        if isinstance(ts, str):
-            ts = _dec_tstz(ts)
-        txid = ch.get("txid")
-        return (
-            ch["op"],
-            ch["table"],
-            ch["key"],
-            ch["before"],
-            ch["after"],
-            int(txid) if txid is not None else None,
-            ts,
-            self.publisher,
-            self.epoch,
-            seq,
-        )
-
     def _slice(
         self, changes: list, start: dict, upto: dict | None
     ) -> tuple[list, dict]:
-        """Rows strictly inside (start, upto] by (commit_lsn, idx)
-        position, with dense seq continuation; returns (rows, end)."""
-        from pgshovel_spark.sources.pgoutput import lsn_to_int
-
-        rows: list[tuple] = []
-        lsn, idx, seq = start["lsn"], start["idx"], start["seq"]
-        prev_c, j = None, 0
-        for ch in changes:
-            c_lsn = lsn_to_int(ch["commit_lsn"])
-            j = j + 1 if c_lsn == prev_c else 0
-            prev_c = c_lsn
-            if (c_lsn, j) < (start["lsn"], start["idx"]):
-                continue  # already delivered in an earlier batch
-            if upto is not None and (c_lsn, j) >= (upto["lsn"], upto["idx"]):
-                break
-            rows.append(self._row(ch, seq))
-            seq += 1
-            lsn, idx = c_lsn, j + 1
-        return rows, {"lsn": lsn, "idx": idx, "seq": seq}
+        return _slice_changes(changes, start, upto, self.publisher, self.epoch)
 
     # -- SimpleDataSourceStreamReader contract ------------------------------
 
-    #: rows per emitted Arrow RecordBatch (bounds IPC message size on
-    #: an unbounded first read over a large backlog)
-    _ARROW_CHUNK = 65536
-
     def _to_batches(self, rows: list) -> list:
-        """Column-build Arrow RecordBatches from row tuples.  read()
-        may return ``Iterator[pa.RecordBatch]`` instead of tuples
-        (public DataSource contract); the runner then ships the
-        batches verbatim instead of re-converting row-at-a-time in
-        ``records_to_arrow_batches`` — measured 4x cheaper on the
-        40k-row capture cycles this source runs (EXPERIMENTS.md r11).
-        """
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        from pgshovel_spark.streaming.change_stream import CHANGE_SCHEMA
-
-        sch = to_arrow_schema(CHANGE_SCHEMA)
-        out = []
-        for lo in range(0, len(rows), self._ARROW_CHUNK):
-            chunk = rows[lo : lo + self._ARROW_CHUNK]
-            cols = list(zip(*chunk))
-            arrays = [
-                pa.array(list(cols[i]), type=sch.field(i).type)
-                for i in range(len(sch))
-            ]
-            out.append(pa.RecordBatch.from_arrays(arrays, schema=sch))
-        return out
+        return _changes_to_batches(rows)
 
     # -- walsender steady-state session --------------------------------------
 
@@ -430,6 +456,257 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         from pgshovel_spark.sources.pgoutput import lsn_to_str
 
         advance(self.params, self.slot, lsn_to_str(end["lsn"]))
+
+
+# ---------------------------------------------------------------------------
+# the SHARDED half: partition-parallel capture (full DataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+class _ShardPartition(InputPartition):
+    """Picklable per-shard work unit: (shard spec, start, end)."""
+
+    def __init__(self, shard: dict, start: dict, end: dict):
+        super().__init__(shard.get("slot"))
+        self.shard = shard
+        self.start = start
+        self.end = end
+
+
+class PgShovelShardedStreamReader(DataSourceStreamReader):
+    """Partition-parallel native capture: N replication slots, one
+    Spark input partition each, decoded and parsed ON EXECUTORS — the
+    100x shape once one slot's decode rate is the ceiling (a slot is
+    serial BY PROTOCOL: one walsender decodes in commit order; the
+    scale lever is slots-in-parallel, per database or per disjoint
+    publication, exactly the reference relay's shard-per-set layout
+    `[recalled: SURVEY.md §1.1 replication sets]`).
+
+    Option ``shards`` = JSON array of ``{"slot": ..., "publication":
+    ..., "database": ...}`` (database optional, defaults to the shared
+    option).  Shard publications MUST be disjoint (per-database shards
+    are by construction; same-database shards must publish disjoint
+    table sets) — overlapping publications would deliver a change once
+    per covering shard.
+
+    Offset = ``{slot: {"lsn", "idx", "seq"}}`` per shard, the same
+    (commit-lsn, idx) position algebra as the single-slot reader.
+
+    DRIVER/EXECUTOR split per microbatch:
+
+    - ``latestOffset`` (driver) probes each shard with ONE aggregated
+      SQL pass (``backlog_stats_pgoutput``): count of backlog changes
+      in commits after the shard's advance watermark + last commit
+      lsn.  No change bytes cross the wire for the probe.
+    - ``read`` (executor) peeks its shard's slot on its own wire
+      connection, parses, slices to exactly (start, end], and verifies
+      the slice length against the offsets' seq delta — a slot moved
+      by an external consumer fails loudly, never ships a short batch.
+    - ``commit`` (driver) persists each shard's ``(end.lsn, end.seq)``
+      in a one-row-per-slot metadata table on the shard's database
+      (``pgshovel_shard_meta`` — the Debezium-signal-table pattern:
+      the slot can carry an lsn watermark but not the dense seq, and
+      ``latestOffset`` on a RESTARTED driver must continue seq without
+      Spark handing it the checkpoint), then advances the slot.
+      Ordering matters: meta first, advance second — a crash between
+      them leaves confirmed_flush behind the meta watermark, and the
+      commit-lsn filter in the probe/slice skips the already-delivered
+      replay either way.
+
+    SEQ SEMANTICS: dense PER SHARD (publisher = slot name), continuing
+    across batches and restarts — downstream (epoch, seq) MERGE sinks
+    order per publisher, the same contract the landing path documents.
+
+    Restrictions (enforced): plugin=pgoutput, protocol v1, no v2
+    streaming (stream segments interleave across the probe's
+    commit-grouping), origin='any' (a decoder-side origin drop would
+    desync the probe's server-side count).
+    """
+
+    #: idx sentinel in an end offset: "every change of every commit at
+    #: or below end.lsn" — batch ends are always commit boundaries
+    _IDX_END = 1 << 30
+
+    def __init__(self, options):
+        from pgshovel_spark.sources.pgwire import PgParams
+
+        sockdir = _opt(options, "sockdir")
+        if not sockdir:
+            raise ValueError("pgshovel source requires option 'sockdir'")
+        self.sockdir = sockdir
+        self.user = _opt(options, "user", "postgres")
+        self.port = int(_opt(options, "port", "5432"))
+        self.default_db = _opt(options, "database", "postgres")
+        raw = json.loads(_opt(options, "shards") or "[]")
+        if not raw:
+            raise ValueError("option 'shards' must be a non-empty JSON array")
+        from pgshovel_spark.sources.pglogical import _check_slot
+        from pgshovel_spark.sources.pgoutput import _check_publication
+
+        self.shards: dict[str, dict] = {}
+        for s in raw:
+            slot = s.get("slot")
+            pub = s.get("publication")
+            if not slot or not pub:
+                raise ValueError(
+                    f"each shard needs 'slot' and 'publication': {s!r}"
+                )
+            _check_slot(slot)  # both are spliced into slot-function /
+            _check_publication(pub)  # meta SQL on driver and executors
+            if slot in self.shards:
+                raise ValueError(f"duplicate shard slot {slot!r}")
+            self.shards[slot] = {
+                "slot": slot,
+                "publication": pub,
+                "database": s.get("database", self.default_db),
+            }
+        if _opt(options, "plugin", "pgoutput") != "pgoutput":
+            raise ValueError("sharded mode requires plugin=pgoutput")
+        if int(_opt(options, "proto_version", "1")) != 1:
+            raise ValueError("sharded mode requires proto_version=1")
+        if _opt(options, "streaming", "false").lower() == "true":
+            raise ValueError("sharded mode does not support v2 streaming")
+        if _opt(options, "origin", "any") != "any":
+            raise ValueError("sharded mode requires origin='any'")
+        mc = _opt(options, "max_changes")
+        self.max_changes = int(mc) if mc else None
+        self.epoch = int(_opt(options, "epoch", "0"))
+        self._meta_ready: set[str] = set()
+
+    def _params(self, shard: dict):
+        from pgshovel_spark.sources.pgwire import PgParams
+
+        return PgParams(
+            sockdir=self.sockdir,
+            database=shard["database"],
+            user=self.user,
+            port=self.port,
+        )
+
+    # -- watermark metadata (per-database, one row per slot) ----------------
+
+    def _ensure_meta(self, c, db: str) -> None:
+        if db in self._meta_ready:
+            return
+        c.query(
+            "create table if not exists pgshovel_shard_meta("
+            "slot text primary key, base_lsn pg_lsn not null,"
+            " base_seq bigint not null)"
+        )
+        self._meta_ready.add(db)
+
+    def _read_meta(self, c, db: str, slot: str) -> tuple[str, int]:
+        self._ensure_meta(c, db)
+        res = c.query(
+            "select base_lsn::text, base_seq from pgshovel_shard_meta"
+            f" where slot = '{slot}'"
+        )[0]
+        if not res.rows:
+            return "0/0", 0
+        return res.rows[0][0], int(res.rows[0][1])
+
+    # -- DataSourceStreamReader contract ------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {
+            slot: {"lsn": 0, "idx": 0, "seq": 0}
+            for slot in sorted(self.shards)
+        }
+
+    def latestOffset(self) -> dict:
+        from pgshovel_spark.sources.pgoutput import (
+            backlog_stats_pgoutput,
+            lsn_to_int,
+        )
+
+        out: dict = {}
+        for slot in sorted(self.shards):
+            shard = self.shards[slot]
+            params = self._params(shard)
+            with params.connect() as c:
+                base_lsn, base_seq = self._read_meta(c, shard["database"], slot)
+            n, last = backlog_stats_pgoutput(
+                params,
+                slot,
+                shard["publication"],
+                after_lsn=base_lsn,
+                limit=self.max_changes,
+            )
+            if last is None:
+                out[slot] = {
+                    "lsn": lsn_to_int(base_lsn),
+                    "idx": self._IDX_END if base_seq else 0,
+                    "seq": base_seq,
+                }
+            else:
+                out[slot] = {
+                    "lsn": lsn_to_int(last),
+                    "idx": self._IDX_END,
+                    "seq": base_seq + n,
+                }
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for slot in sorted(self.shards):
+            s = start.get(slot, {"lsn": 0, "idx": 0, "seq": 0})
+            e = end.get(slot)
+            if e is None or e["seq"] <= s["seq"]:
+                continue  # shard idle this batch
+            parts.append(_ShardPartition(self.shards[slot], s, e))
+        return parts
+
+    def read(self, partition):
+        from pgshovel_spark.sources.pgoutput import (
+            parse_pgoutput,
+            raw_slot_changes_pgoutput,
+        )
+
+        shard, start, end = partition.shard, partition.start, partition.end
+        raw = raw_slot_changes_pgoutput(
+            self._params(shard),
+            shard["slot"],
+            shard["publication"],
+            limit=self.max_changes,
+        )
+        changes = parse_pgoutput(raw)
+        upto = {"lsn": end["lsn"], "idx": end["idx"]}
+        rows, got = _slice_changes(
+            changes, start, upto, shard["slot"], self.epoch
+        )
+        if got["seq"] != end["seq"]:
+            raise RuntimeError(
+                f"shard {shard['slot']!r} cannot reproduce offsets "
+                f"{start} .. {end}: got seq {got['seq']}, expected "
+                f"{end['seq']} (slot advanced externally? overlapping "
+                "publications?)"
+            )
+        return iter(_changes_to_batches(rows))
+
+    def commit(self, end: dict) -> None:
+        from pgshovel_spark.sources.pglogical import advance
+        from pgshovel_spark.sources.pgoutput import lsn_to_str
+
+        for slot in sorted(self.shards):
+            e = end.get(slot)
+            if not e or not e.get("lsn"):
+                continue
+            shard = self.shards[slot]
+            params = self._params(shard)
+            lsn = lsn_to_str(e["lsn"])
+            with params.connect() as c:
+                self._ensure_meta(c, shard["database"])
+                # meta BEFORE advance (see class docstring)
+                c.query(
+                    "insert into pgshovel_shard_meta values"
+                    f" ('{slot}', '{lsn}', {int(e['seq'])})"
+                    " on conflict (slot) do update set"
+                    " base_lsn = excluded.base_lsn,"
+                    " base_seq = excluded.base_seq"
+                    " where excluded.base_seq >="
+                    " pgshovel_shard_meta.base_seq"
+                )
+            advance(params, slot, lsn)
 
 
 # ---------------------------------------------------------------------------
@@ -1004,7 +1281,10 @@ class PgShovelDataSource(DataSource):
     v2 in-progress transaction streaming), origin ('none' drops
     foreign-origin transactions whole — loop prevention; pgoutput
     only), publisher, epoch, key_cols (JSON table->pk-list map,
-    test_decoding only), max_changes (bound raw rows per peek).
+    test_decoding only), max_changes (bound raw rows per peek),
+    shards (JSON array of {slot, publication, database} — switches to
+    the partition-parallel sharded reader; see
+    PgShovelShardedStreamReader).
     """
 
     @classmethod
@@ -1022,6 +1302,14 @@ class PgShovelDataSource(DataSource):
 
     def reader(self, schema: StructType):
         return PgShovelBatchReader(self.options, schema)
+
+    def streamReader(self, schema: StructType):
+        # full (partition-parallel) reader only in sharded mode; the
+        # base-class NotImplementedError otherwise makes the runner
+        # fall back to simpleStreamReader (pyspark's _streamReader)
+        if _opt(self.options, "shards"):
+            return PgShovelShardedStreamReader(self.options)
+        return super().streamReader(schema)
 
     def simpleStreamReader(self, schema: StructType):
         return PgShovelSimpleStreamReader(self.options)

@@ -53,6 +53,7 @@ __all__ = [
     "exported_slot_snapshot",
     "create_publication",
     "pull_changes_pgoutput",
+    "backlog_stats_pgoutput",
     "change_batches_pgoutput",
     "PgReplicationConnection",
     "ReplicationStream",
@@ -579,6 +580,67 @@ def raw_slot_changes_pgoutput(
             f" {opts}, 'publication_names', '{publication}')"
         )[0]
     return [(lsn, int(xid), data) for lsn, xid, data in res.rows]
+
+
+def backlog_stats_pgoutput(
+    params: PgParams,
+    slot: str,
+    publication: str,
+    after_lsn: str = "0/0",
+    limit: int | None = None,
+) -> tuple[int, str | None]:
+    """``(n_changes, last_commit_lsn)`` of the slot backlog in commits
+    strictly AFTER ``after_lsn`` — the sharded stream reader's
+    end-offset probe, computed in ONE server-side pass with no bytes
+    shipped (the peek is aggregated in SQL, not fetched).
+
+    Counting rule mirrors ``parse_pgoutput`` exactly: one change per
+    Insert/Update/Delete message, one per truncated relation in a
+    Truncate message (nrels, big-endian at bytes 1..4); Begin/Commit/
+    Relation/Origin/Type/Message frames are free.  Each change's
+    commit lsn is the lsn of its transaction's Commit frame — rows are
+    grouped to their closing commit via a running commit-frame count
+    (decoding emits whole transactions in commit order, so the group
+    of a change is closed by the next 'C' frame).  Protocol v1 only
+    (the sharded reader's restriction): v2 stream segments interleave
+    and would break the grouping."""
+    import re
+
+    from pgshovel_spark.sources.pglogical import _check_slot
+
+    _check_publication(publication)
+    if not re.match(r"[0-9A-Fa-f]+/[0-9A-Fa-f]+\Z", after_lsn):
+        raise ValueError(f"invalid LSN: {after_lsn!r}")
+    bound = "null" if limit is None else str(int(limit))
+    sql = f"""
+with raw as (
+  select t.lsn, get_byte(t.data, 0) as k, t.data, t.rn
+  from pg_logical_slot_peek_binary_changes('{_check_slot(slot)}', null,
+       {bound}, 'proto_version', '1', 'publication_names', '{publication}')
+       with ordinality as t(lsn, xid, data, rn)
+),
+cg as (
+  select raw.*, coalesce(sum(case when k = 67 then 1 else 0 end) over
+      (order by rn rows between unbounded preceding and 1 preceding), 0)
+      as grp
+  from raw
+),
+commits as (select grp, lsn as clsn from cg where k = 67)
+select
+  coalesce(sum(case
+    when cg.k in (73, 85, 68) then 1
+    when cg.k = 84 then (get_byte(cg.data, 1) << 24)
+      | (get_byte(cg.data, 2) << 16)
+      | (get_byte(cg.data, 3) << 8)
+      | get_byte(cg.data, 4)
+    else 0 end), 0)::bigint as nchanges,
+  max(commits.clsn)::text as last_clsn
+from cg join commits on cg.grp = commits.grp
+where commits.clsn > '{after_lsn}'::pg_lsn
+"""
+    with params.connect() as c:
+        row = c.query(sql)[0].rows[0]
+    return int(row[0]), row[1]
 
 
 def pull_changes_pgoutput(

@@ -3205,3 +3205,96 @@ def test_pgdatasource_filtered_publication_stream(spark, pg, tmp_path):
     assert sorted(int(r.after["id"]) for r in got) == list(range(3, 31, 3))
     assert all(set(r.after.keys()) == {"id", "v"} for r in got)
     pgl.drop_slot(pg, "fp_slot")
+
+
+# ---------------------------------------------------------------------------
+# partition-parallel sharded stream reader (full DataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+def test_pgdatasource_sharded_two_slots_restart_exactly_once(spark, pg, tmp_path):
+    """Partition-parallel capture: two shards (one slot per DATABASE —
+    the per-database sharding the scale docstrings promise), peeked
+    and decoded on EXECUTORS, exactly-once across a checkpoint
+    restart — per-shard dense seq unbroken, writes landed while the
+    consumer was down delivered exactly once, shard isolation exact."""
+    import dataclasses
+    import json as _json
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create database shr_a")
+        c.query("create database shr_b")
+    prm = {n: dataclasses.replace(pg, database=f"shr_{n}") for n in "ab"}
+    for n, pp in prm.items():
+        with pp.connect() as c:
+            c.query(f"create table ev_{n}(id bigint primary key, v text)")
+        po.create_publication(pp, f"shr_pub_{n}", [f"ev_{n}"])
+        po.create_slot_pgoutput(pp, f"shr_slot_{n}")
+        with pp.connect() as c:
+            c.query(
+                f"insert into ev_{n} select g, '{n}' || g"
+                " from generate_series(1, 30) g"
+            )
+    register_pgshovel(spark)
+    ckpt = str(tmp_path / "ck")
+    shards = _json.dumps(
+        [
+            {"slot": "shr_slot_a", "publication": "shr_pub_a", "database": "shr_a"},
+            {"slot": "shr_slot_b", "publication": "shr_pub_b", "database": "shr_b"},
+        ]
+    )
+    got: list = []
+
+    def _start():
+        return (
+            spark.readStream.format("pgshovel")
+            .option("sockdir", pg.sockdir)
+            .option("shards", shards)
+            .load()
+            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="400 milliseconds")
+            .start()
+        )
+
+    q = _start()
+    try:
+        assert _wait_for(lambda: len(got) == 60), f"got {len(got)}"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # writes while the consumer is DOWN: asymmetric waves
+    with prm["a"].connect() as c:
+        c.query(
+            "insert into ev_a select g, 'y' || g"
+            " from generate_series(31, 40) g"
+        )
+        c.query("update ev_a set v = 'u1' where id = 1")
+    with prm["b"].connect() as c:
+        c.query("delete from ev_b where id = 2")
+
+    q = _start()
+    try:
+        assert _wait_for(lambda: len(got) == 72), f"got {len(got)}"
+        by_pub: dict = {}
+        for r in got:
+            by_pub.setdefault(r.publisher, []).append(r)
+        assert sorted(by_pub) == ["shr_slot_a", "shr_slot_b"]
+        a, b = by_pub["shr_slot_a"], by_pub["shr_slot_b"]
+        # exactly once per shard: dense seq across the restart
+        assert sorted(r.seq for r in a) == list(range(41))
+        assert sorted(r.seq for r in b) == list(range(31))
+        assert sum(1 for r in a if r.op == "UPDATE") == 1
+        assert sum(1 for r in b if r.op == "DELETE") == 1
+        # shard isolation: each publisher carries only its own table
+        assert {r.table for r in a} == {"public.ev_a"}
+        assert {r.table for r in b} == {"public.ev_b"}
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    for n, pp in prm.items():
+        pgl.drop_slot(pp, f"shr_slot_{n}")
