@@ -599,23 +599,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per doc) so the shingle+32-sum subtree runs ONCE, not
     once per join side — same reuse pattern as q_dedup_minhash_pairs.
     """
+    from pgshovel_spark.operators.lsh import pigeonhole_candidates
+
     s = materialize(_simhash32(spark, sf_dir))
-    bands = F.array(
-        *[(F.shiftright(F.col("sig"), 8 * b) % 256).cast("int") for b in range(4)]
-    )
-    c = s.select("doc_id", "sig", F.posexplode(bands).alias("band_idx", "band_val"))
-    a = c.select(
-        F.col("doc_id").alias("id1"), F.col("sig").alias("s1"), "band_idx", "band_val"
-    )
-    b = c.select(
-        F.col("doc_id").alias("id2"), F.col("sig").alias("s2"), "band_idx", "band_val"
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "s1", "s2")
-        .distinct()
-    )
+    cand = pigeonhole_candidates(s, n_bands=4, bits=8)
     return (
         cand.select(
             "id1",

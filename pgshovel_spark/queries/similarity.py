@@ -653,26 +653,31 @@ WHERE shared * 10 >= (s1.sz + s2.sz - shared) * 3
 _SIM_NGRAM_SQL = _sim_ngram_sql(_DF_CAP)
 
 
+# The banding machinery (signatures, band keys, incidence list, bucket
+# cap, capped self-join) lives in operators/lsh.py since round 12 —
+# one layout contract for the whole near-dup family; local underscore
+# names preserved so in-module call sites and oracle f-strings read
+# unchanged.
+from pgshovel_spark.operators.lsh import (  # noqa: E402
+    BANDS_LONG_SQL as _BANDS_LONG_SQL,
+    BUCKET_CAP as _BUCKET_CAP,
+    N_BANDS as _N_BANDS,
+    anti_cap as _anti_cap,
+    band_key as _band_key,
+    band_self_join as _band_self_join,
+    bands_long as _bands_long,
+    minhash_sigs as _lsh_minhash_sigs,
+    minhash_sigs_sql as _minhash_sigs_sql,
+)
+
+
 def _minhash_sigs(spark, sf_dir) -> DataFrame:
-    """Per-doc 8-hash MinHash signature over the polynomial token hash."""
-    tok = _tok_distinct(spark, sf_dir)
-    th = _token_hash(F.col("t"))
-    aggs = [
-        F.min((th * a + b) % _MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MINHASH_COEFS)
-    ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    """Per-doc 8-hash MinHash signature over the shared distinct-token
+    posting table (arithmetic in operators/lsh.py)."""
+    return _lsh_minhash_sigs(_tok_distinct(spark, sf_dir))
 
 
-_MINHASH_SIGS_SQL = f"""
-  SELECT doc_id,
-         {", ".join(
-             f"MIN(({_TOKEN_HASH_SQL.format(t='t')} * {a} + {b}) % {_MINHASH_P}) AS mh{i}"
-             for i, (a, b) in enumerate(_MINHASH_COEFS)
-         )}
-  FROM ({_TOK_DISTINCT_SQL}) tok
-  GROUP BY doc_id
-"""
+_MINHASH_SIGS_SQL = _minhash_sigs_sql(_TOK_DISTINCT_SQL)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,80 +706,6 @@ FROM ({_MINHASH_SIGS_SQL})
 """
 
 
-#: number of LSH bands (8 minhashes as N_BANDS x 4 rows).  Referenced by
-#: every Python AND SQL site below — change it in one place only.
-_N_BANDS = 2
-
-
-def _band_key(i: int):
-    """Band-i LSH key: the 31-polynomial mix of minhashes 4i..4i+3 —
-    THE banding layout contract between signatures, pairs, clusters,
-    and the estimator audit.  One definition; the SQL mirrors render
-    the same ((mh*31+mh)*31+mh)*31+mh expression inline."""
-    cols = [F.col(f"mh{4 * i + j}") for j in range(4)]
-    k = cols[0]
-    for c in cols[1:]:
-        k = k * 31 + c
-    return k.alias(f"band{i}")
-
-
-def _bands_long(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, key) incidence list from a signature frame —
-    the single definition of the banding layout shared by the pairs and
-    clustering queries."""
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key")
-                    )
-                    for i in range(_N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.key")
-
-
-def _bands_long_payload(sigs: DataFrame, payload_cols: list) -> DataFrame:
-    """_bands_long with extra per-doc payload columns carried through
-    the band expansion (q_sim_minhash_est rides its verify payload on
-    the banding join instead of joining back)."""
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key")
-                    )
-                    for i in range(_N_BANDS)
-                ]
-            )
-        ).alias("b"),
-        *payload_cols,
-    ).select("doc_id", "b.band_idx", "b.key", *payload_cols)
-
-
-_BANDS_LONG_SQL = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {i} AS band_idx, band{i} AS key FROM sigs"
-    for i in range(_N_BANDS)
-)
-
-
-#: Band-bucket size cap for PAIR EMISSION (q_dedup_minhash_pairs): a
-#: bucket of m near-identical docs emits m^2/2 pairs — the round-3
-#: 10x rehearsal measured the uncapped form output-quadratic on a
-#: dup-dense corpus (>30 min at 10x).  Buckets larger than the cap
-#: are boilerplate-duplicate cliques: the pair LIST for them is not
-#: actionable (the cluster path — star reduction, linear — is), so
-#: both engines drop them from emission, bounding any bucket's output
-#: at cap^2/2.  No-op at the sf0.01 correctness fixture (max bucket
-#: 243, measured).
-_BUCKET_CAP = 1000
-
-
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket
     (the banding join that replaces the quadratic all-pairs scan at
@@ -788,37 +719,9 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see cap note); their members still reach the dedup pipeline
     through the cluster path, which consumes buckets linearly."""
     sigs = materialize(q_dedup_minhash(spark, sf_dir))
-    long_ = _bands_long(sigs)
-    # OVER-cap buckets are the rare pathological cliques — a small
-    # set by construction — so broadcast them as an ANTI join: the
-    # capped bucket table is then a map-side filter of the (cached)
-    # signature expansion instead of a keep-list shuffle join that
-    # re-executes the subtree per consumer (same round-5 job-count
-    # fix as _capped_pair_counts).
-    big = (
-        long_.groupBy("band_idx", "key")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") > _BUCKET_CAP)
-        .select("band_idx", "key")
-    )
-    long_ = long_.join(F.broadcast(big), ["band_idx", "key"], "anti")
-    # TRUE self-join (alias, not column-renamed sides): the children
-    # are canonically identical (sameResult), so when the incidence
-    # table outgrows the broadcast threshold and this plans as a
-    # shuffle join, the static ReuseExchange rule feeds both sides
-    # from ONE shuffle (plan-verified with AQE off; AQE's stage-level
-    # dedup currently misses the pattern — see EXPERIMENTS.md round 8
-    # — but locally AQE broadcasts the small side anyway).  The old
-    # column-renamed sides could never reuse under either planner.
-    a = long_.alias("a")
-    b = long_.alias("b")
+    long_ = _anti_cap(_bands_long(sigs))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _band_self_join(long_)
         .groupBy(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
         )
@@ -882,19 +785,13 @@ def q_sim_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lazy population races (measured 12 jobs lazy vs 10 eager)
     per_doc = materialize(tok.groupBy("doc_id").agg(*aggs), eager=True)
 
-    long_ = _bands_long(per_doc.select("doc_id", _band_key(0), _band_key(1)))
-    big = (
-        long_.groupBy("band_idx", "key")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") > _BUCKET_CAP)
-        .select("band_idx", "key")
-    )
     # Payload (8-long signature array + hashed-token array) rides the
     # banding self-join on BOTH sides, so n_match / intersect need no
     # join-back to the per-doc table: the whole query is one self-join
     # plus one pair-group.  Duplication across agreeing bands is
     # bounded by _N_BANDS (=2); the per-pair verify payload would be
-    # shuffled O(pairs) either way.
+    # shuffled O(pairs) either way.  (Column pruning keeps the payload
+    # out of the anti-cap's bucket-count aggregate.)
     full = per_doc.select(
         "doc_id",
         _band_key(0),
@@ -902,26 +799,13 @@ def q_sim_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.col(f"mh{i}") for i in range(8)]).alias("mhs"),
         "toks",
     )
-    long_full = _bands_long_payload(full, ["mhs", "toks"])
-    long_full = long_full.join(F.broadcast(big), ["band_idx", "key"], "anti")
-    # TRUE self-join (alias, not column-renamed sides): both children
-    # are canonically identical, so under the static planner the
-    # second side is a ReusedExchange of the first — the incidence
-    # table (with its verify payload) crosses the wire once, not
-    # twice.  See q_dedup_minhash_pairs for the AQE caveat.
-    a = long_full.alias("a")
-    b = long_full.alias("b")
+    long_full = _anti_cap(_bands_long(full, ["mhs", "toks"]))
     n_match = F.expr(
         "aggregate(zip_with(a.mhs, b.mhs, (x, y) -> CAST(x = y AS BIGINT)),"
         " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     joined = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _band_self_join(long_full)
         .select(
             F.col("a.doc_id").alias("id1"),
             F.col("b.doc_id").alias("id2"),
