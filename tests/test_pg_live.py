@@ -3298,3 +3298,61 @@ def test_pgdatasource_sharded_two_slots_restart_exactly_once(spark, pg, tmp_path
         q.awaitTermination(30)
     for n, pp in prm.items():
         pgl.drop_slot(pp, f"shr_slot_{n}")
+
+
+def test_backlog_stats_counts_match_parser(spark, pg):
+    """The sharded reader's end-offset probe (backlog_stats_pgoutput)
+    must count EXACTLY what parse_pgoutput emits — the probe and the
+    executor slice otherwise desync and the reader's loud-failure
+    guard trips.  Pinned on the tricky shapes: multi-statement
+    transactions, TRUNCATE (one change per truncated relation),
+    empty-for-the-publication transactions (B/C frames only), and the
+    after_lsn filter at a mid-stream commit boundary."""
+    from pgshovel_spark.sources import pgoutput as po
+
+    with pg.connect() as c:
+        c.query("create table bs_t1(id int primary key, v text)")
+        c.query("create table bs_t2(id int primary key, v text)")
+        c.query("create table bs_unpub(id int primary key)")
+    po.create_publication(pg, "bs_pub", ["bs_t1", "bs_t2"])
+    po.create_slot_pgoutput(pg, "bs_slot")
+    with pg.connect() as c:
+        # one multi-table txn: 5 + 3 changes
+        c.query(
+            "begin;"
+            " insert into bs_t1 select g, 'a' || g from generate_series(1,5) g;"
+            " insert into bs_t2 select g, 'b' || g from generate_series(1,3) g;"
+            " commit"
+        )
+        # a txn invisible to the publication: B/C frames, zero changes
+        c.query("insert into bs_unpub values (1), (2)")
+        # update + delete + TRUNCATE of both tables in one txn
+        c.query(
+            "begin;"
+            " update bs_t1 set v = 'u' where id = 1;"
+            " delete from bs_t2 where id = 2;"
+            " truncate bs_t1, bs_t2;"
+            " commit"
+        )
+    raw = po.raw_slot_changes_pgoutput(pg, "bs_slot", "bs_pub")
+    parsed = po.parse_pgoutput(raw)
+    n, last = po.backlog_stats_pgoutput(pg, "bs_slot", "bs_pub")
+    # 8 inserts + 1 update + 1 delete + 2 truncate-relations = 12
+    assert len(parsed) == n == 12
+    assert last == parsed[-1]["commit_lsn"]
+
+    # after_lsn at the FIRST commit boundary: only later commits count
+    first_commit = parsed[0]["commit_lsn"]
+    n_tail, last_tail = po.backlog_stats_pgoutput(
+        pg, "bs_slot", "bs_pub", after_lsn=first_commit
+    )
+    assert n_tail == sum(
+        1 for ch in parsed if ch["commit_lsn"] != first_commit
+    ) == 4
+    assert last_tail == last
+    # past the last commit: empty backlog
+    n_none, last_none = po.backlog_stats_pgoutput(
+        pg, "bs_slot", "bs_pub", after_lsn=last
+    )
+    assert n_none == 0 and last_none is None
+    pgl.drop_slot(pg, "bs_slot")
