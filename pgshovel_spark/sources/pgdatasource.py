@@ -633,9 +633,16 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                 limit=self.max_changes,
             )
             if last is None:
+                # idle: reproduce the PREVIOUS end offset exactly (any
+                # committed end has idx=_IDX_END — keyed on base_lsn,
+                # NOT base_seq: a batch of publication-empty commits
+                # advances the lsn with seq unchanged, and an idx
+                # mismatch here would make every trigger look like a
+                # new offset, planning empty batches forever)
+                lsn_int = lsn_to_int(base_lsn)
                 out[slot] = {
-                    "lsn": lsn_to_int(base_lsn),
-                    "idx": self._IDX_END if base_seq else 0,
+                    "lsn": lsn_int,
+                    "idx": self._IDX_END if lsn_int else 0,
                     "seq": base_seq,
                 }
             else:

@@ -3356,3 +3356,75 @@ def test_backlog_stats_counts_match_parser(spark, pg):
     )
     assert n_none == 0 and last_none is None
     pgl.drop_slot(pg, "bs_slot")
+
+
+def test_pgdatasource_sharded_empty_commit_stability(spark, pg, tmp_path):
+    """Publication-invisible transactions (B/C frames only) must
+    ADVANCE the shard watermark once and then go quiet: the idle
+    latestOffset must reproduce the committed end offset exactly, or
+    every trigger plans a phantom batch forever (the idx-vs-base_seq
+    regression this test pins).  Also covers the bootstrap case where
+    the first committed end carries seq=0."""
+    import dataclasses
+    import json as _json
+    import time
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create database shr_e")
+    pe = dataclasses.replace(pg, database="shr_e")
+    with pe.connect() as c:
+        c.query("create table ev_pub(id bigint primary key, v text)")
+        c.query("create table ev_hidden(id bigint primary key)")
+    po.create_publication(pe, "shr_pub_e", ["ev_pub"])
+    po.create_slot_pgoutput(pe, "shr_slot_e")
+    register_pgshovel(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option(
+            "shards",
+            _json.dumps(
+                [{"slot": "shr_slot_e", "publication": "shr_pub_e",
+                  "database": "shr_e"}]
+            ),
+        )
+        .load()
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # ONLY publication-invisible commits, from a cold slot (the
+        # first committed end then has seq=0 — the regression's
+        # sharpest corner)
+        with pe.connect() as c:
+            c.query("insert into ev_hidden select g from generate_series(1, 50) g")
+        _wait_for(lambda: (q.lastProgress or {}).get("batchId", -1) >= 0, 20)
+        time.sleep(1.0)
+        b0 = (q.lastProgress or {}).get("batchId", -1)
+        time.sleep(2.0)
+        b1 = (q.lastProgress or {}).get("batchId", -1)
+        # idle stream: the batch id must NOT churn (10/s if looping);
+        # allow 1 for a straggling trigger
+        assert b1 - b0 <= 1, f"phantom batches: {b0} -> {b1}"
+        assert got == []
+        # the watermark DID advance past the invisible commits
+        with pe.connect() as c:
+            flushed = c.one(
+                "select confirmed_flush_lsn::text from pg_replication_slots"
+                " where slot_name = 'shr_slot_e'"
+            )
+        assert flushed is not None
+        # and real rows still flow afterwards
+        with pe.connect() as c:
+            c.query("insert into ev_pub values (1, 'x')")
+        assert _wait_for(lambda: len(got) == 1)
+        assert got[0].seq == 0  # dense seq untouched by invisible txns
+    finally:
+        q.stop()
+    pgl.drop_slot(pe, "shr_slot_e")
