@@ -87,6 +87,9 @@ _MODULES = (
 #: window and gets a fresh driver row.  Module blocks follow for the
 #: long-verified, untouched remainder.
 _PRIORITY = (
+    # round-12 NEW query first (never driver-checked): the banding
+    # diagnostics over the consolidated operators/lsh.py machinery
+    "q_lsh_band_stats",
     # round-11 NEW queries first (never driver-checked), then the
     # round-11 plan change (q_late_events rewritten off the
     # 5-partition window onto the bucketed two-pass prefix max — its

@@ -834,6 +834,70 @@ def q_sim_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding DIAGNOSTICS: per band, the bucket-size distribution
+    and the candidate-pair budget it implies — n_buckets, docs routed,
+    max bucket, sum C(m,2) candidate pairs, and how many buckets/pairs
+    the _BUCKET_CAP emission policy drops.  These are the numbers a
+    100-TB dedup operator reads BEFORE trusting a banding layout: the
+    pair budget is the actual join cost of the banded candidate
+    generation (quadratic per bucket), and a cap that drops a visible
+    pair fraction means the band is under-wide for the corpus.
+
+    Shape: two aggregations over the N_BANDS-per-doc incidence list
+    (corpus-linear), group cardinality = number of buckets then
+    N_BANDS rows out — no pair is ever materialized, the budget is
+    arithmetic on bucket sizes.  Every output column is a BIGINT
+    (counts and integer-div pair counts), hash-exact by construction.
+    """
+    sigs = q_dedup_minhash(spark, sf_dir)
+    buckets = (
+        _bands_long(sigs)
+        .groupBy("band_idx", "key")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    pair_budget = F.expr("m * (m - 1) div 2")
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("m").alias("n_docs"),
+            F.max("m").alias("max_bucket"),
+            F.sum(pair_budget).alias("candidate_pairs"),
+            F.sum(
+                F.when(F.col("m") > _BUCKET_CAP, 1).otherwise(0)
+            ).alias("over_cap_buckets"),
+            F.sum(
+                F.when(F.col("m") > _BUCKET_CAP, pair_budget).otherwise(
+                    F.lit(0)
+                )
+            ).alias("capped_pairs"),
+        )
+        .orderBy("band_idx")
+    )
+
+
+_LSH_BAND_STATS_SQL = f"""
+WITH sigs AS ({_DEDUP_MINHASH_SQL}),
+long_raw AS (
+  {_BANDS_LONG_SQL}
+),
+buckets AS (
+  SELECT band_idx, key, COUNT(*) AS m FROM long_raw GROUP BY band_idx, key
+)
+SELECT band_idx,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(m) AS BIGINT) AS n_docs,
+       MAX(m) AS max_bucket,
+       CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs,
+       CAST(SUM(CASE WHEN m > {_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS over_cap_buckets,
+       CAST(SUM(CASE WHEN m > {_BUCKET_CAP} THEN m * (m - 1) // 2 ELSE 0 END)
+         AS BIGINT) AS capped_pairs
+FROM buckets GROUP BY band_idx ORDER BY band_idx
+"""
+
+
 #: ``AS MATERIALIZED``: DuckDB inlines CTEs by default, so ``pairs``
 #: (referenced by BOTH the shared-count and signature-match branches)
 #: and the tables under it would be recomputed per reference — measured
@@ -1715,6 +1779,7 @@ QUERIES = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
     "q_sim_minhash_est": q_sim_minhash_est,
+    "q_lsh_band_stats": q_lsh_band_stats,
     "q_sim_simhash": q_sim_simhash,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_semantic": q_dedup_semantic,
@@ -1736,6 +1801,7 @@ ORACLES = {
     "q_dedup_minhash": _DEDUP_MINHASH_SQL,
     "q_dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
     "q_sim_minhash_est": _SIM_MINHASH_EST_SQL,
+    "q_lsh_band_stats": _LSH_BAND_STATS_SQL,
     "q_sim_simhash": _SIM_SIMHASH_SQL,
     "q_dedup_embedding": _DEDUP_EMBEDDING_SQL,
     "q_dedup_semantic": _DEDUP_SEMANTIC_SQL,

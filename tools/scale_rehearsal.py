@@ -82,6 +82,8 @@ PANEL = (
     "q_dedup_exact",          # 50k-doc hash-key dedup
     "q_text_tfidf",           # 50k-doc tokenize + 2 aggs + window
     "q_sim_jaccard",          # blocked pair generation (quadratic risk)
+    # round-12 addition
+    "q_lsh_band_stats",       # banding diagnostics: bucket-size + pair-budget aggs
     "q_dedup_minhash_pairs",  # LSH pairs, _BUCKET_CAP-bounded (round 3:
                               # uncapped form measured >30 min at 10x on
                               # the dup-dense replica corpus; capped 5 s)
