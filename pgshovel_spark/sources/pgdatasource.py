@@ -572,6 +572,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         self.max_changes = int(mc) if mc else None
         self.epoch = int(_opt(options, "epoch", "0"))
         self._meta_ready: set[str] = set()
+        self._pub_checked: set[str] = set()
 
     def _params(self, shard: dict):
         from pgshovel_spark.sources.pgwire import PgParams
@@ -613,6 +614,31 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             for slot in sorted(self.shards)
         }
 
+    def _check_pub_excludes_meta(self, c, shard: dict) -> None:
+        """A publication covering ``pgshovel_shard_meta`` would turn
+        the reader's own watermark upserts into captured changes — a
+        self-feeding loop of one-row batches.  Explicit FOR TABLE
+        lists exclude it naturally; FOR ALL TABLES (or listing the
+        meta table) is rejected loudly, once per shard."""
+        pub = shard["publication"]
+        if pub in self._pub_checked:
+            return
+        res = c.query(
+            "select p.puballtables or exists("
+            " select 1 from pg_publication_tables t"
+            " where t.pubname = p.pubname"
+            " and t.tablename = 'pgshovel_shard_meta')"
+            f" from pg_publication p where p.pubname = '{pub}'"
+        )[0]
+        if res.rows and res.rows[0][0]:
+            raise ValueError(
+                f"shard publication {pub!r} covers pgshovel_shard_meta "
+                "(FOR ALL TABLES?): the reader's own watermark writes "
+                "would re-enter the stream as changes — scope the "
+                "publication to an explicit table list"
+            )
+        self._pub_checked.add(pub)
+
     def latestOffset(self) -> dict:
         from pgshovel_spark.sources.pgoutput import (
             backlog_stats_pgoutput,
@@ -624,6 +650,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             shard = self.shards[slot]
             params = self._params(shard)
             with params.connect() as c:
+                self._check_pub_excludes_meta(c, shard)
                 base_lsn, base_seq = self._read_meta(c, shard["database"], slot)
             n, last = backlog_stats_pgoutput(
                 params,

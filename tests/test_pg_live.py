@@ -3428,3 +3428,32 @@ def test_pgdatasource_sharded_empty_commit_stability(spark, pg, tmp_path):
     finally:
         q.stop()
     pgl.drop_slot(pe, "shr_slot_e")
+
+
+def test_sharded_reader_rejects_all_tables_publication(pg):
+    """A FOR ALL TABLES publication would capture the reader's own
+    pgshovel_shard_meta watermark upserts — a self-feeding loop of
+    one-row batches.  The driver-side guard rejects it loudly at the
+    first offset probe."""
+    import dataclasses
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import PgShovelShardedStreamReader
+
+    with pg.connect() as c:
+        c.query("create database shr_all")
+    pa_ = dataclasses.replace(pg, database="shr_all")
+    with pa_.connect() as c:
+        c.query("create table ev_all(id bigint primary key)")
+        c.query("create publication shr_pub_all_tables for all tables")
+    po.create_slot_pgoutput(pa_, "shr_slot_all")
+    rdr = PgShovelShardedStreamReader(
+        {
+            "sockdir": pg.sockdir,
+            "shards": '[{"slot": "shr_slot_all", "publication":'
+            ' "shr_pub_all_tables", "database": "shr_all"}]',
+        }
+    )
+    with pytest.raises(ValueError, match="pgshovel_shard_meta"):
+        rdr.latestOffset()
+    pgl.drop_slot(pa_, "shr_slot_all")
