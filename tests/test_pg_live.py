@@ -3457,3 +3457,176 @@ def test_sharded_reader_rejects_all_tables_publication(pg):
     with pytest.raises(ValueError, match="pgshovel_shard_meta"):
         rdr.latestOffset()
     pgl.drop_slot(pa_, "shr_slot_all")
+
+
+def test_sharded_commit_crash_window_is_absorbed(pg, monkeypatch):
+    """The sharded commit writes the watermark meta BEFORE advancing
+    the slot; a crash between the two leaves confirmed_flush behind
+    the meta watermark.  The class docstring claims the commit-lsn
+    filter absorbs that window — prove it: commit with the advance
+    suppressed (simulated crash), restart as a FRESH reader instance,
+    and the next offset/read cycle must deliver exactly the new rows
+    with seq continuing densely, no replay of the settled batch."""
+    import dataclasses
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources import pglogical as pgl_mod
+    from pgshovel_spark.sources.pgdatasource import PgShovelShardedStreamReader
+
+    with pg.connect() as c:
+        c.query("create database shr_cw")
+    pc = dataclasses.replace(pg, database="shr_cw")
+    with pc.connect() as c:
+        c.query("create table ev_cw(id bigint primary key, v text)")
+    po.create_publication(pc, "shr_pub_cw", ["ev_cw"])
+    po.create_slot_pgoutput(pc, "shr_slot_cw")
+    opts = {
+        "sockdir": pg.sockdir,
+        "shards": '[{"slot": "shr_slot_cw", "publication": "shr_pub_cw",'
+        ' "database": "shr_cw"}]',
+    }
+
+    def n_rows(it):
+        return sum(b.num_rows for b in it)
+
+    rdr = PgShovelShardedStreamReader(opts)
+    start = rdr.initialOffset()
+    with pc.connect() as c:
+        c.query("insert into ev_cw select g, 'a' || g from generate_series(1, 10) g")
+    end1 = rdr.latestOffset()
+    (p1,) = rdr.partitions(start, end1)
+    assert n_rows(rdr.read(p1)) == 10
+
+    # simulated crash: meta lands, the slot advance never runs
+    monkeypatch.setattr(pgl_mod, "advance", lambda *a, **k: None)
+    rdr.commit(end1)
+    monkeypatch.undo()
+    with pc.connect() as c:
+        flushed = c.one(
+            "select confirmed_flush_lsn::text from pg_replication_slots"
+            " where slot_name = 'shr_slot_cw'"
+        )
+        meta = c.one("select base_lsn::text from pgshovel_shard_meta")
+    from pgshovel_spark.sources.pgoutput import lsn_to_int
+    assert lsn_to_int(meta) > lsn_to_int(flushed)  # the window is real
+
+    with pc.connect() as c:
+        c.query("insert into ev_cw select g, 'b' || g from generate_series(11, 15) g")
+    rdr2 = PgShovelShardedStreamReader(opts)  # restarted driver
+    end2 = rdr2.latestOffset()
+    assert end2["shr_slot_cw"]["seq"] == 15  # dense, no double count
+    (p2,) = rdr2.partitions(end1, end2)
+    assert n_rows(rdr2.read(p2)) == 5  # only the new rows, no replay
+    rdr2.commit(end2)  # full commit heals the window
+    with pc.connect() as c:
+        healed = c.one(
+            "select confirmed_flush_lsn::text from pg_replication_slots"
+            " where slot_name = 'shr_slot_cw'"
+        )
+    assert lsn_to_int(healed) == end2["shr_slot_cw"]["lsn"]
+    pgl.drop_slot(pc, "shr_slot_cw")
+
+
+def test_sharded_atomic_handoff_compose(spark, pg, tmp_path):
+    """The two round-12 features COMPOSE into the production day-one
+    at scale: each shard's slot is created with its own exported
+    snapshot (atomic handoff), each database bootstraps on its
+    snapshot, then ONE sharded stream drains both slots from their
+    consistent points.  Strict plain-INSERT landing under a PK on
+    both halves — end state exact per shard, nothing absorbed."""
+    import dataclasses
+    import json as _json
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create database shr_ha")
+        c.query("create database shr_hb")
+    prm = {n: dataclasses.replace(pg, database=f"shr_h{n}") for n in "ab"}
+    for n, pp in prm.items():
+        with pp.connect() as c:
+            c.query(f"create table hsv_{n}(id bigint primary key, v text)")
+            c.query(f"create table hsd_{n}(id bigint primary key, v text)")
+            c.query(
+                f"insert into hsv_{n} select g, 'boot'"
+                " from generate_series(1, 100) g"
+            )
+        po.create_publication(pp, f"hs_pub_{n}", [f"hsv_{n}"])
+
+    register_pgshovel(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    def strict_insert(pp, table, rows):
+        if rows:
+            with pp.connect() as c:
+                vals = ", ".join(f"({int(i)}, '{v}')" for i, v in rows)
+                c.query(f"insert into {table} values {vals}")
+
+    # per-shard atomic handoff: bootstrap each database on its slot's
+    # own exported snapshot while a writer commits post-point rows
+    for n, pp in prm.items():
+        with po.exported_slot_snapshot(pp, f"hs_slot_{n}") as (_cp, snap):
+            with pp.connect() as c:  # commits AFTER the consistent point
+                c.query(
+                    f"insert into hsv_{n} select g, 'live'"
+                    " from generate_series(101, 130) g"
+                )
+            boot = (
+                spark.read.format("pgshovel")
+                .option("sockdir", pp.sockdir)
+                .option("database", f"shr_h{n}")
+                .option("table", f"hsv_{n}")
+                .option("partition_col", "id")
+                .option("num_partitions", "2")
+                .option("snapshot", snap)
+                .load()
+                .collect()
+            )
+            assert sorted(r.id for r in boot) == list(range(1, 101))
+            strict_insert(pp, f"hsd_{n}", [(r.id, r.v) for r in boot])
+
+    def land(batch_df, _bid):
+        for r in batch_df.collect():
+            n = r.publisher[-1]  # hs_slot_a -> a
+            strict_insert(
+                prm[n], f"hsd_{n}", [(int(r.after["id"]), r.after["v"])]
+            )
+
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option(
+            "shards",
+            _json.dumps(
+                [
+                    {"slot": f"hs_slot_{n}", "publication": f"hs_pub_{n}",
+                     "database": f"shr_h{n}"}
+                    for n in "ab"
+                ]
+            ),
+        )
+        .load()
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        def synced():
+            for n, pp in prm.items():
+                with pp.connect() as c:
+                    if c.one(f"select count(*) from hsd_{n}") != 130:
+                        return False
+            return True
+
+        assert _wait_for(synced), "sharded handoff did not converge"
+        for n, pp in prm.items():
+            with pp.connect() as c:
+                src = c.query(f"select id, v from hsv_{n} order by id")[0].rows
+                dst = c.query(f"select id, v from hsd_{n} order by id")[0].rows
+            assert src == dst, f"shard {n} diverged"
+    finally:
+        q.stop()
+    for n, pp in prm.items():
+        pgl.drop_slot(pp, f"hs_slot_{n}")
