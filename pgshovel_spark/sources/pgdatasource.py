@@ -524,8 +524,11 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
     """
 
     #: idx sentinel in an end offset: "every change of every commit at
-    #: or below end.lsn" — batch ends are always commit boundaries
-    _IDX_END = 1 << 30
+    #: or below end.lsn" — batch ends are always commit boundaries.
+    #: Far above any real within-transaction change index (a txn would
+    #: need 2^62 changes to reach it), so the slice upper bound never
+    #: truncates a commit.
+    _IDX_END = 1 << 62
 
     def __init__(self, options):
         from pgshovel_spark.sources.pgwire import PgParams
