@@ -8,6 +8,18 @@ operations are queries and pipelines, so the CLI surfaces those:
     python -m pgshovel_spark run q_agg_pricing_summary --sf-dir /root/testdata/sf0.01 [--limit 20]
     python -m pgshovel_spark sql "SELECT count(*) FROM lineitem" --sf-dir ...
     python -m pgshovel_spark bench [--sf-dir ...]
+
+Round 12 adds the OPERATIONAL surface (the reference's click CLI was
+administration-first):
+
+    python -m pgshovel_spark admin create-set s1 --store /adm \
+        --table "orders:o_orderkey:o_orderkey"
+    python -m pgshovel_spark admin get-set s1 --store /adm
+    python -m pgshovel_spark admin bump-epoch s1 --store /adm
+    python -m pgshovel_spark cdc create-slot s --sockdir /run/pg
+    python -m pgshovel_spark cdc create-publication p --sockdir /run/pg \
+        --tables t1,t2 --where "t1=id % 2 = 0" --columns t1=id,v
+    python -m pgshovel_spark cdc peek s --publication p --sockdir /run/pg
 """
 
 from __future__ import annotations
@@ -16,6 +28,93 @@ import argparse
 import json
 import sys
 import time
+
+
+def _parse_table_spec(spec: str):
+    """'name:cursor_col:key1[,key2][:col1,col2]' -> (name, TableConfig)."""
+    from pgshovel_spark.sources.administration import TableConfig
+
+    bits = spec.split(":")
+    if len(bits) not in (3, 4):
+        raise SystemExit(
+            f"bad --table spec {spec!r}: want name:cursor_col:keys[:columns]"
+        )
+    name, cursor, keys = bits[0], bits[1], bits[2].split(",")
+    cols = bits[3].split(",") if len(bits) == 4 else None
+    return name, TableConfig(cursor_col=cursor, key_cols=keys, columns=cols)
+
+
+def _cmd_admin(args) -> int:
+    from pgshovel_spark.sources import administration as adm
+
+    if args.action in ("create-set", "update-set"):
+        if not args.table:
+            print("create-set/update-set need at least one --table", file=sys.stderr)
+            return 2
+        cfg = adm.SetConfig(
+            name=args.name,
+            tables=dict(_parse_table_spec(s) for s in args.table),
+        )
+        if args.action == "create-set":
+            out = adm.create_set(args.store, cfg)
+        else:
+            out = adm.update_set(args.store, cfg, expect_version=args.expect_version)
+    elif args.action == "get-set":
+        out = adm.get_set(args.store, args.name)
+    else:  # bump-epoch
+        out = adm.bump_epoch(args.store, args.name)
+    print(json.dumps(adm._to_payload(out), indent=1, sort_keys=True))
+    return 0
+
+
+def _cmd_cdc(args) -> int:
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources import pglogical as pgl
+    from pgshovel_spark.sources.pgwire import PgParams
+
+    params = PgParams(
+        sockdir=args.sockdir, database=args.database, user=args.user
+    )
+    if args.action == "create-slot":
+        lsn = po.create_slot_pgoutput(params, args.name)
+        print(json.dumps({"slot": args.name, "consistent_point": lsn}))
+        return 0
+    if args.action == "drop-slot":
+        pgl.drop_slot(params, args.name)
+        print(json.dumps({"dropped": args.name}))
+        return 0
+    if args.action == "create-publication":
+        if not args.tables:
+            print("create-publication needs --tables", file=sys.stderr)
+            return 2
+        where = dict(s.split("=", 1) for s in args.where)
+        columns = {
+            t: c.split(",") for t, c in (s.split("=", 1) for s in args.columns)
+        }
+        po.create_publication(
+            params,
+            args.name,
+            args.tables.split(","),
+            where=where or None,
+            columns=columns or None,
+        )
+        print(json.dumps({"publication": args.name, "tables": args.tables.split(",")}))
+        return 0
+    # peek: non-destructive decode of the slot backlog, one JSON line
+    # per change (ts rendered ISO) — the operational "what is in the
+    # slot right now" probe
+    if not args.publication:
+        print("peek needs --publication", file=sys.stderr)
+        return 2
+    raw = po.raw_slot_changes_pgoutput(
+        params, args.name, args.publication, limit=args.limit
+    )
+    for ch in po.parse_pgoutput(raw):
+        ch = dict(ch)
+        if ch.get("ts") is not None and not isinstance(ch["ts"], str):
+            ch["ts"] = ch["ts"].isoformat()
+        print(json.dumps(ch, sort_keys=True))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -37,7 +136,62 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="time every query; one JSON line")
 
+    # -- replication-set administration (the reference's create-set/
+    # upgrade CLI lifecycle over the coordinator seam) ------------------
+    adm = sub.add_parser(
+        "admin",
+        help="replication-set admin: create-set/get-set/update-set/bump-epoch",
+    )
+    adm.add_argument(
+        "action",
+        choices=("create-set", "get-set", "update-set", "bump-epoch"),
+    )
+    adm.add_argument("name")
+    adm.add_argument(
+        "--store", required=True,
+        help="coordinator store: a directory (file backend, versioned"
+        " JSON + O_EXCL claims)",
+    )
+    adm.add_argument(
+        "--table", action="append", default=[], metavar="SPEC",
+        help="table spec 'name:cursor_col:key1[,key2][:col1,col2]'"
+        " (create-set/update-set; repeatable)",
+    )
+    adm.add_argument(
+        "--expect-version", type=int, default=None,
+        help="update-set: compare-and-set base version",
+    )
+
+    # -- live-Postgres CDC operations ----------------------------------
+    cdc = sub.add_parser(
+        "cdc", help="live CDC ops: create-slot/drop-slot/create-publication/peek"
+    )
+    cdc.add_argument(
+        "action",
+        choices=("create-slot", "drop-slot", "create-publication", "peek"),
+    )
+    cdc.add_argument("name", help="slot or publication name")
+    cdc.add_argument("--sockdir", required=True)
+    cdc.add_argument("--database", default="postgres")
+    cdc.add_argument("--user", default="postgres")
+    cdc.add_argument("--tables", help="create-publication: comma-separated tables")
+    cdc.add_argument(
+        "--where", action="append", default=[], metavar="TABLE=PRED",
+        help="create-publication: PG15 row filter (repeatable)",
+    )
+    cdc.add_argument(
+        "--columns", action="append", default=[], metavar="TABLE=C1,C2",
+        help="create-publication: PG15 column list (repeatable)",
+    )
+    cdc.add_argument("--publication", help="peek: publication to decode under")
+    cdc.add_argument("--limit", type=int, default=None, help="peek: bound raw rows")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "admin":
+        return _cmd_admin(args)
+    if args.cmd == "cdc":
+        return _cmd_cdc(args)
 
     from pgshovel_spark.queries import all_oracles, all_queries
 

@@ -1,0 +1,116 @@
+"""CLI operational surface — admin lifecycle + live CDC commands.
+
+The reference's CLI was administration-first (create-set/upgrade over
+the coordinator); these tests drive the argparse surface end to end:
+admin subcommands against the file backend, CDC subcommands against a
+live scratch Postgres (skipped like every live test when the server
+cannot be provisioned).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pgshovel_spark.__main__ import main
+
+
+def run_cli(capsys, *argv) -> tuple[int, str]:
+    rc = main(list(argv))
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_cli_admin_lifecycle(tmp_path, capsys):
+    store = str(tmp_path / "adm")
+    rc, out = run_cli(
+        capsys, "admin", "create-set", "s1", "--store", store,
+        "--table", "orders:o_orderkey:o_orderkey",
+    )
+    assert rc == 0
+    cfg = json.loads(out)
+    assert cfg["version"] == 1 and cfg["epoch"] == 0
+    assert cfg["tables"]["orders"]["key_cols"] == ["o_orderkey"]
+
+    rc, out = run_cli(
+        capsys, "admin", "update-set", "s1", "--store", store,
+        "--table", "orders:o_orderkey:o_orderkey:o_orderkey,o_custkey",
+        "--expect-version", "1",
+    )
+    assert rc == 0
+    cfg = json.loads(out)
+    assert cfg["version"] == 2
+    assert cfg["tables"]["orders"]["columns"] == ["o_orderkey", "o_custkey"]
+
+    rc, out = run_cli(capsys, "admin", "bump-epoch", "s1", "--store", store)
+    assert rc == 0
+    assert json.loads(out)["epoch"] == 1
+
+    rc, out = run_cli(capsys, "admin", "get-set", "s1", "--store", store)
+    assert rc == 0
+    got = json.loads(out)
+    assert got["version"] == 3 and got["epoch"] == 1
+
+    # stale CAS base loses loudly
+    from pgshovel_spark.sources.administration import ConfigError
+
+    with pytest.raises(ConfigError, match="version conflict"):
+        run_cli(
+            capsys, "admin", "update-set", "s1", "--store", store,
+            "--table", "orders:o_orderkey:o_orderkey",
+            "--expect-version", "1",
+        )
+
+
+def test_cli_admin_bad_spec_fails(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        run_cli(
+            capsys, "admin", "create-set", "s2",
+            "--store", str(tmp_path / "adm"), "--table", "orders",
+        )
+
+
+def test_cli_cdc_live(capsys):
+    from pgshovel_spark.sources.pgwire import PgUnavailable, ScratchPostgres
+
+    try:
+        server = ScratchPostgres()
+        params = server.start()
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            c.query("create table cli_t(id bigint primary key, v text, sec text)")
+        rc, out = run_cli(
+            capsys, "cdc", "create-publication", "cli_pub",
+            "--sockdir", params.sockdir, "--tables", "cli_t",
+            "--where", "cli_t=id % 2 = 0", "--columns", "cli_t=id,v",
+        )
+        assert rc == 0 and json.loads(out)["publication"] == "cli_pub"
+        rc, out = run_cli(
+            capsys, "cdc", "create-slot", "cli_slot",
+            "--sockdir", params.sockdir,
+        )
+        assert rc == 0 and "/" in json.loads(out)["consistent_point"]
+        with params.connect() as c:
+            c.query(
+                "insert into cli_t select g, 'v' || g, 's' || g"
+                " from generate_series(1, 6) g"
+            )
+        rc, out = run_cli(
+            capsys, "cdc", "peek", "cli_slot",
+            "--publication", "cli_pub", "--sockdir", params.sockdir,
+        )
+        assert rc == 0
+        rows = [json.loads(ln) for ln in out.strip().splitlines()]
+        # row filter (even ids) + column list (no 'sec') both applied
+        assert [r["after"]["id"] for r in rows] == ["2", "4", "6"]
+        assert all(set(r["after"]) == {"id", "v"} for r in rows)
+        rc, out = run_cli(
+            capsys, "cdc", "drop-slot", "cli_slot",
+            "--sockdir", params.sockdir,
+        )
+        assert rc == 0
+    finally:
+        server.stop()
