@@ -576,6 +576,15 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         self.epoch = int(_opt(options, "epoch", "0"))
         self._meta_ready: set[str] = set()
         self._pub_checked: set[str] = set()
+        #: per-slot probe short-circuit: (wal_flush_lsn at last probe,
+        #: the end offset it produced).  When the server's WAL flush
+        #: position has not moved since, no new commit can exist and
+        #: the cached end is returned without the decode probe — an
+        #: idle shard costs one catalog scalar per trigger instead of
+        #: a full backlog decode.  Driver-memory only: a restarted
+        #: driver just probes once more (correctness never depends on
+        #: the cache).
+        self._probe_cache: dict[str, tuple[str, dict]] = {}
 
     def _params(self, shard: dict):
         from pgshovel_spark.sources.pgwire import PgParams
@@ -654,6 +663,13 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             params = self._params(shard)
             with params.connect() as c:
                 self._check_pub_excludes_meta(c, shard)
+                wal_end = c.one("select pg_current_wal_flush_lsn()::text")
+                cached = self._probe_cache.get(slot)
+                if cached is not None and cached[0] == wal_end:
+                    # no WAL flushed since the last probe: no new
+                    # commit can exist — skip the decode probe
+                    out[slot] = cached[1]
+                    continue
                 base_lsn, base_seq = self._read_meta(c, shard["database"], slot)
             n, last = backlog_stats_pgoutput(
                 params,
@@ -681,6 +697,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                     "idx": self._IDX_END,
                     "seq": base_seq + n,
                 }
+            self._probe_cache[slot] = (wal_end, out[slot])
         return out
 
     def partitions(self, start: dict, end: dict):
@@ -744,6 +761,10 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                     " pgshovel_shard_meta.base_seq"
                 )
             advance(params, slot, lsn)
+            # the advance moved confirmed_flush: a max_changes-bounded
+            # probe would now see the NEXT chunk of an existing backlog
+            # even with no new WAL, so the short-circuit must re-probe
+            self._probe_cache.pop(slot, None)
 
 
 # ---------------------------------------------------------------------------

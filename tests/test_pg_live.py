@@ -3630,3 +3630,75 @@ def test_sharded_atomic_handoff_compose(spark, pg, tmp_path):
         q.stop()
     for n, pp in prm.items():
         pgl.drop_slot(pp, f"hs_slot_{n}")
+
+
+def test_sharded_probe_short_circuit_and_chunked_drain(pg, monkeypatch):
+    """Two probe-economy behaviors, direct-driven: (a) an idle shard
+    must NOT pay the decode probe — when the server's WAL flush
+    position has not moved, latestOffset returns the cached end from
+    one catalog scalar; (b) with max_changes bounding the peek window,
+    a large backlog drains chunk by chunk across commit cycles (the
+    commit invalidates the cache — confirmed_flush moved, so the same
+    WAL position now exposes the NEXT chunk)."""
+    import dataclasses
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import PgShovelShardedStreamReader
+
+    with pg.connect() as c:
+        c.query("create database shr_pc")
+    pp = dataclasses.replace(pg, database="shr_pc")
+    with pp.connect() as c:
+        c.query("create table ev_pc(id bigint primary key, v text)")
+    po.create_publication(pp, "shr_pub_pc", ["ev_pc"])
+    po.create_slot_pgoutput(pp, "shr_slot_pc")
+
+    calls = {"n": 0}
+    real = po.backlog_stats_pgoutput
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(po, "backlog_stats_pgoutput", counting)
+
+    rdr = PgShovelShardedStreamReader(
+        {
+            "sockdir": pg.sockdir,
+            "max_changes": "50",
+            "shards": '[{"slot": "shr_slot_pc", "publication":'
+            ' "shr_pub_pc", "database": "shr_pc"}]',
+        }
+    )
+    start = rdr.initialOffset()
+    # 100 single-row transactions: ~300 raw messages, max_changes=50
+    # forces multiple probe/peek chunks
+    with pp.connect() as c:
+        for g in range(1, 101):
+            c.query(f"insert into ev_pc values ({g}, 'v{g}')")
+
+    total, cycles = 0, 0
+    cur = start
+    while cycles < 20:
+        end = rdr.latestOffset()
+        if end == cur:
+            break
+        parts = rdr.partitions(cur, end)
+        for p in parts:
+            total += sum(b.num_rows for b in rdr.read(p))
+        rdr.commit(end)
+        cur = end
+        cycles += 1
+    assert total == 100, (total, cycles)
+    assert cycles >= 2  # the bound really chunked the backlog
+    assert cur["shr_slot_pc"]["seq"] == 100
+
+    # idle short-circuit: WAL still (commit's own meta write moved it
+    # once — settle with one probe), then repeated latestOffset calls
+    # must not touch the decode probe again
+    rdr.latestOffset()
+    n0 = calls["n"]
+    for _ in range(5):
+        assert rdr.latestOffset() == cur
+    assert calls["n"] == n0, "idle probes were not short-circuited"
+    pgl.drop_slot(pp, "shr_slot_pc")
