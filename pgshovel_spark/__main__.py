@@ -100,6 +100,48 @@ def _cmd_cdc(args) -> int:
         )
         print(json.dumps({"publication": args.name, "tables": args.tables.split(",")}))
         return 0
+    if args.action == "bootstrap":
+        # the DAY-ONE operation in one command: create the slot WITH
+        # its exported snapshot, scan the table at exactly that point
+        # through the native partitioned batch source, land parquet —
+        # then start the stream from this slot with zero gap/overlap
+        if not (args.table and args.partition_col and args.out):
+            print(
+                "bootstrap needs --table, --partition-col and --out",
+                file=sys.stderr,
+            )
+            return 2
+        from pgshovel_spark.session import get_session
+        from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+        spark = get_session("cli-bootstrap")
+        register_pgshovel(spark)
+        with po.exported_slot_snapshot(params, args.name) as (cpoint, snap):
+            df = (
+                spark.read.format("pgshovel")
+                .option("sockdir", args.sockdir)
+                .option("database", args.database)
+                .option("user", args.user)
+                .option("table", args.table)
+                .option("partition_col", args.partition_col)
+                .option("num_partitions", str(args.num_partitions))
+                .option("snapshot", snap)
+                .load()
+            )
+            df.write.mode("errorifexists").parquet(args.out)
+        rows = spark.read.parquet(args.out).count()
+        print(
+            json.dumps(
+                {
+                    "slot": args.name,
+                    "consistent_point": cpoint,
+                    "table": args.table,
+                    "rows": rows,
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
     # peek: non-destructive decode of the slot backlog, one JSON line
     # per change (ts rendered ISO) — the operational "what is in the
     # slot right now" probe
@@ -168,7 +210,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     cdc.add_argument(
         "action",
-        choices=("create-slot", "drop-slot", "create-publication", "peek"),
+        choices=(
+            "create-slot", "drop-slot", "create-publication", "peek",
+            "bootstrap",
+        ),
     )
     cdc.add_argument("name", help="slot or publication name")
     cdc.add_argument("--sockdir", required=True)
@@ -185,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     cdc.add_argument("--publication", help="peek: publication to decode under")
     cdc.add_argument("--limit", type=int, default=None, help="peek: bound raw rows")
+    cdc.add_argument("--table", help="bootstrap: table to snapshot")
+    cdc.add_argument("--partition-col", help="bootstrap: integer slice column")
+    cdc.add_argument("--out", help="bootstrap: parquet output directory")
+    cdc.add_argument("--num-partitions", type=int, default=8)
 
     args = ap.parse_args(argv)
 

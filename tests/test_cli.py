@@ -114,3 +114,51 @@ def test_cli_cdc_live(capsys):
         assert rc == 0
     finally:
         server.stop()
+
+
+def test_cli_cdc_bootstrap_live(tmp_path, capsys, spark):
+    """`cdc bootstrap` = the atomic day-one operation in one command:
+    slot created with its exported snapshot, table scanned at exactly
+    that point, parquet landed — rows committed after the consistent
+    point must be absent from the bootstrap (they belong to the
+    stream)."""
+    from pgshovel_spark.sources.pgwire import PgUnavailable, ScratchPostgres
+
+    try:
+        server = ScratchPostgres()
+        params = server.start()
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            c.query("create table bs_cli(id bigint primary key, v text)")
+            c.query(
+                "insert into bs_cli select g, 'x' || g"
+                " from generate_series(1, 120) g"
+            )
+            c.query("create publication bs_cli_pub for table bs_cli")
+        out_dir = str(tmp_path / "boot")
+        rc, out = run_cli(
+            capsys, "cdc", "bootstrap", "bs_cli_slot",
+            "--sockdir", params.sockdir, "--table", "bs_cli",
+            "--partition-col", "id", "--out", out_dir,
+        )
+        assert rc == 0
+        res = json.loads(out)
+        assert res["rows"] == 120 and "/" in res["consistent_point"]
+        # post-point write: stream-half only, never in the bootstrap
+        with params.connect() as c:
+            c.query("insert into bs_cli values (999, 'late')")
+        pdf = spark.read.parquet(out_dir)
+        assert pdf.count() == 120
+        assert pdf.filter("id = 999").count() == 0
+        # the slot exists and decodes the post-point write
+        rc, out = run_cli(
+            capsys, "cdc", "peek", "bs_cli_slot",
+            "--publication", "bs_cli_pub", "--sockdir", params.sockdir,
+        )
+        assert rc == 0
+        rows = [json.loads(ln) for ln in out.strip().splitlines()]
+        assert [r["after"]["id"] for r in rows] == ["999"]
+    finally:
+        server.stop()
