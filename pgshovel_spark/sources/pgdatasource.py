@@ -599,13 +599,22 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
     # -- watermark metadata (per-database, one row per slot) ----------------
 
     def _ensure_meta(self, c, db: str) -> None:
+        from pgshovel_spark.sources.pgwire import PgError
+
         if db in self._meta_ready:
             return
-        c.query(
-            "create table if not exists pgshovel_shard_meta("
-            "slot text primary key, base_lsn pg_lsn not null,"
-            " base_seq bigint not null)"
-        )
+        try:
+            c.query(
+                "create table if not exists pgshovel_shard_meta("
+                "slot text primary key, base_lsn pg_lsn not null,"
+                " base_seq bigint not null)"
+            )
+        except PgError as e:
+            # two same-database shards probing concurrently can race
+            # even IF NOT EXISTS (pg_type/pg_class unique-violation or
+            # duplicate-table) — the loser's table exists, proceed
+            if e.sqlstate not in ("23505", "42P07"):
+                raise
         self._meta_ready.add(db)
 
     def _read_meta(self, c, db: str, slot: str) -> tuple[str, int]:
@@ -651,54 +660,69 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             )
         self._pub_checked.add(pub)
 
-    def latestOffset(self) -> dict:
+    def _probe_shard(self, slot: str) -> dict:
+        """One shard's end offset (the latestOffset body for ``slot``)."""
         from pgshovel_spark.sources.pgoutput import (
             backlog_stats_pgoutput,
             lsn_to_int,
         )
 
-        out: dict = {}
-        for slot in sorted(self.shards):
-            shard = self.shards[slot]
-            params = self._params(shard)
-            with params.connect() as c:
-                self._check_pub_excludes_meta(c, shard)
-                wal_end = c.one("select pg_current_wal_flush_lsn()::text")
-                cached = self._probe_cache.get(slot)
-                if cached is not None and cached[0] == wal_end:
-                    # no WAL flushed since the last probe: no new
-                    # commit can exist — skip the decode probe
-                    out[slot] = cached[1]
-                    continue
-                base_lsn, base_seq = self._read_meta(c, shard["database"], slot)
-            n, last = backlog_stats_pgoutput(
-                params,
-                slot,
-                shard["publication"],
-                after_lsn=base_lsn,
-                limit=self.max_changes,
-            )
-            if last is None:
-                # idle: reproduce the PREVIOUS end offset exactly (any
-                # committed end has idx=_IDX_END — keyed on base_lsn,
-                # NOT base_seq: a batch of publication-empty commits
-                # advances the lsn with seq unchanged, and an idx
-                # mismatch here would make every trigger look like a
-                # new offset, planning empty batches forever)
-                lsn_int = lsn_to_int(base_lsn)
-                out[slot] = {
-                    "lsn": lsn_int,
-                    "idx": self._IDX_END if lsn_int else 0,
-                    "seq": base_seq,
-                }
-            else:
-                out[slot] = {
-                    "lsn": lsn_to_int(last),
-                    "idx": self._IDX_END,
-                    "seq": base_seq + n,
-                }
-            self._probe_cache[slot] = (wal_end, out[slot])
-        return out
+        shard = self.shards[slot]
+        params = self._params(shard)
+        with params.connect() as c:
+            self._check_pub_excludes_meta(c, shard)
+            wal_end = c.one("select pg_current_wal_flush_lsn()::text")
+            cached = self._probe_cache.get(slot)
+            if cached is not None and cached[0] == wal_end:
+                # no WAL flushed since the last probe: no new commit
+                # can exist — skip the decode probe
+                return cached[1]
+            base_lsn, base_seq = self._read_meta(c, shard["database"], slot)
+        n, last = backlog_stats_pgoutput(
+            params,
+            slot,
+            shard["publication"],
+            after_lsn=base_lsn,
+            limit=self.max_changes,
+        )
+        if last is None:
+            # idle: reproduce the PREVIOUS end offset exactly (any
+            # committed end has idx=_IDX_END — keyed on base_lsn,
+            # NOT base_seq: a batch of publication-empty commits
+            # advances the lsn with seq unchanged, and an idx
+            # mismatch here would make every trigger look like a
+            # new offset, planning empty batches forever)
+            lsn_int = lsn_to_int(base_lsn)
+            end = {
+                "lsn": lsn_int,
+                "idx": self._IDX_END if lsn_int else 0,
+                "seq": base_seq,
+            }
+        else:
+            end = {
+                "lsn": lsn_to_int(last),
+                "idx": self._IDX_END,
+                "seq": base_seq + n,
+            }
+        self._probe_cache[slot] = (wal_end, end)
+        return end
+
+    #: driver-side fan-out for per-shard probe/commit: each shard talks
+    #: to its own database over its own connection, so the driver loop
+    #: is embarrassingly parallel — serialized it would become the
+    #: trigger-latency floor at high shard counts (64 shards x ~20 ms
+    #: probe = 1.3 s/trigger serial, ~0.2 s pooled)
+    _POOL = 8
+
+    def latestOffset(self) -> dict:
+        slots = sorted(self.shards)
+        if len(slots) == 1:
+            return {slots[0]: self._probe_shard(slots[0])}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(self._POOL, len(slots))) as ex:
+            ends = list(ex.map(self._probe_shard, slots))
+        return dict(zip(slots, ends))
 
     def partitions(self, start: dict, end: dict):
         parts = []
@@ -737,34 +761,45 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             )
         return iter(_changes_to_batches(rows))
 
-    def commit(self, end: dict) -> None:
+    def _commit_shard(self, slot: str, e: dict) -> None:
         from pgshovel_spark.sources.pglogical import advance
         from pgshovel_spark.sources.pgoutput import lsn_to_str
 
-        for slot in sorted(self.shards):
-            e = end.get(slot)
-            if not e or not e.get("lsn"):
-                continue
-            shard = self.shards[slot]
-            params = self._params(shard)
-            lsn = lsn_to_str(e["lsn"])
-            with params.connect() as c:
-                self._ensure_meta(c, shard["database"])
-                # meta BEFORE advance (see class docstring)
-                c.query(
-                    "insert into pgshovel_shard_meta values"
-                    f" ('{slot}', '{lsn}', {int(e['seq'])})"
-                    " on conflict (slot) do update set"
-                    " base_lsn = excluded.base_lsn,"
-                    " base_seq = excluded.base_seq"
-                    " where excluded.base_seq >="
-                    " pgshovel_shard_meta.base_seq"
-                )
-            advance(params, slot, lsn)
-            # the advance moved confirmed_flush: a max_changes-bounded
-            # probe would now see the NEXT chunk of an existing backlog
-            # even with no new WAL, so the short-circuit must re-probe
-            self._probe_cache.pop(slot, None)
+        shard = self.shards[slot]
+        params = self._params(shard)
+        lsn = lsn_to_str(e["lsn"])
+        with params.connect() as c:
+            self._ensure_meta(c, shard["database"])
+            # meta BEFORE advance (see class docstring)
+            c.query(
+                "insert into pgshovel_shard_meta values"
+                f" ('{slot}', '{lsn}', {int(e['seq'])})"
+                " on conflict (slot) do update set"
+                " base_lsn = excluded.base_lsn,"
+                " base_seq = excluded.base_seq"
+                " where excluded.base_seq >="
+                " pgshovel_shard_meta.base_seq"
+            )
+        advance(params, slot, lsn)
+        # the advance moved confirmed_flush: a max_changes-bounded
+        # probe would now see the NEXT chunk of an existing backlog
+        # even with no new WAL, so the short-circuit must re-probe
+        self._probe_cache.pop(slot, None)
+
+    def commit(self, end: dict) -> None:
+        todo = [
+            (slot, end[slot])
+            for slot in sorted(self.shards)
+            if end.get(slot) and end[slot].get("lsn")
+        ]
+        if len(todo) <= 1:
+            for slot, e in todo:
+                self._commit_shard(slot, e)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(self._POOL, len(todo))) as ex:
+            list(ex.map(lambda se: self._commit_shard(*se), todo))
 
 
 # ---------------------------------------------------------------------------
