@@ -53,9 +53,9 @@ too: ``option("shards", '[{"slot": ..., "publication": ...,
 "database": ...}, ...]')`` switches to the full
 ``DataSourceStreamReader`` (PgShovelShardedStreamReader) — one input
 partition per slot, peek/decode/parse on EXECUTORS, offsets a per-slot
-(commit-lsn, idx, seq) vector — measured 48k rows/s offered sustained
-with 4 shards vs the ~15k single-slot ceiling (PGRELAY.json
-pglive_stream_sharded*).  Both in-core plugins are supported over the SQL transport
+(commit-lsn, idx, seq) vector — measured 80k rows/s offered sustained
+with 8 shards (92k effective at 120k offered) vs the ~15k
+single-slot ceiling (PGRELAY.json pglive_stream_sharded*).  Both in-core plugins are supported over the SQL transport
 (``pg_logical_slot_peek[_binary]_changes``): ``pgoutput`` (the
 production plugin, binary, publication-filtered, protocol v1/v2 with
 streamed in-progress transactions) and ``test_decoding``.
