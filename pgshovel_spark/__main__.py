@@ -102,41 +102,61 @@ def _cmd_cdc(args) -> int:
         return 0
     if args.action == "bootstrap":
         # the DAY-ONE operation in one command: create the slot WITH
-        # its exported snapshot, scan the table at exactly that point
-        # through the native partitioned batch source, land parquet —
-        # then start the stream from this slot with zero gap/overlap
-        if not (args.table and args.partition_col and args.out):
-            print(
-                "bootstrap needs --table, --partition-col and --out",
-                file=sys.stderr,
-            )
+        # its exported snapshot, scan EVERY requested table at exactly
+        # that point (one snapshot, held by the open walsender session,
+        # covers them all — the multi-table replication-set shape),
+        # land parquet per table — then start the stream from this
+        # slot with zero gap/overlap
+        specs = []
+        for t in args.table:
+            name, _, pcol = t.partition(":")
+            pcol = pcol or args.partition_col
+            if not pcol:
+                print(
+                    f"bootstrap: no partition column for {name!r}"
+                    " (use T:PART_COL or --partition-col)",
+                    file=sys.stderr,
+                )
+                return 2
+            specs.append((name, pcol))
+        if not (specs and args.out):
+            print("bootstrap needs --table and --out", file=sys.stderr)
             return 2
+        import os
+
         from pgshovel_spark.session import get_session
         from pgshovel_spark.sources.pgdatasource import register_pgshovel
 
         spark = get_session("cli-bootstrap")
         register_pgshovel(spark)
+        counts = {}
         with po.exported_slot_snapshot(params, args.name) as (cpoint, snap):
-            df = (
-                spark.read.format("pgshovel")
-                .option("sockdir", args.sockdir)
-                .option("database", args.database)
-                .option("user", args.user)
-                .option("table", args.table)
-                .option("partition_col", args.partition_col)
-                .option("num_partitions", str(args.num_partitions))
-                .option("snapshot", snap)
-                .load()
-            )
-            df.write.mode("errorifexists").parquet(args.out)
-        rows = spark.read.parquet(args.out).count()
+            for table, pcol in specs:
+                out_dir = (
+                    args.out
+                    if len(specs) == 1
+                    else os.path.join(args.out, table)
+                )
+                (
+                    spark.read.format("pgshovel")
+                    .option("sockdir", args.sockdir)
+                    .option("database", args.database)
+                    .option("user", args.user)
+                    .option("table", table)
+                    .option("partition_col", pcol)
+                    .option("num_partitions", str(args.num_partitions))
+                    .option("snapshot", snap)
+                    .load()
+                    .write.mode("errorifexists")
+                    .parquet(out_dir)
+                )
+                counts[table] = spark.read.parquet(out_dir).count()
         print(
             json.dumps(
                 {
                     "slot": args.name,
                     "consistent_point": cpoint,
-                    "table": args.table,
-                    "rows": rows,
+                    "rows": counts,
                     "out": args.out,
                 }
             )
@@ -230,8 +250,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     cdc.add_argument("--publication", help="peek: publication to decode under")
     cdc.add_argument("--limit", type=int, default=None, help="peek: bound raw rows")
-    cdc.add_argument("--table", help="bootstrap: table to snapshot")
-    cdc.add_argument("--partition-col", help="bootstrap: integer slice column")
+    cdc.add_argument(
+        "--table", action="append", default=[], metavar="T[:PART_COL]",
+        help="bootstrap: table to snapshot (repeatable — ALL tables"
+        " scan under the slot's ONE exported snapshot; per-table"
+        " partition column after ':', else --partition-col)",
+    )
+    cdc.add_argument("--partition-col", help="bootstrap: default slice column")
     cdc.add_argument("--out", help="bootstrap: parquet output directory")
     cdc.add_argument("--num-partitions", type=int, default=8)
 

@@ -145,7 +145,7 @@ def test_cli_cdc_bootstrap_live(tmp_path, capsys, spark):
         )
         assert rc == 0
         res = json.loads(out)
-        assert res["rows"] == 120 and "/" in res["consistent_point"]
+        assert res["rows"] == {"bs_cli": 120} and "/" in res["consistent_point"]
         # post-point write: stream-half only, never in the bootstrap
         with params.connect() as c:
             c.query("insert into bs_cli values (999, 'late')")
@@ -160,5 +160,44 @@ def test_cli_cdc_bootstrap_live(tmp_path, capsys, spark):
         assert rc == 0
         rows = [json.loads(ln) for ln in out.strip().splitlines()]
         assert [r["after"]["id"] for r in rows] == ["999"]
+    finally:
+        server.stop()
+
+
+def test_cli_cdc_bootstrap_multi_table_live(tmp_path, capsys, spark):
+    """Multi-table bootstrap: every table scans under the slot's ONE
+    exported snapshot (the replication-set day-one) — per-table
+    parquet outputs, per-table partition columns via T:PART_COL."""
+    from pgshovel_spark.sources.pgwire import PgUnavailable, ScratchPostgres
+
+    try:
+        server = ScratchPostgres()
+        params = server.start()
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            c.query("create table mb_a(id bigint primary key, v text)")
+            c.query("create table mb_b(k bigint primary key, w text)")
+            c.query(
+                "insert into mb_a select g, 'a' || g"
+                " from generate_series(1, 80) g"
+            )
+            c.query(
+                "insert into mb_b select g, 'b' || g"
+                " from generate_series(1, 40) g"
+            )
+        out_dir = str(tmp_path / "mboot")
+        rc, out = run_cli(
+            capsys, "cdc", "bootstrap", "mb_slot",
+            "--sockdir", params.sockdir,
+            "--table", "mb_a:id", "--table", "mb_b:k",
+            "--out", out_dir,
+        )
+        assert rc == 0
+        res = json.loads(out)
+        assert res["rows"] == {"mb_a": 80, "mb_b": 40}
+        assert spark.read.parquet(out_dir + "/mb_a").count() == 80
+        assert spark.read.parquet(out_dir + "/mb_b").count() == 40
     finally:
         server.stop()

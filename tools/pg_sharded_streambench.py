@@ -163,6 +163,7 @@ def main() -> None:
         assert seen["rows"] == committed, (seen["rows"], committed)
 
         lat = sorted(seen["lat"])
+        p95 = lat[int(len(lat) * 0.95)] if lat else 0.0
         out = {
             "shards": n_shards,
             "run_secs": args.run_secs,
@@ -171,6 +172,7 @@ def main() -> None:
             "capture_rows_per_sec": int(committed / (run_s + drain_s)),
             "batches": seen["batches"],
             "drain_sec": round(drain_s, 2),
+            "batch_agg_p95_sec": round(p95, 2),
             "exact": True,
             "note": (
                 "partition-parallel sharded reader: one slot per database,"
