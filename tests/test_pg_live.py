@@ -3760,35 +3760,42 @@ def test_pgdatasource_sharded_same_database_disjoint_pubs(spark, pg, tmp_path):
     )
     try:
         assert _wait_for(lambda: len(got) == 60), f"got {len(got)}"
-        # Spark calls source.commit(batch N) when batch N+1 is
+        # Spark calls source.commit(batch N) only when batch N+1 is
         # CONSTRUCTED — an idle stream leaves the watermark at the
         # previous batch (safe: restart replays, the position filter
-        # dedupes).  Drive one more wave so the first batch's commit
-        # fires, then check both shards' watermark rows landed.
-        with pp.connect() as c:
-            c.query("insert into sd_t1 values (999, 'tail1')")
-            c.query("insert into sd_t2 values (999, 'tail2')")
-        assert _wait_for(lambda: len(got) == 62), f"got {len(got)}"
+        # dedupes).  Under load everything can land in ONE batch and
+        # the stream then idles forever, so PUMP nudge rows until both
+        # shards' watermark rows appear (each nudge forces a new batch
+        # whose construction commits the previous one).
+        import time as _time
 
-        def meta_written():
+        n_ticks, deadline = 0, _time.time() + 90
+        while _time.time() < deadline:
             with pp.connect() as c:
                 if c.one(
                     "select count(*) from pg_tables"
                     " where tablename = 'pgshovel_shard_meta'"
-                ) == 0:
-                    return False
-                return c.one("select count(*) from pgshovel_shard_meta") == 2
-
-        assert _wait_for(meta_written), "shard watermarks never committed"
+                ) and c.one("select count(*) from pgshovel_shard_meta") == 2:
+                    break
+                n_ticks += 1
+                c.query(
+                    f"insert into sd_t1 values ({1000 + n_ticks}, 'tick')"
+                )
+            _time.sleep(0.5)
+        else:
+            raise AssertionError("shard watermarks never committed")
+        assert _wait_for(lambda: len(got) == 60 + n_ticks), (
+            f"got {len(got)}, ticks {n_ticks}"
+        )
     finally:
         q.stop()
     s1 = [r for r in got if r.publisher == "sd_slot1"]
     s2 = [r for r in got if r.publisher == "sd_slot2"]
-    assert len(s1) == 21 and len(s2) == 41
+    assert len(s1) == 20 + n_ticks and len(s2) == 40
     assert {r.table for r in s1} == {"public.sd_t1"}
     assert {r.table for r in s2} == {"public.sd_t2"}
-    assert sorted(r.seq for r in s1) == list(range(21))
-    assert sorted(r.seq for r in s2) == list(range(41))
+    assert sorted(r.seq for r in s1) == list(range(20 + n_ticks))
+    assert sorted(r.seq for r in s2) == list(range(40))
     with pp.connect() as c:
         meta = c.query(
             "select slot, base_seq from pgshovel_shard_meta order by slot"
