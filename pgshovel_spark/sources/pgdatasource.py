@@ -116,6 +116,27 @@ def _opt(options, key: str, default=None):
     return default if v is None else v
 
 
+
+def _params_from_options(options, database: str | None = None):
+    """PgParams from source/sink options — UNIX socket (``sockdir``)
+    or TCP (``host`` + ``password``, SCRAM/MD5/cleartext per server),
+    the same two transports the wire client speaks."""
+    from pgshovel_spark.sources.pgwire import PgParams
+
+    sockdir = _opt(options, "sockdir")
+    host = _opt(options, "host")
+    if not sockdir and not host:
+        raise ValueError("pgshovel requires option 'sockdir' or 'host'")
+    return PgParams(
+        sockdir=sockdir or "",
+        database=database or _opt(options, "database", "postgres"),
+        user=_opt(options, "user", "postgres"),
+        port=int(_opt(options, "port", "5432")),
+        host=host or "",
+        password=_opt(options, "password", ""),
+    )
+
+
 # ---------------------------------------------------------------------------
 # position algebra + Arrow building, shared by the simple (single-slot)
 # and sharded (partition-parallel) stream readers
@@ -207,17 +228,7 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, options):
-        from pgshovel_spark.sources.pgwire import PgParams
-
-        sockdir = _opt(options, "sockdir")
-        if not sockdir:
-            raise ValueError("pgshovel source requires option 'sockdir'")
-        self.params = PgParams(
-            sockdir=sockdir,
-            database=_opt(options, "database", "postgres"),
-            user=_opt(options, "user", "postgres"),
-            port=int(_opt(options, "port", "5432")),
-        )
+        self.params = _params_from_options(options)
         self.slot = _opt(options, "slot")
         if not self.slot:
             raise ValueError("pgshovel source requires option 'slot'")
@@ -531,15 +542,8 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
     _IDX_END = 1 << 62
 
     def __init__(self, options):
-        from pgshovel_spark.sources.pgwire import PgParams
-
-        sockdir = _opt(options, "sockdir")
-        if not sockdir:
-            raise ValueError("pgshovel source requires option 'sockdir'")
-        self.sockdir = sockdir
-        self.user = _opt(options, "user", "postgres")
-        self.port = int(_opt(options, "port", "5432"))
-        self.default_db = _opt(options, "database", "postgres")
+        self.base_params = _params_from_options(options)
+        self.default_db = self.base_params.database
         raw = json.loads(_opt(options, "shards") or "[]")
         if not raw:
             raise ValueError("option 'shards' must be a non-empty JSON array")
@@ -587,13 +591,10 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         self._probe_cache: dict[str, tuple[str, dict]] = {}
 
     def _params(self, shard: dict):
-        from pgshovel_spark.sources.pgwire import PgParams
+        import dataclasses
 
-        return PgParams(
-            sockdir=self.sockdir,
-            database=shard["database"],
-            user=self.user,
-            port=self.port,
+        return dataclasses.replace(
+            self.base_params, database=shard["database"]
         )
 
     # -- watermark metadata (per-database, one row per slot) ----------------
@@ -832,17 +833,7 @@ class PgShovelBatchReader(DataSourceReader):
     """
 
     def __init__(self, options, schema):
-        from pgshovel_spark.sources.pgwire import PgParams
-
-        sockdir = _opt(options, "sockdir")
-        if not sockdir:
-            raise ValueError("pgshovel batch source requires option 'sockdir'")
-        self.params = PgParams(
-            sockdir=sockdir,
-            database=_opt(options, "database", "postgres"),
-            user=_opt(options, "user", "postgres"),
-            port=int(_opt(options, "port", "5432")),
-        )
+        self.params = _params_from_options(options)
         self.table = _check_ident(_opt(options, "table") or "")
         self.key_col = _check_ident(_opt(options, "partition_col") or "")
         self.n_parts = int(_opt(options, "num_partitions", "8"))
@@ -995,12 +986,7 @@ def infer_pg_schema(options) -> StructType:
     from pgshovel_spark.sources.pglogical import _OID_SPARK
     from pgshovel_spark.sources.pgwire import PgParams
 
-    params = PgParams(
-        sockdir=_opt(options, "sockdir"),
-        database=_opt(options, "database", "postgres"),
-        user=_opt(options, "user", "postgres"),
-        port=int(_opt(options, "port", "5432")),
-    )
+    params = _params_from_options(options)
     table = _check_ident(_opt(options, "table") or "")
     keep = _opt(options, "columns")
     keep_list = (
@@ -1126,17 +1112,7 @@ class PgUpsertStreamWriter(DataSourceStreamWriter):
     """
 
     def __init__(self, options, schema):
-        from pgshovel_spark.sources.pgwire import PgParams
-
-        sockdir = _opt(options, "sockdir")
-        if not sockdir:
-            raise ValueError("pgshovel sink requires option 'sockdir'")
-        self.params = PgParams(
-            sockdir=sockdir,
-            database=_opt(options, "database", "postgres"),
-            user=_opt(options, "user", "postgres"),
-            port=int(_opt(options, "port", "5432")),
-        )
+        self.params = _params_from_options(options)
         self.table = _check_ident(_opt(options, "table") or "")
         keys = _opt(options, "keys")
         if not keys:

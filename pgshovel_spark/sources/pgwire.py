@@ -128,12 +128,20 @@ def decode_value(oid: int, text: str | None):
 
 @dataclass(frozen=True)
 class PgParams:
-    """Picklable connection coordinates (UNIX socket, trust auth)."""
+    """Picklable connection coordinates.
 
-    sockdir: str
+    Two transports: UNIX socket (``sockdir`` set, trust auth — the
+    scratch-server default) or TCP (``host`` set — the production
+    shape, authenticating with ``password`` via SCRAM-SHA-256, MD5 or
+    cleartext, whichever the server requests).  Executors pickle the
+    params and open their own connections either way."""
+
+    sockdir: str = ""
     database: str = "postgres"
     user: str = "postgres"
     port: int = 5432
+    host: str = ""
+    password: str = ""
 
     @property
     def sockpath(self) -> str:
@@ -210,8 +218,17 @@ class PgConnection:
     ):
         self.params = params
         self.notices: list[dict[str, str]] = []
-        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self._sock.connect(params.sockpath)
+        if params.host:
+            self._sock = socket.create_connection(
+                (params.host, params.port), timeout=15
+            )
+            self._sock.settimeout(None)
+            # small frames dominate the protocol: without TCP_NODELAY
+            # every query pays Nagle+delayed-ack round trips
+            self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        else:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.connect(params.sockpath)
         self._rd = _BufferedSock(self._sock)
         extras = b"".join(
             k.encode() + b"\x00" + v.encode() + b"\x00" for k, v in extra_startup
@@ -285,6 +302,108 @@ class PgConnection:
                 fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
         return fields
 
+    # -- authentication (public protocol: cleartext / MD5 / SCRAM) ----------
+
+    def _send_password_msg(self, body: bytes) -> None:
+        self._sock.sendall(b"p" + struct.pack("!i", len(body) + 4) + body)
+
+    def _auth_scram(self, payload: bytes) -> None:
+        """SCRAM-SHA-256 (RFC 5802/7677), the modern Postgres default
+        (``password_encryption = scram-sha-256`` since v14).  No
+        channel binding (gs2 header ``n,,`` — plaintext TCP; SSL is
+        out of scope for this client).  All stdlib: pbkdf2_hmac +
+        hmac + sha256."""
+        import base64
+        import hashlib
+        import hmac as hmac_mod
+        import secrets
+
+        mechs = [m for m in payload[4:].split(b"\x00") if m]
+        if b"SCRAM-SHA-256" not in mechs:
+            raise PgError(
+                {"S": "FATAL", "C": "28000",
+                 "M": f"no shared SASL mechanism in {mechs!r}"}
+            )
+        nonce = base64.b64encode(secrets.token_bytes(18)).decode()
+        first_bare = f"n={self.params.user},r={nonce}"
+        first = b"n,," + first_bare.encode()
+        body = (
+            b"SCRAM-SHA-256\x00" + struct.pack("!i", len(first)) + first
+        )
+        self._send_password_msg(body)
+        kind, payload = self._recv_msg()
+        if kind == b"E":
+            raise PgError(self._error_fields(payload))
+        (code,) = struct.unpack("!i", payload[:4])
+        if kind != b"R" or code != 11:  # AuthenticationSASLContinue
+            raise PgError(
+                {"S": "FATAL", "C": "28000",
+                 "M": f"expected SASLContinue, got {kind!r}/{code}"}
+            )
+        server_first = payload[4:].decode()
+        parts = dict(p.split("=", 1) for p in server_first.split(","))
+        full_nonce, salt, iters = parts["r"], parts["s"], int(parts["i"])
+        if not full_nonce.startswith(nonce):
+            raise PgError(
+                {"S": "FATAL", "C": "28000",
+                 "M": "SCRAM server nonce does not extend client nonce"}
+            )
+        salted = hashlib.pbkdf2_hmac(
+            "sha256",
+            self.params.password.encode(),
+            base64.b64decode(salt),
+            iters,
+        )
+        client_key = hmac_mod.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        final_wo_proof = f"c=biws,r={full_nonce}"  # biws = b64('n,,')
+        auth_msg = ",".join([first_bare, server_first, final_wo_proof]).encode()
+        client_sig = hmac_mod.new(stored_key, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        final = f"{final_wo_proof},p={base64.b64encode(proof).decode()}"
+        self._send_password_msg(final.encode())
+        kind, payload = self._recv_msg()
+        if kind == b"E":
+            raise PgError(self._error_fields(payload))
+        (code,) = struct.unpack("!i", payload[:4])
+        if kind != b"R" or code != 12:  # AuthenticationSASLFinal
+            raise PgError(
+                {"S": "FATAL", "C": "28000",
+                 "M": f"expected SASLFinal, got {kind!r}/{code}"}
+            )
+        server_key = hmac_mod.new(salted, b"Server Key", hashlib.sha256).digest()
+        expect_sig = hmac_mod.new(server_key, auth_msg, hashlib.sha256).digest()
+        got = dict(
+            p.split("=", 1) for p in payload[4:].decode().split(",")
+        ).get("v", "")
+        if base64.b64decode(got) != expect_sig:
+            # a server that cannot prove knowledge of the password is
+            # an impostor — fail BEFORE trusting anything it sends
+            raise PgError(
+                {"S": "FATAL", "C": "28000",
+                 "M": "SCRAM server signature verification failed"}
+            )
+
+    def _authenticate(self, code: int, payload: bytes) -> None:
+        import hashlib
+
+        if code == 3:  # cleartext
+            self._send_password_msg(self.params.password.encode() + b"\x00")
+        elif code == 5:  # md5: 'md5' + md5(md5(password+user)+salt)
+            salt = payload[4:8]
+            inner = hashlib.md5(
+                (self.params.password + self.params.user).encode()
+            ).hexdigest()
+            outer = hashlib.md5(inner.encode() + salt).hexdigest()
+            self._send_password_msg(b"md5" + outer.encode() + b"\x00")
+        elif code == 10:  # SASL
+            self._auth_scram(payload)
+        else:
+            raise PgError(
+                {"S": "FATAL", "C": "28000",
+                 "M": f"unsupported auth method {code}"}
+            )
+
     def _drain_until_ready(self, startup: bool = False) -> None:
         err: dict[str, str] | None = None
         while True:
@@ -292,11 +411,7 @@ class PgConnection:
             if kind == b"R":
                 (code,) = struct.unpack("!i", payload[:4])
                 if code != 0:
-                    raise PgError(
-                        {"S": "FATAL", "C": "28000",
-                         "M": f"unsupported auth method {code} "
-                              f"(scratch servers use trust)"}
-                    )
+                    self._authenticate(code, payload)
             elif kind in (b"S", b"K"):  # ParameterStatus / BackendKeyData
                 pass
             elif kind == b"N":
@@ -436,9 +551,43 @@ class ScratchPostgres:
             self._wrap + cmd, capture_output=True, text=True, cwd="/tmp"
         )
 
-    def start(self) -> PgParams:
+    @staticmethod
+    def _free_port() -> int:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    def start(self, tcp: bool = False, password: str = "") -> PgParams:
+        """Start the server.  ``tcp=True`` additionally listens on a
+        free localhost port behind SCRAM-SHA-256 (pg_hba lines are
+        PREPENDED — first match wins over initdb's trust defaults, and
+        walsender sessions need their own ``replication`` line: the
+        ``all`` database keyword never matches replication
+        connections).  The UNIX socket stays trust-auth either way
+        (it is the admin path that sets the password).  Returns the
+        UNIX-socket params; :meth:`tcp_params` gives the TCP ones."""
+        self._tcp = (tcp, password)
+        port = 5432
+        listen = "''"
+        if tcp:
+            # keep the SAME port across restart() (params in flight)
+            port = getattr(self, "_tcp_port", None) or self._free_port()
+            self._tcp_port = port
+            hba = os.path.join(self.data, "pg_hba.conf")
+            lines = (
+                "host all all 127.0.0.1/32 scram-sha-256\n"
+                "host replication all 127.0.0.1/32 scram-sha-256\n"
+            )
+            content = open(hba).read()
+            if lines not in content:
+                open(hba, "w").write(lines + content)
+            listen = "127.0.0.1"
+        self.params = PgParams(sockdir=self.root, port=port)
         opts = (
-            "-c wal_level=logical -c listen_addresses='' "
+            f"-c wal_level=logical -c listen_addresses={listen} "
+            f"-c port={port} "
             f"-c unix_socket_directories={self.root} "
             # fsync=off keeps the scratch instance fast; synchronous_commit
             # must stay ON — logical decoding only streams up to the
@@ -461,10 +610,25 @@ class ScratchPostgres:
             try:
                 with self.params.connect() as c:
                     c.query("select 1")
+                if tcp and password:
+                    with self.params.connect() as c:
+                        # v15 default password_encryption is scram;
+                        # quote-double: passwords are arbitrary text
+                        pw = password.replace("'", "''")
+                        c.query(f"alter user postgres password '{pw}'")
                 return self.params
             except (OSError, ConnectionError):
                 time.sleep(0.2)
         raise PgUnavailable("server did not accept connections in 15s")
+
+    def tcp_params(self) -> PgParams:
+        """TCP coordinates for the running ``tcp=True`` server."""
+        tcp, password = getattr(self, "_tcp", (False, ""))
+        if not tcp:
+            raise ValueError("server was not started with tcp=True")
+        return PgParams(
+            host="127.0.0.1", port=self.params.port, password=password
+        )
 
     def restart(self) -> PgParams:
         """Crash-stop and restart the SAME data directory (slots,
@@ -473,7 +637,8 @@ class ScratchPostgres:
         is a simulated crash: no shutdown checkpoint, WAL replay on
         start, exactly what a real failover looks like."""
         self._run([self._pg_ctl, "-D", self.data, "-m", "immediate", "stop"])
-        return self.start()
+        tcp, password = getattr(self, "_tcp", (False, ""))
+        return self.start(tcp=tcp, password=password)
 
     def stop(self) -> None:
         self._run([self._pg_ctl, "-D", self.data, "-m", "immediate", "stop"])

@@ -3803,3 +3803,180 @@ def test_pgdatasource_sharded_same_database_disjoint_pubs(spark, pg, tmp_path):
     assert [m[0] for m in meta] == ["sd_slot1", "sd_slot2"]
     pgl.drop_slot(pp, "sd_slot1")
     pgl.drop_slot(pp, "sd_slot2")
+
+
+# ---------------------------------------------------------------------------
+# TCP transport + SCRAM-SHA-256 authentication (the production shape)
+# ---------------------------------------------------------------------------
+
+
+def test_wire_tcp_scram_auth_and_capture(spark):
+    """The wire client over TCP with SCRAM-SHA-256 (RFC 5802/7677 —
+    what `password_encryption = scram-sha-256` servers demand): auth
+    handshake incl. server-signature verification, wrong password
+    rejected with 28P01, type round-trip, and the WHOLE capture stack
+    (slot create, pgoutput decode, walsender START_REPLICATION) riding
+    the TCP transport."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgwire import (
+        PgUnavailable,
+        ScratchPostgres,
+    )
+
+    try:
+        server = ScratchPostgres()
+        server.start(tcp=True, password="s3cret pa'ss")
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        tcp = server.tcp_params()
+        with tcp.connect() as c:
+            assert c.one("select 41 + 1") == 42
+            assert c.one("select '\\xbeef'::bytea") == b"\xbe\xef"
+            # the server proved knowledge of the password (SCRAM
+            # server-signature check inside the handshake) — and the
+            # hba line really forces SCRAM on TCP:
+            assert c.one(
+                "select count(*) from pg_hba_file_rules"
+                " where auth_method = 'scram-sha-256'"
+            ) >= 2
+
+        import dataclasses
+
+        with pytest.raises(PgError) as ei:
+            dataclasses.replace(tcp, password="wrong").connect()
+        assert ei.value.sqlstate == "28P01"
+
+        # capture stack over TCP: slot functions + publication
+        with tcp.connect() as c:
+            c.query("create table tcp_t(id bigint primary key, v text)")
+        po.create_publication(tcp, "tcp_pub", ["tcp_t"])
+        po.create_slot_pgoutput(tcp, "tcp_slot")
+        with tcp.connect() as c:
+            c.query(
+                "insert into tcp_t select g, 'v' || g"
+                " from generate_series(1, 25) g"
+            )
+        raw = po.raw_slot_changes_pgoutput(tcp, "tcp_slot", "tcp_pub")
+        changes = po.parse_pgoutput(raw)
+        assert len(changes) == 25
+        assert changes[0]["after"]["v"] == "v1"
+
+        # the REAL walsender session over TCP (replication=database
+        # startup must also pass SCRAM — and needs its own pg_hba
+        # 'replication' line)
+        rc = po.PgReplicationConnection(tcp)
+        try:
+            stream = rc.start_replication("tcp_slot", "tcp_pub")
+            with tcp.connect() as c:
+                c.query("insert into tcp_t values (999, 'pushed')")
+            # the un-advanced slot replays the peeked 25 first (peek
+            # is non-destructive), then pushes the live row
+            ids = []
+            for _ in range(10):
+                ids += [ch["after"]["id"] for ch in stream.read(max_seconds=10.0)]
+                if "999" in ids:
+                    break
+            assert ids == [str(g) for g in range(1, 26)] + ["999"]
+            stream.stop()
+        finally:
+            rc.close()
+    finally:
+        server.stop()
+
+
+def test_pgdatasource_native_over_tcp(spark, tmp_path):
+    """The native Spark surfaces over the TCP+SCRAM transport: the
+    batch source (executor connections authenticate), the streaming
+    source, and the 2PC sink — one mini relay with host/port/password
+    options instead of a socket directory, end state exact."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+    from pgshovel_spark.sources.pgwire import (
+        PgUnavailable,
+        ScratchPostgres,
+    )
+
+    try:
+        server = ScratchPostgres()
+        server.start(tcp=True, password="relaypw")
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        tcp = server.tcp_params()
+        with tcp.connect() as c:
+            c.query("create table ntc_src(id bigint primary key, v text)")
+            c.query(
+                "create table ntc_dst(id bigint primary key, v text,"
+                " epoch bigint, seq bigint)"
+            )
+        po.create_publication(tcp, "ntc_pub", ["ntc_src"])
+        po.create_slot_pgoutput(tcp, "ntc_slot")
+        with tcp.connect() as c:
+            # AFTER the slot: these changes are the stream's payload
+            c.query(
+                "insert into ntc_src select g, 'v' || g"
+                " from generate_series(1, 50) g"
+            )
+        register_pgshovel(spark)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+        # batch source over TCP: executors open their own SCRAM-
+        # authenticated connections
+        cnt = (
+            spark.read.format("pgshovel")
+            .option("host", tcp.host)
+            .option("port", str(tcp.port))
+            .option("password", tcp.password)
+            .option("table", "ntc_src")
+            .option("partition_col", "id")
+            .option("num_partitions", "3")
+            .load()
+            .count()
+        )
+        assert cnt == 50
+
+        flat = (
+            spark.readStream.format("pgshovel")
+            .option("host", tcp.host)
+            .option("port", str(tcp.port))
+            .option("password", tcp.password)
+            .option("slot", "ntc_slot")
+            .option("publication", "ntc_pub")
+            .load()
+            .filter(F.col("op") != "DELETE")
+            .select(
+                F.col("after")["id"].cast("long").alias("id"),
+                F.col("after")["v"].alias("v"),
+                F.col("epoch"),
+                F.col("seq"),
+            )
+            .filter(F.col("id").isNotNull())
+            .repartition(2, "id")
+        )
+        q = (
+            flat.writeStream.format("pgshovel")
+            .option("host", tcp.host)
+            .option("port", str(tcp.port))
+            .option("password", tcp.password)
+            .option("table", "ntc_dst")
+            .option("keys", "id")
+            .option("order_cols", "epoch,seq")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="400 milliseconds")
+            .start()
+        )
+        try:
+            def synced():
+                with tcp.connect() as c:
+                    return c.one("select count(*) from ntc_dst") == 50
+
+            assert _wait_for(synced), "TCP relay did not converge"
+            with tcp.connect() as c:
+                src = c.query("select id, v from ntc_src order by id")[0].rows
+                dst = c.query("select id, v from ntc_dst order by id")[0].rows
+            assert src == dst
+        finally:
+            q.stop()
+    finally:
+        server.stop()
