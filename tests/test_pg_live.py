@@ -3980,3 +3980,60 @@ def test_pgdatasource_native_over_tcp(spark, tmp_path):
             q.stop()
     finally:
         server.stop()
+
+
+def test_scram_unit_server_signature_verification(monkeypatch):
+    """SCRAM security properties the live server can never exhibit,
+    pinned against a scripted stream: (a) a correct server signature
+    completes the handshake; (b) an IMPOSTOR server (bogus v=) is
+    rejected — the client refuses to trust a server that cannot prove
+    knowledge of the password; (c) a server nonce that does not extend
+    the client nonce (replay splice) is rejected."""
+    import base64
+    import hashlib
+    import hmac as hmac_mod
+    import struct as st
+
+    from pgshovel_spark.sources.pgwire import PgParams
+
+    monkeypatch.setattr("secrets.token_bytes", lambda n: bytes(range(n)))
+    nonce = base64.b64encode(bytes(range(18))).decode()
+    password, user = "pw", "postgres"
+    salt = b"salty_salt__"
+    server_nonce = nonce + "EXT"
+    server_first = (
+        f"r={server_nonce},s={base64.b64encode(salt).decode()},i=4096"
+    )
+    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, 4096)
+    first_bare = f"n={user},r={nonce}"
+    auth_msg = ",".join(
+        [first_bare, server_first, f"c=biws,r={server_nonce}"]
+    ).encode()
+    server_key = hmac_mod.new(salted, b"Server Key", hashlib.sha256).digest()
+    good_sig = base64.b64encode(
+        hmac_mod.new(server_key, auth_msg, hashlib.sha256).digest()
+    ).decode()
+    sasl_req = st.pack("!i", 10) + b"SCRAM-SHA-256\x00\x00"
+
+    def conn_with(final_v: str, srv_first: str = server_first):
+        stream = _wire_msg(
+            b"R", st.pack("!i", 11) + srv_first.encode()
+        ) + _wire_msg(b"R", st.pack("!i", 12) + f"v={final_v}".encode())
+        conn = _scripted_conn(stream)
+        conn.params = PgParams(host="x", password=password, user=user)
+        return conn
+
+    c = conn_with(good_sig)
+    c._authenticate(10, sasl_req)  # completes without raising
+    # the client proved itself too: the proof rides the final message
+    assert b"c=biws,r=" + server_nonce.encode() in c._sock.sent
+
+    bad_sig = base64.b64encode(b"\x00" * 32).decode()
+    with pytest.raises(PgError, match="server signature"):
+        conn_with(bad_sig)._authenticate(10, sasl_req)
+
+    evil_first = (
+        f"r=EVIL{server_nonce},s={base64.b64encode(salt).decode()},i=4096"
+    )
+    with pytest.raises(PgError, match="nonce"):
+        conn_with(good_sig, srv_first=evil_first)._authenticate(10, sasl_req)
