@@ -1344,7 +1344,8 @@ class PgShovelDataSource(DataSource):
     """``format("pgshovel")`` — live Postgres logical-decoding CDC as
     a first-class Spark streaming source emitting CHANGE_SCHEMA rows.
 
-    Options: sockdir (required), slot (required), database, user,
+    Options: sockdir OR host (one required; host + password = the TCP
+    SCRAM transport), slot (required), database, user,
     port, plugin (pgoutput | test_decoding), publication (required
     for pgoutput), proto_version, streaming ('true' enables protocol
     v2 in-progress transaction streaming), origin ('none' drops
