@@ -134,6 +134,8 @@ def _params_from_options(options, database: str | None = None):
         port=int(_opt(options, "port", "5432")),
         host=host or "",
         password=_opt(options, "password", ""),
+        sslmode=_opt(options, "sslmode", "disable"),
+        sslrootcert=_opt(options, "sslrootcert", ""),
     )
 
 

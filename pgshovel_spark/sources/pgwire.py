@@ -142,6 +142,12 @@ class PgParams:
     port: int = 5432
     host: str = ""
     password: str = ""
+    #: TCP only: ``disable`` (plaintext), ``require`` (TLS, no cert
+    #: verification — the self-signed-deployment posture), or
+    #: ``verify-full`` (TLS + chain + hostname/IP-SAN check against
+    #: ``sslrootcert``)
+    sslmode: str = "disable"
+    sslrootcert: str = ""
 
     @property
     def sockpath(self) -> str:
@@ -226,6 +232,8 @@ class PgConnection:
             # small frames dominate the protocol: without TCP_NODELAY
             # every query pays Nagle+delayed-ack round trips
             self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            if params.sslmode != "disable":
+                self._sock = self._tls_wrap(self._sock, params)
         else:
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._sock.connect(params.sockpath)
@@ -301,6 +309,34 @@ class PgConnection:
             if part:
                 fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
         return fields
+
+    @staticmethod
+    def _tls_wrap(sock: socket.socket, params: PgParams) -> socket.socket:
+        """Postgres TLS bootstrap: send SSLRequest (magic 80877103),
+        the server answers one byte ('S' = proceed, 'N' = refused),
+        then the standard TLS handshake runs INSIDE the connection —
+        Postgres does not use a separate TLS port.  ``require`` skips
+        certificate verification (self-signed deployments);
+        ``verify-full`` checks the chain against ``sslrootcert`` AND
+        the hostname/IP SAN."""
+        import ssl
+
+        sock.sendall(struct.pack("!ii", 8, 80877103))
+        resp = sock.recv(1)
+        if resp != b"S":
+            raise PgError(
+                {"S": "FATAL", "C": "08P01",
+                 "M": f"server refused SSL (sslmode={params.sslmode})"}
+            )
+        if params.sslmode == "verify-full":
+            ctx = ssl.create_default_context(cafile=params.sslrootcert)
+        elif params.sslmode == "require":
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        else:
+            raise ValueError(f"unknown sslmode {params.sslmode!r}")
+        return ctx.wrap_socket(sock, server_hostname=params.host)
 
     # -- authentication (public protocol: cleartext / MD5 / SCRAM) ----------
 
@@ -559,27 +595,72 @@ class ScratchPostgres:
         s.close()
         return port
 
-    def start(self, tcp: bool = False, password: str = "") -> PgParams:
+    def start(
+        self, tcp: bool = False, password: str = "", tls: bool = False
+    ) -> PgParams:
         """Start the server.  ``tcp=True`` additionally listens on a
         free localhost port behind SCRAM-SHA-256 (pg_hba lines are
         PREPENDED — first match wins over initdb's trust defaults, and
         walsender sessions need their own ``replication`` line: the
         ``all`` database keyword never matches replication
-        connections).  The UNIX socket stays trust-auth either way
-        (it is the admin path that sets the password).  Returns the
-        UNIX-socket params; :meth:`tcp_params` gives the TCP ones."""
-        self._tcp = (tcp, password)
+        connections).  ``tls=True`` generates a self-signed cert with
+        an IP SAN and uses ``hostssl`` hba lines, FORCING TLS on every
+        TCP connection (``self.ssl_cert`` is the cert path for
+        verify-full clients).  The UNIX socket stays trust-auth either
+        way (it is the admin path that sets the password).  Returns
+        the UNIX-socket params; :meth:`tcp_params` gives the TCP
+        ones."""
+        self._tcp = (tcp, password, tls)
         port = 5432
         listen = "''"
+        ssl_opts = ""
         if tcp:
             # keep the SAME port across restart() (params in flight)
             port = getattr(self, "_tcp_port", None) or self._free_port()
             self._tcp_port = port
+            kind = "host"
+            if tls:
+                crt = os.path.join(self.root, "server.crt")
+                key = os.path.join(self.root, "server.key")
+                if not os.path.exists(crt):
+                    openssl = shutil.which("openssl")
+                    if openssl is None:
+                        raise PgUnavailable("tls=True but openssl absent")
+                    r = subprocess.run(
+                        [openssl, "req", "-x509", "-newkey", "rsa:2048",
+                         "-keyout", key, "-out", crt, "-days", "2",
+                         "-nodes", "-subj", "/CN=127.0.0.1", "-addext",
+                         "subjectAltName=IP:127.0.0.1"],
+                        capture_output=True, text=True,
+                    )
+                    if r.returncode != 0:
+                        raise PgUnavailable(f"cert gen failed: {r.stderr[-300:]}")
+                    # the server demands key ownership + 0600
+                    if os.geteuid() == 0:
+                        subprocess.run(
+                            ["chown", "postgres:postgres", crt, key],
+                            check=True,
+                        )
+                    os.chmod(key, 0o600)
+                self.ssl_cert = crt
+                ssl_opts = (
+                    f" -c ssl=on -c ssl_cert_file={crt}"
+                    f" -c ssl_key_file={key}"
+                )
+                kind = "hostssl"
             hba = os.path.join(self.data, "pg_hba.conf")
             lines = (
-                "host all all 127.0.0.1/32 scram-sha-256\n"
-                "host replication all 127.0.0.1/32 scram-sha-256\n"
+                f"{kind} all all 127.0.0.1/32 scram-sha-256\n"
+                f"{kind} replication all 127.0.0.1/32 scram-sha-256\n"
             )
+            if tls:
+                # initdb's default trust 'host' lines would still admit
+                # PLAINTEXT TCP after the hostssl lines don't match —
+                # reject non-TLS explicitly (first match wins)
+                lines += (
+                    "hostnossl all all 127.0.0.1/32 reject\n"
+                    "hostnossl replication all 127.0.0.1/32 reject\n"
+                )
             content = open(hba).read()
             if lines not in content:
                 open(hba, "w").write(lines + content)
@@ -587,7 +668,7 @@ class ScratchPostgres:
         self.params = PgParams(sockdir=self.root, port=port)
         opts = (
             f"-c wal_level=logical -c listen_addresses={listen} "
-            f"-c port={port} "
+            f"-c port={port}{ssl_opts} "
             f"-c unix_socket_directories={self.root} "
             # fsync=off keeps the scratch instance fast; synchronous_commit
             # must stay ON — logical decoding only streams up to the
@@ -622,12 +703,18 @@ class ScratchPostgres:
         raise PgUnavailable("server did not accept connections in 15s")
 
     def tcp_params(self) -> PgParams:
-        """TCP coordinates for the running ``tcp=True`` server."""
-        tcp, password = getattr(self, "_tcp", (False, ""))
+        """TCP coordinates for the running ``tcp=True`` server
+        (``sslmode=require`` when the server was started with TLS —
+        pass sslmode='verify-full' + sslrootcert=self.ssl_cert for the
+        verifying client)."""
+        tcp, password, tls = getattr(self, "_tcp", (False, "", False))
         if not tcp:
             raise ValueError("server was not started with tcp=True")
         return PgParams(
-            host="127.0.0.1", port=self.params.port, password=password
+            host="127.0.0.1",
+            port=self.params.port,
+            password=password,
+            sslmode="require" if tls else "disable",
         )
 
     def restart(self) -> PgParams:
@@ -637,8 +724,8 @@ class ScratchPostgres:
         is a simulated crash: no shutdown checkpoint, WAL replay on
         start, exactly what a real failover looks like."""
         self._run([self._pg_ctl, "-D", self.data, "-m", "immediate", "stop"])
-        tcp, password = getattr(self, "_tcp", (False, ""))
-        return self.start(tcp=tcp, password=password)
+        tcp, password, tls = getattr(self, "_tcp", (False, "", False))
+        return self.start(tcp=tcp, password=password, tls=tls)
 
     def stop(self) -> None:
         self._run([self._pg_ctl, "-D", self.data, "-m", "immediate", "stop"])

@@ -4037,3 +4037,128 @@ def test_scram_unit_server_signature_verification(monkeypatch):
     )
     with pytest.raises(PgError, match="nonce"):
         conn_with(good_sig, srv_first=evil_first)._authenticate(10, sasl_req)
+
+
+def test_wire_tls_transport_live():
+    """TLS on the TCP transport (SSLRequest bootstrap + in-connection
+    handshake): hostssl hba REJECTS plaintext, sslmode=require works
+    against the self-signed cert, verify-full succeeds with the real
+    cert as root and FAILS against a wrong root — plus capture over
+    the encrypted channel."""
+    import dataclasses
+    import ssl as ssl_mod
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgwire import (
+        PgUnavailable,
+        ScratchPostgres,
+    )
+
+    try:
+        server = ScratchPostgres()
+        server.start(tcp=True, password="tlspw", tls=True)
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        tcp = server.tcp_params()
+        assert tcp.sslmode == "require"
+        with tcp.connect() as c:
+            assert c.one("select 1 + 1") == 2
+            # the server really sees an SSL session
+            assert c.one(
+                "select ssl from pg_stat_ssl"
+                " where pid = pg_backend_pid()"
+            ) is True
+
+        # plaintext refused: hostssl lines match no non-TLS connection
+        with pytest.raises(PgError) as ei:
+            dataclasses.replace(tcp, sslmode="disable").connect()
+        assert ei.value.sqlstate == "28000"
+
+        # verify-full against the server's own cert (IP SAN) — and a
+        # wrong root must fail the chain check
+        with dataclasses.replace(
+            tcp, sslmode="verify-full", sslrootcert=server.ssl_cert
+        ).connect() as c:
+            assert c.one("select 'verified'") == "verified"
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".crt") as wrong:
+            import subprocess
+
+            subprocess.run(
+                ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+                 "-keyout", "/dev/null", "-out", wrong.name, "-days", "1",
+                 "-nodes", "-subj", "/CN=evil"],
+                capture_output=True,
+            )
+            with pytest.raises(ssl_mod.SSLCertVerificationError):
+                dataclasses.replace(
+                    tcp, sslmode="verify-full", sslrootcert=wrong.name
+                ).connect()
+
+        # capture rides the encrypted channel unchanged
+        with tcp.connect() as c:
+            c.query("create table tls_t(id int primary key, v text)")
+        po.create_publication(tcp, "tls_pub", ["tls_t"])
+        po.create_slot_pgoutput(tcp, "tls_slot")
+        with tcp.connect() as c:
+            c.query("insert into tls_t values (1, 'enc'), (2, 'rypted')")
+        changes = po.parse_pgoutput(
+            po.raw_slot_changes_pgoutput(tcp, "tls_slot", "tls_pub")
+        )
+        assert [ch["after"]["v"] for ch in changes] == ["enc", "rypted"]
+    finally:
+        server.stop()
+
+
+def test_pgdatasource_stream_over_tls(spark, tmp_path):
+    """The native streaming source with sslmode options: capture over
+    the encrypted SCRAM-authenticated channel end to end."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+    from pgshovel_spark.sources.pgwire import (
+        PgUnavailable,
+        ScratchPostgres,
+    )
+
+    try:
+        server = ScratchPostgres()
+        server.start(tcp=True, password="tlspw", tls=True)
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        tcp = server.tcp_params()
+        with tcp.connect() as c:
+            c.query("create table tlst_t(id bigint primary key, v text)")
+        po.create_publication(tcp, "tlst_pub", ["tlst_t"])
+        po.create_slot_pgoutput(tcp, "tlst_slot")
+        with tcp.connect() as c:
+            c.query(
+                "insert into tlst_t select g, 'v' || g"
+                " from generate_series(1, 15) g"
+            )
+        register_pgshovel(spark)
+        got: list = []
+        q = (
+            spark.readStream.format("pgshovel")
+            .option("host", tcp.host)
+            .option("port", str(tcp.port))
+            .option("password", tcp.password)
+            .option("sslmode", "verify-full")
+            .option("sslrootcert", server.ssl_cert)
+            .option("slot", "tlst_slot")
+            .option("publication", "tlst_pub")
+            .load()
+            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            assert _wait_for(lambda: len(got) == 15), f"got {len(got)}"
+        finally:
+            q.stop()
+        assert sorted(int(r.after["id"]) for r in got) == list(range(1, 16))
+    finally:
+        server.stop()
