@@ -717,14 +717,43 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
     #: probe = 1.3 s/trigger serial, ~0.2 s pooled)
     _POOL = 8
 
+    @staticmethod
+    def _transient(e: BaseException) -> bool:
+        from pgshovel_spark.sources.pgwire import PgError
+
+        if isinstance(e, (ConnectionError, OSError)) and not isinstance(
+            e, PgError
+        ):
+            return True
+        return isinstance(e, PgError) and (
+            e.sqlstate.startswith("57P")
+            or e.sqlstate.startswith("08")
+            or e.sqlstate == "55006"
+        )
+
+    def _probe_resilient(self, slot: str) -> dict:
+        """A DOWN server (failover, crash-restart, network blip) must
+        not kill the query: on a transient error the shard reports its
+        cached end (no progress this trigger) and the stream resumes
+        when the server returns — the full-reader analog of the simple
+        reader's walsender reconnect posture.  Cold start with no
+        cache re-raises: there is no safe position to report."""
+        try:
+            return self._probe_shard(slot)
+        except Exception as e:
+            cached = self._probe_cache.get(slot)
+            if self._transient(e) and cached is not None:
+                return cached[1]
+            raise
+
     def latestOffset(self) -> dict:
         slots = sorted(self.shards)
         if len(slots) == 1:
-            return {slots[0]: self._probe_shard(slots[0])}
+            return {slots[0]: self._probe_resilient(slots[0])}
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(self._POOL, len(slots))) as ex:
-            ends = list(ex.map(self._probe_shard, slots))
+            ends = list(ex.map(self._probe_resilient, slots))
         return dict(zip(slots, ends))
 
     def partitions(self, start: dict, end: dict):
@@ -738,18 +767,30 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
+        import time
+
         from pgshovel_spark.sources.pgoutput import (
             parse_pgoutput,
             raw_slot_changes_pgoutput,
         )
 
         shard, start, end = partition.shard, partition.start, partition.end
-        raw = raw_slot_changes_pgoutput(
-            self._params(shard),
-            shard["slot"],
-            shard["publication"],
-            limit=self.max_changes,
-        )
+        # bounded retry on transient server errors: local mode has
+        # task maxFailures=1, so a crash-restarting server mid-peek
+        # would otherwise fail the query for a blip WAL replay covers
+        for attempt in range(30):
+            try:
+                raw = raw_slot_changes_pgoutput(
+                    self._params(shard),
+                    shard["slot"],
+                    shard["publication"],
+                    limit=self.max_changes,
+                )
+                break
+            except Exception as e:
+                if attempt == 29 or not self._transient(e):
+                    raise
+                time.sleep(1.0)
         changes = parse_pgoutput(raw)
         upto = {"lsn": end["lsn"], "idx": end["idx"]}
         rows, got = _slice_changes(
@@ -789,6 +830,21 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         # even with no new WAL, so the short-circuit must re-probe
         self._probe_cache.pop(slot, None)
 
+    def _commit_resilient(self, slot: str, e: dict) -> None:
+        """commit is garbage collection, not correctness: a skipped
+        advance/meta write is fully absorbed (the probe counts from
+        the stale base, the checkpointed start position dedupes, and
+        the seq arithmetic cancels — end.seq == start.seq + new rows
+        either way), so a transient server error here must not fail a
+        batch Spark already committed.  The cache pop still runs: the
+        next probe must not reuse a pre-advance end."""
+        try:
+            self._commit_shard(slot, e)
+        except Exception as exc:
+            self._probe_cache.pop(slot, None)
+            if not self._transient(exc):
+                raise
+
     def commit(self, end: dict) -> None:
         todo = [
             (slot, end[slot])
@@ -797,12 +853,12 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         ]
         if len(todo) <= 1:
             for slot, e in todo:
-                self._commit_shard(slot, e)
+                self._commit_resilient(slot, e)
             return
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(self._POOL, len(todo))) as ex:
-            list(ex.map(lambda se: self._commit_shard(*se), todo))
+            list(ex.map(lambda se: self._commit_resilient(*se), todo))
 
 
 # ---------------------------------------------------------------------------

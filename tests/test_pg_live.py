@@ -4162,3 +4162,77 @@ def test_pgdatasource_stream_over_tls(spark, tmp_path):
         assert sorted(int(r.after["id"]) for r in got) == list(range(1, 16))
     finally:
         server.stop()
+
+
+def test_pgdatasource_sharded_survives_server_crash(spark, tmp_path):
+    """Server crash-restart (-m immediate + WAL replay) UNDER a live
+    sharded query: the probe reports its cached end while the server
+    is down (no progress, no exception), commit failures are skipped
+    (garbage collection, absorbed by the position filter), and
+    capture resumes exactly-once after replay — the query itself
+    never fails."""
+    import json as _json
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+    from pgshovel_spark.sources.pgwire import (
+        PgUnavailable,
+        ScratchPostgres,
+    )
+
+    try:
+        server = ScratchPostgres()
+        params = server.start()
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            c.query("create table scr_t(id bigint primary key, v text)")
+        po.create_publication(params, "scr_pub", ["scr_t"])
+        po.create_slot_pgoutput(params, "scr_slot")
+        register_pgshovel(spark)
+        got: list = []
+        q = (
+            spark.readStream.format("pgshovel")
+            .option("sockdir", params.sockdir)
+            .option(
+                "shards",
+                _json.dumps(
+                    [{"slot": "scr_slot", "publication": "scr_pub",
+                      "database": "postgres"}]
+                ),
+            )
+            .load()
+            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            with params.connect() as c:
+                c.query(
+                    "insert into scr_t select g, 'pre' || g"
+                    " from generate_series(1, 30) g"
+                )
+            assert _wait_for(lambda: len(got) == 30), f"got {len(got)}"
+
+            server.restart()  # simulated crash: immediate stop + WAL replay
+            # triggers fired against the down/replaying server; the
+            # query must still be alive
+            assert q.exception() is None
+            with params.connect() as c:
+                c.query(
+                    "insert into scr_t select g, 'post' || g"
+                    " from generate_series(31, 50) g"
+                )
+            assert _wait_for(lambda: len(got) == 50), f"got {len(got)}"
+            assert q.exception() is None
+            assert sorted(r.seq for r in got) == list(range(50))
+            assert sorted(int(r.after["id"]) for r in got) == list(
+                range(1, 51)
+            )
+        finally:
+            q.stop()
+        pgl.drop_slot(params, "scr_slot")
+    finally:
+        server.stop()
