@@ -117,6 +117,21 @@ def _opt(options, key: str, default=None):
 
 
 
+def _is_transient(e: BaseException) -> bool:
+    """Server-outage error family (failover/crash 57P*, connection
+    08*, slot-contention 55006, socket errors): safe to retry or to
+    report no-progress — shared by both stream readers."""
+    from pgshovel_spark.sources.pgwire import PgError
+
+    if isinstance(e, (ConnectionError, OSError)) and not isinstance(e, PgError):
+        return True
+    return isinstance(e, PgError) and (
+        e.sqlstate.startswith("57P")
+        or e.sqlstate.startswith("08")
+        or e.sqlstate == "55006"
+    )
+
+
 def _params_from_options(options, database: str | None = None):
     """PgParams from source/sink options — UNIX socket (``sockdir``)
     or TCP (``host`` + ``password``, SCRAM/MD5/cleartext per server),
@@ -326,8 +341,13 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
             try:
                 raw = pull()
                 break
-            except PgError as e:
-                if e.sqlstate != "55006" or attempt == 19:
+            except (PgError, ConnectionError, OSError) as e:
+                # 55006: concurrent peeks contending on the slot's
+                # active lock; the wider family: a crash-restarting
+                # server (57P*/08*/socket) — ride through a short
+                # outage instead of failing the trigger (outages past
+                # ~10 s still fail -> the supervisor-restart posture)
+                if attempt == 19 or not _is_transient(e):
                     raise
                 time.sleep(0.5)
         if self.plugin == "pgoutput":
@@ -719,17 +739,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
 
     @staticmethod
     def _transient(e: BaseException) -> bool:
-        from pgshovel_spark.sources.pgwire import PgError
-
-        if isinstance(e, (ConnectionError, OSError)) and not isinstance(
-            e, PgError
-        ):
-            return True
-        return isinstance(e, PgError) and (
-            e.sqlstate.startswith("57P")
-            or e.sqlstate.startswith("08")
-            or e.sqlstate == "55006"
-        )
+        return _is_transient(e)
 
     def _probe_resilient(self, slot: str) -> dict:
         """A DOWN server (failover, crash-restart, network blip) must

@@ -1942,7 +1942,10 @@ def test_pgdatasource_checkpoint_restart_exactly_once(spark, pg, tmp_path):
     po.create_slot_pgoutput(pg, "ndr_slot")
     register_pgshovel(spark)
     ckpt = str(tmp_path / "ckpt")
-    got: list = []
+    batches: dict = {}
+
+    def got():  # batchId-idempotent collector (replay-safe)
+        return [r for _b, rows in sorted(batches.items()) for r in rows]
 
     def _start():
         return (
@@ -1951,7 +1954,9 @@ def test_pgdatasource_checkpoint_restart_exactly_once(spark, pg, tmp_path):
             .option("slot", "ndr_slot")
             .option("publication", "ndr_pub")
             .load()
-            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .writeStream.foreachBatch(
+                lambda b, i: batches.__setitem__(i, b.collect())
+            )
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="500 milliseconds")
             .start()
@@ -1961,7 +1966,7 @@ def test_pgdatasource_checkpoint_restart_exactly_once(spark, pg, tmp_path):
         c.query("insert into ndr_t select g, 'x' || g from generate_series(1, 20) g")
     q = _start()
     try:
-        assert _wait_for(lambda: len(got) == 20), f"got {len(got)}"
+        assert _wait_for(lambda: len(got()) == 20), f"got {len(got())}"
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -1974,11 +1979,11 @@ def test_pgdatasource_checkpoint_restart_exactly_once(spark, pg, tmp_path):
 
     q = _start()
     try:
-        assert _wait_for(lambda: len(got) == 27), f"got {len(got)}"
+        assert _wait_for(lambda: len(got()) == 27), f"got {len(got())}"
         # exactly once: no duplicates, no loss, dense seq over restart
-        assert sorted(r.seq for r in got) == list(range(27))
-        assert sum(1 for r in got if r.op == "DELETE") == 1
-        assert sum(1 for r in got if r.op == "UPDATE") == 1
+        assert sorted(r.seq for r in got()) == list(range(27))
+        assert sum(1 for r in got() if r.op == "DELETE") == 1
+        assert sum(1 for r in got() if r.op == "UPDATE") == 1
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -2601,7 +2606,10 @@ def test_pgdatasource_survives_server_crash_restart(spark, tmp_path):
             )
         register_pgshovel(spark)
         ckpt = str(tmp_path / "ckpt")
-        got: list = []
+        batches: dict = {}
+
+        def got():  # batchId-idempotent collector (replay-safe)
+            return [r for _b, rows in sorted(batches.items()) for r in rows]
 
         def _start():
             return (
@@ -2610,7 +2618,9 @@ def test_pgdatasource_survives_server_crash_restart(spark, tmp_path):
                 .option("slot", "crash_slot")
                 .option("publication", "crash_pub")
                 .load()
-                .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+                .writeStream.foreachBatch(
+                    lambda b, i: batches.__setitem__(i, b.collect())
+                )
                 .option("checkpointLocation", ckpt)
                 .trigger(processingTime="500 milliseconds")
                 .start()
@@ -2618,7 +2628,7 @@ def test_pgdatasource_survives_server_crash_restart(spark, tmp_path):
 
         q = _start()
         try:
-            assert _wait_for(lambda: len(got) == 20), f"got {len(got)}"
+            assert _wait_for(lambda: len(got()) == 20), f"got {len(got())}"
         finally:
             if q.isActive:
                 pass  # keep running into the crash
@@ -2638,12 +2648,12 @@ def test_pgdatasource_survives_server_crash_restart(spark, tmp_path):
             nonlocal q
             if not q.isActive:
                 q = _start()
-            return len(got) == 30
+            return len(got()) == 30
 
-        assert _wait_for(_caught_up, timeout=120), f"got {len(got)}"
+        assert _wait_for(_caught_up, timeout=120), f"got {len(got())}"
         q.stop()
-        assert sorted(r.seq for r in got) == list(range(30))  # no dup/loss
-        assert sum(1 for r in got if r.after["v"].startswith("b")) == 10
+        assert sorted(r.seq for r in got()) == list(range(30))  # no dup/loss
+        assert sum(1 for r in got() if r.after["v"].startswith("b")) == 10
     finally:
         server.stop()
 
@@ -2725,7 +2735,10 @@ def test_pgdatasource_walsender_restart_replays_via_peek(spark, pg, tmp_path):
     po.create_slot_pgoutput(pg, "nwr_slot")
     register_pgshovel(spark)
     ckpt = str(tmp_path / "ckpt")
-    got: list = []
+    batches: dict = {}
+
+    def got():  # batchId-idempotent collector (replay-safe)
+        return [r for _b, rows in sorted(batches.items()) for r in rows]
 
     def _start():
         return (
@@ -2735,7 +2748,9 @@ def test_pgdatasource_walsender_restart_replays_via_peek(spark, pg, tmp_path):
             .option("publication", "nwr_pub")
             .option("transport", "walsender")
             .load()
-            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .writeStream.foreachBatch(
+                lambda b, i: batches.__setitem__(i, b.collect())
+            )
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="500 milliseconds")
             .start()
@@ -2745,7 +2760,7 @@ def test_pgdatasource_walsender_restart_replays_via_peek(spark, pg, tmp_path):
         c.query("insert into nwr_t select g, 'x' || g from generate_series(1, 15) g")
     q = _start()
     try:
-        assert _wait_for(lambda: len(got) == 15), f"got {len(got)}"
+        assert _wait_for(lambda: len(got()) == 15), f"got {len(got())}"
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -2759,9 +2774,9 @@ def test_pgdatasource_walsender_restart_replays_via_peek(spark, pg, tmp_path):
 
     q = _start()
     try:
-        assert _wait_for(lambda: len(got) == 23), f"got {len(got)}"
-        assert sorted(r.seq for r in got) == list(range(23))
-        assert sum(1 for r in got if r.op == "DELETE") == 1
+        assert _wait_for(lambda: len(got()) == 23), f"got {len(got())}"
+        assert sorted(r.seq for r in got()) == list(range(23))
+        assert sum(1 for r in got() if r.op == "DELETE") == 1
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -3246,7 +3261,15 @@ def test_pgdatasource_sharded_two_slots_restart_exactly_once(spark, pg, tmp_path
             {"slot": "shr_slot_b", "publication": "shr_pub_b", "database": "shr_b"},
         ]
     )
-    got: list = []
+    # foreachBatch is AT-least-once per batch: a stop() landing before
+    # the commit-log write legitimately replays the batch on restart,
+    # so the collector is IDEMPOTENT on batchId (the documented sink
+    # contract) — replays overwrite with identical content instead of
+    # double-counting
+    batches: dict = {}
+
+    def got():
+        return [r for _b, rows in sorted(batches.items()) for r in rows]
 
     def _start():
         return (
@@ -3254,7 +3277,9 @@ def test_pgdatasource_sharded_two_slots_restart_exactly_once(spark, pg, tmp_path
             .option("sockdir", pg.sockdir)
             .option("shards", shards)
             .load()
-            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .writeStream.foreachBatch(
+                lambda b, i: batches.__setitem__(i, b.collect())
+            )
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="400 milliseconds")
             .start()
@@ -3262,7 +3287,7 @@ def test_pgdatasource_sharded_two_slots_restart_exactly_once(spark, pg, tmp_path
 
     q = _start()
     try:
-        assert _wait_for(lambda: len(got) == 60), f"got {len(got)}"
+        assert _wait_for(lambda: len(got()) == 60), f"got {len(got())}"
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -3279,9 +3304,9 @@ def test_pgdatasource_sharded_two_slots_restart_exactly_once(spark, pg, tmp_path
 
     q = _start()
     try:
-        assert _wait_for(lambda: len(got) == 72), f"got {len(got)}"
+        assert _wait_for(lambda: len(got()) == 72), f"got {len(got())}"
         by_pub: dict = {}
-        for r in got:
+        for r in got():
             by_pub.setdefault(r.publisher, []).append(r)
         assert sorted(by_pub) == ["shr_slot_a", "shr_slot_b"]
         a, b = by_pub["shr_slot_a"], by_pub["shr_slot_b"]
