@@ -162,6 +162,77 @@ def _cmd_cdc(args) -> int:
             )
         )
         return 0
+    if args.action == "stream":
+        # the RELAY DAEMON as one command (the reference's core
+        # process): slot -> native streaming source -> flatten ->
+        # two-phase-commit upsert into the target table, checkpoint
+        # as the only ledger.  INSERT/UPDATE images are upserted;
+        # DELETEs are SKIPPED by design (the upsert sink carries no
+        # tombstone semantics) — deletes-needing consumers read the
+        # CHANGE envelope directly (peek / readStream).
+        if not (
+            args.publication and args.to_table and args.keys
+            and args.flatten and args.checkpoint
+        ):
+            print(
+                "stream needs --publication, --to-table, --keys,"
+                " --flatten and --checkpoint",
+                file=sys.stderr,
+            )
+            return 2
+        from pyspark.sql import functions as F
+
+        from pgshovel_spark.session import get_session
+        from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+        spark = get_session("cli-relay")
+        register_pgshovel(spark)
+        cols = []
+        for spec in args.flatten.split(","):
+            name, _, typ = spec.partition(":")
+            cols.append(
+                F.col("after")[name].cast(typ or "string").alias(name)
+            )
+        keys = [k.strip() for k in args.keys.split(",")]
+        flat = (
+            spark.readStream.format("pgshovel")
+            .option("sockdir", args.sockdir)
+            .option("database", args.database)
+            .option("user", args.user)
+            .option("slot", args.name)
+            .option("publication", args.publication)
+            .load()
+            .filter(F.col("op") != "DELETE")
+            .select(*cols, F.col("epoch"), F.col("seq"))
+            .dropna(subset=keys)
+            .repartition(max(2, len(keys)), *keys)
+        )
+        q = (
+            flat.writeStream.format("pgshovel")
+            .option("sockdir", args.sockdir)
+            .option("database", args.database)
+            .option("user", args.user)
+            .option("table", args.to_table)
+            .option("keys", args.keys)
+            .option("order_cols", "epoch,seq")
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(processingTime=f"{args.trigger_ms} milliseconds")
+            .start()
+        )
+        print(
+            json.dumps(
+                {"relay": args.name, "to": args.to_table, "id": q.id.__str__()}
+            ),
+            flush=True,
+        )
+        try:
+            if args.run_secs:
+                q.awaitTermination(args.run_secs)
+            else:
+                q.awaitTermination()
+        finally:
+            q.stop()
+        return 0
     # peek: non-destructive decode of the slot backlog, one JSON line
     # per change (ts rendered ISO) — the operational "what is in the
     # slot right now" probe
@@ -232,7 +303,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=(
             "create-slot", "drop-slot", "create-publication", "peek",
-            "bootstrap",
+            "bootstrap", "stream",
         ),
     )
     cdc.add_argument("name", help="slot or publication name")
@@ -259,6 +330,19 @@ def main(argv: list[str] | None = None) -> int:
     cdc.add_argument("--partition-col", help="bootstrap: default slice column")
     cdc.add_argument("--out", help="bootstrap: parquet output directory")
     cdc.add_argument("--num-partitions", type=int, default=8)
+    cdc.add_argument("--to-table", help="stream: target upsert table")
+    cdc.add_argument("--keys", help="stream: comma-separated key columns")
+    cdc.add_argument(
+        "--flatten",
+        help="stream: comma-separated after-image columns as name:type"
+        " (e.g. 'id:long,v:string')",
+    )
+    cdc.add_argument("--checkpoint", help="stream: checkpoint directory")
+    cdc.add_argument("--trigger-ms", type=int, default=1000)
+    cdc.add_argument(
+        "--run-secs", type=int, default=0,
+        help="stream: stop after N seconds (0 = run until interrupted)",
+    )
 
     args = ap.parse_args(argv)
 

@@ -201,3 +201,52 @@ def test_cli_cdc_bootstrap_multi_table_live(tmp_path, capsys, spark):
         assert spark.read.parquet(out_dir + "/mb_b").count() == 40
     finally:
         server.stop()
+
+
+def test_cli_cdc_stream_relay_live(tmp_path, capsys, spark):
+    """`cdc stream` = the relay daemon as one command: slot -> native
+    source -> flatten -> 2PC upsert, run for a bounded window, end
+    state exact (inserts + an update land; the delete is skipped by
+    the documented upsert semantics)."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgwire import PgUnavailable, ScratchPostgres
+
+    try:
+        server = ScratchPostgres()
+        params = server.start()
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            c.query("create table rl_src(id bigint primary key, v text)")
+            c.query(
+                "create table rl_dst(id bigint primary key, v text,"
+                " epoch bigint, seq bigint)"
+            )
+        po.create_publication(params, "rl_pub", ["rl_src"])
+        po.create_slot_pgoutput(params, "rl_slot")
+        with params.connect() as c:
+            c.query(
+                "insert into rl_src select g, 'v' || g"
+                " from generate_series(1, 40) g"
+            )
+            c.query("update rl_src set v = 'u7' where id = 7")
+            c.query("delete from rl_src where id = 9")
+        rc, out = run_cli(
+            capsys, "cdc", "stream", "rl_slot",
+            "--sockdir", params.sockdir,
+            "--publication", "rl_pub",
+            "--to-table", "rl_dst", "--keys", "id",
+            "--flatten", "id:long,v:string",
+            "--checkpoint", str(tmp_path / "ck"),
+            "--trigger-ms", "300", "--run-secs", "12",
+        )
+        assert rc == 0
+        assert json.loads(out.splitlines()[0])["relay"] == "rl_slot"
+        with params.connect() as c:
+            assert c.one("select count(*) from rl_dst") == 40
+            assert c.one("select v from rl_dst where id = 7") == "u7"
+            # the delete was skipped: id 9's last upserted image stays
+            assert c.one("select count(*) from rl_dst where id = 9") == 1
+    finally:
+        server.stop()
