@@ -20,6 +20,11 @@ administration-first):
     python -m pgshovel_spark cdc create-publication p --sockdir /run/pg \
         --tables t1,t2 --where "t1=id % 2 = 0" --columns t1=id,v
     python -m pgshovel_spark cdc peek s --publication p --sockdir /run/pg
+    python -m pgshovel_spark cdc bootstrap s --sockdir /run/pg \
+        --table t1:id --table t2:k --out /data/boot
+    python -m pgshovel_spark cdc stream s --sockdir /run/pg \
+        --publication p --to-table dst --keys id \
+        --flatten "id:long,v:string" --checkpoint /ck
 """
 
 from __future__ import annotations
