@@ -77,9 +77,31 @@ def _cmd_cdc(args) -> int:
     from pgshovel_spark.sources import pglogical as pgl
     from pgshovel_spark.sources.pgwire import PgParams
 
+    if not args.sockdir and not args.host:
+        print("cdc needs --sockdir or --host", file=sys.stderr)
+        return 2
     params = PgParams(
-        sockdir=args.sockdir, database=args.database, user=args.user
+        sockdir=args.sockdir,
+        database=args.database,
+        user=args.user,
+        port=args.port,
+        host=args.host,
+        password=args.password,
+        sslmode=args.sslmode,
+        sslrootcert=args.sslrootcert,
     )
+
+    def _conn_opts(w):
+        """Apply the transport options to a Spark reader/writer."""
+        for k, v in (
+            ("sockdir", args.sockdir), ("host", args.host),
+            ("port", str(args.port)), ("password", args.password),
+            ("sslmode", args.sslmode), ("sslrootcert", args.sslrootcert),
+            ("database", args.database), ("user", args.user),
+        ):
+            if v:
+                w = w.option(k, v)
+        return w
     if args.action == "create-slot":
         lsn = po.create_slot_pgoutput(params, args.name)
         print(json.dumps({"slot": args.name, "consistent_point": lsn}))
@@ -143,10 +165,7 @@ def _cmd_cdc(args) -> int:
                     else os.path.join(args.out, table)
                 )
                 (
-                    spark.read.format("pgshovel")
-                    .option("sockdir", args.sockdir)
-                    .option("database", args.database)
-                    .option("user", args.user)
+                    _conn_opts(spark.read.format("pgshovel"))
                     .option("table", table)
                     .option("partition_col", pcol)
                     .option("num_partitions", str(args.num_partitions))
@@ -200,10 +219,7 @@ def _cmd_cdc(args) -> int:
             )
         keys = [k.strip() for k in args.keys.split(",")]
         flat = (
-            spark.readStream.format("pgshovel")
-            .option("sockdir", args.sockdir)
-            .option("database", args.database)
-            .option("user", args.user)
+            _conn_opts(spark.readStream.format("pgshovel"))
             .option("slot", args.name)
             .option("publication", args.publication)
             .load()
@@ -213,10 +229,7 @@ def _cmd_cdc(args) -> int:
             .repartition(max(2, len(keys)), *keys)
         )
         q = (
-            flat.writeStream.format("pgshovel")
-            .option("sockdir", args.sockdir)
-            .option("database", args.database)
-            .option("user", args.user)
+            _conn_opts(flat.writeStream.format("pgshovel"))
             .option("table", args.to_table)
             .option("keys", args.keys)
             .option("order_cols", "epoch,seq")
@@ -312,7 +325,13 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
     cdc.add_argument("name", help="slot or publication name")
-    cdc.add_argument("--sockdir", required=True)
+    cdc.add_argument("--sockdir", default="", help="UNIX-socket transport")
+    cdc.add_argument("--host", default="", help="TCP transport (SCRAM auth)")
+    cdc.add_argument("--port", type=int, default=5432)
+    cdc.add_argument("--password", default="")
+    cdc.add_argument("--sslmode", default="disable",
+                     choices=("disable", "require", "verify-full"))
+    cdc.add_argument("--sslrootcert", default="")
     cdc.add_argument("--database", default="postgres")
     cdc.add_argument("--user", default="postgres")
     cdc.add_argument("--tables", help="create-publication: comma-separated tables")
