@@ -80,6 +80,14 @@ def _cmd_cdc(args) -> int:
     if not args.sockdir and not args.host:
         print("cdc needs --sockdir or --host", file=sys.stderr)
         return 2
+    if args.host and not args.password:
+        # secrets on argv leak via process listings and shell history:
+        # prefer the environment (PGPASSWORD is the libpq convention)
+        import os
+
+        args.password = os.environ.get("PGSHOVEL_PASSWORD") or os.environ.get(
+            "PGPASSWORD", ""
+        )
     params = PgParams(
         sockdir=args.sockdir,
         database=args.database,
@@ -328,7 +336,11 @@ def main(argv: list[str] | None = None) -> int:
     cdc.add_argument("--sockdir", default="", help="UNIX-socket transport")
     cdc.add_argument("--host", default="", help="TCP transport (SCRAM auth)")
     cdc.add_argument("--port", type=int, default=5432)
-    cdc.add_argument("--password", default="")
+    cdc.add_argument(
+        "--password", default="",
+        help="TCP auth secret; prefer $PGSHOVEL_PASSWORD / $PGPASSWORD"
+        " (argv is visible in process listings)",
+    )
     cdc.add_argument("--sslmode", default="disable",
                      choices=("disable", "require", "verify-full"))
     cdc.add_argument("--sslrootcert", default="")

@@ -102,13 +102,14 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
-__all__ = ["PgShovelDataSource", "register_pgshovel"]
+__all__ = ["PgShovelDataSource", "register_pgshovel", "rebootstrap_slot"]
 
 
 def _opt(options, key: str, default=None):
@@ -182,27 +183,58 @@ def _change_row(ch: dict, seq: int, publisher: str, epoch: int) -> tuple:
 
 
 def _slice_changes(
-    changes: list, start: dict, upto: dict | None, publisher: str, epoch: int
-) -> tuple[list, dict]:
+    changes: list,
+    start: dict,
+    upto: dict | None,
+    publisher: str,
+    epoch: int,
+    max_rows: int | None = None,
+) -> tuple[list, dict, int]:
     """Rows strictly inside (start, upto] by (commit_lsn, idx)
-    position, with dense seq continuation; returns (rows, end)."""
+    position, with dense seq continuation; returns ``(rows, end,
+    adv)`` where ``adv`` is the highest commit lsn whose transaction
+    is FULLY inside the returned rows-or-earlier — the safe slot-
+    advance target.  ``max_rows`` caps the slice (the simple reader's
+    batch bound): a cap landing MID-COMMIT leaves ``adv`` at the
+    previous boundary, because advancing the slot to a partially-
+    delivered commit's lsn would discard its undelivered tail (the
+    next peek replays the whole transaction and the position filter
+    skips the delivered prefix).  Uncapped slices always end at a
+    transaction boundary (parsers emit whole transactions), so there
+    ``adv == end['lsn']``."""
     from pgshovel_spark.sources.pgoutput import lsn_to_int
 
     rows: list[tuple] = []
     lsn, idx, seq = start["lsn"], start["idx"], start["seq"]
+    adv = 0
     prev_c, j = None, 0
+    stopped = False
     for ch in changes:
         c_lsn = lsn_to_int(ch["commit_lsn"])
-        j = j + 1 if c_lsn == prev_c else 0
+        new_commit = c_lsn != prev_c
+        if new_commit and prev_c is not None:
+            adv = prev_c  # the previous commit's run is complete
+        j = j + 1 if not new_commit else 0
         prev_c = c_lsn
         if (c_lsn, j) < (start["lsn"], start["idx"]):
             continue  # already delivered in an earlier batch
         if upto is not None and (c_lsn, j) >= (upto["lsn"], upto["idx"]):
+            stopped = True
+            break
+        if max_rows is not None and len(rows) >= max_rows:
+            # cap: adv already holds the last completed boundary (the
+            # loop-top run-change update covers the cap landing
+            # exactly on a boundary)
+            stopped = True
             break
         rows.append(_change_row(ch, seq, publisher, epoch))
         seq += 1
         lsn, idx = c_lsn, j + 1
-    return rows, {"lsn": lsn, "idx": idx, "seq": seq}
+    if not stopped and prev_c is not None:
+        # list exhausted: parsers emit whole transactions, so the
+        # last commit seen is complete
+        adv = prev_c
+    return rows, {"lsn": lsn, "idx": idx, "seq": seq}, adv
 
 
 #: rows per emitted Arrow RecordBatch (bounds IPC message size on an
@@ -348,6 +380,17 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
                 # outage instead of failing the trigger (outages past
                 # ~10 s still fail -> the supervisor-restart posture)
                 if attempt == 19 or not _is_transient(e):
+                    if isinstance(e, PgError) and e.sqlstate == "55000":
+                        # "can no longer get changes from slot": check
+                        # whether the server INVALIDATED it (WAL-
+                        # retention overrun) and surface that TYPED —
+                        # the unrecoverable case a retry loop or a
+                        # generic stack trace would bury
+                        from pgshovel_spark.sources.pglogical import (
+                            check_slot_live,
+                        )
+
+                        check_slot_live(self.params, self.slot)
                     raise
                 time.sleep(0.5)
         if self.plugin == "pgoutput":
@@ -359,9 +402,15 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         return parse_test_decoding(raw, self.key_cols)
 
     def _slice(
-        self, changes: list, start: dict, upto: dict | None
-    ) -> tuple[list, dict]:
-        return _slice_changes(changes, start, upto, self.publisher, self.epoch)
+        self,
+        changes: list,
+        start: dict,
+        upto: dict | None,
+        max_rows: int | None = None,
+    ) -> tuple[list, dict, int]:
+        return _slice_changes(
+            changes, start, upto, self.publisher, self.epoch, max_rows
+        )
 
     # -- SimpleDataSourceStreamReader contract ------------------------------
 
@@ -438,12 +487,27 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         return parsed
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
-        changes = (
-            self._walsender_parse()
-            if self.transport == "walsender" and self._saw_commit
-            else self._peek_parse()
-        )
-        rows, end = self._slice(changes, start, None)
+        if self.transport == "walsender" and self._saw_commit:
+            # push frames arrive ONCE: a capped tail would be lost
+            # (the position filter only dedupes re-peeked data), so
+            # max_changes bounds only the peek transport; walsender
+            # batches are bounded by the poll window instead
+            changes, cap = self._walsender_parse(), None
+        else:
+            changes, cap = self._peek_parse(), self.max_changes
+        rows, end, adv = self._slice(changes, start, None, max_rows=cap)
+        if not rows:
+            # idle: reproduce the start offset EXACTLY (including any
+            # 'adv' key a capped predecessor batch left in it) — a
+            # fresh dict with different keys would make every trigger
+            # look like a new offset
+            return iter([]), dict(start)
+        if adv != end["lsn"]:
+            # capped MID-COMMIT: commit() must advance the slot only
+            # to the last complete transaction boundary — advancing
+            # to end.lsn would discard the commit's undelivered tail
+            end = dict(end)
+            end["adv"] = adv
         # list iterator: the prefetch wrapper copy.copy()s it for the
         # cache, which a generator would not survive
         return iter(self._to_batches(rows)), end
@@ -455,7 +519,7 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         # first latestOffset of the new run), and a peek from
         # confirmed_flush deterministically re-produces any
         # uncommitted range.
-        rows, got = self._slice(self._peek_parse(), start, end)
+        rows, got, _adv = self._slice(self._peek_parse(), start, end)
         if got["seq"] != end["seq"]:
             # The slot can no longer reproduce the planned range —
             # only possible if something advanced it past data Spark
@@ -478,17 +542,27 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
         # session may take the slot from the next read on
         if not end.get("lsn"):
             return
+        # a max_changes-capped batch that ended MID-COMMIT carries
+        # 'adv' = the last complete transaction boundary; advancing to
+        # end.lsn would discard the partially-delivered commit's tail
+        # (the next peek replays it and the position filter dedupes).
+        # adv == 0 (batch entirely inside one commit, no earlier
+        # boundary): nothing safe to advance — the slot watermark is
+        # garbage collection, not correctness.
+        target = end.get("adv", end["lsn"])
+        if not target:
+            return
         if self.transport == "walsender" and self._ws is not None:
             # the held session keeps the slot ACTIVE (a SQL advance
             # would fail 55006): confirm via Standby Status Update,
             # the wire-native watermark move
             _rc, stream = self._ws
-            stream.send_status(end["lsn"])
+            stream.send_status(target)
             return
         from pgshovel_spark.sources.pglogical import advance
         from pgshovel_spark.sources.pgoutput import lsn_to_str
 
-        advance(self.params, self.slot, lsn_to_str(end["lsn"]))
+        advance(self.params, self.slot, lsn_to_str(target))
 
 
 # ---------------------------------------------------------------------------
@@ -611,6 +685,16 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         #: driver just probes once more (correctness never depends on
         #: the cache).
         self._probe_cache: dict[str, tuple[str, dict]] = {}
+        #: per-slot chunk plan for one giant-commit episode (see
+        #: _plan_chunk): {"clsn", "crn", "total", "bounds"} — cleared
+        #: when the episode's boundary commit advances the slot.
+        #: Driver-memory only; a restart recomputes deterministically.
+        self._giant_cache: dict[str, dict] = {}
+        #: last successfully-committed end offset per slot — commit()
+        #: skips shards whose end is unchanged (idle), preserving the
+        #: probe short-circuit and the slot/meta write amplification
+        #: when only SOME shards have traffic.
+        self._committed: dict[str, dict] = {}
 
     def _params(self, shard: dict):
         import dataclasses
@@ -630,7 +714,19 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             c.query(
                 "create table if not exists pgshovel_shard_meta("
                 "slot text primary key, base_lsn pg_lsn not null,"
-                " base_seq bigint not null)"
+                " base_seq bigint not null,"
+                " part_idx bigint not null default 0,"
+                " part_rn bigint not null default 0,"
+                " part_clsn pg_lsn)"
+            )
+            # upgrade a pre-chunking (3-column) meta table in place —
+            # ADD COLUMN IF NOT EXISTS is idempotent and a no-op on
+            # fresh tables
+            c.query(
+                "alter table pgshovel_shard_meta"
+                " add column if not exists part_idx bigint not null default 0,"
+                " add column if not exists part_rn bigint not null default 0,"
+                " add column if not exists part_clsn pg_lsn"
             )
         except PgError as e:
             # two same-database shards probing concurrently can race
@@ -640,23 +736,61 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                 raise
         self._meta_ready.add(db)
 
-    def _read_meta(self, c, db: str, slot: str) -> tuple[str, int]:
+    def _read_meta(self, c, db: str, slot: str) -> dict:
+        """Per-slot watermark row: ``base_lsn``/``base_seq`` = the last
+        fully-delivered commit boundary and the dense seq through it;
+        ``part_idx``/``part_rn``/``part_clsn`` nonzero only MID-GIANT-
+        COMMIT (intra-commit chunking): changes delivered into the
+        open commit ``part_clsn``, the frame ordinal consumed, and
+        ``base_seq`` then counts THROUGH the partial point."""
         self._ensure_meta(c, db)
         res = c.query(
-            "select base_lsn::text, base_seq from pgshovel_shard_meta"
+            "select base_lsn::text, base_seq, part_idx, part_rn,"
+            " part_clsn::text from pgshovel_shard_meta"
             f" where slot = '{slot}'"
         )[0]
         if not res.rows:
-            return "0/0", 0
-        return res.rows[0][0], int(res.rows[0][1])
+            return {"base_lsn": "0/0", "base_seq": 0, "part_idx": 0,
+                    "part_rn": 0, "part_clsn": None}
+        r = res.rows[0]
+        return {"base_lsn": r[0], "base_seq": int(r[1]),
+                "part_idx": int(r[2]), "part_rn": int(r[3]),
+                "part_clsn": r[4]}
 
     # -- DataSourceStreamReader contract ------------------------------------
 
     def initialOffset(self) -> dict:
-        return {
-            slot: {"lsn": 0, "idx": 0, "seq": 0}
-            for slot in sorted(self.shards)
-        }
+        """Seeded from the per-slot meta table, NOT hardcoded zeros: a
+        FRESH checkpoint against a slot whose ``pgshovel_shard_meta``
+        row persists (checkpoint dir deleted / re-created, slot kept)
+        must resume from the persisted watermark — with a zero seed,
+        ``read()``'s seq-reproduction check would fail every trigger
+        (``_probe_shard`` computes ``end.seq = base_seq + n`` from the
+        meta row) with no recovery path.  A slot with no meta row
+        starts at the origin as before; a slot parked MID-GIANT-COMMIT
+        resumes at its chunk position."""
+        from pgshovel_spark.sources.pgoutput import lsn_to_int
+
+        out = {}
+        for slot in sorted(self.shards):
+            shard = self.shards[slot]
+            with self._params(shard).connect() as c:
+                m = self._read_meta(c, shard["database"], slot)
+            if m["part_idx"] > 0:
+                out[slot] = {
+                    "lsn": lsn_to_int(m["part_clsn"]),
+                    "idx": m["part_idx"],
+                    "seq": m["base_seq"],
+                    "rn": m["part_rn"],
+                }
+            else:
+                lsn_int = lsn_to_int(m["base_lsn"])
+                out[slot] = {
+                    "lsn": lsn_int,
+                    "idx": self._IDX_END if lsn_int else 0,
+                    "seq": m["base_seq"],
+                }
+        return out
 
     def _check_pub_excludes_meta(self, c, shard: dict) -> None:
         """A publication covering ``pgshovel_shard_meta`` would turn
@@ -684,51 +818,157 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         self._pub_checked.add(pub)
 
     def _probe_shard(self, slot: str) -> dict:
-        """One shard's end offset (the latestOffset body for ``slot``)."""
+        """One shard's end offset (the latestOffset body for ``slot``).
+
+        Slot health rides the same watermark query: a slot the server
+        INVALIDATED (``wal_status = 'lost'`` — WAL-retention overrun,
+        the #1 operational failure of logical replication) raises the
+        TYPED :class:`pgwire.SlotInvalidatedError` naming the slot,
+        instead of a generic 55000 decode failure churning through
+        the transient-retry loop; recovery is ``rebootstrap_slot`` /
+        ``cdc rebootstrap``.
+
+        Batch planning is BUDGET-BOUNDED when ``max_changes`` is set:
+        the end covers the longest prefix of complete commits within
+        the budget, and a FIRST commit alone exceeding it switches to
+        intra-commit chunking (``_plan_chunk``) — a single 50M-row
+        bulk transaction spans many bounded batches instead of
+        arriving as one unbounded executor read."""
+        from pgshovel_spark.sources.pglogical import advance
         from pgshovel_spark.sources.pgoutput import (
-            backlog_stats_pgoutput,
+            backlog_plan_pgoutput,
             lsn_to_int,
         )
+        from pgshovel_spark.sources.pgwire import SlotInvalidatedError
 
         shard = self.shards[slot]
         params = self._params(shard)
         with params.connect() as c:
             self._check_pub_excludes_meta(c, shard)
-            wal_end = c.one("select pg_current_wal_flush_lsn()::text")
+            res = c.query(
+                "select pg_current_wal_flush_lsn()::text, s.wal_status,"
+                " s.confirmed_flush_lsn::text from pg_replication_slots s"
+                f" where s.slot_name = '{slot}'"
+            )[0]
+            if not res.rows:
+                raise ValueError(
+                    f"replication slot {slot!r} does not exist"
+                )
+            wal_end, status, confirmed = res.rows[0]
+            if status == "lost":
+                raise SlotInvalidatedError(slot)
             cached = self._probe_cache.get(slot)
             if cached is not None and cached[0] == wal_end:
                 # no WAL flushed since the last probe: no new commit
                 # can exist — skip the decode probe
                 return cached[1]
-            base_lsn, base_seq = self._read_meta(c, shard["database"], slot)
-        n, last = backlog_stats_pgoutput(
-            params,
-            slot,
-            shard["publication"],
-            after_lsn=base_lsn,
-            limit=self.max_changes,
-        )
-        if last is None:
-            # idle: reproduce the PREVIOUS end offset exactly (any
-            # committed end has idx=_IDX_END — keyed on base_lsn,
-            # NOT base_seq: a batch of publication-empty commits
-            # advances the lsn with seq unchanged, and an idx
-            # mismatch here would make every trigger look like a
-            # new offset, planning empty batches forever)
-            lsn_int = lsn_to_int(base_lsn)
-            end = {
-                "lsn": lsn_int,
-                "idx": self._IDX_END if lsn_int else 0,
-                "seq": base_seq,
-            }
+            m = self._read_meta(c, shard["database"], slot)
+        base_lsn, base_seq = m["base_lsn"], m["base_seq"]
+        if lsn_to_int(base_lsn) > lsn_to_int(confirmed or "0/0"):
+            # boundary-commit crash window (meta written, advance
+            # skipped): trim the slot to the recorded boundary so the
+            # chunk probes' first-commit view matches the live backlog
+            advance(params, slot, base_lsn)
+        if m["part_idx"] > 0:
+            end = self._plan_chunk(slot, shard, params, m)
         else:
-            end = {
-                "lsn": lsn_to_int(last),
-                "idx": self._IDX_END,
-                "seq": base_seq + n,
-            }
+            plan = backlog_plan_pgoutput(
+                params,
+                slot,
+                shard["publication"],
+                after_lsn=base_lsn,
+                limit=self.max_changes,
+                budget=self.max_changes,
+            )
+            if plan["last_clsn"] is None and plan["first_clsn"] is None:
+                # idle: reproduce the PREVIOUS end offset exactly (any
+                # committed end has idx=_IDX_END — keyed on base_lsn,
+                # NOT base_seq: a batch of publication-empty commits
+                # advances the lsn with seq unchanged, and an idx
+                # mismatch here would make every trigger look like a
+                # new offset, planning empty batches forever)
+                lsn_int = lsn_to_int(base_lsn)
+                end = {
+                    "lsn": lsn_int,
+                    "idx": self._IDX_END if lsn_int else 0,
+                    "seq": base_seq,
+                }
+            elif plan["last_clsn"] is None:
+                # the first live commit ALONE exceeds the budget:
+                # intra-commit chunking
+                end = self._plan_chunk(slot, shard, params, m)
+            else:
+                end = {
+                    "lsn": lsn_to_int(plan["last_clsn"]),
+                    "idx": self._IDX_END,
+                    "seq": base_seq + plan["n"],
+                }
         self._probe_cache[slot] = (wal_end, end)
         return end
+
+    def _plan_chunk(self, slot: str, shard: dict, params, m: dict) -> dict:
+        """Next bounded batch INSIDE one giant committed transaction.
+
+        The expensive full-group probe (``giant_commit_plan`` — one
+        server-side decode of the whole transaction, no bytes
+        shipped) runs ONCE per episode and its budget-bucket bounds
+        are cached on the driver; every later trigger plans the next
+        chunk from the cached array with no decode at all.  A driver
+        restart just recomputes the plan — the decode is
+        deterministic from ``confirmed_flush_lsn`` because the slot
+        is not advanced until the commit is fully delivered."""
+        from pgshovel_spark.sources.pgoutput import (
+            giant_commit_plan,
+            lsn_to_int,
+        )
+
+        base_seq, part_idx = m["base_seq"], m["part_idx"]
+        cache = self._giant_cache.get(slot)
+        if cache is None:
+            cache = giant_commit_plan(
+                params,
+                slot,
+                shard["publication"],
+                after_lsn=m["base_lsn"],
+                budget=self.max_changes or (1 << 62),
+            )
+            if cache is None:
+                raise RuntimeError(
+                    f"shard {slot!r}: meta records a partial commit "
+                    f"(part_idx={part_idx}) but the backlog has no "
+                    "live commit (slot advanced externally?)"
+                )
+            self._giant_cache[slot] = cache
+        if m["part_clsn"] is not None and cache["clsn"] != m["part_clsn"]:
+            raise RuntimeError(
+                f"shard {slot!r}: partial commit {m['part_clsn']} in "
+                f"meta but backlog's first commit is {cache['clsn']} "
+                "(slot advanced externally? overlapping publications?)"
+            )
+        if part_idx >= cache["total"]:
+            raise RuntimeError(
+                f"shard {slot!r}: partial position {part_idx} is past "
+                f"the commit's {cache['total']} changes (meta "
+                "corrupted?)"
+            )
+        clsn_int = lsn_to_int(cache["clsn"])
+        for bcum, brn in cache["bounds"]:
+            if bcum > part_idx and bcum < cache["total"]:
+                return {
+                    "lsn": clsn_int,
+                    "idx": bcum,
+                    "seq": base_seq + (bcum - part_idx),
+                    "rn": brn,
+                }
+        # final chunk: through the commit frame itself — a normal
+        # boundary end (idx sentinel, slot advances on commit) whose
+        # ``rn`` keeps the executor on the windowed chunk fetch
+        return {
+            "lsn": clsn_int,
+            "idx": self._IDX_END,
+            "seq": base_seq + (cache["total"] - part_idx),
+            "rn": cache["crn"],
+        }
 
     #: driver-side fan-out for per-shard probe/commit: each shard talks
     #: to its own database over its own connection, so the driver loop
@@ -785,6 +1025,10 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         )
 
         shard, start, end = partition.shard, partition.start, partition.end
+        if "rn" in end or "rn" in start:
+            # intra-commit chunk of one giant transaction: windowed
+            # frame fetch, not the whole-backlog peek + slice
+            return self._read_chunk(shard, start, end)
         # bounded retry on transient server errors: local mode has
         # task maxFailures=1, so a crash-restarting server mid-peek
         # would otherwise fail the query for a blip WAL replay covers
@@ -803,7 +1047,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                 time.sleep(1.0)
         changes = parse_pgoutput(raw)
         upto = {"lsn": end["lsn"], "idx": end["idx"]}
-        rows, got = _slice_changes(
+        rows, got, _adv = _slice_changes(
             changes, start, upto, shard["slot"], self.epoch
         )
         if got["seq"] != end["seq"]:
@@ -815,6 +1059,59 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             )
         return iter(_changes_to_batches(rows))
 
+    def _read_chunk(self, shard: dict, start: dict, end: dict):
+        """Executor read of ONE chunk of a giant committed
+        transaction: frames ``(start.rn, end.rn]`` plus the
+        transaction's Begin/Relation context frames — only the
+        chunk's bytes cross the wire, so executor memory is bounded
+        by ``max_changes``, not the transaction.  A mid-commit window
+        has no Commit frame, so a 1-byte SYNTHETIC one is appended
+        before parsing (``parse_pgoutput`` reads nothing from the 'C'
+        body — it only stamps the frame's lsn as ``commit_lsn``,
+        which chunk rows never surface); the FINAL chunk's window
+        ends exactly at the real Commit frame.  Exactness: the
+        decoded change count must equal the offsets' seq delta —
+        the same fail-loud contract as the boundary path."""
+        import time
+
+        from pgshovel_spark.sources.pgoutput import (
+            chunk_slot_changes_pgoutput,
+            lsn_to_str,
+            parse_pgoutput,
+        )
+
+        start_rn = start.get("rn", 0)
+        end_rn = end["rn"]
+        expected = end["seq"] - start["seq"]
+        for attempt in range(30):
+            try:
+                raw = chunk_slot_changes_pgoutput(
+                    self._params(shard),
+                    shard["slot"],
+                    shard["publication"],
+                    start_rn,
+                    end_rn,
+                )
+                break
+            except Exception as e:
+                if attempt == 29 or not self._transient(e):
+                    raise
+                time.sleep(1.0)
+        if not any(r[2][:1] == b"C" for r in raw):
+            raw.append((lsn_to_str(end["lsn"]), 0, b"C"))
+        changes = parse_pgoutput(raw)
+        if len(changes) != expected:
+            raise RuntimeError(
+                f"shard {shard['slot']!r} chunk ({start_rn}, {end_rn}] "
+                f"decoded {len(changes)} changes, offsets expect "
+                f"{expected} (slot advanced externally mid-commit?)"
+            )
+        rows = [
+            _change_row(ch, start["seq"] + i, shard["slot"], self.epoch)
+            for i, ch in enumerate(changes)
+        ]
+        return iter(_changes_to_batches(rows))
+
     def _commit_shard(self, slot: str, e: dict) -> None:
         from pgshovel_spark.sources.pglogical import advance
         from pgshovel_spark.sources.pgoutput import lsn_to_str
@@ -822,19 +1119,42 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         shard = self.shards[slot]
         params = self._params(shard)
         lsn = lsn_to_str(e["lsn"])
+        partial = e.get("idx", self._IDX_END) < self._IDX_END
         with params.connect() as c:
             self._ensure_meta(c, shard["database"])
             # meta BEFORE advance (see class docstring)
-            c.query(
-                "insert into pgshovel_shard_meta values"
-                f" ('{slot}', '{lsn}', {int(e['seq'])})"
-                " on conflict (slot) do update set"
-                " base_lsn = excluded.base_lsn,"
-                " base_seq = excluded.base_seq"
-                " where excluded.base_seq >="
-                " pgshovel_shard_meta.base_seq"
-            )
-        advance(params, slot, lsn)
+            if partial:
+                # mid-giant-commit chunk: record the partial position,
+                # do NOT advance the slot (an advance to the commit's
+                # lsn would discard its undelivered tail) — base_lsn
+                # stays at the last full boundary ('0/0' on insert:
+                # a fresh slot whose very first commit is giant)
+                c.query(
+                    "insert into pgshovel_shard_meta values"
+                    f" ('{slot}', '0/0', {int(e['seq'])},"
+                    f" {int(e['idx'])}, {int(e['rn'])}, '{lsn}')"
+                    " on conflict (slot) do update set"
+                    " base_seq = excluded.base_seq,"
+                    " part_idx = excluded.part_idx,"
+                    " part_rn = excluded.part_rn,"
+                    " part_clsn = excluded.part_clsn"
+                    " where excluded.base_seq >="
+                    " pgshovel_shard_meta.base_seq"
+                )
+            else:
+                c.query(
+                    "insert into pgshovel_shard_meta values"
+                    f" ('{slot}', '{lsn}', {int(e['seq'])}, 0, 0, null)"
+                    " on conflict (slot) do update set"
+                    " base_lsn = excluded.base_lsn,"
+                    " base_seq = excluded.base_seq,"
+                    " part_idx = 0, part_rn = 0, part_clsn = null"
+                    " where excluded.base_seq >="
+                    " pgshovel_shard_meta.base_seq"
+                )
+        if not partial:
+            advance(params, slot, lsn)
+            self._giant_cache.pop(slot, None)  # episode over (if any)
         # the advance moved confirmed_flush: a max_changes-bounded
         # probe would now see the NEXT chunk of an existing backlog
         # even with no new WAL, so the short-circuit must re-probe
@@ -856,19 +1176,27 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                 raise
 
     def commit(self, end: dict) -> None:
+        # idle shards are skipped outright: re-committing an unchanged
+        # end would rewrite the meta row, re-advance the slot and pop
+        # the probe cache — defeating the idle-shard short-circuit
+        # whenever any ONE shard has traffic.  Driver-memory only: a
+        # restarted driver redoes one redundant (idempotent) commit.
         todo = [
             (slot, end[slot])
             for slot in sorted(self.shards)
             if end.get(slot) and end[slot].get("lsn")
+            and end[slot] != self._committed.get(slot)
         ]
         if len(todo) <= 1:
             for slot, e in todo:
                 self._commit_resilient(slot, e)
-            return
-        from concurrent.futures import ThreadPoolExecutor
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(self._POOL, len(todo))) as ex:
-            list(ex.map(lambda se: self._commit_resilient(*se), todo))
+            with ThreadPoolExecutor(min(self._POOL, len(todo))) as ex:
+                list(ex.map(lambda se: self._commit_resilient(*se), todo))
+        for slot, e in todo:
+            self._committed[slot] = e
 
 
 # ---------------------------------------------------------------------------
@@ -1408,6 +1736,164 @@ class PgUpsertStreamWriter(DataSourceStreamWriter):
             self._sweep(c, batchId, set(gids), my_run=None)
 
 
+class PgUpsertBatchWriter(DataSourceWriter):
+    """``df.write.format("pgshovel")`` — the SAME keyed-upsert 2PC
+    protocol as the streaming sink, as a batch write: each task
+    latest-per-key-reduces its partition, upserts with the
+    lexicographic newer-guard, PREPAREs; the driver COMMIT PREPAREDs
+    all gids or rolls every one back — all-or-nothing batch loads.
+    This is what a re-bootstrap reconcile uses (``rebootstrap_slot``):
+    a snapshot scan of the source table upserted into the live target
+    at a bumped epoch, idempotent under re-runs by the newer-guard.
+    Batch jobs carry no ``streaming.sql.batchId``; gids embed batch 0,
+    so the single-writer-per-table discipline applies across batch
+    AND streaming writers alike."""
+
+    def __init__(self, options, schema):
+        self._w = PgUpsertStreamWriter(options, schema)
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages) -> None:
+        self._w.commit(messages, 0)
+
+    def abort(self, messages) -> None:
+        self._w.abort(messages, 0)
+
+
+def rebootstrap_slot(
+    spark,
+    params,
+    slot: str,
+    tables: list[tuple[str, str]],
+    plugin: str = "pgoutput",
+    to_table: str | None = None,
+    keys: list[str] | None = None,
+    columns: list[str] | None = None,
+    epoch: int = 1,
+    num_partitions: int = 8,
+    force: bool = False,
+) -> dict:
+    """Self-healing recovery from an INVALIDATED replication slot
+    (``wal_status = 'lost'`` — the WAL-retention overrun
+    :class:`pgwire.SlotInvalidatedError` signals): rebuild the shard
+    by composing the atomic bootstrap->stream handoff.
+
+    1. Refuse unless the slot is actually lost (``force=True``
+       overrides — a deliberate rebuild of a healthy shard).
+    2. Drop the dead slot and its ``pgshovel_shard_meta`` watermark
+       row (a fresh checkpoint must start the stream at zero for
+       THIS shard; healthy sibling shards keep their rows and resume
+       from them via ``initialOffset``).
+    3. Recreate the slot UNDER THE SAME NAME with an exported MVCC
+       snapshot (``CREATE_REPLICATION_SLOT ... (SNAPSHOT 'export')``)
+       — the one-step consistent point.
+    4. Scan every ``(table, partition_col)`` at exactly that snapshot
+       through the native batch source and, when ``to_table`` is
+       given, upsert the image into the live target through the 2PC
+       batch writer at the BUMPED ``epoch`` with ``seq = 0`` —
+       (epoch, seq) ordering makes bootstrap rows beat every pre-
+       outage stream row, and the new stream (started at this epoch)
+       beats the bootstrap: changes lost in the WAL gap are healed by
+       the re-read, updates racing the scan by idempotent replay.
+
+    Restart the stream afterwards with a FRESH checkpoint and
+    ``epoch`` = the bumped value; the slot streams exactly the
+    transactions committed after the returned consistent point —
+    zero gap, zero overlap (the same contract as
+    ``exported_slot_snapshot``, which this wraps).
+
+    Deletes that happened during the outage are NOT healed (the
+    upsert sink carries no tombstones) — the reference relay's
+    documented re-bootstrap semantics: a full-refresh consumer
+    truncates first; a keyed mirror accepts lingering rows until the
+    next delete of the same key.
+    """
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.sources.pglogical import (
+        drop_slot,
+        slot_wal_status,
+    )
+    from pgshovel_spark.sources.pgoutput import exported_slot_snapshot
+
+    status = slot_wal_status(params, slot)
+    if status is not None:
+        if status != "lost" and not force:
+            raise ValueError(
+                f"slot {slot!r} has wal_status={status!r}, not 'lost' "
+                "— rebootstrap would destroy a live shard (pass "
+                "force=True for a deliberate rebuild)"
+            )
+        drop_slot(params, slot)
+    from pgshovel_spark.sources.pgwire import PgError
+
+    with params.connect() as c:
+        try:
+            c.query(
+                f"delete from pgshovel_shard_meta where slot = '{slot}'"
+            )
+        except PgError as e:
+            if e.sqlstate != "42P01":  # no meta table: nothing to clear
+                raise
+
+    def _conn(w):
+        for k in ("sockdir", "host", "password", "sslmode", "sslrootcert"):
+            v = getattr(params, k, "")
+            if v:
+                w = w.option(k, v)
+        return (
+            w.option("database", params.database)
+            .option("user", params.user)
+            .option("port", str(params.port))
+        )
+
+    counts: dict[str, int] = {}
+    with exported_slot_snapshot(params, slot, plugin=plugin) as (
+        cpoint,
+        snap,
+    ):
+        for table, pcol in tables:
+            df = (
+                _conn(spark.read.format("pgshovel"))
+                .option("table", table)
+                .option("partition_col", pcol)
+                .option("num_partitions", str(num_partitions))
+                .option("snapshot", snap)
+                .load()
+            )
+            if columns:
+                df = df.select(*columns)
+            if to_table is None:
+                counts[table] = df.count()
+                continue
+            if not keys:
+                raise ValueError("to_table needs keys")
+            out = (
+                df.withColumn("epoch", F.lit(epoch).cast("long"))
+                .withColumn("seq", F.lit(0).cast("long"))
+                # key-disjoint partitions: the 2PC writer's documented
+                # operating requirement
+                .repartition(max(2, num_partitions), *keys)
+            )
+            (
+                _conn(out.write.format("pgshovel"))
+                .option("table", to_table)
+                .option("keys", ",".join(keys))
+                .option("order_cols", "epoch,seq")
+                .mode("append")
+                .save()
+            )
+            counts[table] = out.count()
+    return {
+        "slot": slot,
+        "consistent_point": cpoint,
+        "rows": counts,
+        "epoch": epoch,
+    }
+
+
 class PgShovelDataSource(DataSource):
     """``format("pgshovel")`` — live Postgres logical-decoding CDC as
     a first-class Spark streaming source emitting CHANGE_SCHEMA rows.
@@ -1454,6 +1940,11 @@ class PgShovelDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return PgUpsertStreamWriter(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        # batch upsert: same 2PC keyed-upsert protocol, one job =
+        # one all-or-nothing load (see PgUpsertBatchWriter)
+        return PgUpsertBatchWriter(self.options, schema)
 
 
 def register_pgshovel(spark) -> None:

@@ -63,6 +63,8 @@ __all__ = [
     "change_batches",
     "pg_observed_schema",
     "advance",
+    "slot_wal_status",
+    "check_slot_live",
     "parse_test_decoding",
     "exported_snapshot",
     "snapshot_parallel_read",
@@ -106,6 +108,31 @@ def advance(params: PgParams, slot: str, upto_lsn: str) -> None:
             "select pg_replication_slot_advance"
             f"('{_check_slot(slot)}', '{upto_lsn}')"
         )
+
+
+def slot_wal_status(params: PgParams, slot: str) -> str | None:
+    """``pg_replication_slots.wal_status`` for ``slot`` — 'reserved' /
+    'extended' / 'unreserved' / 'lost' (PG 13+), or None when the slot
+    does not exist.  'lost' means the server removed WAL the slot
+    still needed (``max_slot_wal_keep_size`` overrun): the slot is
+    permanently unusable and the consumer must re-bootstrap."""
+    with params.connect() as c:
+        res = c.query(
+            "select wal_status from pg_replication_slots"
+            f" where slot_name = '{_check_slot(slot)}'"
+        )[0]
+    return res.rows[0][0] if res.rows else None
+
+
+def check_slot_live(params: PgParams, slot: str) -> None:
+    """Raise :class:`pgwire.SlotInvalidatedError` if ``slot`` has been
+    invalidated — the typed front door callers use after catching a
+    generic 55000 from a peek/advance, and the proactive check the
+    sharded probe folds into its watermark query."""
+    from pgshovel_spark.sources.pgwire import SlotInvalidatedError
+
+    if slot_wal_status(params, slot) == "lost":
+        raise SlotInvalidatedError(slot)
 
 
 # ---------------------------------------------------------------------------

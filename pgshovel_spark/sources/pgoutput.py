@@ -54,6 +54,9 @@ __all__ = [
     "create_publication",
     "pull_changes_pgoutput",
     "backlog_stats_pgoutput",
+    "backlog_plan_pgoutput",
+    "giant_commit_plan",
+    "chunk_slot_changes_pgoutput",
     "change_batches_pgoutput",
     "PgReplicationConnection",
     "ReplicationStream",
@@ -503,9 +506,13 @@ def create_publication(
     filtered set) or INSERT (entered it) — the documented server
     transformation that keeps the stream consistent with "the table,
     filtered" (live-pinned in test_pg_live.py).  The predicate is
-    caller-owned SQL over the table's columns (replica-identity
+    CALLER-TRUSTED SQL over the table's columns (replica-identity
     columns only, for UPDATE/DELETE — the server enforces this);
-    statement splicing is rejected.
+    ``_check_row_filter`` rejects multi-statement splicing (';',
+    comments, unbalanced parentheses, top-level commas that would
+    splice extra table specs into the CREATE PUBLICATION statement),
+    not arbitrary hostile SQL — the caller already controls the table
+    list and runs with the connection's own privileges.
 
     ``columns`` maps table -> column list (PG 15 column lists): the
     Relation message then declares exactly that subset and the decoder
@@ -524,12 +531,62 @@ def create_publication(
             spec += " (" + ", ".join(_check_ident_pub(c) for c in cols) + ")"
         pred = (where or {}).get(t)
         if pred:
-            if ";" in pred or "--" in pred:
-                raise ValueError(f"invalid row-filter predicate: {pred!r}")
-            spec += f" where ({pred})"
+            spec += f" where ({_check_row_filter(pred)})"
         parts.append(spec)
     with params.connect() as c:
         c.query(f"create publication {name} for table {', '.join(parts)}")
+
+
+def _check_row_filter(pred: str) -> str:
+    """Splice guard for a publication row-filter predicate.  The
+    predicate is interpolated inside ``where ( ... )`` of ONE
+    ``CREATE PUBLICATION`` statement, so the constructions that could
+    escape that context are rejected: statement separators and
+    comments anywhere, plus — scanned OUTSIDE single-quoted string
+    literals ('' is the escape) — unbalanced parentheses (a closing
+    paren would end the ``where (...)`` group early) and top-level
+    commas (``true)), other_tbl where ((true`` would splice an extra
+    table spec).  Legitimate predicates with commas/parens INSIDE
+    function calls (``v in (1, 2)``, ``coalesce(a, b) > 0``) or
+    string literals pass.  This is a splice guard, not an
+    authorization boundary — the predicate runs with the caller's own
+    connection privileges either way."""
+    for bad in (";", "--", "/*", "*/"):
+        if bad in pred:
+            raise ValueError(
+                f"invalid row-filter predicate (contains {bad!r}): {pred!r}"
+            )
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(pred):
+        ch = pred[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(pred) and pred[i + 1] == "'":
+                    i += 2  # '' escape
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(
+                    f"invalid row-filter predicate (unbalanced ')'): {pred!r}"
+                )
+        elif ch == "," and depth == 0:
+            raise ValueError(
+                f"invalid row-filter predicate (top-level ','): {pred!r}"
+            )
+        i += 1
+    if depth != 0 or in_str:
+        raise ValueError(
+            f"invalid row-filter predicate (unbalanced paren/quote): {pred!r}"
+        )
+    return pred
 
 
 def _check_ident_pub(name: str) -> str:
@@ -641,6 +698,203 @@ where commits.clsn > '{after_lsn}'::pg_lsn
     with params.connect() as c:
         row = c.query(sql)[0].rows[0]
     return int(row[0]), row[1]
+
+
+#: the CTE scaffolding shared by the aggregated probes: peeked binary
+#: frames with ordinality -> per-frame commit-group index -> per-frame
+#: change count (parse_pgoutput counting parity: I/U/D = 1, Truncate =
+#: nrels big-endian at bytes 1..4, everything else 0)
+_PROBE_CTES = """
+with raw as (
+  select t.lsn, get_byte(t.data, 0) as k, t.data, t.rn
+  from pg_logical_slot_peek_binary_changes('{slot}', null,
+       {bound}, 'proto_version', '1', 'publication_names', '{pub}')
+       with ordinality as t(lsn, xid, data, rn)
+),
+cg as (
+  select raw.*, coalesce(sum(case when k = 67 then 1 else 0 end) over
+      (order by rn rows between unbounded preceding and 1 preceding), 0)
+      as grp
+  from raw
+),
+commits as (select grp, lsn as clsn, rn as crn from cg where k = 67),
+live as (
+  select cg.grp, cg.k, cg.rn, commits.clsn, commits.crn,
+         case when cg.k in (73, 85, 68) then 1
+              when cg.k = 84 then (get_byte(cg.data, 1) << 24)
+                | (get_byte(cg.data, 2) << 16)
+                | (get_byte(cg.data, 3) << 8)
+                | get_byte(cg.data, 4)
+              else 0 end as nch
+  from cg join commits on cg.grp = commits.grp
+  where commits.clsn > '{after_lsn}'::pg_lsn
+)
+"""
+
+
+def backlog_plan_pgoutput(
+    params: PgParams,
+    slot: str,
+    publication: str,
+    after_lsn: str = "0/0",
+    limit: int | None = None,
+    budget: int | None = None,
+) -> dict:
+    """Batch-planning probe for the sharded stream reader: ONE
+    aggregated server-side pass over the slot backlog (commits
+    strictly after ``after_lsn``), no change bytes shipped.  Returns::
+
+        {"n": <changes in the planned prefix>,
+         "last_clsn": <commit lsn closing the prefix, or None>,
+         "first_count": <change count of the FIRST commit group>,
+         "first_clsn": <its commit lsn, or None>}
+
+    The planned prefix is the longest run of complete commit groups
+    whose cumulative change count stays within ``budget`` (all of the
+    window when ``budget`` is None) — ``max_changes`` becomes a real
+    per-batch bound instead of a peek-window hint.  A FIRST group
+    alone exceeding the budget yields ``n == 0`` with ``first_count >
+    budget``: the caller's signal to switch to intra-commit chunking
+    (:func:`giant_commit_plan`).  Counting parity with
+    ``parse_pgoutput`` as in :func:`backlog_stats_pgoutput`; protocol
+    v1 only."""
+    import re
+
+    from pgshovel_spark.sources.pglogical import _check_slot
+
+    _check_publication(publication)
+    if not re.match(r"[0-9A-Fa-f]+/[0-9A-Fa-f]+\Z", after_lsn):
+        raise ValueError(f"invalid LSN: {after_lsn!r}")
+    bound = "null" if limit is None else str(int(limit))
+    cap = str(int(budget)) if budget is not None else "9223372036854775807"
+    ctes = _PROBE_CTES.format(
+        slot=_check_slot(slot), pub=publication, bound=bound,
+        after_lsn=after_lsn,
+    )
+    sql = ctes + f""",
+g as (select grp, clsn, sum(nch) as gn from live group by grp, clsn),
+gc as (select grp, clsn, gn, sum(gn) over (order by grp) as cum from g)
+select
+  coalesce((select max(cum) from gc where cum <= {cap}), 0)::bigint as n,
+  (select clsn from gc where cum <= {cap} order by grp desc limit 1)::text
+    as last_clsn,
+  coalesce((select gn from gc order by grp limit 1), 0)::bigint
+    as first_count,
+  (select clsn from gc order by grp limit 1)::text as first_clsn
+"""
+    with params.connect() as c:
+        row = c.query(sql)[0].rows[0]
+    return {
+        "n": int(row[0]),
+        "last_clsn": row[1],
+        "first_count": int(row[2]),
+        "first_clsn": row[3],
+    }
+
+
+def giant_commit_plan(
+    params: PgParams,
+    slot: str,
+    publication: str,
+    after_lsn: str = "0/0",
+    budget: int = 1 << 20,
+) -> dict | None:
+    """Chunk plan for a transaction too large for one batch: ONE
+    aggregated server-side pass over the FIRST live commit group
+    (``upto_nchanges = 1`` — the peek's row bound is only checked
+    after each complete transaction, so the first committed
+    transaction always decodes whole and decoding stops right after
+    it).  Returns::
+
+        {"clsn": <the commit's lsn (str)>, "crn": <its frame
+         ordinal>, "total": <its change count>, "bounds":
+         [(cum_changes, frame_rn), ...]}
+
+    where ``bounds`` marks, for each ``budget``-sized bucket of the
+    cumulative change count, the LAST change-bearing frame in that
+    bucket — the batch end positions intra-commit chunking uses.  A
+    single frame carrying many changes (a TRUNCATE of many relations)
+    simply lands its whole jump in one bucket; buckets it skips have
+    no entry, so chunk sizes are "about ``budget``", never a split
+    frame.  Frame ordinals (``rn``) are 1-based positions in the peek
+    stream, stable for the episode because the slot is NOT advanced
+    until the commit is fully delivered (deterministic re-decode from
+    ``confirmed_flush_lsn``).  Returns None when no live commit
+    exists."""
+    import re
+
+    from pgshovel_spark.sources.pglogical import _check_slot
+
+    _check_publication(publication)
+    if not re.match(r"[0-9A-Fa-f]+/[0-9A-Fa-f]+\Z", after_lsn):
+        raise ValueError(f"invalid LSN: {after_lsn!r}")
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    ctes = _PROBE_CTES.format(
+        slot=_check_slot(slot), pub=publication, bound="1",
+        after_lsn=after_lsn,
+    )
+    sql = ctes + f""",
+c1 as (select grp, clsn, crn from live group by grp, clsn, crn
+       order by grp limit 1),
+f as (
+  select live.rn, live.nch from live, c1
+  where live.grp = c1.grp and live.nch > 0
+),
+cum as (select rn, sum(nch) over (order by rn) as cum from f)
+select c1.clsn::text, c1.crn::bigint, b.bcum, b.brn
+from c1, (select (cum - 1) / {int(budget)} as bucket,
+                 max(cum)::bigint as bcum, max(rn)::bigint as brn
+          from cum group by 1) b
+order by b.bcum
+"""
+    with params.connect() as c:
+        rows = c.query(sql)[0].rows
+    if not rows:
+        return None
+    clsn, crn = rows[0][0], int(rows[0][1])
+    bounds = [(int(r[2]), int(r[3])) for r in rows]
+    return {
+        "clsn": clsn,
+        "crn": crn,
+        "total": bounds[-1][0],
+        "bounds": bounds,
+    }
+
+
+def chunk_slot_changes_pgoutput(
+    params: PgParams,
+    slot: str,
+    publication: str,
+    start_rn: int,
+    end_rn: int,
+) -> list[tuple[str, int, bytes]]:
+    """Raw frames for ONE chunk of a giant committed transaction:
+    frame ordinals in ``(start_rn, end_rn]`` plus every Begin (0x42)
+    and Relation (0x52) frame at or below ``end_rn`` — the schema/
+    timestamp context a mid-transaction window needs to decode (the
+    peek stream opens with the transaction's B and R frames, which
+    earlier chunks consumed).  ``upto_nchanges = 1`` keeps the decode
+    to the first committed transaction; only the window's bytes cross
+    the wire (the already-delivered prefix is discarded server-side),
+    so executor memory is bounded by the chunk, not the
+    transaction."""
+    from pgshovel_spark.sources.pglogical import _check_slot
+
+    _check_publication(publication)
+    sql = (
+        "select t.lsn, t.xid::text, t.data"
+        " from pg_logical_slot_peek_binary_changes"
+        f"('{_check_slot(slot)}', null, 1, 'proto_version', '1',"
+        f" 'publication_names', '{publication}')"
+        " with ordinality as t(lsn, xid, data, rn)"
+        f" where (t.rn > {int(start_rn)} and t.rn <= {int(end_rn)})"
+        f" or (get_byte(t.data, 0) in (66, 82) and t.rn <= {int(end_rn)})"
+        " order by t.rn"
+    )
+    with params.connect() as c:
+        res = c.query(sql)[0]
+    return [(lsn, int(xid), data) for lsn, xid, data in res.rows]
 
 
 def pull_changes_pgoutput(

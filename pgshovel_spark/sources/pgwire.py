@@ -46,6 +46,7 @@ from dataclasses import dataclass, field
 __all__ = [
     "PgError",
     "PgUnavailable",
+    "SlotInvalidatedError",
     "PgParams",
     "PgConnection",
     "PgResult",
@@ -69,6 +70,32 @@ class PgUnavailable(RuntimeError):
     """A live server cannot be provisioned in this environment
     (binaries missing, cannot drop privileges, ...) — callers and
     tests treat this as a skip, like the Kafka-broker gate."""
+
+
+class SlotInvalidatedError(PgError):
+    """The replication slot was INVALIDATED by the server
+    (``pg_replication_slots.wal_status = 'lost'`` — WAL the slot still
+    needed was removed, typically because the consumer was down longer
+    than ``max_slot_wal_keep_size`` allows).  The #1 operational
+    failure of logical replication: the slot can never stream again
+    and the only recovery is a re-bootstrap (new slot + exported
+    snapshot scan + stream from the new consistent point —
+    ``pgdatasource.rebootstrap_slot`` / ``cdc rebootstrap``).  Raised
+    TYPED, naming the slot, instead of letting the server's generic
+    55000 decode failure churn through retry loops."""
+
+    def __init__(self, slot: str, fields: dict[str, str] | None = None):
+        self.slot = slot
+        f = dict(fields or {})
+        f.setdefault("S", "ERROR")
+        f.setdefault("C", "55000")
+        f.setdefault(
+            "M",
+            f"replication slot {slot!r} was invalidated (wal_status="
+            "'lost'): required WAL has been removed; re-bootstrap the "
+            "shard (cdc rebootstrap) — the slot cannot resume",
+        )
+        super().__init__(f)
 
 
 # ---------------------------------------------------------------------------
@@ -346,9 +373,15 @@ class PgConnection:
     def _auth_scram(self, payload: bytes) -> None:
         """SCRAM-SHA-256 (RFC 5802/7677), the modern Postgres default
         (``password_encryption = scram-sha-256`` since v14).  No
-        channel binding (gs2 header ``n,,`` — plaintext TCP; SSL is
-        out of scope for this client).  All stdlib: pbkdf2_hmac +
-        hmac + sha256."""
+        channel binding (gs2 header ``n,,`` — this client never
+        advertises SCRAM-SHA-256-PLUS, so even on the TLS transport
+        (``_tls_wrap``) SCRAM itself adds no MITM detection).  Server
+        AUTHENTICATION therefore comes only from the transport:
+        ``sslmode=verify-full`` checks the chain + SAN; ``require``
+        encrypts with CERT_NONE and authenticates nothing — the SCRAM
+        server-signature check below proves the peer knows the
+        password but a full relay-MITM defeats it without channel
+        binding.  All stdlib: pbkdf2_hmac + hmac + sha256."""
         import base64
         import hashlib
         import hmac as hmac_mod

@@ -3679,13 +3679,13 @@ def test_sharded_probe_short_circuit_and_chunked_drain(pg, monkeypatch):
     po.create_slot_pgoutput(pp, "shr_slot_pc")
 
     calls = {"n": 0}
-    real = po.backlog_stats_pgoutput
+    real = po.backlog_plan_pgoutput
 
     def counting(*a, **k):
         calls["n"] += 1
         return real(*a, **k)
 
-    monkeypatch.setattr(po, "backlog_stats_pgoutput", counting)
+    monkeypatch.setattr(po, "backlog_plan_pgoutput", counting)
 
     rdr = PgShovelShardedStreamReader(
         {
