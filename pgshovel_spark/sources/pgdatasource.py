@@ -695,6 +695,16 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         #: probe short-circuit and the slot/meta write amplification
         #: when only SOME shards have traffic.
         self._committed: dict[str, dict] = {}
+        #: last end offset REPORTED to Spark this run, per slot.  The
+        #: engine fires source.commit(N) only when batch N+1 is
+        #: CONSTRUCTED, so while a bounded backlog drains, the meta
+        #: row lags the reported position by one batch — a probe that
+        #: planned only from meta would re-report batch N's end
+        #: forever and the stream would deadlock (no new offset -> no
+        #: batch N+1 -> no commit(N)).  Driver-memory only: a fresh
+        #: runner falls back to meta and Spark replays any
+        #: uncommitted batch from its own offset log.
+        self._reported: dict[str, dict] = {}
 
     def _params(self, shard: dict):
         import dataclasses
@@ -838,6 +848,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         from pgshovel_spark.sources.pgoutput import (
             backlog_plan_pgoutput,
             lsn_to_int,
+            lsn_to_str,
         )
         from pgshovel_spark.sources.pgwire import SlotInvalidatedError
 
@@ -859,55 +870,89 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                 raise SlotInvalidatedError(slot)
             cached = self._probe_cache.get(slot)
             if cached is not None and cached[0] == wal_end:
-                # no WAL flushed since the last probe: no new commit
-                # can exist — skip the decode probe
+                # no WAL flushed since the last IDLE probe: no new
+                # commit can exist — skip the decode probe (only idle
+                # ends are cached; a backlog mid-drain must keep
+                # planning forward)
                 return cached[1]
             m = self._read_meta(c, shard["database"], slot)
-        base_lsn, base_seq = m["base_lsn"], m["base_seq"]
-        if lsn_to_int(base_lsn) > lsn_to_int(confirmed or "0/0"):
+        if lsn_to_int(m["base_lsn"]) > lsn_to_int(confirmed or "0/0"):
             # boundary-commit crash window (meta written, advance
             # skipped): trim the slot to the recorded boundary so the
             # chunk probes' first-commit view matches the live backlog
-            advance(params, slot, base_lsn)
-        if m["part_idx"] > 0:
-            end = self._plan_chunk(slot, shard, params, m)
+            advance(params, slot, m["base_lsn"])
+        # plan forward from the last end REPORTED this run, not from
+        # meta: commit(N) only fires once batch N+1 is constructed,
+        # so meta lags the reported frontier by one batch mid-drain
+        eff = self._effective_start(slot, m)
+        base_seq = eff["seq"]
+        if "rn" in eff:
+            # mid-giant-commit episode
+            end = self._plan_chunk(slot, shard, params, eff, m)
         else:
+            after_lsn = lsn_to_str(eff["lsn"]) if eff["lsn"] else "0/0"
             plan = backlog_plan_pgoutput(
                 params,
                 slot,
                 shard["publication"],
-                after_lsn=base_lsn,
+                after_lsn=after_lsn,
                 limit=self.max_changes,
                 budget=self.max_changes,
             )
             if plan["last_clsn"] is None and plan["first_clsn"] is None:
-                # idle: reproduce the PREVIOUS end offset exactly (any
-                # committed end has idx=_IDX_END — keyed on base_lsn,
-                # NOT base_seq: a batch of publication-empty commits
-                # advances the lsn with seq unchanged, and an idx
-                # mismatch here would make every trigger look like a
-                # new offset, planning empty batches forever)
-                lsn_int = lsn_to_int(base_lsn)
-                end = {
-                    "lsn": lsn_int,
-                    "idx": self._IDX_END if lsn_int else 0,
-                    "seq": base_seq,
-                }
+                # idle: reproduce the PREVIOUS end offset exactly (an
+                # idx/key mismatch here would make every trigger look
+                # like a new offset, planning empty batches forever)
+                end = dict(eff)
             elif plan["last_clsn"] is None:
                 # the first live commit ALONE exceeds the budget:
                 # intra-commit chunking
-                end = self._plan_chunk(slot, shard, params, m)
+                end = self._plan_chunk(slot, shard, params, eff, m)
             else:
                 end = {
                     "lsn": lsn_to_int(plan["last_clsn"]),
                     "idx": self._IDX_END,
                     "seq": base_seq + plan["n"],
                 }
-        self._probe_cache[slot] = (wal_end, end)
+        self._reported[slot] = end
+        if end == eff:
+            # pure idle: safe to short-circuit future probes at this
+            # WAL position
+            self._probe_cache[slot] = (wal_end, end)
+        else:
+            self._probe_cache.pop(slot, None)
         return end
 
-    def _plan_chunk(self, slot: str, shard: dict, params, m: dict) -> dict:
-        """Next bounded batch INSIDE one giant committed transaction.
+    def _effective_start(self, slot: str, m: dict) -> dict:
+        """The position the next batch must continue from: the last
+        end reported to Spark THIS RUN when one exists (>= the meta
+        row by construction), else the meta row — boundary-shaped or,
+        mid-giant-commit, the chunk position."""
+        from pgshovel_spark.sources.pgoutput import lsn_to_int
+
+        rep = self._reported.get(slot)
+        if rep is not None and rep["seq"] >= m["base_seq"]:
+            return rep
+        if m["part_idx"] > 0:
+            return {
+                "lsn": lsn_to_int(m["part_clsn"]),
+                "idx": m["part_idx"],
+                "seq": m["base_seq"],
+                "rn": m["part_rn"],
+            }
+        lsn_int = lsn_to_int(m["base_lsn"])
+        return {
+            "lsn": lsn_int,
+            "idx": self._IDX_END if lsn_int else 0,
+            "seq": m["base_seq"],
+        }
+
+    def _plan_chunk(
+        self, slot: str, shard: dict, params, eff: dict, m: dict
+    ) -> dict:
+        """Next bounded batch INSIDE one giant committed transaction,
+        continuing from ``eff`` (chunk-shaped mid-episode, boundary-
+        shaped on entry).
 
         The expensive full-group probe (``giant_commit_plan`` — one
         server-side decode of the whole transaction, no bytes
@@ -920,30 +965,51 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         from pgshovel_spark.sources.pgoutput import (
             giant_commit_plan,
             lsn_to_int,
+            lsn_to_str,
         )
 
-        base_seq, part_idx = m["base_seq"], m["part_idx"]
+        in_episode = "rn" in eff
+        base_seq = eff["seq"]
+        part_idx = eff["idx"] if in_episode else 0
         cache = self._giant_cache.get(slot)
+        if (
+            cache is not None
+            and not in_episode
+            and lsn_to_int(cache["clsn"]) <= eff["lsn"]
+        ):
+            # a PREVIOUS episode's plan whose boundary commit has not
+            # landed yet (commit lags one batch): entering a new
+            # episode must not replan the old one
+            cache = None
         if cache is None:
+            # entry: the boundary is eff itself (possibly not yet
+            # committed); resume-after-restart: eff came from meta,
+            # whose base_lsn is the episode's boundary
+            after = (
+                m["base_lsn"]
+                if in_episode
+                else (lsn_to_str(eff["lsn"]) if eff["lsn"] else "0/0")
+            )
             cache = giant_commit_plan(
                 params,
                 slot,
                 shard["publication"],
-                after_lsn=m["base_lsn"],
+                after_lsn=after,
                 budget=self.max_changes or (1 << 62),
             )
             if cache is None:
                 raise RuntimeError(
-                    f"shard {slot!r}: meta records a partial commit "
+                    f"shard {slot!r}: a partial commit is in progress "
                     f"(part_idx={part_idx}) but the backlog has no "
                     "live commit (slot advanced externally?)"
                 )
             self._giant_cache[slot] = cache
-        if m["part_clsn"] is not None and cache["clsn"] != m["part_clsn"]:
+        if in_episode and cache["clsn"] != lsn_to_str(eff["lsn"]):
             raise RuntimeError(
-                f"shard {slot!r}: partial commit {m['part_clsn']} in "
-                f"meta but backlog's first commit is {cache['clsn']} "
-                "(slot advanced externally? overlapping publications?)"
+                f"shard {slot!r}: partial commit "
+                f"{lsn_to_str(eff['lsn'])} in progress but backlog's "
+                f"first commit is {cache['clsn']} (slot advanced "
+                "externally? overlapping publications?)"
             )
         if part_idx >= cache["total"]:
             raise RuntimeError(
@@ -960,14 +1026,18 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                     "seq": base_seq + (bcum - part_idx),
                     "rn": brn,
                 }
-        # final chunk: through the commit frame itself — a normal
-        # boundary end (idx sentinel, slot advances on commit) whose
-        # ``rn`` keeps the executor on the windowed chunk fetch
+        # final chunk: through the commit frame itself — a PURE
+        # boundary end (idx sentinel, no 'rn'), bit-identical to the
+        # idle reproduction the meta row yields after the episode
+        # (an extra key would make the first post-episode trigger
+        # look like a new offset and plan a phantom empty batch).
+        # The executor still takes the chunk path (start carries
+        # 'rn') and fetches to the end of the first transaction —
+        # upto_nchanges=1 bounds the decode to exactly that.
         return {
             "lsn": clsn_int,
             "idx": self._IDX_END,
             "seq": base_seq + (cache["total"] - part_idx),
-            "rn": cache["crn"],
         }
 
     #: driver-side fan-out for per-shard probe/commit: each shard talks
@@ -1081,7 +1151,11 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
         )
 
         start_rn = start.get("rn", 0)
-        end_rn = end["rn"]
+        # the FINAL chunk's end is boundary-shaped (no 'rn'): fetch to
+        # the end of the first transaction — upto_nchanges=1 stops the
+        # decode right after its Commit frame, so an unbounded window
+        # upper bound is exactly "through the commit"
+        end_rn = end.get("rn", 1 << 62)
         expected = end["seq"] - start["seq"]
         for attempt in range(30):
             try:
@@ -1154,7 +1228,13 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                 )
         if not partial:
             advance(params, slot, lsn)
-            self._giant_cache.pop(slot, None)  # episode over (if any)
+            gc = self._giant_cache.get(slot)
+            if gc is not None and gc["clsn"] == lsn:
+                # THIS episode's boundary: the plan is spent.  A pop
+                # keyed on any boundary would discard a NEWER
+                # episode's plan when the previous batch's lagging
+                # commit lands after the new episode already began.
+                self._giant_cache.pop(slot, None)
         # the advance moved confirmed_flush: a max_changes-bounded
         # probe would now see the NEXT chunk of an existing backlog
         # even with no new WAL, so the short-circuit must re-probe

@@ -1839,17 +1839,17 @@ def test_pgdatasource_offset_algebra_unit():
 
     # batch 1: txn B (commit 0/120) only — txn A still open
     b1 = [ch("INSERT", "0/120", "0/110", 1)]
-    rows1, end1 = rdr._slice(b1, {"lsn": 0, "idx": 0, "seq": 0}, None)
+    rows1, end1, _adv = rdr._slice(b1, {"lsn": 0, "idx": 0, "seq": 0}, None)
     assert len(rows1) == 1 and rows1[0][9] == 0  # seq 0
     # batch 2 re-peeks batch 1 PLUS txn A (commit 0/130, change lsn
     # 0/100 — LOWER than everything already seen) with two changes
     b2 = b1 + [ch("INSERT", "0/130", "0/100", 2), ch("UPDATE", "0/130", "0/105", 2)]
-    rows2, end2 = rdr._slice(b2, end1, None)
+    rows2, end2, _adv = rdr._slice(b2, end1, None)
     assert [r[0] for r in rows2] == ["INSERT", "UPDATE"]
     assert [r[9] for r in rows2] == [1, 2]  # dense seq continuation
     assert end2["seq"] == 3 and end2["lsn"] > end1["lsn"]
     # replay of the already-planned range is exact
-    rows_replay, got = rdr._slice(b2, end1, end2)
+    rows_replay, got, _adv = rdr._slice(b2, end1, end2)
     assert rows_replay == rows2 and got == end2
     # a short replay (slot advanced externally) must raise, not ship
     import pytest as _p
@@ -4261,3 +4261,272 @@ def test_pgdatasource_sharded_survives_server_crash(spark, tmp_path):
         pgl.drop_slot(params, "scr_slot")
     finally:
         server.stop()
+
+
+# ---------------------------------------------------------------------------
+# round 13: intra-commit chunking, slot invalidation + rebootstrap,
+# sharded compose drills
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_giant_commit_chunked_direct(pg):
+    """ONE committed transaction larger than ``max_changes`` spans
+    several bounded batches (intra-commit chunking): a 30k-row single
+    INSERT with max_changes=5000 drains as six 5000-row batches, the
+    slot is NOT advanced until the commit is fully delivered (meta
+    carries the partial position instead), seq stays dense, and a
+    driver restart MID-COMMIT — fresh reader instance, fresh
+    checkpoint — resumes from the persisted chunk position
+    (initialOffset seeding)."""
+    import dataclasses
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import PgShovelShardedStreamReader
+
+    with pg.connect() as c:
+        c.query("create database shr_gc")
+    pp = dataclasses.replace(pg, database="shr_gc")
+    with pp.connect() as c:
+        c.query("create table ev_gc(id bigint primary key, v text)")
+    po.create_publication(pp, "shr_pub_gc", ["ev_gc"])
+    po.create_slot_pgoutput(pp, "shr_slot_gc")
+    with pp.connect() as c:
+        pre_flush = c.one(
+            "select confirmed_flush_lsn::text from pg_replication_slots"
+            " where slot_name = 'shr_slot_gc'"
+        )
+        c.query(
+            "insert into ev_gc select g, 'v' || g"
+            " from generate_series(1, 30000) g"
+        )
+    opts = {
+        "sockdir": pg.sockdir,
+        "max_changes": "5000",
+        "shards": '[{"slot": "shr_slot_gc", "publication": "shr_pub_gc",'
+        ' "database": "shr_gc"}]',
+    }
+    rdr = PgShovelShardedStreamReader(opts)
+    cur = rdr.initialOffset()
+    sizes, seqs, ids = [], [], []
+
+    def drain_one(rdr, cur):
+        end = rdr.latestOffset()
+        if end == cur:
+            return None
+        n = 0
+        for p in rdr.partitions(cur, end):
+            for b in rdr.read(p):
+                n += b.num_rows
+                seqs.extend(b.column(9).to_pylist())
+                ids.extend(
+                    int(dict(m)["id"]) for m in b.column(4).to_pylist()
+                )
+        sizes.append(n)
+        rdr.commit(end)
+        return end
+
+    # two chunks, then inspect the mid-commit state
+    cur = drain_one(rdr, cur)
+    cur = drain_one(rdr, cur)
+    assert sizes == [5000, 5000]
+    with pp.connect() as c:
+        row = c.query(
+            "select base_lsn::text, base_seq, part_idx, part_rn,"
+            " part_clsn::text from pgshovel_shard_meta"
+            " where slot = 'shr_slot_gc'"
+        )[0].rows[0]
+        mid_flush = c.one(
+            "select confirmed_flush_lsn::text from pg_replication_slots"
+            " where slot_name = 'shr_slot_gc'"
+        )
+    assert row[0] == "0/0"  # no full boundary delivered yet
+    assert int(row[1]) == 10000 and int(row[2]) == 10000
+    assert int(row[3]) > 0 and row[4] is not None
+    # the slot was NOT advanced mid-commit (an advance would discard
+    # the undelivered tail)
+    assert mid_flush == pre_flush
+
+    # driver restart MID-COMMIT: a fresh instance's initialOffset
+    # (what a FRESH checkpoint would start from) IS the chunk position
+    rdr = PgShovelShardedStreamReader(opts)
+    assert rdr.initialOffset() == {"shr_slot_gc": cur["shr_slot_gc"]}
+    while True:
+        nxt = drain_one(rdr, cur)
+        if nxt is None:
+            break
+        cur = nxt
+    assert sizes == [5000] * 6
+    assert sorted(seqs) == list(range(30000))
+    assert sorted(ids) == list(range(1, 30001))
+    with pp.connect() as c:
+        row = c.query(
+            "select base_seq, part_idx, part_rn, part_clsn"
+            " from pgshovel_shard_meta where slot = 'shr_slot_gc'"
+        )[0].rows[0]
+        end_flush = c.one(
+            "select confirmed_flush_lsn::text from pg_replication_slots"
+            " where slot_name = 'shr_slot_gc'"
+        )
+    # episode over: partial state reset, slot advanced to the commit
+    assert (int(row[0]), int(row[1]), int(row[2]), row[3]) == (
+        30000, 0, 0, None,
+    )
+    from pgshovel_spark.sources.pgoutput import lsn_to_int
+    assert lsn_to_int(end_flush) == cur["shr_slot_gc"]["lsn"]
+    pgl.drop_slot(pp, "shr_slot_gc")
+
+
+def test_sharded_chunk_truncate_frame_jump(pg):
+    """A single frame carrying MANY changes (TRUNCATE of several
+    relations) cannot be split across chunks: with budget 2 and a
+    transaction of [1 insert, truncate-of-3, 1 insert] the chunk plan
+    lands the whole 3-change frame in one batch — sizes [1, 3, 1],
+    order preserved, seq dense."""
+    import dataclasses
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import PgShovelShardedStreamReader
+
+    with pg.connect() as c:
+        c.query("create database shr_tj")
+    pp = dataclasses.replace(pg, database="shr_tj")
+    with pp.connect() as c:
+        for t in ("tj_a", "tj_b", "tj_c"):
+            c.query(f"create table {t}(id bigint primary key)")
+    po.create_publication(pp, "shr_pub_tj", ["tj_a", "tj_b", "tj_c"])
+    po.create_slot_pgoutput(pp, "shr_slot_tj")
+    with pp.connect() as c:
+        c.query(
+            "begin; insert into tj_a values (1);"
+            " truncate tj_a, tj_b, tj_c;"
+            " insert into tj_a values (2); commit"
+        )
+    rdr = PgShovelShardedStreamReader(
+        {
+            "sockdir": pg.sockdir,
+            "max_changes": "2",
+            "shards": '[{"slot": "shr_slot_tj", "publication":'
+            ' "shr_pub_tj", "database": "shr_tj"}]',
+        }
+    )
+    cur = rdr.initialOffset()
+    sizes, ops, seqs = [], [], []
+    for _ in range(10):
+        end = rdr.latestOffset()
+        if end == cur:
+            break
+        n = 0
+        for p in rdr.partitions(cur, end):
+            for b in rdr.read(p):
+                n += b.num_rows
+                ops.extend(b.column(0).to_pylist())
+                seqs.extend(b.column(9).to_pylist())
+        sizes.append(n)
+        rdr.commit(end)
+        cur = end
+    assert sizes == [1, 3, 1], sizes
+    assert ops == ["INSERT", "TRUNCATE", "TRUNCATE", "TRUNCATE", "INSERT"]
+    assert seqs == list(range(5))
+    pgl.drop_slot(pp, "shr_slot_tj")
+
+
+def test_sharded_giant_commit_stream_restart_1m(spark, pg, tmp_path):
+    """The verdict-bar drill: a single >=1M-row transaction on one
+    shard, ``max_changes`` bounding EVERY batch, checkpoint
+    kill/restart MID-COMMIT, end state exact.  Collector aggregates
+    per batch (count / seq range / id sum) so a million rows never
+    sit in driver Python memory."""
+    import dataclasses
+    import json as _json
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create database shr_1m")
+    pp = dataclasses.replace(pg, database="shr_1m")
+    with pp.connect() as c:
+        c.query("create table ev_1m(id bigint primary key)")
+    po.create_publication(pp, "shr_pub_1m", ["ev_1m"])
+    po.create_slot_pgoutput(pp, "shr_slot_1m")
+    n_rows = 1_000_000
+    with pp.connect() as c:
+        c.query(
+            f"insert into ev_1m select g from generate_series(1, {n_rows}) g"
+        )
+    register_pgshovel(spark)
+    ckpt = str(tmp_path / "ck")
+    batches: dict = {}  # batchId -> (n, seq_min, seq_max, id_sum)
+
+    def collect(b, i):
+        row = b.selectExpr(
+            "count(*) as n",
+            "min(seq) as s0",
+            "max(seq) as s1",
+            "sum(cast(after['id'] as bigint)) as ids",
+        ).collect()[0]
+        if row.n:
+            batches[i] = (row.n, row.s0, row.s1, row.ids)
+
+    def total():
+        return sum(v[0] for v in batches.values())
+
+    def _start():
+        return (
+            spark.readStream.format("pgshovel")
+            .option("sockdir", pg.sockdir)
+            .option("max_changes", "100000")
+            .option(
+                "shards",
+                _json.dumps(
+                    [{"slot": "shr_slot_1m", "publication": "shr_pub_1m",
+                      "database": "shr_1m"}]
+                ),
+            )
+            .load()
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    q = _start()
+    try:
+        # kill MID-COMMIT: several chunks in, most of the episode left
+        assert _wait_for(lambda: total() >= 300_000, timeout=180)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    with pp.connect() as c:
+        part_idx = c.one(
+            "select part_idx from pgshovel_shard_meta"
+            " where slot = 'shr_slot_1m'"
+        )
+    assert int(part_idx) > 0  # the kill really landed mid-commit
+
+    q = _start()
+    try:
+        assert _wait_for(lambda: total() == n_rows, timeout=300), total()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # every batch bounded; seq ranges contiguous and disjoint; ids exact
+    assert all(v[0] <= 100_000 for v in batches.values())
+    spans = sorted((v[1], v[2]) for v in batches.values())
+    assert spans[0][0] == 0 and spans[-1][1] == n_rows - 1
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert b0 == a1 + 1, (a0, a1, b0, b1)
+    assert sum(v[3] for v in batches.values()) == n_rows * (n_rows + 1) // 2
+    assert len(batches) >= 10
+    # a stopped query's in-flight executor peek can hold the slot
+    # active for a few more seconds — retry the drop
+    import time as _time
+
+    for _ in range(60):
+        try:
+            pgl.drop_slot(pp, "shr_slot_1m")
+            break
+        except PgError as e:
+            if e.sqlstate != "55006":
+                raise
+            _time.sleep(0.5)
