@@ -25,6 +25,14 @@ administration-first):
     python -m pgshovel_spark cdc stream s --sockdir /run/pg \
         --publication p --to-table dst --keys id \
         --flatten "id:long,v:string" --checkpoint /ck
+    python -m pgshovel_spark cdc stream relay --sockdir /run/pg \
+        --shards '[{"slot":"s1","publication":"p1","database":"d1"},
+                   {"slot":"s2","publication":"p2","database":"d2"}]' \
+        --to-table dst --keys id --flatten "id:long,v:string" \
+        --max-changes 100000 --checkpoint /ck
+    python -m pgshovel_spark cdc rebootstrap s1 --sockdir /run/pg \
+        --table t1:id --to-table dst --keys id \
+        --flatten "id:long,v:string" --epoch 1   # then: stream, fresh /ck
 """
 
 from __future__ import annotations
@@ -194,21 +202,79 @@ def _cmd_cdc(args) -> int:
             )
         )
         return 0
+    if args.action == "rebootstrap":
+        # self-healing recovery from an INVALIDATED slot (wal_status
+        # 'lost' — the typed SlotInvalidatedError the stream raises):
+        # drop the dead slot, recreate it under the same name with an
+        # exported snapshot, scan every table at exactly that point
+        # and 2PC-upsert the image into the target at the bumped
+        # --epoch; restart `cdc stream` afterwards with a FRESH
+        # checkpoint and the same --epoch.
+        specs = []
+        for t in args.table:
+            name, _, pcol = t.partition(":")
+            pcol = pcol or args.partition_col
+            if not pcol:
+                print(
+                    f"rebootstrap: no partition column for {name!r}"
+                    " (use T:PART_COL or --partition-col)",
+                    file=sys.stderr,
+                )
+                return 2
+            specs.append((name, pcol))
+        if not (specs and args.to_table and args.keys and args.flatten):
+            print(
+                "rebootstrap needs --table, --to-table, --keys and"
+                " --flatten",
+                file=sys.stderr,
+            )
+            return 2
+        from pgshovel_spark.session import get_session
+        from pgshovel_spark.sources.pgdatasource import (
+            register_pgshovel,
+            rebootstrap_slot,
+        )
+
+        spark = get_session("cli-rebootstrap")
+        register_pgshovel(spark)
+        cols = [s.partition(":")[0] for s in args.flatten.split(",")]
+        try:
+            res = rebootstrap_slot(
+                spark,
+                params,
+                args.name,
+                specs,
+                to_table=args.to_table,
+                keys=[k.strip() for k in args.keys.split(",")],
+                columns=cols,
+                epoch=args.epoch,
+                num_partitions=args.num_partitions,
+                force=args.force,
+            )
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        print(json.dumps(res))
+        return 0
     if args.action == "stream":
         # the RELAY DAEMON as one command (the reference's core
-        # process): slot -> native streaming source -> flatten ->
+        # process): slot(s) -> native streaming source -> flatten ->
         # two-phase-commit upsert into the target table, checkpoint
-        # as the only ledger.  INSERT/UPDATE images are upserted;
-        # DELETEs are SKIPPED by design (the upsert sink carries no
-        # tombstone semantics) — deletes-needing consumers read the
-        # CHANGE envelope directly (peek / readStream).
+        # as the only ledger.  --shards runs the partition-parallel
+        # sharded reader (the flagship capture path: one slot per
+        # input partition, executor-side decode); without it the
+        # single-slot reader drives NAME's slot.  INSERT/UPDATE
+        # images are upserted; DELETEs are SKIPPED by design (the
+        # upsert sink carries no tombstone semantics) —
+        # deletes-needing consumers read the CHANGE envelope directly
+        # (peek / readStream).
         if not (
-            args.publication and args.to_table and args.keys
-            and args.flatten and args.checkpoint
+            (args.publication or args.shards) and args.to_table
+            and args.keys and args.flatten and args.checkpoint
         ):
             print(
-                "stream needs --publication, --to-table, --keys,"
-                " --flatten and --checkpoint",
+                "stream needs --publication (or --shards), --to-table,"
+                " --keys, --flatten and --checkpoint",
                 file=sys.stderr,
             )
             return 2
@@ -226,11 +292,19 @@ def _cmd_cdc(args) -> int:
                 F.col("after")[name].cast(typ or "string").alias(name)
             )
         keys = [k.strip() for k in args.keys.split(",")]
+        src = _conn_opts(spark.readStream.format("pgshovel"))
+        if args.shards:
+            src = src.option("shards", args.shards)
+        else:
+            src = src.option("slot", args.name).option(
+                "publication", args.publication
+            )
+        if args.epoch:
+            src = src.option("epoch", str(args.epoch))
+        if args.max_changes:
+            src = src.option("max_changes", str(args.max_changes))
         flat = (
-            _conn_opts(spark.readStream.format("pgshovel"))
-            .option("slot", args.name)
-            .option("publication", args.publication)
-            .load()
+            src.load()
             .filter(F.col("op") != "DELETE")
             .select(*cols, F.col("epoch"), F.col("seq"))
             .dropna(subset=keys)
@@ -329,7 +403,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=(
             "create-slot", "drop-slot", "create-publication", "peek",
-            "bootstrap", "stream",
+            "bootstrap", "stream", "rebootstrap",
         ),
     )
     cdc.add_argument("name", help="slot or publication name")
@@ -374,6 +448,25 @@ def main(argv: list[str] | None = None) -> int:
         " (e.g. 'id:long,v:string')",
     )
     cdc.add_argument("--checkpoint", help="stream: checkpoint directory")
+    cdc.add_argument(
+        "--shards",
+        help="stream: JSON array of {slot, publication[, database]} —"
+        " run the partition-parallel sharded reader instead of NAME's"
+        " single slot",
+    )
+    cdc.add_argument(
+        "--epoch", type=int, default=0,
+        help="stream/rebootstrap: publisher epoch (bump on rebootstrap)",
+    )
+    cdc.add_argument(
+        "--max-changes", type=int, default=0,
+        help="stream: bound changes per micro-batch (giant transactions"
+        " then span several bounded batches)",
+    )
+    cdc.add_argument(
+        "--force", action="store_true",
+        help="rebootstrap: rebuild even though the slot is not 'lost'",
+    )
     cdc.add_argument("--trigger-ms", type=int, default=1000)
     cdc.add_argument(
         "--run-secs", type=int, default=0,

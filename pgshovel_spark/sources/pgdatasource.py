@@ -1051,6 +1051,18 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
     def _transient(e: BaseException) -> bool:
         return _is_transient(e)
 
+    def _raise_typed_if_invalidated(self, shard: dict, e: BaseException):
+        """55000 from a slot read may mean the server INVALIDATED the
+        slot (WAL-retention overrun) — surface that TYPED.  Covers the
+        executor read path too: a restarted query replays its pending
+        batch via read() BEFORE the driver probe runs, so the typed
+        error must come from wherever the 55000 first lands."""
+        from pgshovel_spark.sources.pglogical import check_slot_live
+        from pgshovel_spark.sources.pgwire import PgError
+
+        if isinstance(e, PgError) and e.sqlstate == "55000":
+            check_slot_live(self._params(shard), shard["slot"])
+
     def _probe_resilient(self, slot: str) -> dict:
         """A DOWN server (failover, crash-restart, network blip) must
         not kill the query: on a transient error the shard reports its
@@ -1113,6 +1125,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                 break
             except Exception as e:
                 if attempt == 29 or not self._transient(e):
+                    self._raise_typed_if_invalidated(shard, e)
                     raise
                 time.sleep(1.0)
         changes = parse_pgoutput(raw)
@@ -1169,6 +1182,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                 break
             except Exception as e:
                 if attempt == 29 or not self._transient(e):
+                    self._raise_typed_if_invalidated(shard, e)
                     raise
                 time.sleep(1.0)
         if not any(r[2][:1] == b"C" for r in raw):
@@ -1872,11 +1886,12 @@ def rebootstrap_slot(
     4. Scan every ``(table, partition_col)`` at exactly that snapshot
        through the native batch source and, when ``to_table`` is
        given, upsert the image into the live target through the 2PC
-       batch writer at the BUMPED ``epoch`` with ``seq = 0`` —
+       batch writer at the BUMPED ``epoch`` with ``seq = -1`` —
        (epoch, seq) ordering makes bootstrap rows beat every pre-
-       outage stream row, and the new stream (started at this epoch)
-       beats the bootstrap: changes lost in the WAL gap are healed by
-       the re-read, updates racing the scan by idempotent replay.
+       outage stream row, and the new stream (started at this epoch,
+       seq from 0) beats the bootstrap: changes lost in the WAL gap
+       are healed by the re-read, updates racing the scan by
+       idempotent replay.
 
     Restart the stream afterwards with a FRESH checkpoint and
     ``epoch`` = the bumped value; the slot streams exactly the
@@ -1952,7 +1967,10 @@ def rebootstrap_slot(
                 raise ValueError("to_table needs keys")
             out = (
                 df.withColumn("epoch", F.lit(epoch).cast("long"))
-                .withColumn("seq", F.lit(0).cast("long"))
+                # seq -1: the restarted stream's FIRST change is seq 0
+                # at this same epoch and must beat the bootstrap image
+                # of its key (a tie would keep whichever landed first)
+                .withColumn("seq", F.lit(-1).cast("long"))
                 # key-disjoint partitions: the 2PC writer's documented
                 # operating requirement
                 .repartition(max(2, num_partitions), *keys)

@@ -250,3 +250,121 @@ def test_cli_cdc_stream_relay_live(tmp_path, capsys, spark):
             assert c.one("select count(*) from rl_dst where id = 9") == 1
     finally:
         server.stop()
+
+
+def test_cli_cdc_stream_sharded_live(tmp_path, capsys, spark):
+    """`cdc stream --shards` = the operational front door running the
+    FLAGSHIP partition-parallel reader: two slots with disjoint
+    publications relayed by one command into one target, exact end
+    state per table, with --max-changes bounding batches."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgwire import PgUnavailable, ScratchPostgres
+
+    try:
+        server = ScratchPostgres()
+        params = server.start()
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            # disjoint key ranges so one dst table can mirror both
+            c.query("create table sh_a(id bigint primary key, v text)")
+            c.query("create table sh_b(id bigint primary key, v text)")
+            c.query(
+                "create table sh_dst(id bigint primary key, v text,"
+                " epoch bigint, seq bigint)"
+            )
+        po.create_publication(params, "sh_pub_a", ["sh_a"])
+        po.create_publication(params, "sh_pub_b", ["sh_b"])
+        po.create_slot_pgoutput(params, "sh_slot_a")
+        po.create_slot_pgoutput(params, "sh_slot_b")
+        with params.connect() as c:
+            c.query(
+                "insert into sh_a select g, 'a' || g"
+                " from generate_series(1, 30) g"
+            )
+            c.query(
+                "insert into sh_b select g, 'b' || g"
+                " from generate_series(101, 120) g"
+            )
+            c.query("update sh_a set v = 'ua' where id = 3")
+        shards = json.dumps(
+            [
+                {"slot": "sh_slot_a", "publication": "sh_pub_a"},
+                {"slot": "sh_slot_b", "publication": "sh_pub_b"},
+            ]
+        )
+        rc, out = run_cli(
+            capsys, "cdc", "stream", "relay",
+            "--sockdir", params.sockdir,
+            "--shards", shards,
+            "--to-table", "sh_dst", "--keys", "id",
+            "--flatten", "id:long,v:string",
+            "--max-changes", "10000",
+            "--checkpoint", str(tmp_path / "ck"),
+            "--trigger-ms", "300", "--run-secs", "15",
+        )
+        assert rc == 0
+        assert json.loads(out.splitlines()[0])["relay"] == "relay"
+        with params.connect() as c:
+            # both pubs landed through ONE query: only the sharded
+            # reader can drive two slots (no 'slot' option was given,
+            # so a silent fall-back to the simple reader would fail)
+            assert c.one("select count(*) from sh_dst") == 50
+            assert c.one("select v from sh_dst where id = 3") == "ua"
+            assert c.one(
+                "select count(*) from sh_dst where id > 100"
+            ) == 20
+        # NOTE: pgshovel_shard_meta rows are NOT asserted — commit(N)
+        # fires only when batch N+1 is constructed, and this bounded
+        # run may construct exactly one batch
+    finally:
+        server.stop()
+
+
+def test_cli_cdc_rebootstrap_refuses_healthy_slot(capsys, spark):
+    """`cdc rebootstrap` must refuse to destroy a slot that is NOT
+    invalidated (wal_status != 'lost') unless --force — rebuilding a
+    live shard drops unconsumed changes.  The full lost-slot recovery
+    is drilled at the API level (test_pg_live
+    test_rebootstrap_self_heal_end_exact)."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgwire import PgUnavailable, ScratchPostgres
+
+    try:
+        server = ScratchPostgres()
+        params = server.start()
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            c.query("create table rbh(id bigint primary key, v text)")
+            c.query(
+                "create table rbh_dst(id bigint primary key, v text,"
+                " epoch bigint, seq bigint)"
+            )
+        po.create_slot_pgoutput(params, "rbh_slot")
+        rc, _out = run_cli(
+            capsys, "cdc", "rebootstrap", "rbh_slot",
+            "--sockdir", params.sockdir, "--table", "rbh:id",
+            "--to-table", "rbh_dst", "--keys", "id",
+            "--flatten", "id:long,v:string", "--epoch", "1",
+        )
+        assert rc == 2  # refused: the slot is healthy
+        # the slot survived the refusal
+        from pgshovel_spark.sources.pglogical import slot_wal_status
+
+        assert slot_wal_status(params, "rbh_slot") is not None
+
+        # --force rebuilds deliberately
+        rc, out = run_cli(
+            capsys, "cdc", "rebootstrap", "rbh_slot",
+            "--sockdir", params.sockdir, "--table", "rbh:id",
+            "--to-table", "rbh_dst", "--keys", "id",
+            "--flatten", "id:long,v:string", "--epoch", "1", "--force",
+        )
+        assert rc == 0
+        res = json.loads(out)
+        assert res["epoch"] == 1 and "/" in res["consistent_point"]
+    finally:
+        server.stop()

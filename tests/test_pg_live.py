@@ -4530,3 +4530,348 @@ def test_sharded_giant_commit_stream_restart_1m(spark, pg, tmp_path):
             if e.sqlstate != "55006":
                 raise
             _time.sleep(0.5)
+
+
+def _invalidate_slot(params, slot, table="ev_junk"):
+    """Force the server to invalidate ``slot``: zero WAL retention for
+    slots, then churn WAL segments + checkpoint until
+    ``pg_replication_slots.wal_status = 'lost'`` — exactly the
+    weekend-long consumer outage under ``max_slot_wal_keep_size``."""
+    with params.connect() as c:
+        c.query("alter system set max_slot_wal_keep_size = 0")
+        c.query("select pg_reload_conf()")
+    for _ in range(30):
+        with params.connect() as c:
+            c.query(
+                f"create table if not exists {table}(g bigint, v text)"
+            )
+            c.query(
+                f"insert into {table} select g, repeat('x', 1000)"
+                " from generate_series(1, 1000) g"
+            )
+            c.query("select pg_switch_wal()")
+            c.query("checkpoint")
+        if pgl.slot_wal_status(params, slot) == "lost":
+            return
+    raise AssertionError(
+        f"slot {slot} not invalidated: {pgl.slot_wal_status(params, slot)}"
+    )
+
+
+def test_slot_invalidation_typed_error():
+    """A slot the server invalidated (WAL-retention overrun) surfaces
+    as the TYPED SlotInvalidatedError naming the slot — from the
+    sharded probe AND the single-slot peek — instead of a generic
+    55000 buried in a retry loop.  Runs on its own scratch instance:
+    max_slot_wal_keep_size is server-global."""
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import (
+        PgShovelShardedStreamReader,
+        PgShovelSimpleStreamReader,
+    )
+    from pgshovel_spark.sources.pgwire import SlotInvalidatedError
+
+    server = _try_server()
+    try:
+        params = server.start()
+    except PgUnavailable as e:
+        server.stop()
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            c.query("create table inv_t(id bigint primary key, v text)")
+        po.create_publication(params, "inv_pub", ["inv_t"])
+        po.create_slot_pgoutput(params, "inv_slot")
+        with params.connect() as c:
+            c.query("insert into inv_t values (1, 'a')")
+        assert pgl.slot_wal_status(params, "inv_slot") in (
+            "reserved", "extended", "unreserved",
+        )
+        _invalidate_slot(params, "inv_slot")
+
+        rdr = PgShovelShardedStreamReader(
+            {
+                "sockdir": params.sockdir,
+                "shards": '[{"slot": "inv_slot", "publication":'
+                ' "inv_pub", "database": "postgres"}]',
+            }
+        )
+        with pytest.raises(SlotInvalidatedError, match="inv_slot") as ei:
+            rdr.latestOffset()
+        assert ei.value.slot == "inv_slot"
+
+        srdr = PgShovelSimpleStreamReader(
+            {
+                "sockdir": params.sockdir,
+                "slot": "inv_slot",
+                "publication": "inv_pub",
+            }
+        )
+        with pytest.raises(SlotInvalidatedError, match="inv_slot"):
+            srdr.read(srdr.initialOffset())
+
+        # a healthy slot must NOT trip the check
+        po.create_slot_pgoutput(params, "inv_ok")
+        assert pgl.slot_wal_status(params, "inv_ok") != "lost"
+        pgl.check_slot_live(params, "inv_ok")
+        pgl.drop_slot(params, "inv_ok")
+    finally:
+        server.stop()
+
+
+def test_rebootstrap_self_heal_end_exact(spark, tmp_path):
+    """The #1 logical-replication outage, healed end to end: a relay
+    mirrors src->dst through the sharded source and the 2PC upsert
+    sink; the consumer parks, writes land, the slot is INVALIDATED
+    (WAL gone — those changes are unrecoverable from the slot);
+    restarting the old stream fails with the typed error; ``cdc
+    rebootstrap`` (rebootstrap_slot) rebuilds the shard — same slot
+    name, exported-snapshot scan 2PC-upserted at the bumped epoch —
+    and the restarted stream (fresh checkpoint, epoch 1) converges
+    dst == src exactly, including rows that changed during the
+    outage and rows written while the bootstrap scan ran."""
+    from pyspark.sql import functions as F
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import (
+        register_pgshovel,
+        rebootstrap_slot,
+    )
+
+    server = _try_server()
+    try:
+        params = server.start()
+    except PgUnavailable as e:
+        server.stop()
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        with params.connect() as c:
+            c.query("create table rb_src(id bigint primary key, v text)")
+            c.query(
+                "create table rb_dst(id bigint primary key, v text,"
+                " epoch bigint, seq bigint)"
+            )
+        po.create_publication(params, "rb_pub", ["rb_src"])
+        po.create_slot_pgoutput(params, "rb_slot")
+        with params.connect() as c:
+            c.query(
+                "insert into rb_src select g, 'p1_' || g"
+                " from generate_series(1, 20) g"
+            )
+        register_pgshovel(spark)
+
+        def relay(ckpt: str, epoch: int):
+            flat = (
+                spark.readStream.format("pgshovel")
+                .option("sockdir", params.sockdir)
+                .option("epoch", str(epoch))
+                .option(
+                    "shards",
+                    '[{"slot": "rb_slot", "publication": "rb_pub",'
+                    ' "database": "postgres"}]',
+                )
+                .load()
+                .filter(F.col("op") != "DELETE")
+                .select(
+                    F.col("after")["id"].cast("long").alias("id"),
+                    F.col("after")["v"].alias("v"),
+                    F.col("epoch"),
+                    F.col("seq"),
+                )
+                .dropna(subset=["id"])
+                .repartition(2, "id")
+            )
+            return (
+                flat.writeStream.format("pgshovel")
+                .option("sockdir", params.sockdir)
+                .option("table", "rb_dst")
+                .option("keys", "id")
+                .option("order_cols", "epoch,seq")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="400 milliseconds")
+                .start()
+            )
+
+        def dst_count():
+            with params.connect() as c:
+                return c.one("select count(*) from rb_dst")
+
+        q = relay(str(tmp_path / "ck1"), 0)
+        try:
+            assert _wait_for(lambda: dst_count() == 20)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+        # the outage: writes land while the consumer is down, then
+        # the slot is invalidated — those changes are GONE from WAL
+        with params.connect() as c:
+            c.query(
+                "insert into rb_src select g, 'gap_' || g"
+                " from generate_series(21, 30) g"
+            )
+            c.query("update rb_src set v = 'gap_upd' where id = 5")
+        _invalidate_slot(params, "rb_slot")
+
+        # the old stream fails LOUDLY with the typed error
+        q = relay(str(tmp_path / "ck1"), 0)
+        with pytest.raises(Exception, match="rb_slot.*invalidated"):
+            q.awaitTermination(60)
+        q.stop()
+
+        # self-heal: rebuild the shard (refuses nothing here — the
+        # slot really is lost), with a concurrent writer racing the
+        # bootstrap scan
+        import threading
+
+        def racing_writes():
+            with params.connect() as c:
+                c.query(
+                    "insert into rb_src select g, 'race_' || g"
+                    " from generate_series(31, 35) g"
+                )
+
+        t = threading.Thread(target=racing_writes)
+        t.start()
+        res = rebootstrap_slot(
+            spark,
+            params,
+            "rb_slot",
+            [("rb_src", "id")],
+            to_table="rb_dst",
+            keys=["id"],
+            columns=["id", "v"],
+            epoch=1,
+        )
+        t.join()
+        assert res["epoch"] == 1 and res["rows"]["rb_src"] >= 30
+
+        # post-bootstrap writes: only the NEW stream can deliver them
+        with params.connect() as c:
+            c.query(
+                "insert into rb_src select g, 'p2_' || g"
+                " from generate_series(36, 40) g"
+            )
+            c.query("update rb_src set v = 'p2_upd' where id = 21")
+
+        q = relay(str(tmp_path / "ck2"), 1)  # FRESH checkpoint
+        try:
+            def exact():
+                with params.connect() as c:
+                    return c.one(
+                        "select count(*) from rb_src s full join rb_dst d"
+                        " using (id) where d.v is distinct from s.v"
+                    ) == 0 and c.one("select count(*) from rb_dst") == 40
+
+            assert _wait_for(exact, timeout=90)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        with params.connect() as c:
+            # the outage-lost changes were healed by the re-read
+            assert c.one("select v from rb_dst where id = 5") == "gap_upd"
+            assert c.one("select v from rb_dst where id = 25") == "gap_25"
+            # racing + post-bootstrap writes all present
+            assert c.one("select v from rb_dst where id = 33") == "race_33"
+            assert c.one("select v from rb_dst where id = 21") == "p2_upd"
+            assert c.one("select v from rb_dst where id = 38") == "p2_38"
+    finally:
+        server.stop()
+
+
+def test_sharded_fresh_checkpoint_resumes_from_meta(spark, pg, tmp_path):
+    """ADVICE-r12 regression: a FRESH checkpoint against a slot whose
+    pgshovel_shard_meta row persists must resume from the persisted
+    watermark — before the initialOffset seeding fix this raised the
+    seq-reproduction RuntimeError on every trigger with no recovery
+    path.  Exactness: no re-delivery of settled rows, seq continues
+    densely."""
+    import dataclasses
+    import json as _json
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create database shr_fc")
+    pp = dataclasses.replace(pg, database="shr_fc")
+    with pp.connect() as c:
+        c.query("create table ev_fc(id bigint primary key, v text)")
+    po.create_publication(pp, "shr_pub_fc", ["ev_fc"])
+    po.create_slot_pgoutput(pp, "shr_slot_fc")
+    register_pgshovel(spark)
+    shards = _json.dumps(
+        [{"slot": "shr_slot_fc", "publication": "shr_pub_fc",
+          "database": "shr_fc"}]
+    )
+
+    def _start(ckpt, sink):
+        return (
+            spark.readStream.format("pgshovel")
+            .option("sockdir", pg.sockdir)
+            .option("shards", shards)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    got1: list = []
+    q = _start(str(tmp_path / "ck1"), lambda b, _i: got1.extend(b.collect()))
+    try:
+        with pp.connect() as c:
+            c.query(
+                "insert into ev_fc select g, 'a' || g"
+                " from generate_series(1, 20) g"
+            )
+        assert _wait_for(lambda: len(got1) == 20)
+        # commit cadence: commit(N) fires only when batch N+1 is
+        # CONSTRUCTED, and an idle stream constructs none — pump TWO
+        # nudge writes so the first pump's batch settles into meta
+        # (the second pump's batch stays un-settled: the durable
+        # watermark always trails the frontier by one batch)
+        with pp.connect() as c:
+            c.query("insert into ev_fc values (21, 'pump1')")
+        assert _wait_for(lambda: len(got1) == 21)
+        with pp.connect() as c:
+            c.query("insert into ev_fc values (22, 'pump2')")
+        assert _wait_for(lambda: len(got1) == 22)
+
+        def meta_settled():
+            with pp.connect() as c:
+                try:
+                    return c.one(
+                        "select base_seq from pgshovel_shard_meta"
+                        " where slot = 'shr_slot_fc'"
+                    ) == 21
+                except PgError:
+                    return False
+
+        assert _wait_for(meta_settled)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # writes while down, then a FRESH checkpoint (old one abandoned)
+    with pp.connect() as c:
+        c.query(
+            "insert into ev_fc select g, 'b' || g"
+            " from generate_series(23, 32) g"
+        )
+    got2: list = []
+    q = _start(str(tmp_path / "ck2"), lambda b, _i: got2.extend(b.collect()))
+    try:
+        assert _wait_for(lambda: len(got2) == 11), f"got {len(got2)}"
+        # resumes from the SETTLED watermark (seq 21): rows 1..21 are
+        # never re-delivered; pump2 (row 22) sat in the one un-settled
+        # trailing batch, so a brand-new consumer correctly re-reads
+        # it — the same replay the old checkpoint would perform
+        assert sorted(int(r.after["id"]) for r in got2) == list(
+            range(22, 33)
+        )
+        assert sorted(r.seq for r in got2) == list(range(21, 32))
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    pgl.drop_slot(pp, "shr_slot_fc")
