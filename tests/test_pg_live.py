@@ -4779,6 +4779,162 @@ def test_rebootstrap_self_heal_end_exact(spark, tmp_path):
         server.stop()
 
 
+def test_sharded_schema_drift_mid_stream(spark, pg, tmp_path):
+    """Compose drill: mid-stream DDL under the SHARDED reader (the
+    single-reader twin is test_pgdatasource_schema_drift_mid_stream).
+    The executor peek decodes with a fresh Relation dict per batch, so
+    post-ALTER rows must carry the new column — including when the
+    drift lands BETWEEN two batches of the same shard — and the
+    server-side probe's counting must not be disturbed by the extra
+    Relation frames."""
+    import dataclasses
+    import json as _json
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create database shr_dr")
+    pp = dataclasses.replace(pg, database="shr_dr")
+    with pp.connect() as c:
+        c.query("create table drift_s(id int primary key, v text)")
+    po.create_publication(pp, "shr_pub_dr", ["drift_s"])
+    po.create_slot_pgoutput(pp, "shr_slot_dr")
+    register_pgshovel(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option(
+            "shards",
+            _json.dumps(
+                [{"slot": "shr_slot_dr", "publication": "shr_pub_dr",
+                  "database": "shr_dr"}]
+            ),
+        )
+        .load()
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="400 milliseconds")
+        .start()
+    )
+    try:
+        with pp.connect() as c:
+            c.query("insert into drift_s values (1, 'before')")
+        assert _wait_for(lambda: len(got) == 1)
+        assert set(got[0].after.keys()) == {"id", "v"}
+
+        with pp.connect() as c:  # live DDL while the query runs
+            c.query("alter table drift_s add column extra bigint default 7")
+            c.query("insert into drift_s values (2, 'after', 42)")
+        assert _wait_for(lambda: len(got) == 2)
+        post = [r for r in got if r.key["id"] == "2"][0]
+        assert set(post.after.keys()) == {"id", "v", "extra"}
+        assert post.after["extra"] == "42"
+        # pre-drift rows keep their original shape — no retro-widening
+        assert set(got[0].after.keys()) == {"id", "v"}
+        # drift + more DML in ONE transaction mid-stream
+        with pp.connect() as c:
+            c.query(
+                "begin; alter table drift_s drop column extra;"
+                " insert into drift_s values (3, 'post-drop');"
+                " update drift_s set v = 'u1' where id = 1; commit"
+            )
+        assert _wait_for(lambda: len(got) == 4), f"got {len(got)}"
+        narrow = [r for r in got if r.key["id"] == "3"][0]
+        assert set(narrow.after.keys()) == {"id", "v"}
+        assert sorted(r.seq for r in got) == list(range(4))
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    pgl.drop_slot(pp, "shr_slot_dr")
+
+
+def test_sharded_stream_over_tls(spark, tmp_path):
+    """Compose drill: the SHARDED reader over the verify-full TLS +
+    SCRAM transport (the single-reader twin is
+    test_pgdatasource_stream_over_tls) — two slots, every probe /
+    executor peek / meta write / slot advance on the encrypted
+    authenticated channel, exactness held."""
+    import json as _json
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+    from pgshovel_spark.sources.pgwire import (
+        PgUnavailable,
+        ScratchPostgres,
+    )
+
+    try:
+        server = ScratchPostgres()
+        server.start(tcp=True, password="tlspw", tls=True)
+    except PgUnavailable as e:
+        pytest.skip(f"live Postgres unavailable: {e}")
+    try:
+        tcp = server.tcp_params()
+        with tcp.connect() as c:
+            c.query("create table tlsh_a(id bigint primary key, v text)")
+            c.query("create table tlsh_b(id bigint primary key, v text)")
+        po.create_publication(tcp, "tlsh_pub_a", ["tlsh_a"])
+        po.create_publication(tcp, "tlsh_pub_b", ["tlsh_b"])
+        po.create_slot_pgoutput(tcp, "tlsh_slot_a")
+        po.create_slot_pgoutput(tcp, "tlsh_slot_b")
+        with tcp.connect() as c:
+            c.query(
+                "insert into tlsh_a select g, 'a' || g"
+                " from generate_series(1, 15) g"
+            )
+            c.query(
+                "insert into tlsh_b select g, 'b' || g"
+                " from generate_series(1, 10) g"
+            )
+        register_pgshovel(spark)
+        got: list = []
+        q = (
+            spark.readStream.format("pgshovel")
+            .option("host", tcp.host)
+            .option("port", str(tcp.port))
+            .option("password", tcp.password)
+            .option("sslmode", "verify-full")
+            .option("sslrootcert", server.ssl_cert)
+            .option(
+                "shards",
+                _json.dumps(
+                    [
+                        {"slot": "tlsh_slot_a", "publication": "tlsh_pub_a"},
+                        {"slot": "tlsh_slot_b", "publication": "tlsh_pub_b"},
+                    ]
+                ),
+            )
+            .load()
+            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="400 milliseconds")
+            .start()
+        )
+        try:
+            assert _wait_for(lambda: len(got) == 25), f"got {len(got)}"
+            # live writes after the backlog drained: the steady-state
+            # probe/commit cycle runs over TLS too
+            with tcp.connect() as c:
+                c.query("insert into tlsh_a values (16, 'late')")
+            assert _wait_for(lambda: len(got) == 26), f"got {len(got)}"
+            by_pub: dict = {}
+            for r in got:
+                by_pub.setdefault(r.publisher, []).append(r)
+            assert sorted(r.seq for r in by_pub["tlsh_slot_a"]) == list(
+                range(16)
+            )
+            assert sorted(r.seq for r in by_pub["tlsh_slot_b"]) == list(
+                range(10)
+            )
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        server.stop()
+
+
 def test_sharded_fresh_checkpoint_resumes_from_meta(spark, pg, tmp_path):
     """ADVICE-r12 regression: a FRESH checkpoint against a slot whose
     pgshovel_shard_meta row persists must resume from the persisted
