@@ -4779,6 +4779,82 @@ def test_rebootstrap_self_heal_end_exact(spark, tmp_path):
         server.stop()
 
 
+def test_simple_reader_max_changes_caps_batches(pg):
+    """The single-slot reader's ``max_changes`` is now a real BATCH
+    bound, not just a peek-window hint: a 100-row transaction under
+    max_changes=30 drains as [30, 30, 30, 10], commits mid-commit
+    advance the slot only to the last complete boundary ('adv' — here
+    none exists, so the watermark holds), seq stays dense and the
+    uncommitted-range replay contract still holds."""
+    import dataclasses
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import PgShovelSimpleStreamReader
+
+    with pg.connect() as c:
+        c.query("create database smp_cap")
+    pp = dataclasses.replace(pg, database="smp_cap")
+    with pp.connect() as c:
+        c.query("create table cap_t(id bigint primary key, v text)")
+    po.create_publication(pp, "cap_pub", ["cap_t"])
+    po.create_slot_pgoutput(pp, "cap_slot")
+    with pp.connect() as c:
+        pre_flush = c.one(
+            "select confirmed_flush_lsn::text from pg_replication_slots"
+            " where slot_name = 'cap_slot'"
+        )
+        c.query(
+            "insert into cap_t select g, 'v' || g"
+            " from generate_series(1, 100) g"
+        )
+    rdr = PgShovelSimpleStreamReader(
+        {
+            "sockdir": pp.sockdir,
+            "database": "smp_cap",
+            "slot": "cap_slot",
+            "publication": "cap_pub",
+            "max_changes": "30",
+        }
+    )
+    cur = rdr.initialOffset()
+    sizes, ends = [], []
+    for _ in range(10):
+        it, end = rdr.read(cur)
+        n = sum(b.num_rows for b in it)
+        if n == 0:
+            assert end == cur  # idle reproduces the start EXACTLY
+            break
+        sizes.append(n)
+        ends.append(end)
+        if len(ends) == 2:
+            # replay contract for a capped, NOT-yet-committed range:
+            # batch 2 re-produces exactly (the restart path)
+            replay = list(rdr.readBetweenOffsets(ends[0], ends[1]))
+            assert sum(b.num_rows for b in replay) == 30
+        rdr.commit(end)
+        cur = end
+    assert sizes == [30, 30, 30, 10], sizes
+    # the three mid-commit ends carry a safe advance boundary; with no
+    # complete earlier transaction it is 0 and the watermark held
+    assert all("adv" in e for e in ends[:3]) and "adv" not in ends[3]
+    assert all(e["adv"] == 0 for e in ends[:3])
+    with pp.connect() as c:
+        mid_flush = c.one(
+            "select confirmed_flush_lsn::text from pg_replication_slots"
+            " where slot_name = 'cap_slot'"
+        )
+    from pgshovel_spark.sources.pgoutput import lsn_to_int
+    # final (uncapped) batch ended at the commit boundary: advanced
+    assert lsn_to_int(mid_flush) == ends[3]["lsn"] > lsn_to_int(pre_flush)
+    # a second small transaction flows normally after the episode
+    with pp.connect() as c:
+        c.query("insert into cap_t values (101, 'tail')")
+    it, end = rdr.read(cur)
+    assert sum(b.num_rows for b in it) == 1 and "adv" not in end
+    rdr.commit(end)
+    pgl.drop_slot(pp, "cap_slot")
+
+
 def test_sharded_schema_drift_mid_stream(spark, pg, tmp_path):
     """Compose drill: mid-stream DDL under the SHARDED reader (the
     single-reader twin is test_pgdatasource_schema_drift_mid_stream).
