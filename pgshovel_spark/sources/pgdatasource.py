@@ -476,6 +476,14 @@ class PgShovelSimpleStreamReader(SimpleDataSourceStreamReader):
                     or e.sqlstate.startswith("08")
                     or e.sqlstate == "55006"
                 ):
+                    if e.sqlstate == "55000":
+                        # START_REPLICATION on an invalidated slot:
+                        # surface the typed unrecoverable error
+                        from pgshovel_spark.sources.pglogical import (
+                            check_slot_live,
+                        )
+
+                        check_slot_live(self.params, self.slot)
                     raise
                 self._close_ws()
                 parsed = []
@@ -740,9 +748,11 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             )
         except PgError as e:
             # two same-database shards probing concurrently can race
-            # even IF NOT EXISTS (pg_type/pg_class unique-violation or
-            # duplicate-table) — the loser's table exists, proceed
-            if e.sqlstate not in ("23505", "42P07"):
+            # even IF NOT EXISTS (pg_type/pg_class unique-violation,
+            # duplicate-table, or duplicate-object on the implicit row
+            # type — all three observed live) — the loser's table
+            # exists, proceed
+            if e.sqlstate not in ("23505", "42P07", "42710"):
                 raise
         self._meta_ready.add(db)
 
@@ -891,14 +901,28 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             end = self._plan_chunk(slot, shard, params, eff, m)
         else:
             after_lsn = lsn_to_str(eff["lsn"]) if eff["lsn"] else "0/0"
-            plan = backlog_plan_pgoutput(
-                params,
-                slot,
-                shard["publication"],
-                after_lsn=after_lsn,
-                limit=self.max_changes,
-                budget=self.max_changes,
-            )
+            # window escalation: the peek's row bound counts frames
+            # from confirmed_flush, and the delivered-but-not-yet-
+            # advanced prefix (commit lags the reported frontier by
+            # one batch) can consume the whole window — a FULL window
+            # with no live commit means "look further", never "idle"
+            bound = self.max_changes
+            for _ in range(10):
+                plan = backlog_plan_pgoutput(
+                    params,
+                    slot,
+                    shard["publication"],
+                    after_lsn=after_lsn,
+                    limit=bound,
+                    budget=self.max_changes,
+                )
+                if (
+                    bound is None
+                    or plan["first_clsn"] is not None
+                    or plan["frames"] < bound
+                ):
+                    break
+                bound *= 4
             if plan["last_clsn"] is None and plan["first_clsn"] is None:
                 # idle: reproduce the PREVIOUS end offset exactly (an
                 # idx/key mismatch here would make every trigger look
@@ -1066,16 +1090,22 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
     def _probe_resilient(self, slot: str) -> dict:
         """A DOWN server (failover, crash-restart, network blip) must
         not kill the query: on a transient error the shard reports its
-        cached end (no progress this trigger) and the stream resumes
-        when the server returns — the full-reader analog of the simple
-        reader's walsender reconnect posture.  Cold start with no
-        cache re-raises: there is no safe position to report."""
+        last position (no progress this trigger) and the stream
+        resumes when the server returns — the full-reader analog of
+        the simple reader's walsender reconnect posture.  The fallback
+        is the idle-probe cache or, mid-drain (where only idle ends
+        are cached), the last end REPORTED this run.  Cold start with
+        neither re-raises: there is no safe position to report."""
         try:
             return self._probe_shard(slot)
         except Exception as e:
-            cached = self._probe_cache.get(slot)
-            if self._transient(e) and cached is not None:
-                return cached[1]
+            if self._transient(e):
+                cached = self._probe_cache.get(slot)
+                if cached is not None:
+                    return cached[1]
+                rep = self._reported.get(slot)
+                if rep is not None:
+                    return rep
             raise
 
     def latestOffset(self) -> dict:
@@ -1111,36 +1141,47 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
             # intra-commit chunk of one giant transaction: windowed
             # frame fetch, not the whole-backlog peek + slice
             return self._read_chunk(shard, start, end)
-        # bounded retry on transient server errors: local mode has
-        # task maxFailures=1, so a crash-restarting server mid-peek
-        # would otherwise fail the query for a blip WAL replay covers
-        for attempt in range(30):
-            try:
-                raw = raw_slot_changes_pgoutput(
-                    self._params(shard),
-                    shard["slot"],
-                    shard["publication"],
-                    limit=self.max_changes,
-                )
-                break
-            except Exception as e:
-                if attempt == 29 or not self._transient(e):
-                    self._raise_typed_if_invalidated(shard, e)
-                    raise
-                time.sleep(1.0)
-        changes = parse_pgoutput(raw)
-        upto = {"lsn": end["lsn"], "idx": end["idx"]}
-        rows, got, _adv = _slice_changes(
-            changes, start, upto, shard["slot"], self.epoch
-        )
-        if got["seq"] != end["seq"]:
-            raise RuntimeError(
-                f"shard {shard['slot']!r} cannot reproduce offsets "
-                f"{start} .. {end}: got seq {got['seq']}, expected "
-                f"{end['seq']} (slot advanced externally? overlapping "
-                "publications?)"
+        # outer loop: WINDOW ESCALATION — the bounded peek counts
+        # frames from confirmed_flush, and the delivered-but-not-yet-
+        # advanced prefix (Spark's commit lags the reported frontier
+        # by one batch) can consume the window before this batch's
+        # range appears; a short slice from a FULL window widens and
+        # re-peeks.  inner loop: bounded retry on transient server
+        # errors (local mode has task maxFailures=1, so a crash-
+        # restarting server mid-peek would otherwise fail the query
+        # for a blip WAL replay covers).
+        bound = self.max_changes
+        for _esc in range(10):
+            for attempt in range(30):
+                try:
+                    raw = raw_slot_changes_pgoutput(
+                        self._params(shard),
+                        shard["slot"],
+                        shard["publication"],
+                        limit=bound,
+                    )
+                    break
+                except Exception as e:
+                    if attempt == 29 or not self._transient(e):
+                        self._raise_typed_if_invalidated(shard, e)
+                        raise
+                    time.sleep(1.0)
+            changes = parse_pgoutput(raw)
+            upto = {"lsn": end["lsn"], "idx": end["idx"]}
+            rows, got, _adv = _slice_changes(
+                changes, start, upto, shard["slot"], self.epoch
             )
-        return iter(_changes_to_batches(rows))
+            if got["seq"] == end["seq"]:
+                return iter(_changes_to_batches(rows))
+            if bound is None or len(raw) < bound:
+                break  # the slot really cannot reproduce the range
+            bound *= 4
+        raise RuntimeError(
+            f"shard {shard['slot']!r} cannot reproduce offsets "
+            f"{start} .. {end}: got seq {got['seq']}, expected "
+            f"{end['seq']} (slot advanced externally? overlapping "
+            "publications?)"
+        )
 
     def _read_chunk(self, shard: dict, start: dict, end: dict):
         """Executor read of ONE chunk of a giant committed
@@ -1159,16 +1200,19 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
 
         from pgshovel_spark.sources.pgoutput import (
             chunk_slot_changes_pgoutput,
+            lsn_to_int,
             lsn_to_str,
             parse_pgoutput,
         )
 
         start_rn = start.get("rn", 0)
-        # the FINAL chunk's end is boundary-shaped (no 'rn'): fetch to
-        # the end of the first transaction — upto_nchanges=1 stops the
-        # decode right after its Commit frame, so an unbounded window
-        # upper bound is exactly "through the commit"
+        # the FINAL chunk's end is boundary-shaped (no 'rn'): fetch
+        # everything past the last consumed ordinal — the decode bound
+        # (start_rn + 1) stops the server right after the transaction
+        # completes, so the open window is exactly "through the
+        # commit"
         end_rn = end.get("rn", 1 << 62)
+        bound = end.get("rn", start_rn + 1)
         expected = end["seq"] - start["seq"]
         for attempt in range(30):
             try:
@@ -1178,6 +1222,7 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                     shard["publication"],
                     start_rn,
                     end_rn,
+                    bound=bound,
                 )
                 break
             except Exception as e:
@@ -1185,9 +1230,22 @@ class PgShovelShardedStreamReader(DataSourceStreamReader):
                     self._raise_typed_if_invalidated(shard, e)
                     raise
                 time.sleep(1.0)
-        if not any(r[2][:1] == b"C" for r in raw):
-            raw.append((lsn_to_str(end["lsn"]), 0, b"C"))
-        changes = parse_pgoutput(raw)
+        # ALWAYS close with a 1-byte synthetic Commit: a mid-commit
+        # window has no real one, and after a real one it merely
+        # closes an empty transaction (harmless).  The FIRST chunk's
+        # window (start boundary-shaped, start_rn 0) can also carry
+        # the delivered-but-not-yet-advanced PREFIX transactions that
+        # precede the giant commit in the peek — their changes carry
+        # their own (smaller) commit lsns and are dropped by the
+        # keep-filter below; the giant's changes are stamped end.lsn
+        # (synthetic) or the real commit frame's lsn (final chunk),
+        # both == end['lsn'].
+        raw.append((lsn_to_str(end["lsn"]), 0, b"C"))
+        changes = [
+            ch
+            for ch in parse_pgoutput(raw)
+            if lsn_to_int(ch["commit_lsn"]) == end["lsn"]
+        ]
         if len(changes) != expected:
             raise RuntimeError(
                 f"shard {shard['slot']!r} chunk ({start_rn}, {end_rn}] "

@@ -780,7 +780,8 @@ select
     as last_clsn,
   coalesce((select gn from gc order by grp limit 1), 0)::bigint
     as first_count,
-  (select clsn from gc order by grp limit 1)::text as first_clsn
+  (select clsn from gc order by grp limit 1)::text as first_clsn,
+  (select count(*) from raw)::bigint as frames
 """
     with params.connect() as c:
         row = c.query(sql)[0].rows[0]
@@ -789,6 +790,12 @@ select
         "last_clsn": row[1],
         "first_count": int(row[2]),
         "first_clsn": row[3],
+        # total raw frames in the peek window: a FULL window with no
+        # live commit means the window was consumed by the
+        # delivered-but-not-yet-advanced prefix (the slot only
+        # advances on Spark's lagging commit) — the caller's signal
+        # to widen the window, NOT an idle shard
+        "frames": int(row[4]),
     }
 
 
@@ -830,11 +837,13 @@ def giant_commit_plan(
         raise ValueError(f"invalid LSN: {after_lsn!r}")
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    ctes = _PROBE_CTES.format(
-        slot=_check_slot(slot), pub=publication, bound="1",
-        after_lsn=after_lsn,
-    )
-    sql = ctes + f""",
+
+    def attempt(bound: int) -> tuple[list, int]:
+        ctes = _PROBE_CTES.format(
+            slot=_check_slot(slot), pub=publication, bound=str(bound),
+            after_lsn=after_lsn,
+        )
+        sql = ctes + f""",
 c1 as (select grp, clsn, crn from live group by grp, clsn, crn
        order by grp limit 1),
 f as (
@@ -842,14 +851,35 @@ f as (
   where live.grp = c1.grp and live.nch > 0
 ),
 cum as (select rn, sum(nch) over (order by rn) as cum from f)
-select c1.clsn::text, c1.crn::bigint, b.bcum, b.brn
+select c1.clsn::text, c1.crn::bigint, b.bcum, b.brn,
+       (select count(*) from raw)::bigint as frames
 from c1, (select (cum - 1) / {int(budget)} as bucket,
                  max(cum)::bigint as bcum, max(rn)::bigint as brn
           from cum group by 1) b
 order by b.bcum
 """
-    with params.connect() as c:
-        rows = c.query(sql)[0].rows
+        with params.connect() as c:
+            res = c.query(sql)[0].rows
+        if res:
+            return res, int(res[0][4])
+        # no live commit in the window: frames via a cheap count-only
+        # pass to distinguish idle from a prefix-consumed window
+        cnt = ctes + "select count(*)::bigint from raw"
+        with params.connect() as c:
+            return [], int(c.query(cnt)[0].rows[0][0])
+
+    # window escalation: the peek's row bound counts ALL frames from
+    # confirmed_flush, and the delivered-but-not-yet-advanced prefix
+    # (Spark's commit lags the reported frontier by one batch) may
+    # consume the whole window before the first LIVE commit appears —
+    # a full window with no live commit means "look further", not
+    # "nothing there"
+    bound = max(budget, 1024)
+    for _ in range(10):
+        rows, frames = attempt(bound)
+        if rows or frames < bound:
+            break
+        bound *= 4
     if not rows:
         return None
     clsn, crn = rows[0][0], int(rows[0][1])
@@ -868,24 +898,27 @@ def chunk_slot_changes_pgoutput(
     publication: str,
     start_rn: int,
     end_rn: int,
+    bound: int | None = None,
 ) -> list[tuple[str, int, bytes]]:
     """Raw frames for ONE chunk of a giant committed transaction:
     frame ordinals in ``(start_rn, end_rn]`` plus every Begin (0x42)
     and Relation (0x52) frame at or below ``end_rn`` — the schema/
     timestamp context a mid-transaction window needs to decode (the
     peek stream opens with the transaction's B and R frames, which
-    earlier chunks consumed).  ``upto_nchanges = 1`` keeps the decode
-    to the first committed transaction; only the window's bytes cross
-    the wire (the already-delivered prefix is discarded server-side),
-    so executor memory is bounded by the chunk, not the
-    transaction."""
+    earlier chunks consumed).  ``bound`` is the peek's
+    ``upto_nchanges``: the caller passes the window's own end ordinal
+    (or, for the final chunk, the last consumed ordinal + 1), which
+    stops the server decode right after the transaction completes —
+    only the window's bytes cross the wire, so executor memory is
+    bounded by the chunk, not the transaction."""
     from pgshovel_spark.sources.pglogical import _check_slot
 
     _check_publication(publication)
+    b = "null" if bound is None else str(int(bound))
     sql = (
         "select t.lsn, t.xid::text, t.data"
         " from pg_logical_slot_peek_binary_changes"
-        f"('{_check_slot(slot)}', null, 1, 'proto_version', '1',"
+        f"('{_check_slot(slot)}', null, {b}, 'proto_version', '1',"
         f" 'publication_names', '{publication}')"
         " with ordinality as t(lsn, xid, data, rn)"
         f" where (t.rn > {int(start_rn)} and t.rn <= {int(end_rn)})"

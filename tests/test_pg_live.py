@@ -4430,6 +4430,78 @@ def test_sharded_chunk_truncate_frame_jump(pg):
     pgl.drop_slot(pp, "shr_slot_tj")
 
 
+def test_sharded_bounded_multi_commit_stream_drain(spark, pg, tmp_path):
+    """Regression for the bounded-drain deadlock in the NORMAL
+    (multi-commit) path: Spark fires commit(N) only when batch N+1 is
+    constructed, so a probe planning from the COMMITTED meta row
+    re-reports batch N's end forever once a backlog needs more than
+    one budget-bounded batch.  A 60k-row backlog across 120 commits
+    under max_changes=15000 must drain fully in a REAL stream, every
+    batch bounded (complete-commit prefixes only: <= budget + one
+    commit's overshoot), exactly once."""
+    import dataclasses
+    import json as _json
+
+    from pgshovel_spark.sources import pgoutput as po
+    from pgshovel_spark.sources.pgdatasource import register_pgshovel
+
+    with pg.connect() as c:
+        c.query("create database shr_mc")
+    pp = dataclasses.replace(pg, database="shr_mc")
+    with pp.connect() as c:
+        c.query("create table ev_mc(id bigint primary key)")
+    po.create_publication(pp, "shr_pub_mc", ["ev_mc"])
+    po.create_slot_pgoutput(pp, "shr_slot_mc")
+    with pp.connect() as c:
+        for i in range(120):
+            c.query(
+                f"insert into ev_mc select g from"
+                f" generate_series({i * 500 + 1}, {i * 500 + 500}) g"
+            )
+    register_pgshovel(spark)
+    batches: dict = {}
+
+    def collect(b, i):
+        row = b.selectExpr(
+            "count(*) as n", "min(seq) as s0", "max(seq) as s1"
+        ).collect()[0]
+        if row.n:
+            batches[i] = (row.n, row.s0, row.s1)
+
+    q = (
+        spark.readStream.format("pgshovel")
+        .option("sockdir", pg.sockdir)
+        .option("max_changes", "15000")
+        .option(
+            "shards",
+            _json.dumps(
+                [{"slot": "shr_slot_mc", "publication": "shr_pub_mc",
+                  "database": "shr_mc"}]
+            ),
+        )
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_for(
+            lambda: sum(v[0] for v in batches.values()) == 60_000,
+            timeout=120,
+        ), sum(v[0] for v in batches.values())
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    sizes = [v[0] for v in batches.values()]
+    assert len(sizes) >= 4 and all(s <= 15_000 for s in sizes), sizes
+    spans = sorted((v[1], v[2]) for v in batches.values())
+    assert spans[0][0] == 0 and spans[-1][1] == 59_999
+    for (_a0, a1), (b0, _b1) in zip(spans, spans[1:]):
+        assert b0 == a1 + 1
+    pgl.drop_slot(pp, "shr_slot_mc")
+
+
 def test_sharded_giant_commit_stream_restart_1m(spark, pg, tmp_path):
     """The verdict-bar drill: a single >=1M-row transaction on one
     shard, ``max_changes`` bounding EVERY batch, checkpoint
