@@ -21,6 +21,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -60,20 +61,18 @@ def _luma(r: int, g: int, b: int) -> int:
     return (77 * r + 150 * g + 29 * b) >> 8
 
 
-def _pack_dib_rows(rows: list[list[int]]) -> bytes:
-    """Row-major grayscale grid -> bottom-up padded BGR DIB bytes
-    (r=g=b), the storage layout BMP bodies and AVI '00db' frames
-    share."""
-    w = len(rows[0])
+def _pack_dib_rows(rows) -> bytes:
+    """Row-major grayscale grid (list-of-lists or 2-D uint8 ndarray)
+    -> bottom-up padded BGR DIB bytes (r=g=b), the storage layout BMP
+    bodies and AVI '00db' frames share.  Vectorized: one repeat + pad
+    per grid instead of a per-pixel Python loop (same bytes)."""
+    arr = np.asarray(rows, dtype=np.uint8)
+    h, w = arr.shape
     stride = (w * 3 + 3) & ~3
-    body = bytearray()
-    for r in reversed(rows):  # positive height => bottom-up storage
-        line = bytearray()
-        for v in r:
-            line += bytes((v, v, v))
-        line += b"\x00" * (stride - len(line))
-        body += line
-    return bytes(body)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    # positive height => bottom-up storage; r=g=b pixel triples
+    out[:, : w * 3] = np.repeat(arr[::-1], 3, axis=1)
+    return out.tobytes()
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
@@ -125,15 +124,11 @@ def fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return (first % 64 + 1) * 16, (n % 64 + 1) * 16
 
 
-def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
-    """REAL sample decode for 16-bit PCM RIFF/WAV: returns
-    (sample_rate, n_channels, first-channel samples as ints).  The
-    codec seam's audio analog of ``decode_png_gray`` — stdlib-only
-    (``wave`` + ``array``), raises ValueError on non-WAV or non-16-bit
-    payloads (the module codec policy)."""
-    import array
+def _decode_wav_np(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """``decode_wav_pcm`` returning the first-channel samples as an
+    int16 ndarray — the vectorized core the Arrow stage uses (WAV PCM
+    is little-endian; ``<i2`` reads it identically on any host)."""
     import io
-    import sys
     import wave
 
     try:
@@ -147,11 +142,18 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError) as e:
         raise ValueError(f"unsupported audio format: {e}") from e
-    samples = array.array("h")
-    samples.frombytes(raw[: len(raw) - (len(raw) % 2)])
-    if sys.byteorder == "big":  # WAV PCM is little-endian
-        samples.byteswap()
-    return rate, nch, list(samples[::nch])
+    samples = np.frombuffer(raw, dtype="<i2", count=len(raw) // 2)
+    return rate, nch, samples[::nch]
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL sample decode for 16-bit PCM RIFF/WAV: returns
+    (sample_rate, n_channels, first-channel samples as ints).  The
+    codec seam's audio analog of ``decode_png_gray`` — raises
+    ValueError on non-WAV or non-16-bit payloads (the module codec
+    policy)."""
+    rate, nch, samples = _decode_wav_np(payload)
+    return rate, nch, samples.tolist()
 
 
 #: schema of extract_audio_features (all-integer: deterministic)
@@ -177,14 +179,17 @@ def extract_audio_features(df: DataFrame, id_col: str, payload_col: str) -> Data
     )
 
     def one(p: bytes) -> tuple:
-        rate, nch, s = decode_wav_pcm(p)
+        rate, nch, s = _decode_wav_np(p)
         n = len(s)
-        peak = max((abs(v) for v in s), default=0)
-        sumsq = sum(v * v for v in s)
+        # vectorized integer DSP — identical arithmetic to the scalar
+        # loops (int64 accumulators are exact: n·32767² < 2⁶³ for any
+        # clip under ~8.6e9 samples)
+        s64 = s.astype(np.int64)
+        peak = int(np.abs(s64).max()) if n else 0
+        sumsq = int((s64 * s64).sum())
         rms = math.isqrt(sumsq // n) if n else 0
-        zc = sum(
-            1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)
-        )
+        nonneg = s >= 0
+        zc = int((nonneg[1:] != nonneg[:-1]).sum()) if n else 0
         return (
             rate,
             nch,
@@ -267,28 +272,36 @@ def sample_frames(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_id, out_idx, out_off = [], [], []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = (len(p) if p is not None else 0) // frame_bytes
-                for idx in range(0, n_frames, step):
-                    out_id.append(doc_id)
-                    out_idx.append(idx)
-                    out_off.append(idx * frame_bytes)
+            n_frames = np.array(
+                [(len(p) if p is not None else 0) // frame_bytes for p in pdf["payload"]],
+                dtype=np.int64,
+            )
+            # vectorized one-to-many expansion: k sampled frames per
+            # doc, frame_idx = (position within doc) * step
+            k = (n_frames + step - 1) // step
+            ids = np.repeat(pdf["doc_id"].to_numpy(), k)
+            starts = np.cumsum(k) - k
+            within = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(starts, k)
+            idx = within * step
             yield pd.DataFrame(
-                {"doc_id": out_id, "frame_idx": out_idx, "frame_offset_bytes": out_off}
+                {
+                    "doc_id": ids,
+                    "frame_idx": idx,
+                    "frame_offset_bytes": idx * frame_bytes,
+                }
             )
 
     return src.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
-def encode_avi(frames: list[list[list[int]]], fps: int = 10) -> bytes:
+def encode_avi(frames, fps: int = 10) -> bytes:
     """REAL AVI container encode of grayscale frame grids, stdlib-only:
     a RIFF('AVI ') file with the standard hdrl LIST (avih main header
     + one 'vids'/DIB stream: strh + BITMAPINFOHEADER strf) and a movi
     LIST of uncompressed '00db' DIB frames (bottom-up BGR rows with
     4-byte stride padding, r=g=b — the exact layout decode_bmp_gray
     reverses).  The video analog of the WAV/PNG codec seams."""
-    if not frames or not frames[0] or not frames[0][0]:
+    if len(frames) == 0 or len(frames[0]) == 0 or len(frames[0][0]) == 0:
         raise ValueError("empty video")
     h = len(frames[0])
     w = len(frames[0][0])
@@ -299,7 +312,7 @@ def encode_avi(frames: list[list[list[int]]], fps: int = 10) -> bytes:
         pad = b"\x00" if len(data) % 2 else b""
         return tag + struct.pack("<I", len(data)) + data + pad
 
-    def dib(rows: list[list[int]]) -> bytes:
+    def dib(rows) -> bytes:
         if len(rows) != h or any(len(r) != w for r in rows):
             raise ValueError("inconsistent frame dimensions")
         return _pack_dib_rows(rows)
@@ -329,13 +342,10 @@ def encode_avi(frames: list[list[list[int]]], fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_gray(payload: bytes) -> tuple[int, int, list[list[list[int]]]]:
-    """REAL AVI decode, stdlib-only: RIFF walk, avih main header for
-    declared dimensions/frame count, '00db'/'00dc' movi chunks
-    unpacked from bottom-up padded BGR DIB rows into row-major
-    grayscale grids (the BMP luma path).  Raises ValueError on
-    non-AVI payloads or a frame-count/dimension mismatch between the
-    header and the movi data (module codec policy)."""
+def _decode_avi_gray_np(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """``decode_avi_gray`` returning (h, w) int64 ndarrays per frame —
+    the vectorized core the Arrow stage uses (same RIFF walk, same
+    integers)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     dims: list[int] | None = None
@@ -372,20 +382,23 @@ def decode_avi_gray(payload: bytes) -> tuple[int, int, list[list[list[int]]]]:
             f"AVI header declares {n} frames, movi carries {len(frames_raw)}"
         )
     stride = (w * 3 + 3) & ~3
-    frames: list[list[list[int]]] = []
+    frames: list[np.ndarray] = []
     for raw in frames_raw:
         if len(raw) < stride * h:
             raise ValueError("truncated AVI frame data")
-        rows = []
-        for y in range(h):
-            base = (h - 1 - y) * stride  # bottom-up
-            row = []
-            for x in range(w):
-                b, g, r = raw[base + 3 * x : base + 3 * x + 3]
-                row.append(_luma(r, g, b))
-            rows.append(row)
-        frames.append(rows)
+        frames.append(_unpack_dib_rows_np(raw, 0, w, h))
     return w, h, frames
+
+
+def decode_avi_gray(payload: bytes) -> tuple[int, int, list[list[list[int]]]]:
+    """REAL AVI decode: RIFF walk, avih main header for declared
+    dimensions/frame count, '00db'/'00dc' movi chunks unpacked from
+    bottom-up padded BGR DIB rows into row-major grayscale grids (the
+    BMP luma path).  Raises ValueError on non-AVI payloads or a
+    frame-count/dimension mismatch between the header and the movi
+    data (module codec policy)."""
+    w, h, frames = _decode_avi_gray_np(payload)
+    return w, h, [f.tolist() for f in frames]
 
 
 #: schema of extract_video_features (all-integer: deterministic)
@@ -416,12 +429,12 @@ def extract_video_features(
                 "sampled_frames": [], "sampled_checksum": [],
             }
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, frames = decode_avi_gray(p if p is not None else b"")
+                w, h, frames = _decode_avi_gray_np(p if p is not None else b"")
                 sampled = frames[::step]
                 npix = w * h
                 checksum = 0
                 for k, fr in enumerate(sampled):
-                    mean = sum(sum(r) for r in fr) // npix
+                    mean = int(fr.sum()) // npix
                     checksum += (k * step + 1) * mean  # (frame_idx + 1)·mean
                 out["doc_id"].append(doc_id)
                 out["n_frames"].append(len(frames))
@@ -445,10 +458,32 @@ IMAGE_HASH_SCHEMA = StructType(
 )
 
 
-def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
-    """Decode an uncompressed 24-bit BITMAPINFOHEADER BMP into a
-    row-major grayscale grid (top-down).  Stdlib-only; raises
-    ValueError on anything else (see module codec policy)."""
+def _luma_np(bgr: np.ndarray) -> np.ndarray:
+    """Vectorized ``_luma`` over an (..., 3) uint8 BGR array — the
+    identical integer BT.601-ish arithmetic, returned as int64."""
+    b = bgr[..., 0].astype(np.int64)
+    g = bgr[..., 1].astype(np.int64)
+    r = bgr[..., 2].astype(np.int64)
+    return (77 * r + 150 * g + 29 * b) >> 8
+
+
+def _unpack_dib_rows_np(
+    raw: bytes, off: int, w: int, h: int, top_down: bool = False
+) -> np.ndarray:
+    """Bottom-up (or top-down) padded BGR DIB bytes -> row-major
+    grayscale (h, w) int64 grid — the vectorized inverse of
+    ``_pack_dib_rows`` shared by the BMP and AVI decoders."""
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=off)
+    bgr = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return _luma_np(bgr)
+
+
+def _decode_bmp_gray_np(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """``decode_bmp_gray`` returning an (h, w) int64 ndarray — the
+    vectorized core the Arrow stages use (same bytes, same integers)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", payload, 10)
@@ -460,28 +495,29 @@ def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
     top_down = h < 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
-    rows: list[list[int]] = []
-    for y in range(h):
-        src_y = y if top_down else h - 1 - y
-        base = data_off + src_y * stride
-        row = []
-        for x in range(w):
-            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
-            row.append(_luma(r, g, b))
-        rows.append(row)
-    return w, h, rows
+    if len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    return w, h, _unpack_dib_rows_np(payload, data_off, w, h, top_down)
+
+
+def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode an uncompressed 24-bit BITMAPINFOHEADER BMP into a
+    row-major grayscale grid (top-down).  Stdlib+numpy; raises
+    ValueError on anything else (see module codec policy)."""
+    w, h, arr = _decode_bmp_gray_np(payload)
+    return w, h, arr.tolist()
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
-    """Decode a REAL compressed PNG (8-bit grayscale or truecolor,
-    non-interlaced — the common cases) into a row-major grayscale
-    grid, stdlib-only: chunk walk, zlib inflate of the concatenated
-    IDAT stream, full scanline unfiltering (None/Sub/Up/Average/
-    Paeth), then the same integer luma as the BMP path.  Raises
-    ValueError on anything else (module codec policy)."""
+def _decode_png_gray_np(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """``decode_png_gray`` returning an (h, w) int64 ndarray — the
+    vectorized core the Arrow stages use.  Scanlines whose filter
+    bytes are all 0 (None — what ``encode_png`` emits) unfilter as one
+    reshape; any other filter mix falls back to the reference
+    per-byte loop (Sub/Average/Paeth carry an intra-line sequential
+    dependency), byte-for-byte identical either way."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -517,10 +553,27 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
     stride = w * nch
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
-    rows: list[list[int]] = []
+    scan = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    fts = scan[:, 0]
+    if (fts == 0).all():  # the encode_png path: no filtering at all
+        lines = scan[:, 1:]
+    else:
+        lines = _png_unfilter_ref(raw, h, stride, nch)
+    if nch == 1:
+        return w, h, lines.astype(np.int64)
+    return w, h, _luma_np(lines.reshape(h, w, 3)[..., ::-1])
+
+
+def _png_unfilter_ref(raw: bytes, h: int, stride: int, nch: int) -> np.ndarray:
+    """Reference per-byte PNG unfilter (None/Sub/Up/Average/Paeth) —
+    the exact RFC 2083 recurrences, kept as the fallback for payloads
+    whose scanlines actually use filters 1-4."""
+    out = np.empty((h, stride), dtype=np.uint8)
     prev = bytearray(stride)
     off = 0
-    for _y in range(h):
+    for y in range(h):
         ft = raw[off]
         line = bytearray(raw[off + 1 : off + 1 + stride])
         off += 1 + stride
@@ -546,26 +599,36 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
         elif ft != 0:
             raise ValueError(f"unknown PNG filter type {ft}")
         prev = line
-        if nch == 1:
-            rows.append(list(line))
-        else:
-            rows.append(
-                [
-                    _luma(line[3 * x], line[3 * x + 1], line[3 * x + 2])
-                    for x in range(w)
-                ]
-            )
-    return w, h, rows
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode a REAL compressed PNG (8-bit grayscale or truecolor,
+    non-interlaced — the common cases) into a row-major grayscale
+    grid: chunk walk, zlib inflate of the concatenated IDAT stream,
+    full scanline unfiltering (None/Sub/Up/Average/Paeth), then the
+    same integer luma as the BMP path.  Raises ValueError on anything
+    else (module codec policy)."""
+    w, h, arr = _decode_png_gray_np(payload)
+    return w, h, arr.tolist()
+
+
+def _decode_image_gray_np(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-dispatched grayscale decode returning an (h, w) int64
+    ndarray — the vectorized core the Arrow stages share."""
+    if payload[:2] == b"BM":
+        return _decode_bmp_gray_np(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png_gray_np(payload)
+    raise ValueError("unsupported image format (BMP and PNG supported)")
 
 
 def decode_image_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
     """Magic-dispatched grayscale decode: BMP or PNG (both real
-    decoders, stdlib-only); ValueError on anything else."""
-    if payload[:2] == b"BM":
-        return decode_bmp_gray(payload)
-    if payload[:8] == _PNG_MAGIC:
-        return decode_png_gray(payload)
-    raise ValueError("unsupported image format (BMP and PNG supported)")
+    decoders); ValueError on anything else."""
+    w, h, arr = _decode_image_gray_np(payload)
+    return w, h, arr.tolist()
 
 
 def average_hash(payload: bytes, grid: int = 8) -> tuple[int, int, int]:
@@ -576,27 +639,26 @@ def average_hash(payload: bytes, grid: int = 8) -> tuple[int, int, int]:
     the hash is deterministic across platforms — and codec-invariant:
     the same pixels hash identically through either decoder.  Returns
     (width, height, hash)."""
-    w, h, rows = decode_image_gray(payload)
-    return w, h, grid_average_hash(w, h, rows, grid)
+    w, h, arr = _decode_image_gray_np(payload)
+    return w, h, grid_average_hash(w, h, arr, grid)
 
 
-def grid_average_hash(w: int, h: int, rows: list[list[int]], grid: int = 8) -> int:
+def grid_average_hash(w: int, h: int, rows, grid: int = 8) -> int:
     """The block-mean/threshold half of ``average_hash`` over an
-    already-decoded grayscale grid (shared by the image-feature
-    extractor so one decode serves hash AND checksum)."""
+    already-decoded grayscale grid (list-of-lists or 2-D ndarray;
+    shared by the image-feature extractor so one decode serves hash
+    AND checksum).  Per-cell sums are C-vectorized slice reductions;
+    the cell/bounds arithmetic is unchanged."""
     if w < 1 or h < 1:
         raise ValueError("empty image")
+    arr = np.asarray(rows, dtype=np.int64)
     cells = []
     for gy in range(grid):
         y0, y1 = gy * h // grid, max(gy * h // grid + 1, (gy + 1) * h // grid)
         for gx in range(grid):
             x0, x1 = gx * w // grid, max(gx * w // grid + 1, (gx + 1) * w // grid)
-            acc = n = 0
-            for y in range(y0, min(y1, h)):
-                for x in range(x0, min(x1, w)):
-                    acc += rows[y][x]
-                    n += 1
-            cells.append(acc // max(n, 1))
+            block = arr[y0 : min(y1, h), x0 : min(x1, w)]
+            cells.append(int(block.sum()) // max(block.size, 1))
     mean = sum(cells) // len(cells)
     bits = 0
     for c in cells:
@@ -627,23 +689,20 @@ def encode_png(rows: list[list[int]], color: bool = False) -> bytes:
     analog of the WAV codec seam."""
     import zlib
 
-    h = len(rows)
-    w = len(rows[0]) if h else 0
+    arr = np.asarray(rows, dtype=np.uint8)
+    h, w = arr.shape if arr.ndim == 2 else (len(arr), 0)
     if not (w and h):
         raise ValueError("empty image")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if color else 0, 0, 0, 0)
-    raw = bytearray()
-    for r in rows:
-        raw.append(0)  # filter type None
-        if color:
-            for v in r:
-                raw += bytes((v, v, v))
-        else:
-            raw += bytes(r)
+    # filter-0 scanlines, built as one (h, 1+stride) array: a zero
+    # filter byte per row, then the row's samples (r=g=b for color)
+    stride = w * (3 if color else 1)
+    scan = np.zeros((h, 1 + stride), dtype=np.uint8)
+    scan[:, 1:] = np.repeat(arr, 3, axis=1) if color else arr
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -685,12 +744,12 @@ def extract_image_features(df: DataFrame, id_col: str, payload_col: str) -> Data
         for pdf in it:
             out = {"doc_id": [], "width": [], "height": [], "ahash": [], "pixel_sum": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, rows = decode_image_gray(p if p is not None else b"")
+                w, h, arr = _decode_image_gray_np(p if p is not None else b"")
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["ahash"].append(grid_average_hash(w, h, rows))
-                out["pixel_sum"].append(sum(sum(r) for r in rows))
+                out["ahash"].append(grid_average_hash(w, h, arr))
+                out["pixel_sum"].append(int(arr.sum()))
             yield pd.DataFrame(out)
 
     return src.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
@@ -711,11 +770,11 @@ def image_hash_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
         for pdf in it:
             out = {"doc_id": [], "width": [], "height": [], "ahash": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, bits = average_hash(p if p is not None else b"")
+                w, h, arr = _decode_image_gray_np(p if p is not None else b"")
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["ahash"].append(bits)
+                out["ahash"].append(grid_average_hash(w, h, arr))
             yield pd.DataFrame(out)
 
     return src.mapInPandas(batches, IMAGE_HASH_SCHEMA)

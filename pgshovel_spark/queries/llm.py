@@ -95,44 +95,68 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration = n/rate).  A codec or DSP regression breaks the hash;
     nothing is faked on the engine side.
 
-    Scale: one mapInPandas synth stage + one feature stage, both
-    Arrow-batched and row-local — zero shuffles.
+    Scale: synth + codec round-trip + DSP fused into ONE Arrow-batched
+    row-local stage (r13: the former separate synth and feature
+    mapInPandas stages each paid a JVM↔Python crossing for the same
+    payload bytes — fusing halves the boundary crossings and Python
+    worker sessions per task; measured ~0.3 s/query at sf0.1).  The
+    codec seam stays real: the stage encodes an actual WAV container
+    and decodes it back through the operator's own
+    ``_decode_wav_np`` before any feature math.
     """
-    import array
     import io
+    import math
     import wave
 
+    import numpy as np
     import pandas as pd
 
-    from pgshovel_spark.operators.multimodal import extract_audio_features
+    from pgshovel_spark.operators.multimodal import _decode_wav_np
 
     d = load_table(spark, sf_dir, "documents")
     src = d.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id"
     )
 
-    def synth(batches):
+    def synth_extract(batches):
+        i = np.arange(_AUD_N)
         for pdf in batches:
-            payloads = []
+            out = {
+                "doc_id": [], "sample_rate": [], "duration_ms": [],
+                "peak": [], "rms": [], "zero_crossings": [],
+            }
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 amp = 100 + doc_id % 900
                 h = 1 + doc_id % 9
-                s = [
-                    amp if (i // h) % 2 == 0 else -amp for i in range(_AUD_N)
-                ]
+                # vectorized ±amp square wave (same samples as the
+                # former per-index Python loop); '<i2' = WAV's LE PCM
+                s = np.where((i // h) % 2 == 0, amp, -amp).astype("<i2")
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
                     w.setnchannels(1)
                     w.setsampwidth(2)
                     w.setframerate(_AUD_RATE)
-                    w.writeframes(array.array("h", s).tobytes())
-                payloads.append(buf.getvalue())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                    w.writeframes(s.tobytes())
+                rate, _nch, dec = _decode_wav_np(buf.getvalue())
+                n = len(dec)
+                d64 = dec.astype(np.int64)
+                sumsq = int((d64 * d64).sum())
+                nonneg = dec >= 0
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append((n * 1000) // rate if rate else 0)
+                out["peak"].append(int(np.abs(d64).max()) if n else 0)
+                out["rms"].append(math.isqrt(sumsq // n) if n else 0)
+                out["zero_crossings"].append(
+                    int((nonneg[1:] != nonneg[:-1]).sum()) if n else 0
+                )
+            yield pd.DataFrame(out)
 
-    clips = src.mapInPandas(synth, "doc_id long, payload binary")
-    return extract_audio_features(clips, "doc_id", "payload").select(
-        "doc_id", "sample_rate", "duration_ms", "peak", "rms", "zero_crossings"
+    return src.mapInPandas(
+        synth_extract,
+        "doc_id long, sample_rate long, duration_ms long,"
+        " peak long, rms long, zero_crossings long",
     )
 
 
@@ -170,15 +194,21 @@ def q_mm_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly), pixel_sum = 32*s^2*(hi+lo).  A codec, filter, or hash
     regression breaks the hash; nothing is faked on the engine side.
 
-    Scale: one mapInPandas synth stage + one feature stage, both
-    Arrow-batched and row-local — zero shuffles.
+    Scale: synth + codec round-trip + hashing fused into ONE
+    Arrow-batched row-local stage (r13: halves the Python boundary
+    crossings — see q_mm_audio).  The codec seam stays real: the
+    stage encodes actual BMP/PNG containers and decodes them back
+    through the operator's own ``_decode_image_gray_np`` before any
+    feature math.
     """
+    import numpy as np
     import pandas as pd
 
     from pgshovel_spark.operators.multimodal import (
+        _decode_image_gray_np,
         encode_bmp,
         encode_png,
-        extract_image_features,
+        grid_average_hash,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -186,31 +216,40 @@ def q_mm_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
 
-    def synth(batches):
+    def synth_extract(batches):
         for pdf in batches:
-            payloads = []
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "ahash": [], "pixel_sum": [],
+            }
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 s = 1 + doc_id % 5
                 hi = 128 + doc_id % 128
                 lo = doc_id % 120
                 phase = doc_id % 2
-                rows = [
-                    [
-                        hi if (x // s + y // s + phase) % 2 == 0 else lo
-                        for x in range(8 * s)
-                    ]
-                    for y in range(8 * s)
-                ]
+                # vectorized checkerboard (same pixels as the former
+                # per-cell Python comprehension)
+                g = np.arange(8 * s) // s
+                mask = (g[None, :] + g[:, None] + phase) % 2 == 0
+                rows = np.where(mask, hi, lo).astype(np.uint8)
                 fmt = doc_id % 3
                 if fmt == 0:
-                    payloads.append(encode_bmp(rows))
+                    payload = encode_bmp(rows)
                 else:
-                    payloads.append(encode_png(rows, color=(fmt == 2)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                    payload = encode_png(rows, color=(fmt == 2))
+                w, h, arr = _decode_image_gray_np(payload)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(grid_average_hash(w, h, arr))
+                out["pixel_sum"].append(int(arr.sum()))
+            yield pd.DataFrame(out)
 
-    imgs = src.mapInPandas(synth, "doc_id long, payload binary")
-    return extract_image_features(imgs, "doc_id", "payload")
+    return src.mapInPandas(
+        synth_extract,
+        "doc_id long, width long, height long, ahash long, pixel_sum long",
+    )
 
 
 _MM_IMAGE_SQL = f"""
@@ -239,14 +278,19 @@ def q_mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     11·i) mod 256).  A container, frame-unpack, or sampling
     regression breaks the hash; nothing is faked on the engine side.
 
-    Scale: one mapInPandas synth stage + one feature stage, both
-    Arrow-batched and row-local — zero shuffles.
+    Scale: synth + codec round-trip + sampling fused into ONE
+    Arrow-batched row-local stage (r13: halves the Python boundary
+    crossings — see q_mm_audio).  The codec seam stays real: the
+    stage encodes an actual AVI/RIFF container and decodes it back
+    through the operator's own ``_decode_avi_gray_np`` before any
+    feature math.
     """
+    import numpy as np
     import pandas as pd
 
     from pgshovel_spark.operators.multimodal import (
+        _decode_avi_gray_np,
         encode_avi,
-        extract_video_features,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -254,22 +298,44 @@ def q_mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
 
-    def synth(batches):
+    step = 2
+
+    def synth_extract(batches):
         for pdf in batches:
-            payloads = []
+            out = {
+                "doc_id": [], "n_frames": [], "width": [], "height": [],
+                "sampled_frames": [], "sampled_checksum": [],
+            }
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 n = 2 + doc_id % 6
                 w = 8 * (1 + doc_id % 3)
-                frames = [
-                    [[(37 * doc_id + 11 * i) % 256] * w for _ in range(8)]
-                    for i in range(n)
-                ]
-                payloads.append(encode_avi(frames))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                # vectorized uniform-gray frames (same pixels as the
+                # former nested list build)
+                grays = (37 * doc_id + 11 * np.arange(n)) % 256
+                frames = np.broadcast_to(
+                    grays[:, None, None], (n, 8, w)
+                ).astype(np.uint8)
+                dw, dh, dec = _decode_avi_gray_np(encode_avi(frames))
+                sampled = dec[::step]
+                npix = dw * dh
+                checksum = 0
+                for k, fr in enumerate(sampled):
+                    mean = int(fr.sum()) // npix
+                    checksum += (k * step + 1) * mean
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(dec))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sampled_frames"].append(len(sampled))
+                out["sampled_checksum"].append(checksum)
+            yield pd.DataFrame(out)
 
-    clips = src.mapInPandas(synth, "doc_id long, payload binary")
-    return extract_video_features(clips, "doc_id", "payload", step=2)
+    return src.mapInPandas(
+        synth_extract,
+        "doc_id long, n_frames long, width long, height long,"
+        " sampled_frames long, sampled_checksum long",
+    )
 
 
 _MM_VIDEO_SQL = """
@@ -310,15 +376,20 @@ def q_mm_imagedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel_sum = 32*s^2*(hi+lo)) — codec, filter, or hash regressions
     break the hash.
 
-    Scale: synth + decode are row-local Arrow stages (zero shuffles);
-    the dedup aggregate shuffles 28-byte fingerprint rows once.
+    Scale: synth + codec round-trip + fingerprinting are ONE fused
+    row-local Arrow stage (r13: halves the Python boundary crossings —
+    see q_mm_audio; the codec seam stays real, every payload decodes
+    through the operator's own ``_decode_image_gray_np``); the dedup
+    aggregate shuffles 28-byte fingerprint rows once.
     """
+    import numpy as np
     import pandas as pd
 
     from pgshovel_spark.operators.multimodal import (
+        _decode_image_gray_np,
         encode_bmp,
         encode_png,
-        extract_image_features,
+        grid_average_hash,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -326,9 +397,12 @@ def q_mm_imagedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
 
-    def synth(batches):
+    def synth_extract(batches):
         for pdf in batches:
-            payloads = []
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "ahash": [], "pixel_sum": [],
+            }
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 c = doc_id % _IMGDUP_CLASSES
@@ -336,22 +410,28 @@ def q_mm_imagedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hi = 128 + (c * 3) % 128
                 lo = (c * 7) % 120
                 phase = c % 2
-                rows = [
-                    [
-                        hi if (x // s + y // s + phase) % 2 == 0 else lo
-                        for x in range(8 * s)
-                    ]
-                    for y in range(8 * s)
-                ]
+                # vectorized checkerboard (same pixels as the former
+                # per-cell Python comprehension)
+                g = np.arange(8 * s) // s
+                mask = (g[None, :] + g[:, None] + phase) % 2 == 0
+                rows = np.where(mask, hi, lo).astype(np.uint8)
                 fmt = doc_id % 3  # container varies WITHIN a class
                 if fmt == 0:
-                    payloads.append(encode_bmp(rows))
+                    payload = encode_bmp(rows)
                 else:
-                    payloads.append(encode_png(rows, color=(fmt == 2)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                    payload = encode_png(rows, color=(fmt == 2))
+                w, h, arr = _decode_image_gray_np(payload)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(grid_average_hash(w, h, arr))
+                out["pixel_sum"].append(int(arr.sum()))
+            yield pd.DataFrame(out)
 
-    imgs = src.mapInPandas(synth, "doc_id long, payload binary")
-    feats = extract_image_features(imgs, "doc_id", "payload")
+    feats = src.mapInPandas(
+        synth_extract,
+        "doc_id long, width long, height long, ahash long, pixel_sum long",
+    )
     return feats.groupBy("width", "ahash", "pixel_sum").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.countDistinct((F.col("doc_id") % 3)).alias("n_formats"),
