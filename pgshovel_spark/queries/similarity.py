@@ -1370,12 +1370,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # Spread the corpus before the scoring pass: the fixture parquet is
-    # a single sub-split-size file (one task) and the matmul dominates;
-    # at production scale the scan already arrives in many splits.
+    # No fixture-spreading repartition (r13): the matmul scoring pass
+    # is vectorized, so the scan's own splits are parallelism enough
+    # at every scale — a corpus-wide shuffle before a row-local scorer
+    # is pure waste (guide §2.4; same measured trade as
+    # q_sim_knn_join).
     scored = (
         e.filter(F.col("vec_id") >= _RECALL_PROBES)
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "label", "embedding")
         .mapInPandas(score, out_schema)
     )
@@ -1718,26 +1719,67 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(cos, 3) DESC, vec_id ASC) per probe, the rounded value
     emitted.
 
-    Scale shape: the probe batch broadcasts (k x dim floats), scoring
-    is one map-side pass over the candidate corpus (no shuffle grows
-    with the batch), and ONE window shuffle keyed by probe_id ranks
-    candidates.  Parallelism is bounded by the batch size — a
-    production batch is thousands of probes wide, and the per-probe
-    candidate stream is corpus-sized, which is exactly the regime
-    where the IVF variant's partition pruning takes over.
+    Scale shape: the probe batch rides into one ARROW-MATMUL scoring
+    pass of the corpus (mapInPandas — each Arrow batch scores all
+    probes as one |batch| x dim @ dim x probes numpy product; the
+    q_ann_recall shape, which replaced the interpreted per-pair
+    zip_with fold this query also paid — measured 2.0-2.8 s -> see
+    OPTIMIZATION_r13.md), and ONE window shuffle keyed by probe_id
+    ranks candidates.  The probe batch is a k-bounded driver collect
+    (ann.py centroid precedent).  Parallelism is bounded by the batch
+    size — a production batch is thousands of probes wide, and the
+    per-probe candidate stream is corpus-sized, which is exactly the
+    regime where the IVF variant's partition pruning takes over.
+
+    Determinism: numpy's dot reorders the per-dimension sums vs the
+    JVM fold — drift ~1e-15, absorbed by the 3-dp rounding (the
+    q_ann_recall / q_dedup_embedding matmul precedent); a zero-norm
+    side yields NaN in the Arrow batch, which Spark's Arrow reader
+    stores as NULL — the same NULL ``cosine_sim`` emitted.
     """
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
+    prows = sorted(probes.collect(), key=lambda r: r.probe_id)
+    pids = np.array([r.probe_id for r in prows], dtype=np.int64)
+    P = np.stack([np.asarray(r.probe_emb, dtype=np.float64) for r in prows])
+    pn = np.sqrt((P * P).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vn = np.sqrt((M * M).sum(axis=1))
+            den = np.outer(vn, pn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(den != 0.0, (M @ P.T) / den, np.nan)
+            k = len(pids)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.tile(pids, n),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "sim": np.round(sims, 3).ravel() + 0.0,
+                }
+            )
+
+    # No fixture-spreading repartition: the matmul scoring pass is
+    # vectorized (µs per Arrow batch), so the scan's own splits are
+    # parallelism enough at every scale — and at production scale a
+    # corpus-wide shuffle before a row-local scorer is pure waste
+    # (guide §2.4: remove shuffles outright; measured 0.9-1.6 s ->
+    # 0.5-0.7 s at sf0.1).
     scored = (
         e.filter(F.col("vec_id") >= _KNNJ_PROBES)
-        .crossJoin(F.broadcast(probes))
-        .select(
-            "probe_id",
-            "vec_id",
-            (F.round(cosine_sim("embedding", "probe_emb"), 3) + 0.0).alias("sim"),
-        )
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "probe_id long, vec_id long, sim double")
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
