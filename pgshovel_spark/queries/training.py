@@ -360,7 +360,12 @@ def q_dedup_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(bits @ weights)
 
     e = load_table(spark, sf_dir, "embeddings")
-    sigd = e.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+    # No fixture-spreading repartition (r13): the signature pass is
+    # one vectorized integer matmul per Arrow batch — the scan's own
+    # splits are parallelism enough at every scale, and the window's
+    # sig-keyed exchange is the only shuffle this plan needs
+    # (guide §2.4; the q_sim_knn_join / q_ann_recall trade).
+    sigd = e.select(
         "vec_id", "label", rhp_sig("embedding").alias("sig")
     )
     w = Window.partitionBy("sig")
