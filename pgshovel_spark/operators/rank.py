@@ -59,6 +59,9 @@ def with_global_rank(
     rank_col: str = "global_rank",
     total_col: str | None = None,
     num_partitions: int | None = None,
+    group_prefix: list[str] | None = None,
+    group_count_col: str = "group_n",
+    group_rank0_col: str = "group_rank0",
 ) -> DataFrame:
     """Append a dense 1-based global row_number over ``order`` without a
     single-partition window.
@@ -66,6 +69,22 @@ def with_global_rank(
     ``order`` must be a total order (unique tiebreaker) for the result
     to be deterministic.  If ``total_col`` is given, the total row count
     is appended too (computed in the same job, no extra action).
+
+    ``group_prefix`` (column NAMES that form an ASCENDING prefix of
+    ``order``) additionally appends, per row, the row's group size
+    (``group_count_col``) and the group's minimum global rank
+    (``group_rank0_col``) — so per-group rank = rank_col -
+    group_rank0_col + 1 — WITHOUT a second pass over the ranked
+    stream: because the groups are a prefix of the range-partitioning
+    order, every (partition, group) cell is contiguous, so per-group
+    counts and first-rank offsets all derive from the same tiny
+    (<= partitions x groups)-row cell aggregate that already yields
+    the per-partition rank offsets.  The naive alternative — a
+    ``groupBy(group)`` over the ranked output plus a broadcast join —
+    costs one EXTRA full aggregation pass over the corpus-sized
+    stream; this form reads the stream exactly once outside the
+    consumer's own pass (guide: aggregate before you shuffle / do
+    fewer passes).
 
     Callers should PRE-PROJECT ``df`` to the columns they need: the
     ranged stream is cached (see module docstring) and column pruning
@@ -86,6 +105,16 @@ def with_global_rank(
         .withColumn("__gr_local", F.col("__gr_mid") % F.lit(1 << 33))
         .drop("__gr_mid")
     )
+
+    if group_prefix:
+        return _ranked_with_group_stats(
+            ranged,
+            group_prefix,
+            rank_col=rank_col,
+            total_col=total_col,
+            group_count_col=group_count_col,
+            group_rank0_col=group_rank0_col,
+        )
 
     counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_cnt"))
     # Prefix-sum the (≤ n)-row counts with a window over ONE coalesced
@@ -112,6 +141,87 @@ def with_global_rank(
     )
 
     out = ranged.join(F.broadcast(offsets), _PID).withColumn(
+        rank_col, (F.col("__gr_local") + F.col(_OFF) + 1).cast("long")
+    )
+    out = out.drop(_PID, _OFF, "__gr_local")
+    if total_col is None:
+        return out.drop(_TOT)
+    return out.withColumnRenamed(_TOT, total_col)
+
+
+def _ranked_with_group_stats(
+    ranged: DataFrame,
+    group_prefix: list[str],
+    *,
+    rank_col: str,
+    total_col: str | None,
+    group_count_col: str,
+    group_rank0_col: str,
+) -> DataFrame:
+    """Group-prefix variant of the rank join: ONE (pid, group) cell
+    aggregate yields per-partition rank offsets AND per-group
+    (count, min-rank) stats, attached through a SINGLE broadcast join
+    on (pid, *group_prefix).
+
+    Correctness rests on the prefix property: rows within a range
+    partition are sorted by ``order``, whose leading columns are the
+    ascending ``group_prefix``, so cells ordered by (pid, *group) are
+    exactly physical row order — a running sum of cell counts in that
+    order gives each cell's first global (0-based) position, the
+    minimum over a group's cells gives the group's first rank, and a
+    RANGE frame to pid-1 gives the partition's rank offset without a
+    partition-spec window (the cell table is coalesced to one task,
+    a narrow dependency — same posture as the pid-counts prefix sum
+    in the ungrouped path).
+    """
+    from pgshovel_spark.operators.scratch import materialize
+
+    gcols = [F.col(c) for c in group_prefix]
+    cells = ranged.groupBy(_PID, *gcols).agg(
+        F.count(F.lit(1)).alias("__gr_cnt")
+    )
+    # cell table feeds two tiny branches (group stats + the enriched
+    # broadcast); materialize so the full-stream aggregate runs once.
+    w_pre = Window.orderBy(_PID, *gcols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(_PID, *gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # RANGE frame over the integer pid: sums every cell of STRICTLY
+    # smaller pid = the partition's global rank offset.
+    w_pid_pre = Window.orderBy(_PID).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    cell = materialize(
+        cells.coalesce(1).select(
+            _PID,
+            *gcols,
+            "__gr_cnt",
+            F.coalesce(F.sum("__gr_cnt").over(w_pid_pre), F.lit(0))
+            .cast("long")
+            .alias(_OFF),
+            F.coalesce(F.sum("__gr_cnt").over(w_pre), F.lit(0))
+            .cast("long")
+            .alias("__gr_cell0"),
+            F.sum("__gr_cnt").over(w_all).cast("long").alias(_TOT),
+        )
+    )
+    gstats = cell.groupBy(*gcols).agg(
+        F.sum("__gr_cnt").cast("long").alias(group_count_col),
+        (F.min("__gr_cell0") + 1).cast("long").alias(group_rank0_col),
+    )
+    enriched = cell.join(gstats, group_prefix).select(
+        _PID,
+        *gcols,
+        _OFF,
+        _TOT,
+        group_count_col,
+        group_rank0_col,
+    )
+    out = ranged.join(
+        F.broadcast(enriched), [_PID, *group_prefix]
+    ).withColumn(
         rank_col, (F.col("__gr_local") + F.col(_OFF) + 1).cast("long")
     )
     out = out.drop(_PID, _OFF, "__gr_local")

@@ -1100,24 +1100,27 @@ def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks come from operators/rank.py's two-pass distributed rank over
     (lang, nll, doc_id) — per-lang rank = global rank minus the
     lang's min rank, and the per-lang counts ride in the SAME
-    5-row broadcast.  The ranked stream materializes once (rank.py's
-    boundary-consistency invariant) and both consumers read it.
+    broadcast as the rank offsets (rank.py's ``group_prefix``
+    variant: lang is the leading range key, so per-lang count and
+    min-rank derive from the tiny (partition, lang) cell aggregate —
+    no second corpus-wide aggregation pass and no separate
+    lang-stats exchange; round-13 optimization).  The ranked stream
+    materializes once (rank.py's boundary-consistency invariant).
     """
     from pgshovel_spark.operators.rank import with_global_rank
 
     base = q_text_unigram_ppl(spark, sf_dir).select(
         "doc_id", "lang", "n_toks", "nll_per_token"
     )
-    ranked = with_global_rank(
-        base,
-        [F.col("lang"), F.col("nll_per_token"), F.col("doc_id")],
-        rank_col="grank",
-    )
-    lang_stats = ranked.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_l"), F.min("grank").alias("rank0")
-    )
     lab = (
-        ranked.join(F.broadcast(lang_stats), "lang")
+        with_global_rank(
+            base,
+            [F.col("lang"), F.col("nll_per_token"), F.col("doc_id")],
+            rank_col="grank",
+            group_prefix=["lang"],
+            group_count_col="n_l",
+            group_rank0_col="rank0",
+        )
         .withColumn("i", F.col("grank") - F.col("rank0") + 1)
         .withColumn("q3", F.expr("n_l div 3"))
         .withColumn("r3", F.col("n_l") % 3)

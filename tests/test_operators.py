@@ -133,6 +133,42 @@ def test_global_rank_no_single_partition_window(spark):
     assert [t[2] for t in ranks] == list(range(1, 51))
 
 
+def test_global_rank_group_prefix_matches_two_pass(spark):
+    # The group_prefix variant must agree exactly with the naive
+    # second-pass computation (groupBy(group) over the ranked output)
+    # it replaces: same global rank, same per-group count, same
+    # per-group min rank — across several groups, skewed group sizes,
+    # and more partitions than groups.
+    from pgshovel_spark.operators.rank import with_global_rank
+
+    df = spark.range(211).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 131) % 97).alias("v"),
+    ).repartition(7)
+    order = [F.col("g").asc(), F.col("v").asc(), F.col("id").asc()]
+    got = with_global_rank(
+        df, order, rank_col="r", num_partitions=6,
+        group_prefix=["g"], group_count_col="ng", group_rank0_col="r0",
+    )
+    base = with_global_rank(df, order, rank_col="r", num_partitions=6)
+    stats = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"), F.min("r").alias("r0")
+    )
+    want = base.join(stats, "g")
+    cols = ["id", "g", "v", "r", "ng", "r0"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    # per-group rank sanity: r - r0 + 1 is 1..ng within each group
+    rows = got.select("g", "r", "r0", "ng").collect()
+    per_g = {}
+    for row in rows:
+        per_g.setdefault(row.g, []).append(row.r - row.r0 + 1)
+    for g, idxs in per_g.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), g
+
+
 def test_asof_null_right_values_stay_together(spark):
     # Right rows carry (a, b) where one column may be NULL; the as-of
     # fill must never stitch a's value from one row with b's from another,
