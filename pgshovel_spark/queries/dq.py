@@ -35,12 +35,23 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE global aggregate: each leg tags its rows and pads the others'
     flag columns with nulls, the partial aggregate collapses every
     map partition to constant-size state before any exchange (sums
-    of flags; the PK checks' COUNT DISTINCTs keep only distinct keys
-    per partition), and the single one-row result ``stack``s out to
+    of flags only), and the single one-row result ``stack``s out to
     the 9 constraint rows.  vs the per-leg aggregates this fuses away
     three separate final-aggregate exchange stages — at 100 TB the
     scans are the whole cost of a DQ gate, and both dim sides
-    broadcast (keys only)."""
+    broadcast (keys only).
+
+    PK uniqueness WITHOUT the count-distinct Expand (round-13): both
+    key sets the PK checks count are ALREADY deduplicated for the RI
+    probes (the broadcast sides), so ``n_distinct`` is a one-row
+    count of each existing distinct table (exchange-reused with its
+    probe twin) crossJoined onto the flag sums.  The former
+    ``COUNT(DISTINCT dkey/dkey2)`` inside the global aggregate made
+    Spark Expand the whole 4-leg union 3x and re-shuffle every
+    distinct orders/customer key a SECOND time — at scale that is
+    billions of already-deduplicated keys through an extra exchange,
+    and at sf0.1 it was the query's dominant stage (solo 1.8-2.0 s ->
+    0.8-1.2 s, Expand node gone)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
@@ -56,17 +67,27 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # very anomaly a DQ sweep exists to catch; it gets its own
     # customer_pk_unique row below) would otherwise inflate every
     # orders-side count and report phantom violations
+    # explicit NOT NULL on the shared key tables: (1) matches
+    # COUNT(DISTINCT ...) semantics exactly (ignores null keys) when
+    # the counting legs below measure them, (2) matches the isnotnull
+    # the join would infer on its build side anyway, so the counting
+    # leg and the RI probe canonicalize to the SAME exchange subtree
+    # and AQE computes the distinct once (ReusedExchange)
+    ckeys = (
+        c.select("c_custkey").filter(F.col("c_custkey").isNotNull()).distinct()
+    )
+    okeys = (
+        o.select("o_orderkey").filter(F.col("o_orderkey").isNotNull()).distinct()
+    )
     o_leg = (
         o.select("o_orderkey", "o_orderdate", "o_custkey")
         .join(
-            c.select("c_custkey").distinct(),
+            ckeys,
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         )
         .select(
             F.lit(0).alias("leg"),
-            F.col("o_orderkey").alias("dkey"),
-            F.lit(None).cast("long").alias("dkey2"),
             flag(
                 ~F.col("o_orderdate").between(
                     F.lit("1990-01-01").cast("timestamp"),
@@ -80,14 +101,12 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_leg = (
         li.select("l_orderkey", "l_quantity", "l_discount")
         .join(
-            o.select("o_orderkey").distinct(),
+            okeys,
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
         .select(
             F.lit(1).alias("leg"),
-            null_l.alias("dkey"),
-            null_l.alias("dkey2"),
             flag(~F.col("l_quantity").between(1, 50)).alias("f1"),
             flag(~F.col("l_discount").between(0.0, 0.5)).alias("f2"),
             flag(F.col("o_orderkey").isNull()).alias("f3"),
@@ -95,27 +114,37 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_leg = c.select(
         F.lit(2).alias("leg"),
-        null_l.alias("dkey"),
-        F.col("c_custkey").alias("dkey2"),
         flag(F.col("c_name").isNull()).alias("f1"),
         zero.alias("f2"),
         zero.alias("f3"),
     )
     ev_leg = ev.select(
         F.lit(3).alias("leg"),
-        null_l.alias("dkey"),
-        null_l.alias("dkey2"),
         flag(F.col("value") < 0).alias("f1"),
         zero.alias("f2"),
         zero.alias("f3"),
     )
-    legs = o_leg.unionByName(li_leg).unionByName(c_leg).unionByName(ev_leg)
+    # two COUNTING legs: the PK checks' n_distinct is the row count of
+    # the very tables the RI probes broadcast; counting them as union
+    # legs keeps the whole query ONE aggregate (no crossJoin branches)
+    ok_leg = okeys.select(
+        F.lit(4).alias("leg"), zero.alias("f1"), zero.alias("f2"), zero.alias("f3")
+    )
+    ck_leg = ckeys.select(
+        F.lit(5).alias("leg"), zero.alias("f1"), zero.alias("f2"), zero.alias("f3")
+    )
+    legs = (
+        o_leg.unionByName(li_leg)
+        .unionByName(c_leg)
+        .unionByName(ev_leg)
+        .unionByName(ok_leg)
+        .unionByName(ck_leg)
+    )
 
     n_of = lambda k: F.sum(flag(F.col("leg") == k))  # noqa: E731
     s_of = lambda k, f: F.sum(F.when(F.col("leg") == k, F.col(f)).otherwise(zero))  # noqa: E731
-    one = legs.agg(
+    sums = legs.agg(
         n_of(0).alias("o_n"),
-        (n_of(0) - F.countDistinct("dkey")).alias("o_pk_viol"),
         s_of(0, "f1").alias("o_date_viol"),
         s_of(0, "f2").alias("fkoc_viol"),
         n_of(1).alias("li_n"),
@@ -123,11 +152,17 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_of(1, "f2").alias("li_disc_viol"),
         s_of(1, "f3").alias("fklo_viol"),
         n_of(2).alias("c_n"),
-        (n_of(2) - F.countDistinct("dkey2")).alias("c_pk_viol"),
         s_of(2, "f1").alias("c_name_viol"),
         n_of(3).alias("ev_n"),
         s_of(3, "f1").alias("ev_val_viol"),
+        n_of(4).alias("n_ok"),
+        n_of(5).alias("n_ck"),
     )
+    # n - n_distinct = PK violations, identical to the former
+    # COUNT(DISTINCT) over the union
+    one = sums.withColumn(
+        "o_pk_viol", F.col("o_n") - F.col("n_ok")
+    ).withColumn("c_pk_viol", F.col("c_n") - F.col("n_ck"))
     out = one.select(
         F.expr(
             "stack(9,"
