@@ -54,3 +54,24 @@ def salted_agg(
         *[combine[fn](f"__p_{name}").alias(name) for name, (fn, _) in aggs.items()]
     )
     return phase2
+
+
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive fixture spread: hash-repartition ``df`` across
+    the session's cores ONLY when its planned scan parallelism is
+    below them.
+
+    A one-file local fixture plans as a single input split, so every
+    downstream per-row stage (tokenize, explode, codec work) would
+    serialize on one task; the spread buys full-core parallelism for
+    the price of shuffling the payload once.  On a real deployment the
+    scan already yields >= cores splits and that same shuffle would
+    move the whole payload for nothing — so it is skipped.  The
+    partition-count probe reads the planned RDD partitioning (file
+    splits); it runs no job.
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, *keys)

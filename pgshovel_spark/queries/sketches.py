@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from pgshovel_spark.functions.textfns import tokens
 from pgshovel_spark.operators.scratch import scratch_table
+from pgshovel_spark.operators.skew import spread_scan
 from pgshovel_spark.functions.hashing import (
     SPREAD_SQL as _SPREAD_SQL,
     TOKEN_HASH_SQL as _TOKEN_HASH_SQL,
@@ -57,9 +58,15 @@ _TOKS_SQL = (
 
 
 def _tok_occurrences(spark, sf_dir):
-    """One row per token OCCURRENCE (lang, t) — counts, not sets."""
+    """One row per token OCCURRENCE (lang, t) — counts, not sets.
+
+    The tokenize spread is scale-adaptive (spread_scan): a one-file
+    local fixture plans as a single split and would tokenize on one
+    task, so it is hash-spread across the cores; a production scan
+    already yields >= cores splits and the spread — a full shuffle of
+    the raw text purely for parallelism — is skipped."""
     d = load_table(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = spread_scan(d, "doc_id")
     return d.select(
         "doc_id", "lang", F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("t")
     )

@@ -499,3 +499,19 @@ def test_ivf_rebuild_resets_staleness_stats(spark, tmp_path):
     )
     after = ivf_staleness(spark, idx)
     assert after["retrain"] is False, f"stale-era stats leaked: {after}"
+
+
+def test_spread_scan_is_scale_adaptive(spark):
+    from pgshovel_spark.operators.skew import spread_scan
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "doc_id")
+    wide = spark.range(0, 1000, 1, p).withColumnRenamed("id", "doc_id")
+
+    spread = spread_scan(narrow, "doc_id")
+    assert spread.rdd.getNumPartitions() == p
+    assert "repartitionbyexpression" in spread._jdf.queryExecution().logical().toString().lower()
+
+    # already >= cores of parallelism: returned untouched, no shuffle added
+    kept = spread_scan(wide, "doc_id")
+    assert kept is wide
