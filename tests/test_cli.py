@@ -232,17 +232,26 @@ def test_cli_cdc_stream_relay_live(tmp_path, capsys, spark):
             )
             c.query("update rl_src set v = 'u7' where id = 7")
             c.query("delete from rl_src where id = 9")
-        rc, out = run_cli(
-            capsys, "cdc", "stream", "rl_slot",
-            "--sockdir", params.sockdir,
-            "--publication", "rl_pub",
-            "--to-table", "rl_dst", "--keys", "id",
-            "--flatten", "id:long,v:string",
-            "--checkpoint", str(tmp_path / "ck"),
-            "--trigger-ms", "300", "--run-secs", "12",
-        )
-        assert rc == 0
-        assert json.loads(out.splitlines()[0])["relay"] == "rl_slot"
+        # --run-secs is a pure wall-clock bound: on a loaded box the
+        # stream's startup can eat the whole window before the first
+        # batch commits.  A re-run is exact by design (checkpoint
+        # resumes, the slot only advances on commit), so retry the
+        # bounded window instead of demanding one lucky draw.
+        for attempt in range(3):
+            rc, out = run_cli(
+                capsys, "cdc", "stream", "rl_slot",
+                "--sockdir", params.sockdir,
+                "--publication", "rl_pub",
+                "--to-table", "rl_dst", "--keys", "id",
+                "--flatten", "id:long,v:string",
+                "--checkpoint", str(tmp_path / "ck"),
+                "--trigger-ms", "300", "--run-secs", "12",
+            )
+            assert rc == 0
+            assert json.loads(out.splitlines()[0])["relay"] == "rl_slot"
+            with params.connect() as c:
+                if c.one("select count(*) from rl_dst") == 40:
+                    break
         with params.connect() as c:
             assert c.one("select count(*) from rl_dst") == 40
             assert c.one("select v from rl_dst where id = 7") == "u7"
@@ -294,18 +303,24 @@ def test_cli_cdc_stream_sharded_live(tmp_path, capsys, spark):
                 {"slot": "sh_slot_b", "publication": "sh_pub_b"},
             ]
         )
-        rc, out = run_cli(
-            capsys, "cdc", "stream", "relay",
-            "--sockdir", params.sockdir,
-            "--shards", shards,
-            "--to-table", "sh_dst", "--keys", "id",
-            "--flatten", "id:long,v:string",
-            "--max-changes", "10000",
-            "--checkpoint", str(tmp_path / "ck"),
-            "--trigger-ms", "300", "--run-secs", "15",
-        )
-        assert rc == 0
-        assert json.loads(out.splitlines()[0])["relay"] == "relay"
+        # bounded-window retry, same rationale as the single-slot
+        # relay test above: wall-clock windows lose to slow startup
+        for attempt in range(3):
+            rc, out = run_cli(
+                capsys, "cdc", "stream", "relay",
+                "--sockdir", params.sockdir,
+                "--shards", shards,
+                "--to-table", "sh_dst", "--keys", "id",
+                "--flatten", "id:long,v:string",
+                "--max-changes", "10000",
+                "--checkpoint", str(tmp_path / "ck"),
+                "--trigger-ms", "300", "--run-secs", "15",
+            )
+            assert rc == 0
+            assert json.loads(out.splitlines()[0])["relay"] == "relay"
+            with params.connect() as c:
+                if c.one("select count(*) from sh_dst") == 50:
+                    break
         with params.connect() as c:
             # both pubs landed through ONE query: only the sharded
             # reader can drive two slots (no 'slot' option was given,
