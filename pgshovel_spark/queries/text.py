@@ -397,10 +397,13 @@ def q_text_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         useArrow=True,
     )
     class TokenSpans:
-        def eval(self, doc_id, text):  # noqa: ANN001 — Spark-inferred
-            import re
+        def __init__(self):  # heavyweight init once per task (guide §4.5),
+            import re  # not per row: eval() runs per input row
 
-            for i, m in enumerate(re.finditer(r"\S+", text or ""), start=1):
+            self._find = re.compile(r"\S+").finditer
+
+        def eval(self, doc_id, text):  # noqa: ANN001 — Spark-inferred
+            for i, m in enumerate(self._find(text or ""), start=1):
                 yield i, m.group(0).lower(), m.start(), m.end()
 
     import uuid
