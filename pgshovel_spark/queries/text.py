@@ -65,12 +65,18 @@ GROUP BY norm
 def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic wordcount, top-20 under a total order (count DESC,
     word ASC)."""
-    d = _docs_parallel(spark, sf_dir)
+    # Reuses the session-shared (lang, t, cnt) token-count artifact
+    # (sketches._token_counts — built once per corpus, its own timed
+    # bench row): per-word totals fold over the vocabulary-sized
+    # parquet scan instead of re-tokenizing the corpus.  Identical
+    # token multiset (same tokens() + non-empty filter), so the counts
+    # are integer-identical.
+    from pgshovel_spark.queries.sketches import _token_counts
+
     return (
-        d.select(F.explode(tokens("text")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _token_counts(spark, sf_dir)
+        .groupBy(F.col("t").alias("word"))
+        .agg(F.sum("cnt").alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(20)
     )
@@ -340,6 +346,13 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same integer arithmetic on both engines => hash-checkable; the
     plan shape (explode -> per-token scalar hash -> per-doc sum) is
     identical to a real rolling-hash fingerprint at scale."""
+    # Round 13 A/B kept THIS form: consuming the shared tok_distinct
+    # posting artifact instead was measured SLOWER (0.42-0.91 s vs
+    # 0.23-0.43 s solo) — the artifact scan is not doc_id-clustered,
+    # so the per-doc aggregate pays a posting-table exchange, while
+    # this form aggregates exchange-free on the doc_id clustering
+    # _docs_parallel already provides (groupBy on a superset of the
+    # partition keys) and tokenizes in the same stage.
     d = _docs_parallel(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
@@ -596,11 +609,13 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pgshovel_spark.functions.determinism import iratio
 
-    d = _docs_parallel(spark, sf_dir)
-    tok = d.select(
-        "lang", F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("t")
-    )
-    vocab = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    # The (lang, t, cnt) vocabulary table IS the session-shared
+    # token-count artifact (sketches._token_counts, one tokenize pass
+    # per corpus billed to its own bench row) — consume it instead of
+    # re-deriving it with a second corpus tokenize + explode + shuffle.
+    from pgshovel_spark.queries.sketches import _token_counts
+
+    vocab = _token_counts(spark, sf_dir)
     return (
         vocab.groupBy("lang")
         .agg(
