@@ -57,7 +57,14 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         # size is fixture-scale (matches the 4m scan splits below);
         # raise it to 64-256m on a cluster (SCALE.md).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        # Env-parameterised (round-13 contract: scale-dependent knobs
+        # must be conf/env, not constants): default stays the measured
+        # fixture-scale value; set SPARK_GRAFT_ADVISORY_PARTITION to
+        # 64m-256m on a cluster.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2m"),
+        )
         # Python DataSource filter pushdown (the native pgshovel
         # batch source renders supported conjuncts into the remote
         # WHERE clause; off by default in Spark 4.1)
@@ -102,7 +109,12 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         # task; at 1m it scans ~11-way, measured -15-30% on the
         # decision-support band vs 4m).  On a cluster with properly
         # sized multi-file tables raise this to 128-256m (SCALE.md).
-        .config("spark.sql.files.maxPartitionBytes", "1m")
+        # Env-parameterised like the advisory size above: set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=128m-256m on a cluster.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
         # Keep test droppings out of the repo root: the Hive-style
         # warehouse (CREATE TABLE targets) and Derby's boot log both
         # default to CWD-relative paths.  Ignored if the JVM is already
