@@ -157,7 +157,26 @@ def scratch_table(
             tmp = path.with_name(
                 path.name + f".tmp-{spark.sparkContext.applicationId}"
             )
-            writer = build(spark, sf_dir).write.mode("overwrite")
+            built = build(spark, sf_dir)
+            if not partition_by:
+                # Output file sizing (guide §6): builds often end in a
+                # core-wide spread or an uncoalesced shuffle, so the
+                # table landed as one file PER TASK (32 kilobyte-scale
+                # files at fixture scale) and every consumer scan paid
+                # one task per file forever after (openCostInBytes
+                # keeps sub-split files from packing together).  A
+                # REBALANCE on the write lets AQE size the output
+                # splits by the advisory partition target: ~1 file
+                # locally, 64-256m files on a cluster via the same
+                # env knob (SCALE.md) — measured 0.128 -> 0.085 s per
+                # consumer scan action and 0.181 -> 0.106 s per
+                # consuming aggregate at sf0.1 (round 14).
+                # Partitioned artifacts are excluded: their builds
+                # already key the layout on the partition columns and
+                # a keyless rebalance would re-spread each directory
+                # into per-task file shards.
+                built = built.hint("rebalance")
+            writer = built.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(str(tmp))

@@ -1107,16 +1107,28 @@ def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-stats exchange; round-13 optimization).  The ranked stream
     materializes once (rank.py's boundary-consistency invariant).
     """
-    from pgshovel_spark.operators.rank import with_global_rank
+    from pgshovel_spark.operators.rank import sized_partitions, with_global_rank
+    from pgshovel_spark.sources.tables import table_rowcount
 
     base = q_text_unigram_ppl(spark, sf_dir).select(
         "doc_id", "lang", "n_toks", "nll_per_token"
     )
+    # Exact catalog-statistics partition sizing (r14): the ranked
+    # stream is one ~40-byte row per document, but its plan-stats
+    # estimate is join-inflated, so the operator's derived default
+    # falls back to its defaultParallelism cap — a core-count-derived
+    # layout.  The parquet footer row count is exact and free
+    # (table_rowcount), so the range-partition count becomes a pure
+    # function of data size: 1 at fixture scale (which also deletes
+    # the RangePartitioner sampling pass — a full re-execution of the
+    # tokenize+join subtree), advisory-sized partitions at 100 TB.
+    n_rank = sized_partitions(spark, table_rowcount(sf_dir, "documents") * 40)
     lab = (
         with_global_rank(
             base,
             [F.col("lang"), F.col("nll_per_token"), F.col("doc_id")],
             rank_col="grank",
+            num_partitions=n_rank,
             group_prefix=["lang"],
             group_count_col="n_l",
             group_rank0_col="rank0",

@@ -118,6 +118,39 @@ def test_global_ntile_fewer_rows_than_buckets(spark):
     assert sorted((r.x, r.b) for r in got.collect()) == [(1, 1), (2, 2), (3, 3)]
 
 
+def test_global_rank_derived_default_partitions(spark):
+    # r14: with no explicit num_partitions the operator derives the
+    # range-partition count from the input's estimated bytes (clamped
+    # to [1, defaultParallelism]) instead of using defaultParallelism
+    # outright — the ranks must be identical either way, and for a
+    # tiny input the derived count must be small (core-independent).
+    from pgshovel_spark.operators.rank import (
+        _sized_partitions,
+        sized_partitions,
+        with_global_rank,
+    )
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 13 % 31).alias("v"))
+    n = _sized_partitions(df)
+    assert 1 <= n <= spark.sparkContext.defaultParallelism
+    got = with_global_rank(df, [F.col("v").asc(), F.col("id").asc()], rank_col="r")
+    want = with_global_rank(
+        df, [F.col("v").asc(), F.col("id").asc()], rank_col="r", num_partitions=5
+    )
+    assert sorted(map(tuple, got.select("id", "r").collect())) == sorted(
+        map(tuple, want.select("id", "r").collect())
+    )
+    # exact-size helper: pure function of bytes and the advisory conf
+    assert sized_partitions(spark, 0) == 1
+    assert sized_partitions(spark, 1) == 1
+    adv = int(
+        spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        )
+    )
+    assert sized_partitions(spark, adv + 1) == 2
+
+
 def test_global_rank_no_single_partition_window(spark):
     from pgshovel_spark.operators.rank import with_global_rank
 
