@@ -312,10 +312,21 @@ def encode_avi(frames, fps: int = 10) -> bytes:
         pad = b"\x00" if len(data) % 2 else b""
         return tag + struct.pack("<I", len(data)) + data + pad
 
-    def dib(rows) -> bytes:
-        if len(rows) != h or any(len(r) != w for r in rows):
-            raise ValueError("inconsistent frame dimensions")
-        return _pack_dib_rows(rows)
+    # All frames pack in ONE vectorized pass (r14, guide §4.2): the
+    # per-frame DIB layout is row-independent container math, so the
+    # repeat+pad runs over the whole (n, h, w) stack at once — same
+    # bytes per frame as the former per-frame _pack_dib_rows call.
+    try:
+        arr = np.asarray(frames, dtype=np.uint8)
+    except (ValueError, TypeError) as e:
+        raise ValueError("inconsistent frame dimensions") from e
+    if arr.ndim != 3 or arr.shape[1] != h or arr.shape[2] != w:
+        raise ValueError("inconsistent frame dimensions")
+    packed = np.zeros((arr.shape[0], h, stride), dtype=np.uint8)
+    packed[:, :, : w * 3] = np.repeat(arr[:, ::-1, :], 3, axis=2)
+
+    def dib(idx: int) -> bytes:
+        return packed[idx].tobytes()
 
     avih = struct.pack(
         "<14I",
@@ -337,7 +348,9 @@ def encode_avi(frames, fps: int = 10) -> bytes:
                        2835, 2835, 0, 0)
     strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
     hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
-    movi = b"movi" + b"".join(chunk(b"00db", dib(f)) for f in frames)
+    movi = b"movi" + b"".join(
+        chunk(b"00db", dib(j)) for j in range(len(frames))
+    )
     body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

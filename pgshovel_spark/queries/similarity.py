@@ -252,6 +252,19 @@ def _capped_pair_counts(posting: DataFrame, key: str):
     co-occurrence counts with id1 < id2; sizes = (doc_id, sz) kept-set
     sizes over the same capped space.
     """
+    # Compute-parallelism guard (r14): the posting artifact now lands
+    # advisory-sized (guide §6), so a fixture-scale corpus scans as
+    # ONE split — and the O(Σdf²) pair expansion below inherits the
+    # probe side's partitioning, serializing onto one task (measured:
+    # q_sim_jaccard 1.3-2.2 -> 5.6-6.5 s under a 1-file artifact).
+    # spread_scan restores core-wide parallelism exactly when the
+    # planned scan is narrower than the session's cores and is a
+    # NO-OP at scale, where the artifact scan already yields >= cores
+    # splits — the pre-round layout bought this parallelism by
+    # accident of per-task file counts.
+    from pgshovel_spark.operators.skew import spread_scan
+
+    posting = spread_scan(posting, "doc_id")
     drop_tab = (
         posting.groupBy(key)
         .agg(F.count(F.lit(1)).alias("df"))

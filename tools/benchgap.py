@@ -48,6 +48,28 @@ def cache_entries(spark) -> int:
         return -1
 
 
+def gc_ms(spark) -> int:
+    """Cumulative JVM GC milliseconds (all collectors)."""
+    try:
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        total = 0
+        it = beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return int(total)
+    except Exception:
+        return -1
+
+
+def heap_mb(spark) -> int:
+    """Used JVM heap, MB."""
+    try:
+        mem = spark._jvm.java.lang.management.ManagementFactory.getMemoryMXBean()
+        return int(mem.getHeapMemoryUsage().getUsed()) // (1024 * 1024)
+    except Exception:
+        return -1
+
+
 def drop_blocks(spark, clearcache: bool) -> None:
     """bench.py's _drop_stale_blocks, optionally + clearCache()."""
     if clearcache:
@@ -118,6 +140,8 @@ def main() -> None:
     for name in sorted(qs):
         drop_blocks(spark, clearcache)
         n_entries = cache_entries(spark)
+        g0 = gc_ms(spark)
+        h0 = heap_mb(spark)
         sc.setJobGroup(name, name)
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -125,10 +149,13 @@ def main() -> None:
             "sec": round(time.time() - t0, 3),
             "jobs": len(tracker.getJobIdsForGroup(name)),
             "cache_entries_before": n_entries,
+            "gc_ms_in_window": gc_ms(spark) - g0,
+            "heap_mb_before": h0,
         }
         print(
             f"{name}: {rows[name]['sec']}s jobs={rows[name]['jobs']} "
-            f"cache_entries={n_entries}",
+            f"cache_entries={n_entries} gc={rows[name]['gc_ms_in_window']}ms "
+            f"heap={h0}mb",
             flush=True,
         )
     total = round(sum(r["sec"] for r in rows.values()), 3)
