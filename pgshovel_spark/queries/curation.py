@@ -447,7 +447,20 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one task (same Σdf² output bound as the shingle family);
     shuffle 2 carries true-duplicate pairs only.
     """
-    d = _docs_parallel(spark, sf_dir).select(
+    # Data-derived spread (r14): the window explode below emits one
+    # ~20-byte row per token against ~1 byte/token of compressed
+    # source text, so the spread width sizes the EXPANDED stream to
+    # advisory partitions (expansion=16) instead of one per core —
+    # the plain core-count spread ran 33-36-task stages at local[32]
+    # on a sub-MB fixture where local[8] ran 9-12, and lost (jobprof:
+    # 1.25-1.52 s vs 0.95-1.36 s, identical stage structure; the r13
+    # scaling block's 0.62 low/high ratio).  At scale the scan
+    # already yields >= the derived width and the spread is skipped.
+    from pgshovel_spark.operators.skew import spread_scan
+
+    d = spread_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id", expansion=16
+    ).select(
         "doc_id", "lang", F.filter(tokens("text"), lambda t: t != "").alias("a")
     )
     k = _SUBSTR_K

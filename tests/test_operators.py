@@ -548,3 +548,22 @@ def test_spread_scan_is_scale_adaptive(spark):
     # already >= cores of parallelism: returned untouched, no shuffle added
     kept = spread_scan(wide, "doc_id")
     assert kept is wide
+
+
+def test_spread_scan_expansion_derives_width_from_data(spark):
+    # r14: with an expansion factor the spread width is data-derived
+    # (estimated bytes x expansion / advisory target), capped at
+    # defaultParallelism — a tiny input must spread to FEWER
+    # partitions than cores, identically at any core count.
+    from pgshovel_spark.operators.skew import spread_scan
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "doc_id")
+    spread = spread_scan(narrow, "doc_id", expansion=2)
+    n = spread.rdd.getNumPartitions()
+    assert 1 <= n <= p
+    # a tiny table times a small expansion stays under one advisory
+    # partition -> width 1 -> the scan is returned untouched
+    assert spread is narrow or n < p
+    # rows are preserved either way
+    assert spread.count() == 1000

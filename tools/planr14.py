@@ -47,7 +47,11 @@ def main() -> None:
             df = qs[name](spark, SF)
         safe = name.replace(":", "_")
         if executed:
-            df.write.format("noop").mode("overwrite").save()
+            # collect() executes THIS DataFrame's QueryExecution — a
+            # sink write wraps the plan in a different QueryExecution
+            # and the final AQE plan would never materialize on df's
+            # own (the round-9 plansnap gotcha).
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
             (out_dir / f"{safe}_{tag}_executed.txt").write_text(plan)
             print(f"wrote {safe}_{tag}_executed.txt")
