@@ -18,10 +18,37 @@ well both on local[32] test hardware and on a large cluster:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: suffixes Spark's byte-string parser accepts (JavaUtils.byteStringAs)
+_SIZE_RE = re.compile(r"^\d+\s*(b|k|kb|m|mb|g|gb|t|tb|p|pb)?$")
+
+
+def _env_size(*names: str, default: str) -> str:
+    """First non-empty env value among ``names``, validated as a Spark
+    byte-size string (e.g. '2m', '256m', '1g').  A malformed value
+    fails HERE with the env var named — not as an opaque JVM parse
+    error at session build (ADVICE r13).  Empty/whitespace values are
+    ignored rather than passed through."""
+    for name in names:
+        raw = os.environ.get(name)
+        if raw is None:
+            continue
+        val = raw.strip().lower()
+        if not val:
+            continue
+        if not _SIZE_RE.match(val):
+            raise ValueError(
+                f"{name}={raw!r} is not a valid Spark size string "
+                "(expected digits with an optional b/k/m/g/t/p suffix, "
+                "e.g. '256m')"
+            )
+        return val
+    return default
 
 
 def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> SparkSession:
@@ -59,11 +86,16 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         # Env-parameterised (round-13 contract: scale-dependent knobs
         # must be conf/env, not constants): default stays the measured
-        # fixture-scale value; set SPARK_GRAFT_ADVISORY_PARTITION to
-        # 64m-256m on a cluster.
+        # fixture-scale value; set SPARK_GRAFT_ADVISORY_PARTITION_BYTES
+        # to 64m-256m on a cluster (SCALE.md; the r13 name without the
+        # _BYTES suffix is kept as a legacy alias).
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2m"),
+            _env_size(
+                "SPARK_GRAFT_ADVISORY_PARTITION_BYTES",
+                "SPARK_GRAFT_ADVISORY_PARTITION",
+                default="2m",
+            ),
         )
         # Python DataSource filter pushdown (the native pgshovel
         # batch source renders supported conjuncts into the remote
@@ -113,7 +145,7 @@ def get_session(app_name: str = "pgshovel-spark", cpus: str | None = None) -> Sp
         # SPARK_GRAFT_MAX_PARTITION_BYTES=128m-256m on a cluster.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+            _env_size("SPARK_GRAFT_MAX_PARTITION_BYTES", default="1m"),
         )
         # Keep test droppings out of the repo root: the Hive-style
         # warehouse (CREATE TABLE targets) and Derby's boot log both
