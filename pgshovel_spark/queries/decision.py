@@ -1161,7 +1161,11 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(exact_sum("l_extendedprice").alias("val"))
-        .repartition(spark.sparkContext.defaultParallelism, "l_partkey")
+        # keyed-only (r14): an explicit count pins the exchange against
+        # AQE coalescing and made the layout a function of core count;
+        # REPARTITION_BY_COL keeps the exchange-topped stage reuse and
+        # lets AQE size the part-sized table's partitions from bytes.
+        .repartition("l_partkey")
     )
     total = per_part.agg(
         F.sum("val").alias("tot"), F.count(F.lit(1)).alias("np")
@@ -1229,7 +1233,10 @@ def q_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_qty = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
         .select("l_partkey", "l_suppkey", "l_quantity")
-        .repartition(spark.sparkContext.defaultParallelism, "l_partkey")
+        # keyed-only (r14): same AQE-coalescible trade as
+        # q_waiting_orders — one exchange feeds the whole correlated
+        # pipeline, sized from actual shuffle bytes at any core count
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").cast("long").alias("qty"))
     )
@@ -1308,7 +1315,9 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             F.col("m_dec").cast("double").alias("monetary"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "c_custkey")
+        # keyed-only (r14): AQE-coalescible exchange-topped reuse —
+        # see q_waiting_orders
+        .repartition("c_custkey")
     )
     fracs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     cuts = per.agg(

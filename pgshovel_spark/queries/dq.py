@@ -377,7 +377,9 @@ def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+        # keyed-only (r14): AQE-coalescible exchange-topped reuse —
+        # see q_waiting_orders
+        .repartition("user_id")
     )
     total = per.agg(F.sum("n").alias("tot"))
     top = per.orderBy(F.col("n").desc(), F.col("user_id")).limit(_SKEW_TOP)
